@@ -1,0 +1,42 @@
+"""Engine configuration defaults.
+
+The reference hard-codes ``npartitions = physical cores``
+(reference build_metadata.py:20,74); we key every wide operation on an
+explicit partition count ``num_parts`` instead so the same pipeline runs
+unchanged from 4 CPUs to a 256-node cluster (pick num_parts ~= 2-4x total
+cores at real scale).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def default_num_parts() -> int:
+    """Partition count for hash-keyed shuffles / CSR shards."""
+    return int(os.environ.get("HGR_NUM_PARTS", "16"))
+
+
+@dataclass
+class EngineConfig:
+    # Wide-op partitioning (CSR shards, id assignment, bucketed joins).
+    num_parts: int = field(default_factory=default_num_parts)
+    # Hash seed for stable url/content hashing (polars xxhash seed).
+    hash_seed: int = 42
+    # PageRank
+    damping: float = 0.85
+    pagerank_tol: float = 1e-6
+    max_iters: int = 200
+    # Out-degree above which a source vertex is vertex-cut into salted
+    # sub-keys during shuffles (hub skew handling, SURVEY.md section 7.4).
+    hub_degree_threshold: int = 8192
+    # Checkpoint root (per-iteration per-partition lineage manifests).
+    checkpoint_root: str = "/tmp/hgr_checkpoints"
+    # Batch size for extraction-style stages (rows); html payloads are
+    # small in fixtures; at 100 TB scale pages average ~100 KB so keep
+    # batches modest to bound worker heap (batch x concurrency).
+    extract_batch_size: int = 1024
+
+
+DEFAULT = EngineConfig()

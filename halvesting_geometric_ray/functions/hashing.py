@@ -1,0 +1,56 @@
+"""Stable, vectorized 64-bit hashing for partition keys and content ids.
+
+The reference assigns ids via the dask partition index — documented there
+as buggy across partitions (reference link_prediction_metadata.py:349-353).
+We instead key all placement decisions on a *stable* vectorized hash
+(polars/xxhash, pinned seed) so results are reproducible under any
+parallelism.  Hashes are only used for PLACEMENT (partitioning, bucketing,
+salting) and content fingerprints — never as user-visible ids unless
+explicitly requested (see ops/ids.py for dense-id assignment).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_MASK63 = (1 << 63) - 1
+
+
+def stable_hash64(arr, seed: int = 42) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string/binary/int array.
+
+    Accepts a pyarrow Array/ChunkedArray, numpy array, or Python list.
+    Returns int64 (top bit cleared so values are non-negative and safe to
+    mod). Deterministic across processes and runs (no PYTHONHASHSEED
+    dependence).
+    """
+    import polars as pl
+
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(arr)
+        if isinstance(s, pl.DataFrame):  # chunked array of one field
+            s = s.to_series()
+    else:
+        s = pl.Series(np.asarray(arr))
+    h = s.hash(seed=seed).to_numpy()
+    return (h & _MASK63).astype(np.int64)
+
+
+def stable_hash_pair64(a, b, seed: int = 42) -> np.ndarray:
+    """Stable hash of a pair of columns (order-sensitive)."""
+    ha = stable_hash64(a, seed=seed)
+    hb = stable_hash64(b, seed=seed + 1)
+    # 64-bit mix (splitmix-style) of the combination.
+    x = (ha.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ hb.astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    return (x & np.uint64(_MASK63)).astype(np.int64)
+
+
+def blake2b64(data: bytes) -> int:
+    """Scalar fallback/reference hash (used in tests to sanity-check)."""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big") & _MASK63

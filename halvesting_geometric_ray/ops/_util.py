@@ -1,0 +1,23 @@
+"""Small Arrow utilities shared by ops."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def cast_like(tbl: pa.Table, ref_schema: pa.Schema) -> pa.Table:
+    """Cast columns of `tbl` back to the types of `ref_schema` (matched by
+    name).  Needed because polars round-trips utf8 as large_utf8, which
+    breaks join-key type equality downstream."""
+    cols = []
+    names = []
+    for f in tbl.schema:
+        col = tbl.column(f.name)
+        idx = ref_schema.get_field_index(f.name)
+        if idx >= 0:
+            want = ref_schema.field(idx).type
+            if want != f.type:
+                col = col.cast(want)
+        names.append(f.name)
+        cols.append(col)
+    return pa.table(dict(zip(names, cols)))

@@ -1,0 +1,158 @@
+"""Join helpers (SURVEY.md section 2.5).
+
+Three regimes, chosen explicitly by the caller:
+
+- broadcast lookup / semi: the reference's dimension joins (J1-J5:
+  domains, authors, affiliations — small side) become a ``ray.put`` of
+  the small table once + a vectorized per-batch lookup inside
+  ``map_batches``.  No shuffle, no per-batch re-ship.
+- bucketed hash join (default big-big): the citation-resolution join
+  (J6/J7, reference link_prediction_metadata.py:321-331) as an explicit
+  partitioned hash join — tag sides, union, hash-bucket the key,
+  ``groupby(bucket).map_groups`` with a vectorized polars merge per
+  bucket.  Runs on Ray's task-based shuffle, so it degrades gracefully
+  at low CPU counts (Ray's actor-pool `Dataset.join` reserves aggregator
+  CPUs up front and can starve a 4-CPU session).
+- ``native_join``: Ray Data's built-in hash-shuffle ``Dataset.join`` —
+  the streaming choice on real multi-node clusters with CPUs to reserve.
+
+Skew note: bucket = stable_hash(key) % B spreads distinct keys; a single
+hot key (hub url) still lands in one bucket.  For our edge-resolution
+joins the UNIQUE side is the vertex table, so per-bucket work is bounded
+by left rows per key-bucket; pass a larger ``num_buckets`` (or pre-salt
+the left side) when a bucket outgrows a task.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import pyarrow as pa
+
+import ray
+
+from ..functions.hashing import stable_hash64
+from ._util import cast_like
+
+_BUCKET = "__bucket"
+_SIDE = "__side"
+
+
+def native_join(left, right, on: Tuple[str, ...], right_on: Optional[Tuple[str, ...]] = None,
+                join_type: str = "inner", num_parts: int = 16):
+    return left.join(right, join_type=join_type, num_partitions=num_parts,
+                     on=on, right_on=right_on)
+
+
+def hash_join(left, right, on: str, right_on: Optional[str] = None,
+              join_type: str = "inner", num_parts: int = 16,
+              left_cols: Optional[List[str]] = None,
+              right_cols: Optional[List[str]] = None):
+    """Bucketed big-big equi-join on a single key column.
+
+    Output columns: [on] + left payload cols + right payload cols
+    (right key column is dropped).  Row order is arbitrary; the result
+    set is deterministic.
+    """
+    right_on = right_on or on
+    l_schema: pa.Schema = left.schema().base_schema
+    r_schema: pa.Schema = right.schema().base_schema
+    l_payload = left_cols or [f.name for f in l_schema if f.name != on]
+    r_payload = right_cols or [f.name for f in r_schema if f.name != right_on]
+    overlap = set(l_payload) & set(r_payload)
+    if overlap:
+        raise ValueError(f"overlapping payload columns: {overlap}")
+
+    key_type = l_schema.field(on).type
+    out_fields = [(on, key_type)] + \
+        [(c, l_schema.field(c).type) for c in l_payload] + \
+        [(c, r_schema.field(c).type) for c in r_payload]
+
+    def tag(side: int, key_col: str, payload: List[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {}
+            key = b.column(key_col)
+            if key.type != key_type:
+                key = key.cast(key_type)
+            cols[on] = key
+            for name, typ in out_fields[1:]:
+                if name in payload:
+                    c = b.column(name)
+                    cols[name] = c.cast(typ) if c.type != typ else c
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            cols[_SIDE] = pa.array([side] * n, type=pa.int8())
+            h = stable_hash64(key) % num_parts
+            cols[_BUCKET] = pa.array(h, type=pa.int32())
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(tag(0, on, l_payload), batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        right.map_batches(tag(1, right_on, r_payload), batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    out_schema = pa.schema([pa.field(n, t) for n, t in out_fields])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g.drop_columns([_BUCKET]))
+        lhs = df.filter(pl.col(_SIDE) == 0).select([on] + l_payload)
+        rhs = df.filter(pl.col(_SIDE) == 1).select([on] + r_payload)
+        how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[join_type]
+        j = lhs.join(rhs, on=on, how=how)
+        return cast_like(j.to_arrow(), out_schema)
+
+    return tagged.groupby(_BUCKET).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def broadcast_lookup(ds, key: str, mapping_table: pa.Table, map_key: str,
+                     map_vals: List[str], how: str = "inner"):
+    """Map-side join of `ds` against a small table via an object-store
+    broadcast (ray.put once; each actor reads zero-copy in __init__)."""
+    ref = ray.put(mapping_table)
+
+    class Lookup:
+        def __init__(self):
+            import polars as pl
+
+            self.small = pl.from_arrow(ray.get(ref)).select([map_key] + map_vals)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            b = pl.from_arrow(batch)
+            out = b.join(self.small, left_on=key, right_on=map_key,
+                         how=("inner" if how == "inner" else "left"))
+            want = batch.schema
+            for v in map_vals:
+                want = want.append(mapping_table.schema.field(v))
+            return cast_like(out.to_arrow(), want)
+
+    return ds.map_batches(Lookup, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
+
+
+def broadcast_semi(ds, key: str, keys_table: pa.Table, key_col: str, anti: bool = False):
+    """Semi/anti join against a broadcast key set (F1' of SURVEY 2.5)."""
+    ref = ray.put(keys_table)
+
+    class Semi:
+        def __init__(self):
+            import polars as pl
+
+            self.keys = pl.from_arrow(ray.get(ref)).select(key_col).unique()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import polars as pl
+
+            b = pl.from_arrow(batch)
+            out = b.join(self.keys.rename({key_col: key}), on=key,
+                         how=("anti" if anti else "semi"))
+            return cast_like(out.to_arrow(), batch.schema)
+
+    return ds.map_batches(Semi, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))

@@ -1,0 +1,62 @@
+"""Graph construction conformance — reference-style golden cardinalities
+(the reference's de-facto test corpus is its node/edge counts,
+link_prediction_dataset.py:50-75) plus bijection/determinism properties."""
+
+import numpy as np
+import pyarrow.compute as pc
+import ray.data as rd
+
+from halvesting_geometric_ray.ops.ids import owner_of
+
+
+def _vs_es(g):
+    return (rd.read_parquet(g.vertices).to_pandas(),
+            rd.read_parquet(g.edges).to_pandas())
+
+
+def test_vertex_table_is_dense_bijection(tiny_graph, tiny_corpus):
+    vs, _ = _vs_es(tiny_graph)
+    assert sorted(vs.vid) == list(range(len(vs)))
+    assert set(vs.url) == set(tiny_corpus.expected_vertex_urls())
+    assert vs.url.is_unique
+
+
+def test_vertex_parts_own_contiguous_ranges(tiny_graph):
+    vs, _ = _vs_es(tiny_graph)
+    off = tiny_graph.offsets
+    assert (owner_of(vs.vid.to_numpy(), off) == vs.part.to_numpy()).all()
+
+
+def test_edge_table_exact(tiny_graph, tiny_corpus):
+    vs, es = _vs_es(tiny_graph)
+    u2v = dict(zip(vs.url, vs.vid))
+    exp = {(u2v[s], u2v[d]) for s, d in tiny_corpus.expected_edge_set()}
+    got = list(zip(es.src, es.dst))
+    assert len(got) == len(set(got))  # exact dedup
+    assert set(got) == exp
+
+
+def test_text_layer_byte_identical(tiny_graph, tiny_pages_dir):
+    ext = rd.read_parquet(tiny_graph.extracted).to_pandas()
+    pages = rd.read_parquet(tiny_pages_dir, columns=["url", "text"]).to_pandas()
+    m = ext.merge(pages, on="url", suffixes=("_got", "_exp"))
+    assert len(m) == len(pages)
+    assert (m.text_got == m.text_exp).all()
+
+
+def test_counts_small(small_graph, small_corpus):
+    vs, es = _vs_es(small_graph)
+    assert len(vs) == len(small_corpus.expected_vertex_urls())
+    assert len(es) == len(small_corpus.expected_edge_set())
+
+
+def test_ids_deterministic_across_runs(tiny_pages_dir, tmp_path):
+    """Permutation/parallelism-independent ids: rebuild -> same mapping."""
+    from halvesting_geometric_ray.config import EngineConfig
+    from halvesting_geometric_ray.graph.build import build_graph
+
+    g1 = build_graph(tiny_pages_dir, str(tmp_path / "a"), force=True)
+    g2 = build_graph(tiny_pages_dir, str(tmp_path / "b"), force=True)
+    v1 = rd.read_parquet(g1.vertices).to_pandas().sort_values("url")
+    v2 = rd.read_parquet(g2.vertices).to_pandas().sort_values("url")
+    assert (v1.vid.to_numpy() == v2.vid.to_numpy()).all()
