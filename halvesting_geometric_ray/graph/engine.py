@@ -1,0 +1,76 @@
+"""Stateful actor-pool engine for iterative gather-scatter analytics.
+
+Ray Data's Dataset API is DAG-streaming: expressing each PageRank round
+as a fresh groupby pipeline costs seconds of scheduling per round, which
+dominates at 60-90 convergence rounds (measured: >1s/round of pure
+overhead at V=321).  Following SURVEY.md section 7.4 ("the loop lives in
+the driver ... actors carry warm state" — the analogue of the
+reference's persistent loader workers holding the graph,
+link_prediction_datamodule.py:147-191), the iteration inner loop runs on
+a pool of ``@ray.remote`` shard actors instead:
+
+- each actor owns a contiguous set of vertex partitions, loads their CSR
+  shards ONCE (zero-copy numpy over parquet buffers), and keeps the
+  per-vertex state (rank / label) in memory across rounds;
+- a round is scatter (per-shard message values pre-aggregated by unique
+  destination — the combiner) -> exchange (``num_returns=A`` object-store
+  transfer, each gather pulls only its slice) -> gather/apply;
+- every round each actor writes its partitions' state+delta parquet
+  (atomic rename) and the driver commits the lineage manifest — the
+  per-partition mid-iteration checkpoint/resume of the north rule;
+- global scalars (dangling mass, L1 delta, changed-label counts) are
+  tiny driver-side reductions over per-actor partials.
+
+Graph construction, joins, dedup and one-shot analytics remain pure
+Ray-Data Dataset pipelines; only the iterate-to-convergence inner loop
+lives here.  On a multi-node cluster the actors spread across nodes and
+the exchange goes through the distributed object store — same code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+import ray
+
+
+def plan_actors(num_parts: int, max_actors: int = 0) -> List[List[int]]:
+    """Assign partitions to actors (round-robin).  Defaults to one actor
+    per partition — a DETERMINISTIC layout (bitwise-reproducible float
+    accumulation order regardless of cluster size); cap with max_actors
+    when partitions greatly outnumber cores."""
+    if max_actors <= 0:
+        max_actors = num_parts
+    a = min(num_parts, max_actors)
+    owned: List[List[int]] = [[] for _ in range(a)]
+    for p in range(num_parts):
+        owned[p % a].append(p)
+    return owned
+
+
+def part_to_actor_map(owned: List[List[int]], num_parts: int) -> np.ndarray:
+    m = np.zeros(num_parts, dtype=np.int32)
+    for i, parts in enumerate(owned):
+        for p in parts:
+            m[p] = i
+    return m
+
+
+def scatter_refs_matrix(actors, num_actors: int, method: str = "scatter", args=()):
+    """Invoke `method` on every actor with num_returns=num_actors; returns
+    refs[src_actor][dst_actor]."""
+    out = []
+    for a in actors:
+        f = getattr(a, method)
+        if num_actors == 1:
+            out.append([f.remote(*args)])
+        else:
+            out.append(list(f.options(num_returns=num_actors).remote(*args)))
+    return out
+
+
+def transpose_refs(refs: List[List]) -> List[List]:
+    a = len(refs)
+    return [[refs[i][j] for i in range(a)] for j in range(len(refs[0]))]
