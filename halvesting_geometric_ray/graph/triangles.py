@@ -1,0 +1,134 @@
+"""Exact triangle counting: degree orientation -> wedge join -> semi close.
+
+One-shot Dataset pipeline (no iteration), SURVEY.md section 2.8:
+
+1. symmetrize + drop self-loops (undirected simple graph);
+2. degrees via groupby-count; oriented edge (u,v) kept iff
+   (deg[u], u) < (deg[v], v) — each undirected edge once, pointing from
+   the lower (degree, vid) rank.  Orientation bounds every vertex's
+   oriented out-degree by O(sqrt(E)) amortized, which is the skew guard
+   that makes wedge generation tractable on power-law graphs;
+3. wedges per source: all rank-ordered pairs of oriented neighbors,
+   generated per hash-partition of sources (vectorized pair expansion);
+4. semi-join wedges against the oriented edge set on (a, b): a surviving
+   wedge (a, b) centered at u is exactly one triangle {u, a, b},
+   counted once;
+5. per-vertex counts = union of the three corner projections ->
+   groupby-count; global count = number of surviving wedges.
+
+Every triangle is found exactly once, so counts are exact and
+partitioning-independent (matching the brute-force oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.hashing import stable_hash64
+from ..ops.join import hash_join
+
+
+def _degrees(sym):
+    deg = sym.groupby("src").count()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": b.column("src"),
+                         "deg": b.column("count()").cast(pa.int64())})
+
+    return deg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def orient(sym, cfg: EngineConfig = DEFAULT):
+    """sym (both directions present) -> oriented (src, dst, deg_src, deg_dst)
+    with (deg_src, src) < (deg_dst, dst)."""
+    deg = _degrees(sym)
+    j = hash_join(sym, deg, on="src", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"])
+    j = j.map_batches(lambda b: b.rename_columns(["src", "dst", "deg_src"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(j, deg, on="dst", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"])
+    j = j.map_batches(lambda b: b.rename_columns(["dst", "src", "deg_src", "deg_dst"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_forward(b: pa.Table) -> pa.Table:
+        s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
+        ds_, dd = b.column("deg_src").to_numpy(), b.column("deg_dst").to_numpy()
+        m = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        return b.filter(pa.array(m)).select(["src", "dst", "deg_dst"])
+
+    return j.map_batches(keep_forward, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _wedges(oriented, cfg: EngineConfig):
+    def bucket(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b.column("src")) % cfg.num_parts
+        return b.append_column("__b", pa.array(h, type=pa.int32()))
+
+    def gen(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        src = g.column("src").to_numpy()
+        dst = g.column("dst").to_numpy()
+        degd = g.column("deg_dst").to_numpy()
+        # per-src neighbor lists ordered by rank (deg, vid)
+        order = np.lexsort((dst, degd, src))
+        src, dst = src[order], dst[order]
+        bounds = np.flatnonzero(np.r_[True, src[1:] != src[:-1], True])
+        outs_a, outs_b, outs_u = [], [], []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            k = e - s
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            nbrs = dst[s:e]
+            outs_a.append(nbrs[ii])
+            outs_b.append(nbrs[jj])
+            outs_u.append(np.full(len(ii), src[s], dtype=np.int64))
+        if not outs_a:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "u": pa.array([], type=pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b)),
+                         "u": pa.array(np.concatenate(outs_u))})
+
+    return (oriented.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__b").map_groups(gen, batch_format="pyarrow"))
+
+
+def triangles(sym_simple, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", int]:
+    """Input: symmetrized SELF-LOOP-FREE edge table (graph.build.symmetrize
+    with drop_self_loops=True).  Returns (per_vertex_ds(vid, triangles),
+    global_count) — vertices in no triangle are absent (count 0)."""
+    oriented = orient(sym_simple, cfg).materialize()
+    o = oriented.select_columns(["src", "dst"])
+    w = _wedges(oriented, cfg)
+    tri = hash_join(w, o, on=["a", "b"], right_on=["src", "dst"],
+                    join_type="semi", num_parts=cfg.num_parts)
+    tri = tri.materialize()
+    total = tri.count()
+
+    def corners(b: pa.Table) -> pa.Table:
+        vid = np.concatenate([b.column("a").to_numpy(),
+                              b.column("b").to_numpy(),
+                              b.column("u").to_numpy()])
+        return pa.table({"vid": pa.array(vid, type=pa.int64())})
+
+    per_vertex = (tri.map_batches(corners, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                  .groupby("vid").count())
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": b.column("vid"),
+                         "triangles": b.column("count()").cast(pa.int64())})
+
+    return per_vertex.map_batches(rename, batch_format="pyarrow",
+                                  zero_copy_batch=True), int(total)

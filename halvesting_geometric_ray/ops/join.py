@@ -44,54 +44,58 @@ def native_join(left, right, on: Tuple[str, ...], right_on: Optional[Tuple[str, 
                      on=on, right_on=right_on)
 
 
-def hash_join(left, right, on: str, right_on: Optional[str] = None,
+def hash_join(left, right, on, right_on=None,
               join_type: str = "inner", num_parts: int = 16,
               left_cols: Optional[List[str]] = None,
               right_cols: Optional[List[str]] = None):
-    """Bucketed big-big equi-join on a single key column.
+    """Bucketed big-big equi-join on one or more key columns.
 
-    Output columns: [on] + left payload cols + right payload cols
-    (right key column is dropped).  Row order is arbitrary; the result
-    set is deterministic.
+    `on`/`right_on` are a column name or list of names (right keys are
+    renamed to the left names and dropped from the output payload).
+    Buckets are keyed on the FIRST key column only — rows with equal
+    first key co-locate, the per-bucket merge applies all keys.  Output
+    columns: keys + left payload cols + right payload cols.  Row order
+    is arbitrary; the result set is deterministic.
     """
-    right_on = right_on or on
+    keys = [on] if isinstance(on, str) else list(on)
+    rkeys = keys if right_on is None else \
+        ([right_on] if isinstance(right_on, str) else list(right_on))
     l_schema: pa.Schema = left.schema().base_schema
     r_schema: pa.Schema = right.schema().base_schema
-    l_payload = left_cols or [f.name for f in l_schema if f.name != on]
-    r_payload = right_cols or [f.name for f in r_schema if f.name != right_on]
+    l_payload = left_cols or [f.name for f in l_schema if f.name not in keys]
+    r_payload = right_cols or [f.name for f in r_schema if f.name not in rkeys]
     overlap = set(l_payload) & set(r_payload)
     if overlap:
         raise ValueError(f"overlapping payload columns: {overlap}")
 
-    key_type = l_schema.field(on).type
-    out_fields = [(on, key_type)] + \
+    key_types = [l_schema.field(k).type for k in keys]
+    out_fields = list(zip(keys, key_types)) + \
         [(c, l_schema.field(c).type) for c in l_payload] + \
         [(c, r_schema.field(c).type) for c in r_payload]
 
-    def tag(side: int, key_col: str, payload: List[str]):
+    def tag(side: int, key_cols: List[str], payload: List[str]):
         def fn(b: pa.Table) -> pa.Table:
             n = b.num_rows
             cols = {}
-            key = b.column(key_col)
-            if key.type != key_type:
-                key = key.cast(key_type)
-            cols[on] = key
-            for name, typ in out_fields[1:]:
+            for name, typ, kc in zip(keys, key_types, key_cols):
+                c = b.column(kc)
+                cols[name] = c.cast(typ) if c.type != typ else c
+            for name, typ in out_fields[len(keys):]:
                 if name in payload:
                     c = b.column(name)
                     cols[name] = c.cast(typ) if c.type != typ else c
                 else:
                     cols[name] = pa.nulls(n, type=typ)
             cols[_SIDE] = pa.array([side] * n, type=pa.int8())
-            h = stable_hash64(key) % num_parts
+            h = stable_hash64(cols[keys[0]]) % num_parts
             cols[_BUCKET] = pa.array(h, type=pa.int32())
             return pa.table(cols)
 
         return fn
 
-    tagged = left.map_batches(tag(0, on, l_payload), batch_format="pyarrow",
+    tagged = left.map_batches(tag(0, keys, l_payload), batch_format="pyarrow",
                               zero_copy_batch=True).union(
-        right.map_batches(tag(1, right_on, r_payload), batch_format="pyarrow",
+        right.map_batches(tag(1, rkeys, r_payload), batch_format="pyarrow",
                           zero_copy_batch=True))
 
     out_schema = pa.schema([pa.field(n, t) for n, t in out_fields])
@@ -100,10 +104,10 @@ def hash_join(left, right, on: str, right_on: Optional[str] = None,
         import polars as pl
 
         df = pl.from_arrow(g.drop_columns([_BUCKET]))
-        lhs = df.filter(pl.col(_SIDE) == 0).select([on] + l_payload)
-        rhs = df.filter(pl.col(_SIDE) == 1).select([on] + r_payload)
+        lhs = df.filter(pl.col(_SIDE) == 0).select(keys + l_payload)
+        rhs = df.filter(pl.col(_SIDE) == 1).select(keys + r_payload)
         how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[join_type]
-        j = lhs.join(rhs, on=on, how=how)
+        j = lhs.join(rhs, on=keys, how=how)
         return cast_like(j.to_arrow(), out_schema)
 
     return tagged.groupby(_BUCKET).map_groups(per_bucket, batch_format="pyarrow")
