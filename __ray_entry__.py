@@ -3,14 +3,11 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in halvesting_geometric_ray) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +17,45 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the input_hint page table at the
+    sf0.001 scale tier, build the link graph, run PageRank + connected
+    components; returns the top-ranked pages with their components."""
+    from halvesting_geometric_ray.queries_graph import graph_for
+    from halvesting_geometric_ray.pipelines.flagship import run_flagship
+    from halvesting_geometric_ray.fixtures import ensure_pages_parquet
+    import pyarrow.parquet as pq
+
+    sf_dir = "/root/testdata/sf0.001"
+    n = max(300, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    pages = ensure_pages_parquet(n, 123)
+    out, info = run_flagship(pages, f"/tmp/hgr_querygraph/n{n}_seed123")
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from halvesting_geometric_ray import queries_graph, queries_relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(queries_relational.QUERIES)
+    out.update(queries_graph.QUERIES)
+    try:
+        from halvesting_geometric_ray import queries_text
+
+        out.update(queries_text.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from halvesting_geometric_ray import queries_relational
+
+    out: dict[str, str] = {}
+    out.update(queries_relational.ORACLE)
+    try:
+        from halvesting_geometric_ray import queries_text
+
+        out.update(queries_text.ORACLE)
+    except ImportError:
+        pass
+    return out

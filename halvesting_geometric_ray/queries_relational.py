@@ -1,0 +1,322 @@
+"""Relational operator conformance queries over the driver testdata.
+
+One entry per operator family of SURVEY.md section 2 (filters F1-F4,
+projections P1, joins J1-J7, dedup D1/D2, union U1, id-assign I1,
+aggregates G2/G3, explode M1/M6, top-k).  Each Ray pipeline has a
+matching ANSI-SQL oracle in ORACLE (same column NAMES — the driver's
+compare is order-insensitive but name-sensitive).
+
+Float discipline: aggregate outputs are either integral (counts, keys)
+or rounded to 2 decimals on BOTH sides, since the driver value-hashes
+exact values and summation order differs between engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from .config import DEFAULT
+from .ops.dedup import distinct
+from .ops.ids import assign_dense_ids_sorted
+from .ops.join import broadcast_lookup, broadcast_semi, hash_join
+
+QUERIES: Dict[str, Callable] = {}
+ORACLE: Dict[str, str] = {}
+
+
+def _q(name: str, sql: str = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _to_cents(ds, cols):
+    """Money aggregates -> integer cents (driver value-hashes exactly;
+    float summation order differs between engines, ints do not)."""
+    def fn(b: pa.Table) -> pa.Table:
+        for c in cols:
+            v = np.rint(b.column(c).to_numpy() * 100).astype(np.int64)
+            b = b.set_column(b.column_names.index(c), c, pa.array(v))
+        return b
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- filters / projections (F2-F4, P1) ---------------------------------
+
+@_q("q_filter_lang",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en','fr')")
+def q_filter_lang(sf_dir: str):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["lang"], value_set=pa.array(["en", "fr"]))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_filter_daterange",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+    "AND l_shipdate < TIMESTAMP '1996-01-01'")
+def q_filter_daterange(sf_dir: str):
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-01-01", "us"))
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], lo),
+                    pc.less(b["l_shipdate"], hi))
+        return b.filter(m).select(["l_orderkey", "l_linenumber", "l_quantity"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- grouped aggregate (G3; TPC-H Q1 shape) ----------------------------
+
+@_q("q_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty, "
+    "CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price, "
+    "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price, "
+    "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus")
+def q_pricing_summary(sf_dir: str):
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return b.append_column("disc_price", rev)
+
+    out = (ds.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Count(alias_name="count_order")))
+    return _to_cents(out, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+
+# ---- dimension joins (J1-J5: broadcast small side) ---------------------
+
+@_q("q_region_suppliers",
+    "SELECT r.r_name AS region, count(*) AS n_suppliers FROM supplier s "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name")
+def q_region_suppliers(sf_dir: str):
+    sup = _t(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    j = broadcast_lookup(sup, "s_nationkey", nation, "n_nationkey", ["n_regionkey"])
+    j = broadcast_lookup(j, "n_regionkey", region, "r_regionkey", ["r_name"])
+    out = j.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["region", "n_suppliers"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- big-big join (J6/J7) ---------------------------------------------
+
+@_q("q_priority_revenue",
+    "SELECT o.o_orderpriority AS priority, "
+    "CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT) AS revenue, "
+    "count(*) AS n_items FROM orders o JOIN lineitem l "
+    "ON o.o_orderkey = l.l_orderkey GROUP BY o.o_orderpriority")
+def q_priority_revenue(sf_dir: str):
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                  num_parts=DEFAULT.num_parts)
+    out = (j.groupby("o_orderpriority")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="n_items")))
+    out = _to_cents(out, ["revenue"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["priority", "revenue", "n_items"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- semi join (F1') ---------------------------------------------------
+
+@_q("q_customers_with_orders",
+    "SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer "
+    "WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_nationkey")
+def q_customers_with_orders(sf_dir: str):
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    # o_custkey set is customer-cardinality (small side) -> broadcast semi
+    sj = broadcast_semi(cust, "c_custkey", okeys, "o_custkey")
+    out = sj.groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["nationkey", "n_customers"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- exact dedup (D1/D2) ----------------------------------------------
+
+@_q("q_edges_distinct",
+    "SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem")
+def q_edges_distinct(sf_dir: str):
+    ds = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    ds = ds.map_batches(lambda b: b.rename_columns(["src", "dst"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return distinct(ds, ["src", "dst"], num_parts=DEFAULT.num_parts)
+
+
+@_q("q_first_event_per_user",
+    "SELECT user_id, min(ts) AS first_ts, count(*) AS n_events "
+    "FROM events GROUP BY user_id")
+def q_first_event_per_user(sf_dir: str):
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+    from ray.data.aggregate import Min
+
+    return ds.groupby("user_id").aggregate(
+        Min("ts", alias_name="first_ts"), Count(alias_name="n_events"))
+
+
+# ---- union + distinct (U1) --------------------------------------------
+
+@_q("q_union_keys",
+    "SELECT DISTINCT k FROM (SELECT o_custkey AS k FROM orders "
+    "UNION ALL SELECT c_custkey AS k FROM customer)")
+def q_union_keys(sf_dir: str):
+    a = _t(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["k"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    b = _t(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["k"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return distinct(a.union(b), ["k"], num_parts=DEFAULT.num_parts)
+
+
+# ---- dense id assignment (I1) -----------------------------------------
+
+@_q("q_dense_ids",
+    "SELECT p_brand, row_number() OVER (ORDER BY p_brand) - 1 AS vid "
+    "FROM (SELECT DISTINCT p_brand FROM part)")
+def q_dense_ids(sf_dir: str):
+    ds = _t(sf_dir, "part", columns=["p_brand"])
+    return assign_dense_ids_sorted(ds, "p_brand", id_col="vid")
+
+
+# ---- top-k / degree (G2/G3 + ordering) --------------------------------
+
+@_q("q_topk_customers",
+    "SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders "
+    "GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10")
+def q_topk_customers(sf_dir: str):
+    ds = _t(sf_dir, "orders", columns=["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    agg = agg.map_batches(lambda b: b.rename_columns(["custkey", "n_orders"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    # deterministic top-k: (count desc, key asc)
+    return agg.sort(["n_orders", "custkey"], descending=[True, False]).limit(10)
+
+
+@_q("q_out_degree",
+    "SELECT l_partkey AS src, count(DISTINCT l_suppkey) AS outdeg "
+    "FROM lineitem GROUP BY l_partkey")
+def q_out_degree(sf_dir: str):
+    ds = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    ds = ds.map_batches(lambda b: b.rename_columns(["src", "dst"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    d = distinct(ds, ["src", "dst"], num_parts=DEFAULT.num_parts)
+    return d.groupby("src").aggregate(Count(alias_name="outdeg"))
+
+
+# ---- explode + token top-k (M1/M6) ------------------------------------
+
+@_q("q_top_tokens",
+    "SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) "
+    "AS token FROM documents) t WHERE token <> '' "
+    "GROUP BY token ORDER BY n DESC, token LIMIT 20")
+def q_top_tokens(sf_dir: str):
+    ds = _t(sf_dir, "documents", columns=["text"])
+
+    def tokens(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        # local combine: count within batch before the shuffle
+        import polars as pl
+
+        c = pl.DataFrame({"token": pl.from_arrow(
+            flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)})
+        c = c.group_by("token").len().rename({"len": "n"})
+        t = c.to_arrow()
+        return pa.table({"token": t.column("token").cast(pa.string()),
+                         "n": t.column("n").cast(pa.int64())})
+
+    partial = ds.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True)
+    total = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return total.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+# ---- triangle count via SQL-checkable co-supply graph (2.8) ------------
+
+@_q("q_cosupply_triangles",
+    "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), "
+    "e AS (SELECT DISTINCT a.s AS a, b.s AS b FROM ps a JOIN ps b "
+    "ON a.p = b.p AND a.s < b.s) "
+    "SELECT count(*) AS n_triangles FROM e e1 "
+    "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+    "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b")
+def q_cosupply_triangles(sf_dir: str):
+    """Suppliers sharing a part form an edge; count triangles exactly —
+    exercises the full orientation/wedge/semi-join pipeline against a
+    pure-SQL oracle."""
+    import pandas as pd
+
+    from .graph.triangles import triangles as tri_pipeline
+
+    ds = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    ds = ds.map_batches(lambda b: b.rename_columns(["src", "dst"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ps = distinct(ds, ["src", "dst"], num_parts=DEFAULT.num_parts)
+    a = ps.map_batches(lambda b: b.rename_columns(["p", "a"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    b = ps.map_batches(lambda t: t.rename_columns(["p", "b"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(a, b, on="p", num_parts=DEFAULT.num_parts)
+
+    def ordered(t: pa.Table) -> pa.Table:
+        x, y = t.column("a").to_numpy(), t.column("b").to_numpy()
+        m = x < y
+        return pa.table({"src": pa.array(x[m]), "dst": pa.array(y[m])})
+
+    e = distinct(j.map_batches(ordered, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                 ["src", "dst"], num_parts=DEFAULT.num_parts)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("dst"), "dst": t.column("src")})
+
+    sym = e.union(e.map_batches(swap, batch_format="pyarrow",
+                                zero_copy_batch=True))
+    _, total = tri_pipeline(sym)
+    return pd.DataFrame({"n_triangles": [total]})
