@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the flagship link-graph pipeline over a synthesized
+input_hint page table sized to the sf tier (n_pages = lineitem rows, so
+sf0.1 -> ~600k pages / ~1.8M+ edges): build (extract -> vertices ->
+edges -> CSR shards) + PageRank to 1e-6 L1 convergence.  Also times a
+sample of the relational/text queries over the sf tables.
+
+    python bench.py                  # GRAFT_SF_DIR, RAY_GRAFT_CPUS env
+    python bench.py --scaling        # same job at 8 and 32 CPUs in fresh
+                                     # processes; reports both + efficiency
+
+Fixture generation is cached under /tmp and never timed; the graph
+workdir is wiped per run so build cost is real.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from halvesting_geometric_ray.fixtures import ensure_pages_parquet
+    from halvesting_geometric_ray.graph.build import build_graph
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    n_pages = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    pages = ensure_pages_parquet(n_pages, 123)  # cached, untimed
+
+    # warm OS page cache (measure compute+shuffle, not first disk read)
+    rd.read_parquet(pages).count()
+
+    wd = f"/tmp/hgr_bench/n{n_pages}_cpus{num_cpus}"
+    shutil.rmtree(wd, ignore_errors=True)
+
+    t0 = time.time()
+    g = build_graph(pages, wd)
+    t_build = time.time() - t0
+
+    edges = rd.read_parquet(g.edges)
+    t1 = time.time()
+    ranks, info = pagerank(edges, g.offsets, wd, resume=False)
+    t_pr = time.time() - t1
+    iters = info["num_iters"]
+    eps_iter = g.meta["num_edges"] * iters / t_pr if t_pr > 0 else 0.0
+
+    queries: dict = {
+        "graph_build": round(t_build, 3),
+        "pagerank": round(t_pr, 3),
+    }
+
+    # sample of conformance queries over the sf tables
+    from halvesting_geometric_ray import queries_relational as QR
+
+    for name in ["q_pricing_summary", "q_priority_revenue",
+                 "q_edges_distinct", "q_top_tokens"]:
+        t = time.time()
+        res = QR.QUERIES[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        queries[name] = round(time.time() - t, 3)
+
+    total = queries["graph_build"] + queries["pagerank"]
+    out = {
+        "metric": "graph_build_plus_pagerank_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_pages": int(n_pages),
+        "n_vertices": g.meta["num_vertices"],
+        "n_edges": g.meta["num_edges"],
+        "pagerank_iters": iters,
+        "pagerank_converged": info["converged"],
+        "edges_per_sec_per_iter": round(eps_iter, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "eps_iter_lo": r_lo["edges_per_sec_per_iter"],
+        "eps_iter_hi": r_hi["edges_per_sec_per_iter"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

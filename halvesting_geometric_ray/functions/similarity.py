@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (ray.put once, zero-copy in each task), per-batch partial
+  top-k then a tiny final merge — never materializes the full similarity
+  matrix;
+- LSH-bucketed variant (random-hyperplane signs, seeded) as the scale
+  path: candidates are restricted to the query's bucket, trading recall
+  for a num_buckets-fold cut in dot products.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _mat(batch: pa.Table, col: str) -> Tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy()
+    emb = batch.column(col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    dim = len(emb[0])
+    return ids, flat.reshape(len(ids), dim)
+
+
+def _norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_cosine(embeddings, query_table: pa.Table, k: int = 5,
+               col: str = "embedding"):
+    """Top-k cosine neighbors of each query row (vec_id, embedding).
+
+    Returns (query_id, neighbor_id, rnk) with rnk 1..k ordered by
+    (sim desc, neighbor_id asc); self-matches excluded.
+    """
+    q_ids_np, q_mat = _mat(query_table, col)
+    qref = ray.put((q_ids_np, _norm(q_mat)))
+
+    class Partial:
+        def __init__(self):
+            self.q_ids, self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _mat(batch, col)
+            sims = _norm(m) @ self.q.T  # (batch, nq)
+            out_q, out_n, out_s = [], [], []
+            kk = min(k + 1, len(ids))
+            for j, qid in enumerate(self.q_ids):
+                s = sims[:, j]
+                top = np.argpartition(-s, kk - 1)[:kk] if len(ids) > kk else \
+                    np.arange(len(ids))
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_n.append(ids[top])
+                out_s.append(s[top])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            })
+
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=4096,
+                                     concurrency=(1, 8))
+
+    def final(g: pa.Table) -> pa.Table:
+        qid = g.column("query_id").to_numpy()
+        nid = g.column("neighbor_id").to_numpy()
+        sim = g.column("sim").to_numpy()
+        m = nid != qid[0]
+        nid, sim = nid[m], sim[m]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid[0], dtype=np.int64)),
+            "neighbor_id": pa.array(nid[order]),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow")
+
+
+def lsh_bucket_ids(m: np.ndarray, n_planes: int = 8, seed: int = 5) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((m.shape[1], n_planes))
+    bits = (m @ planes) > 0
+    return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+
+
+def knn_cosine_lsh(embeddings, query_table: pa.Table, k: int = 5,
+                   col: str = "embedding", n_planes: int = 4,
+                   n_tables: int = 8):
+    """Approximate top-k: candidates restricted to the query's
+    random-hyperplane buckets, unioned over n_tables independent tables
+    (recall ~ 1-(1-p^n_planes)^n_tables).  The scale path for
+    brute-force-infeasible corpora; recall measured in tests."""
+    q_ids_np, q_mat = _mat(query_table, col)
+    qn = _norm(q_mat)
+    q_buckets = np.stack([lsh_bucket_ids(qn, n_planes, seed=5 + t)
+                          for t in range(n_tables)], axis=1)
+    qref = ray.put((q_ids_np, qn, q_buckets))
+
+    class Partial:
+        def __init__(self):
+            self.q_ids, self.q, self.qb = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _mat(batch, col)
+            mn = _norm(m)
+            mb = np.stack([lsh_bucket_ids(mn, n_planes, seed=5 + t)
+                           for t in range(n_tables)], axis=1)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(self.q_ids):
+                cand = np.flatnonzero((mb == self.qb[j][None, :]).any(axis=1))
+                if cand.size == 0:
+                    continue
+                s = mn[cand] @ self.q[j]
+                kk = min(k + 1, cand.size)
+                top = np.argpartition(-s, kk - 1)[:kk] if cand.size > kk else \
+                    np.arange(cand.size)
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_n.append(ids[cand[top]])
+                out_s.append(s[top])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "sim": pa.array([], type=pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            })
+
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=4096,
+                                     concurrency=(1, 8))
+
+    def final(g: pa.Table) -> pa.Table:
+        qid = g.column("query_id").to_numpy()
+        nid = g.column("neighbor_id").to_numpy()
+        sim = g.column("sim").to_numpy()
+        m = nid != qid[0]
+        nid, sim = nid[m], sim[m]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid[0], dtype=np.int64)),
+            "neighbor_id": pa.array(nid[order]),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow")
+
+
+def cosine_pairs(embeddings, threshold: float, col: str = "embedding",
+                 max_id: Optional[int] = None):
+    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
+
+    Broadcast-matrix variant: gathers the (optionally id-capped) matrix
+    once via ray.put, then each batch computes its block row.  For
+    corpora past broadcast size, use knn_cosine_lsh buckets instead."""
+    import pyarrow.compute as pc
+
+    ds = embeddings
+    if max_id is not None:
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], max_id)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    full = pa.concat_tables(
+        [pa.table(b) if isinstance(b, dict) else b
+         for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192)])
+    ids, m = _mat(full, col)
+    ref = ray.put((ids, _norm(m)))
+
+    class Block:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids, bm = _mat(batch, col)
+            sims = _norm(bm) @ self.m.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a = bids[ai]
+            b = self.ids[bj]
+            keep = a < b
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return ds.map_batches(Block, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=2048, concurrency=(1, 8))

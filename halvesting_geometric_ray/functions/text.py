@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker-token heuristic), token/type counting, quality
+scoring, and document fingerprinting — each a vectorized ``map_batches``
+UDF over the `documents`-shaped table, with integer-valued outputs so
+the DuckDB oracles compare exactly (see queries_text.py).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+# marker tokens scored by the language-ID heuristic, alphabetical order
+# (tie break = first in this order); synthetic corpora use a closed
+# vocabulary, so markers are corpus words — swap for real stopword lists
+# on natural text.
+LANG_MARKERS = ["a", "data", "spark", "the"]
+
+_FP_BASE = 257
+_FP_MOD = (1 << 61) - 1
+
+
+def token_lists(texts) -> "object":
+    import polars as pl
+
+    s = pl.Series("text", texts) if not isinstance(texts, pl.Series) else texts
+    return s.str.split(" ")
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_uniq) — whitespace tokens and distinct types."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+        pl.col("text").str.split(" ").list.n_unique().cast(pl.Int64).alias("n_uniq"),
+    )
+    return out.to_arrow().cast(pa.schema([
+        pa.field("doc_id", pa.int64()), pa.field("n_tokens", pa.int64()),
+        pa.field("n_uniq", pa.int64())]))
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, pred_lang): argmax of marker-token counts, ties -> first
+    marker in LANG_MARKERS order, all-zero -> 'none'."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = df.select(pl.col("doc_id"),
+                     pl.col("text").str.split(" ").alias("t"))
+    counts = toks.select(
+        pl.col("doc_id"),
+        *[pl.col("t").list.count_matches(m).cast(pl.Int64).alias(f"c_{m}")
+          for m in LANG_MARKERS])
+    arr = np.stack([counts[f"c_{m}"].to_numpy() for m in LANG_MARKERS], axis=1)
+    best = np.argmax(arr, axis=0) if arr.ndim == 1 else arr.argmax(axis=1)
+    pred = np.array(LANG_MARKERS, dtype=object)[best]
+    pred[arr.max(axis=1) == 0] = "none"
+    return pa.table({"doc_id": counts["doc_id"].to_numpy(),
+                     "pred_lang": pa.array(list(pred), type=pa.string())})
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_tokens, ttr_pct, keep) — length + type-token
+    ratio gates, integers/bool only."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    stats = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        pl.col("text").str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+        pl.col("text").str.split(" ").list.n_unique().cast(pl.Int64).alias("n_uniq"),
+    )
+    t = stats["n_tokens"].to_numpy()
+    u = stats["n_uniq"].to_numpy()
+    ttr = np.floor(100.0 * u / np.maximum(t, 1)).astype(np.int64)
+    keep = (t >= 20) & (t <= 400) & (ttr >= 30)
+    return pa.table({
+        "doc_id": stats["doc_id"].to_numpy(),
+        "n_chars": stats["n_chars"].to_numpy(),
+        "n_tokens": t,
+        "ttr_pct": ttr,
+        "keep": pa.array(keep),
+    })
+
+
+def fingerprint_one(text: str) -> int:
+    """Polynomial rolling hash of the utf-8 bytes, mod 2^61-1."""
+    h = 0
+    for b in text.encode("utf-8"):
+        h = (h * _FP_BASE + b) % _FP_MOD
+    return h
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    fps = np.fromiter((fingerprint_one(t) for t in texts), dtype=np.int64,
+                      count=len(texts))
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "fingerprint": pa.array(fps)})

@@ -1,0 +1,393 @@
+"""Training-data operator queries: text analysis, dedup (exact, n-gram
+Jaccard, MinHash-LSH, SimHash), similarity search, multimodal plumbing.
+
+SQL-expressible entries carry a DuckDB oracle (integer/boolean outputs,
+exact compare); hashing/LSH entries are rows-only for the driver and get
+exact pytest checks instead (tests/test_text_dedup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .config import DEFAULT
+from .functions import dedup as FD
+from .functions import text as FT
+from .functions.hashing import stable_hash64
+from .ops.join import broadcast_lookup, hash_join
+
+QUERIES: Dict[str, Callable] = {}
+ORACLE: Dict[str, str] = {}
+
+
+def _q(name: str, sql: str = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---- token counting / language-ID / quality ----------------------------
+
+@_q("q_token_stats",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "len(list_distinct(string_split(text, ' '))) AS n_uniq FROM documents")
+def q_token_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_lang_token_totals",
+    "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) "
+    "AS total_tokens, count(*) AS n_docs FROM documents GROUP BY lang")
+def q_lang_token_totals(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        t = FT.token_stats_batch(b)
+        return pa.table({"lang": b.column("lang"),
+                         "n_tokens": t.column("n_tokens")})
+
+    return (ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(Sum("n_tokens", alias_name="total_tokens"),
+                       Count(alias_name="n_docs")))
+
+
+_M = FT.LANG_MARKERS  # ["a", "data", "spark", "the"]
+
+@_q("q_langid",
+    "SELECT doc_id, CASE "
+    f"WHEN c0 = 0 AND c1 = 0 AND c2 = 0 AND c3 = 0 THEN 'none' "
+    f"WHEN c0 >= c1 AND c0 >= c2 AND c0 >= c3 THEN '{_M[0]}' "
+    f"WHEN c1 >= c2 AND c1 >= c3 THEN '{_M[1]}' "
+    f"WHEN c2 >= c3 THEN '{_M[2]}' ELSE '{_M[3]}' END AS pred_lang FROM ("
+    "SELECT doc_id, "
+    + ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{m}')) AS c{i}"
+        for i, m in enumerate(_M))
+    + " FROM documents)")
+def q_langid(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_quality",
+    "SELECT doc_id, n_chars, n_tokens, ttr_pct, "
+    "(n_tokens BETWEEN 20 AND 400 AND ttr_pct >= 30) AS keep FROM ("
+    "SELECT doc_id, length(text) AS n_chars, "
+    "len(string_split(text, ' ')) AS n_tokens, "
+    "CAST(floor(100.0 * len(list_distinct(string_split(text, ' '))) / "
+    "greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS ttr_pct "
+    "FROM documents)")
+def q_quality(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_fingerprint")  # rolling-hash fingerprint: no SQL analogue
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- exact dedup -------------------------------------------------------
+
+@_q("q_dedup_exact",
+    "SELECT min(doc_id) AS rep_doc, count(*) AS n_copies "
+    "FROM documents GROUP BY text")
+def q_dedup_exact(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b.column("text")) % DEFAULT.num_parts
+        return b.append_column("__p", pa.array(h, type=pa.int32()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (pl.from_arrow(g.select(["doc_id", "text"]))
+               .group_by("text")
+               .agg(pl.col("doc_id").min().alias("rep_doc"),
+                    pl.len().cast(pl.Int64).alias("n_copies"))
+               .select(["rep_doc", "n_copies"]))
+        return out.to_arrow().cast(pa.schema([
+            pa.field("rep_doc", pa.int64()), pa.field("n_copies", pa.int64())]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("__p").map_groups(per_part, batch_format="pyarrow"))
+
+
+# ---- n-gram Jaccard near-dup (SQL-checkable) ---------------------------
+
+_NEARDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+g AS (SELECT DISTINCT doc_id, gram FROM tri),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.a AS doc_a, i.b AS doc_b,
+       CAST(floor(1000.0 * i.c / (sa.n + sb.n - i.c)) AS BIGINT)
+           AS jaccard_x1000
+FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE 2 * i.c >= (sa.n + sb.n - i.c)
+"""
+
+
+@_q("q_neardup_jaccard", _NEARDUP_SQL)
+def q_neardup_jaccard(sf_dir: str):
+    """Token-trigram Jaccard >= 0.5 pairs via inverted-index join."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        ids, gs = [], []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            u = sorted(set(FD.trigrams(text.split(" "))))
+            ids.extend([did] * len(u))
+            gs.extend(u)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "gram": pa.array(gs, type=pa.string())})
+
+    g = ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+    g = g.materialize()
+    sizes = g.groupby("doc_id").aggregate(Count(alias_name="n"))
+    sizes_t = pa.Table.from_pandas(sizes.to_pandas(), preserve_index=False)
+
+    ga = g.map_batches(lambda b: b.rename_columns(["a", "gram"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    gb = g.map_batches(lambda b: b.rename_columns(["b", "gram"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(ga, gb, on="gram", num_parts=DEFAULT.num_parts)
+
+    def ordered(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        m = a < bb
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(bb[m])})
+
+    pairs = (j.map_batches(ordered, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["a", "b"]).aggregate(Count(alias_name="c")))
+    pairs = broadcast_lookup(pairs, "a", sizes_t, "doc_id", ["n"])
+    pairs = pairs.map_batches(
+        lambda b: b.rename_columns(["a", "b", "c", "na"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = broadcast_lookup(pairs, "b", sizes_t, "doc_id", ["n"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        c = b.column("c").to_numpy()
+        na = b.column("na").to_numpy()
+        nb = b.column("n").to_numpy()
+        union = na + nb - c
+        m = 2 * c >= union
+        jx = np.floor(1000.0 * c[m] / union[m]).astype(np.int64)
+        return pa.table({"doc_a": pa.array(a[m]), "doc_b": pa.array(bb[m]),
+                         "jaccard_x1000": pa.array(jx)})
+
+    return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- MinHash-LSH near-dup (rows-only; pytest-verified) ----------------
+
+@_q("q_minhash_lsh")
+def q_minhash_lsh(sf_dir: str):
+    """Banded MinHash candidates verified by exact trigram Jaccard >= 0.5.
+    Deterministic (seeded permutations); subset/recall vs the exact
+    q_neardup_jaccard pairs is asserted in pytest."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bands(b: pa.Table) -> pa.Table:
+        ids, band_ids, keys = [], [], []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            sig = FD.minhash_signature(FD.trigram_hashes(text))
+            for bi, key in enumerate(FD.band_keys(sig)):
+                ids.append(did)
+                band_ids.append(bi)
+                keys.append(key)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "band": pa.array(band_ids, type=pa.int32()),
+                         "key": pa.array(keys, type=pa.int64())})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("doc_id").to_numpy())
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    cand = (ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["band", "key"])
+            .map_groups(bucket_pairs, batch_format="pyarrow"))
+    from .ops.dedup import distinct
+
+    cand = distinct(cand, ["a", "b"], num_parts=DEFAULT.num_parts)
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    j = hash_join(cand, docs, on="a", right_on="doc_id",
+                  num_parts=DEFAULT.num_parts)
+    j = j.map_batches(lambda b: b.rename_columns(["a", "b", "text_a"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(j, docs, on="b", right_on="doc_id",
+                  num_parts=DEFAULT.num_parts)
+
+    def verify(b: pa.Table) -> pa.Table:
+        a_ids, b_ids = [], []
+        a_col = b.column("a").to_pylist()
+        b_col = b.column("b").to_pylist()
+        ta_col = b.column("text_a").to_pylist()
+        tb_col = b.column("text").to_pylist()
+        for a, bb, ta, tb in zip(a_col, b_col, ta_col, tb_col):
+            ja = FD.jaccard(FD.trigram_hashes(ta), FD.trigram_hashes(tb))
+            if ja >= 0.5:
+                a_ids.append(a)
+                b_ids.append(bb)
+        return pa.table({"doc_a": pa.array(a_ids, type=pa.int64()),
+                         "doc_b": pa.array(b_ids, type=pa.int64())})
+
+    return j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---- SimHash (rows-only) ----------------------------------------------
+
+@_q("q_simhash")
+def q_simhash(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sh(b: pa.Table) -> pa.Table:
+        vals = [FD.simhash64(t.split(" "))
+                for t in b.column("text").to_pylist()]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "simhash": pa.array(vals, type=pa.int64())})
+
+    return ds.map_batches(sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_simhash_pairs")
+def q_simhash_pairs(sf_dir: str):
+    """Pairs with simhash Hamming distance <= 7 via 8x8-bit band\n    blocking (pigeonhole: <=7 flipped bits leave >=1 of 8 bands intact)."""
+    sh = q_simhash(sf_dir).materialize()
+
+    def bands(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        s = b.column("simhash").to_numpy().astype(np.uint64)
+        out_i, out_band, out_key, out_sig = [], [], [], []
+        for band in range(8):
+            key = ((s >> np.uint64(band * 8)) & np.uint64(0xFF)).astype(np.int64)
+            out_i.append(ids)
+            out_band.append(np.full(len(ids), band, dtype=np.int32))
+            out_key.append(key)
+            out_sig.append(s.astype(np.int64))
+        return pa.table({"doc_id": pa.array(np.concatenate(out_i)),
+                         "band": pa.array(np.concatenate(out_band)),
+                         "key": pa.array(np.concatenate(out_key)),
+                         "simhash": pa.array(np.concatenate(out_sig))})
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(g.select(["doc_id", "simhash"]))
+              .unique(subset=["doc_id"]).sort("doc_id"))
+        ids = df["doc_id"].to_numpy()
+        sig = df["simhash"].to_numpy()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(len(ids), 1)
+        hd = FD.hamming64(sig[ii], sig[jj])
+        m = hd <= 7
+        return pa.table({"a": pa.array(ids[ii][m]), "b": pa.array(ids[jj][m])})
+
+    from .ops.dedup import distinct
+
+    pairs = (sh.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["band", "key"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    return distinct(pairs, ["a", "b"], num_parts=DEFAULT.num_parts)
+
+
+# ---- embedding similarity ---------------------------------------------
+
+@_q("q_knn_cosine",
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+    "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+    "FROM q, embeddings e WHERE e.vec_id <> q.vec_id), "
+    "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s) "
+    "SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5")
+def q_knn_cosine(sf_dir: str):
+    from .functions.similarity import knn_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)])
+    return knn_cosine(emb, qt, k=5)
+
+
+@_q("q_knn_cosine_lsh")
+def q_knn_cosine_lsh(sf_dir: str):
+    """Approximate LSH-bucketed variant (scale path); recall vs exact
+    knn asserted in pytest."""
+    from .functions.similarity import knn_cosine_lsh
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)])
+    return knn_cosine_lsh(emb, qt, k=5)
+
+
+@_q("q_embed_neardup",
+    "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+    "JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE a.vec_id < 500 AND b.vec_id < 500 "
+    "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4")
+def q_embed_neardup(sf_dir: str):
+    from .functions.similarity import cosine_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return cosine_pairs(emb, 0.4, max_id=500)
+
+
+# ---- multimodal plumbing (stubbed decode) ------------------------------
+
+@_q("q_binary_decode")
+def q_binary_decode(sf_dir: str):
+    """Actor-pool decode/featurize over a binary payload column (the
+    synthesized pages' html bytes stand in for image blobs; decode is a
+    deterministic fake — see functions/multimodal.py)."""
+    from .functions.multimodal import decode_binary
+    from .queries_graph import _scale_for
+    from .fixtures import ensure_pages_parquet
+
+    pages = rd.read_parquet(ensure_pages_parquet(_scale_for(sf_dir), 123),
+                            columns=["url", "html"])
+    out = decode_binary(pages, id_col="url", payload_col="html")
+    return out.select_columns(["url", "n_bytes", "width", "height"])

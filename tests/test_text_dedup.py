@@ -1,0 +1,97 @@
+"""Text/dedup/similarity suite: SQL-checkable entries vs DuckDB; hashed
+entries (LSH, simhash, lsh-knn) vs their exact counterparts."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from halvesting_geometric_ray.queries_text import ORACLE, QUERIES
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["documents", "embeddings"]
+
+SQL_CHECKED = sorted(ORACLE.keys())
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _pdf(res):
+    return res.to_pandas() if hasattr(res, "to_pandas") else res
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_parity(name):
+    got = _norm(_pdf(QUERIES[name](SF)))
+    exp = _norm(_duck(ORACLE[name]))
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_minhash_lsh_recall_vs_exact():
+    """LSH-verified pairs are a subset of exact >=0.5 pairs, and recall
+    on strong near-dups (>=0.8) is total (16 bands x 4 rows: collision
+    prob at j=0.8 is 1-(1-0.8^4)^16 ~ 0.9996; the fixture's planted dups
+    sit at 0.9-1.0)."""
+    exact = _pdf(QUERIES["q_neardup_jaccard"](SF))
+    lsh = _pdf(QUERIES["q_minhash_lsh"](SF))
+    exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+    lsh_pairs = set(zip(lsh.doc_a, lsh.doc_b))
+    assert lsh_pairs <= exact_pairs
+    strong = set(zip(exact[exact.jaccard_x1000 >= 800].doc_a,
+                     exact[exact.jaccard_x1000 >= 800].doc_b))
+    assert strong, "fixture should contain planted near-duplicates"
+    assert strong <= lsh_pairs
+
+
+def test_simhash_pairs_capture_planted_dups():
+    sh = _pdf(QUERIES["q_simhash_pairs"](SF))
+    exact = _pdf(QUERIES["q_neardup_jaccard"](SF))
+    strong = set(zip(exact[exact.jaccard_x1000 >= 950].doc_a,
+                     exact[exact.jaccard_x1000 >= 950].doc_b))
+    got = set(zip(sh.a, sh.b))
+    # near-identical docs must collide in simhash space
+    assert strong <= got
+
+
+def test_knn_lsh_recall():
+    exact = _pdf(QUERIES["q_knn_cosine"](SF))
+    approx = _pdf(QUERIES["q_knn_cosine_lsh"](SF))
+    # rank-1 neighbor recall across the 10 queries >= 50% (4-plane LSH)
+    e1 = dict(zip(exact[exact.rnk == 1].query_id,
+                  exact[exact.rnk == 1].neighbor_id))
+    hits = 0
+    for q, grp in approx.groupby("query_id"):
+        if e1.get(q) in set(grp.neighbor_id):
+            hits += 1
+    assert hits >= len(e1) * 0.6
+
+
+def test_fingerprint_deterministic():
+    a = _pdf(QUERIES["q_fingerprint"](SF)).sort_values("doc_id")
+    b = _pdf(QUERIES["q_fingerprint"](SF)).sort_values("doc_id")
+    assert (a.fingerprint.to_numpy() == b.fingerprint.to_numpy()).all()
+    assert a.fingerprint.nunique() > 1
+
+
+def test_binary_decode_stub():
+    out = _pdf(QUERIES["q_binary_decode"](SF))
+    assert len(out) > 0
+    assert (out.n_bytes > 0).all()
+    import pytest as _pt
+
+    from halvesting_geometric_ray.functions.multimodal import DecodeStage
+
+    with _pt.raises(NotImplementedError):
+        DecodeStage(mode="real")(None)
