@@ -18,10 +18,19 @@ def default_num_parts() -> int:
     return int(os.environ.get("HGR_NUM_PARTS", "16"))
 
 
+def default_shuffle_blocks() -> int:
+    """Block count fed into sort-based shuffles.  Ray's sort emits one
+    output partition per input block, so an M-block input costs an MxM
+    object exchange — coalescing to ~2x cluster cores first cut a
+    16-value groupby over 227 blocks from 46s to seconds (measured)."""
+    return int(os.environ.get("HGR_SHUFFLE_BLOCKS", "32"))
+
+
 @dataclass
 class EngineConfig:
     # Wide-op partitioning (CSR shards, id assignment, bucketed joins).
     num_parts: int = field(default_factory=default_num_parts)
+    shuffle_blocks: int = field(default_factory=default_shuffle_blocks)
     # Hash seed for stable url/content hashing (polars xxhash seed).
     hash_seed: int = 42
     # PageRank

@@ -77,14 +77,22 @@ def build_vertices(pages, outlinks, cfg: EngineConfig = DEFAULT):
 def resolve_edges(outlinks, vertices, cfg: EngineConfig = DEFAULT):
     """(src_url, dst_url) x vertices -> deduped (src:int64, dst:int64)."""
     v = vertices.select_columns(["url", "vid"])
+    str_t = pa.string()
+    ol_schema = pa.schema([pa.field("src_url", str_t),
+                           pa.field("dst_url", str_t)])
+    v_schema = pa.schema([pa.field("url", str_t), pa.field("vid", pa.int64())])
     j1 = hash_join(outlinks, v, on="src_url", right_on="url",
-                   num_parts=cfg.num_parts)
+                   num_parts=cfg.num_parts,
+                   left_schema=ol_schema, right_schema=v_schema)
     j1 = j1.select_columns(["vid", "dst_url"]).map_batches(
         lambda b: b.rename_columns(["src", "dst_url"]), batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    j1_schema = pa.schema([pa.field("src", pa.int64()),
+                           pa.field("dst_url", str_t)])
     j2 = hash_join(j1, v, on="dst_url", right_on="url",
-                   num_parts=cfg.num_parts)
+                   num_parts=cfg.num_parts,
+                   left_schema=j1_schema, right_schema=v_schema)
     j2 = j2.select_columns(["src", "vid"]).map_batches(
         lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow",
         zero_copy_batch=True,

@@ -102,8 +102,11 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
         return pa.table({"part": pa.array([p], type=pa.int32()),
                          "n_edges": pa.array([len(src)], type=pa.int64())})
 
+    from ..ops._util import pre_shuffle
+
     built = (
-        edges.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        pre_shuffle(edges.map_batches(add_part, batch_format="pyarrow",
+                                      zero_copy_batch=True))
         .groupby("part")
         .map_groups(build, batch_format="pyarrow")
         .to_pandas()

@@ -35,11 +35,13 @@ from ..ops.join import hash_join
 
 
 def _degrees(sym):
-    deg = sym.groupby("src").count()
+    from ..ops.agg import grouped_aggregate
+
+    deg = grouped_aggregate(sym.select_columns(["src"]), ["src"],
+                            {"deg": ("count", None)})
 
     def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"vid": b.column("src"),
-                         "deg": b.column("count()").cast(pa.int64())})
+        return pa.table({"vid": b.column("src"), "deg": b.column("deg")})
 
     return deg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -100,7 +102,10 @@ def _wedges(oriented, cfg: EngineConfig):
                          "b": pa.array(np.concatenate(outs_b)),
                          "u": pa.array(np.concatenate(outs_u))})
 
-    return (oriented.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    from ..ops._util import pre_shuffle
+
+    return (pre_shuffle(oriented.map_batches(bucket, batch_format="pyarrow",
+                                             zero_copy_batch=True))
             .groupby("__b").map_groups(gen, batch_format="pyarrow"))
 
 
@@ -122,13 +127,9 @@ def triangles(sym_simple, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", in
                               b.column("u").to_numpy()])
         return pa.table({"vid": pa.array(vid, type=pa.int64())})
 
-    per_vertex = (tri.map_batches(corners, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-                  .groupby("vid").count())
+    from ..ops.agg import grouped_aggregate
 
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"vid": b.column("vid"),
-                         "triangles": b.column("count()").cast(pa.int64())})
-
-    return per_vertex.map_batches(rename, batch_format="pyarrow",
-                                  zero_copy_batch=True), int(total)
+    per_vertex = grouped_aggregate(
+        tri.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], {"triangles": ("count", None)})
+    return per_vertex, int(total)

@@ -21,3 +21,12 @@ def cast_like(tbl: pa.Table, ref_schema: pa.Schema) -> pa.Table:
         names.append(f.name)
         cols.append(col)
     return pa.table(dict(zip(names, cols)))
+
+
+def pre_shuffle(ds, num_blocks: int = None):
+    """Coalesce block count before a sort-based groupby (see
+    config.default_shuffle_blocks — sort cost scales with input blocks
+    squared, not rows)."""
+    from ..config import DEFAULT
+
+    return ds.repartition(num_blocks or DEFAULT.shuffle_blocks)

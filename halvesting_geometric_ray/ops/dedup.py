@@ -16,7 +16,7 @@ from typing import List, Optional
 import pyarrow as pa
 
 from ..functions.hashing import stable_hash64, stable_hash_pair64
-from ._util import cast_like
+from ._util import cast_like, pre_shuffle
 
 _PART_COL = "__part"
 
@@ -57,8 +57,6 @@ def distinct(ds, keys: List[str], num_parts: int = 16,
             out = out.sort(keys)
         return cast_like(out.to_arrow(), g.schema)
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(_PART_COL)
-        .map_groups(per_part, batch_format="pyarrow")
-    )
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART_COL)
+            .map_groups(per_part, batch_format="pyarrow"))

@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import stable_hash64
-from ._util import cast_like
+from ._util import cast_like, pre_shuffle
 
 PART_COL = "part"
 LOCAL_RANK = "__local_rank"
@@ -59,7 +59,8 @@ def assign_dense_ids_hash(ds, key: str, num_parts: int,
         return cast_like(out.to_arrow(), g.schema.append(pa.field(LOCAL_RANK, pa.int64())))
 
     ranked = (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        pre_shuffle(ds.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True))
         .groupby(PART_COL)
         .map_groups(per_part, batch_format="pyarrow")
         .materialize()

@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.hashing import stable_hash64
-from ._util import cast_like
+from ._util import cast_like, pre_shuffle
 
 _BUCKET = "__bucket"
 _SIDE = "__side"
@@ -47,7 +47,9 @@ def native_join(left, right, on: Tuple[str, ...], right_on: Optional[Tuple[str, 
 def hash_join(left, right, on, right_on=None,
               join_type: str = "inner", num_parts: int = 16,
               left_cols: Optional[List[str]] = None,
-              right_cols: Optional[List[str]] = None):
+              right_cols: Optional[List[str]] = None,
+              left_schema: Optional[pa.Schema] = None,
+              right_schema: Optional[pa.Schema] = None):
     """Bucketed big-big equi-join on one or more key columns.
 
     `on`/`right_on` are a column name or list of names (right keys are
@@ -60,8 +62,11 @@ def hash_join(left, right, on, right_on=None,
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = keys if right_on is None else \
         ([right_on] if isinstance(right_on, str) else list(right_on))
-    l_schema: pa.Schema = left.schema().base_schema
-    r_schema: pa.Schema = right.schema().base_schema
+    # .schema() on a non-trivial lazy pipeline EXECUTES part of it to
+    # infer types — callers with map-derived inputs should pass schemas
+    # explicitly to avoid running the upstream twice.
+    l_schema: pa.Schema = left_schema or left.schema().base_schema
+    r_schema: pa.Schema = right_schema or right.schema().base_schema
     l_payload = left_cols or [f.name for f in l_schema if f.name not in keys]
     r_payload = right_cols or [f.name for f in r_schema if f.name not in rkeys]
     overlap = set(l_payload) & set(r_payload)
@@ -110,7 +115,8 @@ def hash_join(left, right, on, right_on=None,
         j = lhs.join(rhs, on=keys, how=how)
         return cast_like(j.to_arrow(), out_schema)
 
-    return tagged.groupby(_BUCKET).map_groups(per_bucket, batch_format="pyarrow")
+    return (pre_shuffle(tagged).groupby(_BUCKET)
+            .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def broadcast_lookup(ds, key: str, mapping_table: pa.Table, map_key: str,

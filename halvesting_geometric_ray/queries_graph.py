@@ -121,14 +121,14 @@ def q_components(sf_dir: str):
 
 @_q("q_component_sizes")
 def q_component_sizes(sf_dir: str):
-    from ray.data.aggregate import Count
-
     from .graph.components import connected_components
+    from .ops.agg import grouped_aggregate
 
     g = graph_for(sf_dir)
     labels, _ = connected_components(
         symmetrize(rd.read_parquet(g.edges)), g.offsets, g.workdir)
-    return labels.groupby("label").aggregate(Count(alias_name="size"))
+    return grouped_aggregate(labels.select_columns(["label"]), ["label"],
+                             {"size": ("count", None)})
 
 
 @_q("q_triangles")
@@ -155,9 +155,10 @@ def q_label_propagation(sf_dir: str):
 @_q("q_degree_distribution")
 def q_degree_distribution(sf_dir: str):
     """Out-degree histogram — the hub-skew diagnostic."""
-    from ray.data.aggregate import Count
+    from .ops.agg import grouped_aggregate
 
     g = graph_for(sf_dir)
-    edges = rd.read_parquet(g.edges)
-    deg = edges.groupby("src").aggregate(Count(alias_name="outdeg"))
-    return deg.groupby("outdeg").aggregate(Count(alias_name="n_vertices"))
+    edges = rd.read_parquet(g.edges, columns=["src"])
+    deg = grouped_aggregate(edges, ["src"], {"outdeg": ("count", None)})
+    return grouped_aggregate(deg.select_columns(["outdeg"]), ["outdeg"],
+                             {"n_vertices": ("count", None)})

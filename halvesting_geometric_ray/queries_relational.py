@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
 from .config import DEFAULT
+from .ops.agg import grouped_aggregate
 from .ops.dedup import distinct
 from .ops.ids import assign_dense_ids_sorted
 from .ops.join import broadcast_lookup, broadcast_semi, hash_join
@@ -104,12 +105,13 @@ def q_pricing_summary(sf_dir: str):
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
         return b.append_column("disc_price", rev)
 
-    out = (ds.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Count(alias_name="count_order")))
+    out = grouped_aggregate(
+        ds.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum", "l_quantity"),
+         "sum_base_price": ("sum", "l_extendedprice"),
+         "sum_disc_price": ("sum", "disc_price"),
+         "count_order": ("count", None)})
     return _to_cents(out, ["sum_qty", "sum_base_price", "sum_disc_price"])
 
 
@@ -127,7 +129,7 @@ def q_region_suppliers(sf_dir: str):
                            columns=["r_regionkey", "r_name"])
     j = broadcast_lookup(sup, "s_nationkey", nation, "n_nationkey", ["n_regionkey"])
     j = broadcast_lookup(j, "n_regionkey", region, "r_regionkey", ["r_name"])
-    out = j.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+    out = grouped_aggregate(j, ["r_name"], {"n_suppliers": ("count", None)})
     return out.map_batches(
         lambda b: b.rename_columns(["region", "n_suppliers"]),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -152,9 +154,9 @@ def q_priority_revenue(sf_dir: str):
     li = li.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                   num_parts=DEFAULT.num_parts)
-    out = (j.groupby("o_orderpriority")
-           .aggregate(Sum("rev", alias_name="revenue"),
-                      Count(alias_name="n_items")))
+    out = grouped_aggregate(j, ["o_orderpriority"],
+                            {"revenue": ("sum", "rev"),
+                             "n_items": ("count", None)})
     out = _to_cents(out, ["revenue"])
     return out.map_batches(
         lambda b: b.rename_columns(["priority", "revenue", "n_items"]),
@@ -171,7 +173,7 @@ def q_customers_with_orders(sf_dir: str):
     okeys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     # o_custkey set is customer-cardinality (small side) -> broadcast semi
     sj = broadcast_semi(cust, "c_custkey", okeys, "o_custkey")
-    out = sj.groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
+    out = grouped_aggregate(sj, ["c_nationkey"], {"n_customers": ("count", None)})
     return out.map_batches(
         lambda b: b.rename_columns(["nationkey", "n_customers"]),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -193,10 +195,9 @@ def q_edges_distinct(sf_dir: str):
     "FROM events GROUP BY user_id")
 def q_first_event_per_user(sf_dir: str):
     ds = _t(sf_dir, "events", columns=["user_id", "ts"])
-    from ray.data.aggregate import Min
-
-    return ds.groupby("user_id").aggregate(
-        Min("ts", alias_name="first_ts"), Count(alias_name="n_events"))
+    return grouped_aggregate(ds, ["user_id"],
+                             {"first_ts": ("min", "ts"),
+                              "n_events": ("count", None)})
 
 
 # ---- union + distinct (U1) --------------------------------------------
@@ -231,7 +232,7 @@ def q_dense_ids(sf_dir: str):
     "GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10")
 def q_topk_customers(sf_dir: str):
     ds = _t(sf_dir, "orders", columns=["o_custkey"])
-    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    agg = grouped_aggregate(ds, ["o_custkey"], {"n_orders": ("count", None)})
     agg = agg.map_batches(lambda b: b.rename_columns(["custkey", "n_orders"]),
                           batch_format="pyarrow", zero_copy_batch=True)
     # deterministic top-k: (count desc, key asc)
@@ -246,7 +247,7 @@ def q_out_degree(sf_dir: str):
     ds = ds.map_batches(lambda b: b.rename_columns(["src", "dst"]),
                         batch_format="pyarrow", zero_copy_batch=True)
     d = distinct(ds, ["src", "dst"], num_parts=DEFAULT.num_parts)
-    return d.groupby("src").aggregate(Count(alias_name="outdeg"))
+    return grouped_aggregate(d, ["src"], {"outdeg": ("count", None)})
 
 
 # ---- explode + token top-k (M1/M6) ------------------------------------
@@ -273,7 +274,7 @@ def q_top_tokens(sf_dir: str):
                          "n": t.column("n").cast(pa.int64())})
 
     partial = ds.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True)
-    total = partial.groupby("token").aggregate(Sum("n", alias_name="n"))
+    total = grouped_aggregate(partial, ["token"], {"n": ("sum", "n")})
     return total.sort(["n", "token"], descending=[True, False]).limit(20)
 
 

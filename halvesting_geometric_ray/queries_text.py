@@ -20,6 +20,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from .config import DEFAULT
+from .ops.agg import grouped_aggregate
 from .functions import dedup as FD
 from .functions import text as FT
 from .functions.hashing import stable_hash64
@@ -64,10 +65,10 @@ def q_lang_token_totals(sf_dir: str):
         return pa.table({"lang": b.column("lang"),
                          "n_tokens": t.column("n_tokens")})
 
-    return (ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("lang")
-            .aggregate(Sum("n_tokens", alias_name="total_tokens"),
-                       Count(alias_name="n_docs")))
+    return grouped_aggregate(
+        ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], {"total_tokens": ("sum", "n_tokens"),
+                   "n_docs": ("count", None)})
 
 
 _M = FT.LANG_MARKERS  # ["a", "data", "spark", "the"]
@@ -130,7 +131,10 @@ def q_dedup_exact(sf_dir: str):
         return out.to_arrow().cast(pa.schema([
             pa.field("rep_doc", pa.int64()), pa.field("n_copies", pa.int64())]))
 
-    return (ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    from .ops._util import pre_shuffle
+
+    return (pre_shuffle(ds.map_batches(add_part, batch_format="pyarrow",
+                                       zero_copy_batch=True))
             .groupby("__p").map_groups(per_part, batch_format="pyarrow"))
 
 
@@ -170,7 +174,7 @@ def q_neardup_jaccard(sf_dir: str):
 
     g = ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
     g = g.materialize()
-    sizes = g.groupby("doc_id").aggregate(Count(alias_name="n"))
+    sizes = grouped_aggregate(g, ["doc_id"], {"n": ("count", None)})
     sizes_t = pa.Table.from_pandas(sizes.to_pandas(), preserve_index=False)
 
     ga = g.map_batches(lambda b: b.rename_columns(["a", "gram"]),
@@ -185,8 +189,9 @@ def q_neardup_jaccard(sf_dir: str):
         m = a < bb
         return pa.table({"a": pa.array(a[m]), "b": pa.array(bb[m])})
 
-    pairs = (j.map_batches(ordered, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["a", "b"]).aggregate(Count(alias_name="c")))
+    pairs = grouped_aggregate(
+        j.map_batches(ordered, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], {"c": ("count", None)})
     pairs = broadcast_lookup(pairs, "a", sizes_t, "doc_id", ["n"])
     pairs = pairs.map_batches(
         lambda b: b.rename_columns(["a", "b", "c", "na"]),
@@ -238,7 +243,10 @@ def q_minhash_lsh(sf_dir: str):
         ii, jj = np.triu_indices(len(ids), 1)
         return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
 
-    cand = (ds.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+    from .ops._util import pre_shuffle
+
+    cand = (pre_shuffle(ds.map_batches(bands, batch_format="pyarrow",
+                                       zero_copy_batch=True))
             .groupby(["band", "key"])
             .map_groups(bucket_pairs, batch_format="pyarrow"))
     from .ops.dedup import distinct
@@ -322,7 +330,10 @@ def q_simhash_pairs(sf_dir: str):
 
     from .ops.dedup import distinct
 
-    pairs = (sh.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+    from .ops._util import pre_shuffle
+
+    pairs = (pre_shuffle(sh.map_batches(bands, batch_format="pyarrow",
+                                        zero_copy_batch=True))
              .groupby(["band", "key"])
              .map_groups(bucket_pairs, batch_format="pyarrow"))
     return distinct(pairs, ["a", "b"], num_parts=DEFAULT.num_parts)

@@ -1,5 +1,9 @@
 import os
 
+# smaller shuffle fan-in for the 4-CPU test session (must be set before
+# halvesting_geometric_ray.config is imported)
+os.environ.setdefault("HGR_SHUFFLE_BLOCKS", "8")
+
 import pytest
 import ray
 import ray.data as rd
