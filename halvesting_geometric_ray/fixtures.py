@@ -229,3 +229,187 @@ def ensure_pages_parquet(n_core: int, seed: int = 42, shards: int = 8) -> str:
     with open(done, "w") as f:
         f.write("ok")
     return d
+
+
+# ---------------------------------------------------------------------------
+# Reference-shaped metadata fixture (FIXTURES.md section 4): the nested
+# document-metadata rows consumed by the reference at build_metadata.py:58-68,
+# including the edge cases its pipeline filters: halauthorid == "0"
+# (link_prediction_metadata.py:237,392), empty titles (:384), dotted
+# domains ("cs.AI" -> "cs", :452-470), duplicate (title, year) pairs (:316).
+# ---------------------------------------------------------------------------
+
+_DOMAIN_POOL = ["cs.AI", "cs.DB", "math.CO", "math", "phys.GR", "bio", "chem.OC"]
+_META_LANGS = ["en", "fr", "de"]
+
+
+def build_meta_rows(n: int, seed: int = 42) -> List[dict]:
+    rng = np.random.default_rng(seed)
+    n_authors = max(5, n // 3)
+    n_affil = max(3, n // 6)
+    rows = []
+    for i in range(n):
+        n_auth = int(rng.integers(1, 4))
+        authors = []
+        for _ in range(n_auth):
+            aid = int(rng.integers(1, n_authors + 1))
+            if rng.random() < 0.05:
+                aid = 0  # filtered by the pipeline
+            n_aff = int(rng.integers(0, 3))
+            affs = [f"lab{int(rng.integers(0, n_affil))}" for _ in range(n_aff)]
+            authors.append({"name": f"author {aid}" if aid else "",
+                            "halauthorid": str(aid),
+                            "affiliations": affs})
+        title = f"Paper number {i}"
+        if i % 40 == 13:
+            title = ""  # filtered
+        if i % 25 == 7 and i > 25:
+            title = f"Paper number {i - 25}"  # duplicate (title, year) pair
+        doms = list({str(_DOMAIN_POOL[int(rng.integers(0, len(_DOMAIN_POOL)))])
+                     for _ in range(int(rng.integers(1, 3)))})
+        rows.append({
+            "halid": f"hal-{i:06d}",
+            "title": title,
+            "lang": _META_LANGS[i % 3],
+            "year": str(2000 + i % 25),
+            "domain": doms,
+            "authors": authors,
+        })
+    return rows
+
+
+def ensure_meta_jsonl(n: int, seed: int = 42) -> str:
+    import json
+
+    d = os.path.join(FIXTURE_ROOT, f"meta_n{n}_seed{seed}")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.exists(done):
+        return d
+    rows = build_meta_rows(n, seed)
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    k = min(4, max(1, n // 50))
+    bounds = np.linspace(0, n, k + 1).astype(int)
+    for s in range(k):
+        with open(os.path.join(tmp, f"part-{s:04d}.jsonl"), "w") as f:
+            for r in rows[bounds[s]:bounds[s + 1]]:
+                f.write(json.dumps(r) + "\n")
+    if os.path.exists(d):
+        import shutil
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+# ---------------------------------------------------------------------------
+# Direct edge-table fixture for iteration-throughput benchmarking: a skewed
+# (src ~ quadratic-density toward low vids -> hub partitions) random edge
+# table big enough that PageRank rounds are compute-bound rather than
+# latency-bound.  Used by bench.py --scaling; correctness of the iteration
+# engine is covered by the page-corpus tests, this fixture only sizes it.
+# ---------------------------------------------------------------------------
+
+
+def ensure_edges_parquet(n_edges: int, n_vertices: int, seed: int = 99,
+                         files: int = 32) -> str:
+    d = os.path.join(FIXTURE_ROOT, f"edges_e{n_edges}_v{n_vertices}_seed{seed}")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.exists(done):
+        return d
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    per = n_edges // files
+    for f_i in range(files):
+        n = per if f_i < files - 1 else n_edges - per * (files - 1)
+        u = rng.random(n)
+        src = (n_vertices * u * u).astype(np.int64)
+        dst = rng.integers(0, n_vertices, size=n, dtype=np.int64)
+        t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        pq.write_table(t, os.path.join(tmp, f"part-{f_i:05d}.parquet"))
+    if os.path.exists(d):
+        import shutil
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def even_offsets(n_vertices: int, num_parts: int) -> np.ndarray:
+    return np.linspace(0, n_vertices, num_parts + 1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Realistically-sized page fixture for throughput/scaling benchmarks.
+# The graph-correctness corpus above uses ~300-byte pages (fast tests);
+# real Common-Crawl payloads are tens of KB, where per-document parsing —
+# the reference's core compute (citation extraction,
+# link_prediction_metadata.py:128-156) — dominates.  ~35 KB pages built
+# from a seeded paragraph pool (cheap to generate, full cost to parse).
+# ---------------------------------------------------------------------------
+
+
+def _para_pool(seed: int, n_paras: int = 64, words_per: int = 110):
+    rng = np.random.default_rng(seed)
+    pool = [f"word{i}" for i in range(500)]
+    paras = []
+    for _ in range(n_paras):
+        idx = rng.integers(0, len(pool), size=words_per)
+        text = " ".join(pool[i] for i in idx)
+        paras.append((f"<p>{text}</p>", text))
+    return paras
+
+
+def ensure_heavy_pages_parquet(n: int, seed: int = 777, paras_per_page: int = 60,
+                               links_per_page: int = 25,
+                               rows_per_file: int = 4000) -> str:
+    d = os.path.join(FIXTURE_ROOT, f"heavy_n{n}_seed{seed}")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.exists(done):
+        return d
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pool = _para_pool(seed)
+    rng = np.random.default_rng(seed + 1)
+    n_hosts = max(16, n // 1000)
+    f_i = 0
+    for start in range(0, n, rows_per_file):
+        stop = min(start + rows_per_file, n)
+        urls, htmls, texts, langs = [], [], [], []
+        count = stop - start
+        para_idx = rng.integers(0, len(pool), size=(count, paras_per_page))
+        link_idx = rng.integers(0, n, size=(count, links_per_page))
+        for r in range(count):
+            i = start + r
+            url = page_url(i, n_hosts)
+            head = f"<p>page {i} unique lead paragraph.</p>"
+            body = head + "".join(pool[j][0] for j in para_idx[r])
+            anchors = "".join(
+                f'<a href="{page_url(int(t), n_hosts)}">l</a>'
+                for t in link_idx[r])
+            html = (f"<html><head><title>Page {i}</title></head>"
+                    f"<body>{body}{anchors}</body></html>")
+            urls.append(url)
+            htmls.append(html.encode("utf-8"))
+            texts.append("\n".join([f"page {i} unique lead paragraph."]
+                                   + [pool[j][1] for j in para_idx[r]]))
+            langs.append(_LANGS[i % 4])
+        ts = pa.array(_EPOCH_US + np.arange(start, stop, dtype="int64") * 97_000_000,
+                      type=pa.timestamp("us"))
+        t = pa.table({"url": pa.array(urls, type=pa.string()),
+                      "warc_ts": ts,
+                      "html": pa.array(htmls, type=pa.binary()),
+                      "text": pa.array(texts, type=pa.string()),
+                      "lang": pa.array(langs, type=pa.string())})
+        pq.write_table(t, os.path.join(tmp, f"part-{f_i:05d}.parquet"))
+        f_i += 1
+    if os.path.exists(d):
+        import shutil
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d

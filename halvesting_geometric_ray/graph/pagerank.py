@@ -8,31 +8,31 @@ PageRank is the deterministic special case:
     r' = (1-d)/N + d * (sum_in r_u / outdeg_u + dangling_mass / N)
     iterate until  ||r' - r||_1 < tol
 
-Execution model (see graph/engine.py for why the inner loop is an actor
-pool rather than per-round Dataset pipelines): a pool of shard actors,
-each pinning its partitions' CSR shards and rank vectors across rounds.
+Execution model (see graph/engine.py): a pool of shard actors, each
+pinning its partitions' CSR shards and rank vectors across rounds.  A
+round is ONE actor call (`step` = apply incoming contributions, then
+emit the next round's per-destination partial sums) with
+``num_returns=A+1`` — each destination actor pulls only its slice, and
+the metrics object carries (L1 partial, next dangling-mass partial).
+The dangling mass flows between rounds as an ObjectRef reduced by a
+tiny remote task, so the driver never blocks inside a round: rounds are
+submitted pipelined, with the convergence check trailing one round
+behind (the overshoot round is discarded, so results and iteration
+counts are identical to sequential execution).
 
-One round =
-  scatter: per shard, contributions r/outdeg pre-aggregated by UNIQUE
-           destination via the shard's precomputed (udsts, uinv)
-           factorization — one bincount per shard, exchange volume
-           bounded by unique dsts (not E), routed per destination actor;
-  exchange: ``num_returns=A`` object refs — each gather pulls only its
-           slice through the (distributed) object store;
-  gather:  sum incoming, apply damping + dangling mass, write the
-           per-partition (rank, delta) checkpoint parquet atomically.
+Per-shard contributions are pre-aggregated by UNIQUE destination via
+the shard's (udsts, uinv) factorization — one bincount per shard, so
+exchange volume is bounded by unique dsts, not E.  All reductions are
+order-free float64 sums: results are reproducible under any
+partitioning to ~1e-12 noise — compared to the NumPy oracle with
+allclose(atol=1e-6) per BASELINE.md.
 
-The dangling mass is a global scalar folded into each round's driver
-reduction (each actor returns its partial for the NEXT round).  All
-reductions are order-free float64 sums, so results are reproducible
-under any partitioning to ~1e-12 noise — compared to the NumPy oracle
-with allclose(atol=1e-6) as BASELINE.md specifies.
-
-Checkpoint/resume: every iteration persists per-partition state+delta
-with a lineage manifest (state/checkpoint.py).  Resume loads the last
-complete iteration; partition files of a torn in-flight iteration are
-REUSED (loaded as that partition's post-iteration state, compute+write
-skipped) — mid-iteration resume per the north rule.
+Checkpoint/resume: every iteration persists per-partition (rank, delta)
+parquet with a lineage manifest (state/checkpoint.py); a torn in-flight
+iteration's partition files are ADOPTED on resume (compute + write
+skipped for those partitions) — mid-iteration resume per the north rule.
+Set checkpoint_interval > 1 to trade durability granularity for write
+volume on throughput-critical runs.
 """
 
 from __future__ import annotations
@@ -51,6 +51,13 @@ from ..config import DEFAULT, EngineConfig
 from ..state.checkpoint import IterativeCheckpoint
 from .csr import load_shard
 from .engine import part_to_actor_map, plan_actors, scatter_refs_matrix, transpose_refs
+
+
+@ray.remote(num_cpus=0)
+def _dm_reduce(*metrics) -> float:
+    """Next-round dangling mass from the step metrics (actor order —
+    deterministic float accumulation)."""
+    return float(sum(m[1] for m in metrics))
 
 
 @ray.remote(num_cpus=0)
@@ -102,9 +109,16 @@ class RankShardActor:
             dm += float(self.r[p][self.shards[p]["outdeg"] == 0].sum())
         return dm
 
-    def scatter(self):
-        """Returns num_actors objects; object j = (vids, vals) destined to
-        actor j, pre-aggregated by unique destination per shard."""
+    def _scatter_msgs(self):
+        """Per-destination-actor (vids, partial_sums) from current state.
+
+        Two-level combiner: bincount by unique dst within each shard,
+        then re-aggregate ACROSS this actor's shards per destination —
+        without the second level a popular dst is shipped once per
+        shard, and measured exchange volume approached E per round
+        (object-store memcpy became the non-scaling bottleneck).  The
+        extra per-actor sort is CPU work that parallelizes with the
+        pool, the transfer it saves does not."""
         per_dest_v: List[List[np.ndarray]] = [[] for _ in range(self.num_actors)]
         per_dest_s: List[List[np.ndarray]] = [[] for _ in range(self.num_actors)]
         for p in self.owned:
@@ -124,17 +138,30 @@ class RankShardActor:
                     per_dest_s[j].append(sums[b[j]:b[j + 1]])
         out = []
         for j in range(self.num_actors):
-            if per_dest_v[j]:
-                out.append((np.concatenate(per_dest_v[j]),
-                            np.concatenate(per_dest_s[j])))
-            else:
+            if not per_dest_v[j]:
                 out.append(None)
+            elif len(per_dest_v[j]) == 1:
+                out.append((per_dest_v[j][0], per_dest_s[j][0]))
+            else:
+                v = np.concatenate(per_dest_v[j])
+                sv = np.concatenate(per_dest_s[j])
+                uv, inv = np.unique(v, return_inverse=True)
+                out.append((uv, np.bincount(inv, weights=sv,
+                                            minlength=len(uv))))
+        return out
+
+    def scatter(self):
+        """Bootstrap: messages from the current state (round start)."""
+        out = self._scatter_msgs()
         return tuple(out) if self.num_actors > 1 else out[0]
 
-    def gather(self, k: int, dm: float, ckpt_paths: Dict[int, str],
-               reuse: Dict[int, str], *incoming):
-        """Apply one round.  `reuse` maps part -> existing checkpoint file
-        of THIS iteration (torn run) to adopt instead of recomputing."""
+    def step(self, k: int, dm: float, ckpt_paths: Dict[int, str],
+             reuse: Dict[int, str], *incoming):
+        """One full round: apply round-k contributions, checkpoint, then
+        emit round-(k+1) messages.  Returns A message objects + 1 metrics
+        object (l1_partial, dm_next_partial).  `reuse` maps part -> an
+        existing checkpoint file of THIS iteration to adopt instead of
+        recomputing (mid-iteration resume)."""
         l1 = 0.0
         dm_next = 0.0
         contrib: Dict[int, np.ndarray] = {
@@ -160,17 +187,34 @@ class RankShardActor:
                 new = (1.0 - self.d) / self.N + self.d * (contrib[p] + dm / self.N)
                 delta = np.abs(new - self.r[p])
                 l1 += float(delta.sum())
-                out = pa.table({
-                    "part": pa.array(np.full(hi - lo, p, dtype=np.int32)),
-                    "vid": pa.array(np.arange(lo, hi, dtype=np.int64)),
-                    "rank": pa.array(new),
-                    "outdeg": pa.array(s["outdeg"].astype(np.int64)),
-                    "delta": pa.array(delta),
-                })
-                IterativeCheckpoint.write_part(out, ckpt_paths[p])
+                if ckpt_paths and p in ckpt_paths:
+                    out = pa.table({
+                        "part": pa.array(np.full(hi - lo, p, dtype=np.int32)),
+                        "vid": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                        "rank": pa.array(new),
+                        "outdeg": pa.array(s["outdeg"].astype(np.int64)),
+                        "delta": pa.array(delta),
+                    })
+                    IterativeCheckpoint.write_part(out, ckpt_paths[p])
             self.r[p] = new
             dm_next += float(new[s["outdeg"] == 0].sum())
-        return l1, dm_next
+        msgs = self._scatter_msgs()
+        return (*msgs, (l1, dm_next))
+
+    def write_state(self, ckpt_paths: Dict[int, str]) -> bool:
+        """Persist current state (used when checkpoint_interval > 1)."""
+        for p, path in ckpt_paths.items():
+            s = self.shards[p]
+            lo, hi = s["vid_lo"], s["vid_hi"]
+            out = pa.table({
+                "part": pa.array(np.full(hi - lo, p, dtype=np.int32)),
+                "vid": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "rank": pa.array(self.r[p]),
+                "outdeg": pa.array(s["outdeg"].astype(np.int64)),
+                "delta": pa.array(np.zeros(hi - lo)),
+            })
+            IterativeCheckpoint.write_part(out, path)
+        return True
 
 
 def pagerank(edges, offsets: np.ndarray, workdir: str,
@@ -179,7 +223,8 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
              max_iters: Optional[int] = None, job: str = "pagerank",
              resume: bool = True, lineage: Optional[Dict] = None,
              shards_dir: Optional[str] = None,
-             num_actors: int = 0) -> Tuple["rd.Dataset", Dict]:
+             num_actors: int = 0,
+             checkpoint_interval: int = 1) -> Tuple["rd.Dataset", Dict]:
     """Run PageRank over the edge table.  Returns (ranks_ds, info):
     ranks_ds has columns (part, vid, rank); info carries per-iteration
     metrics (l1, dangling mass, wall) and resume provenance."""
@@ -204,7 +249,8 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
                 .select_columns(["part", "vid", "rank"]))
 
     k0 = ckpt.latest_complete() if resume else None
-    info: Dict = {"resumed_from": k0, "iters": list(ckpt.metrics_history()) if k0 else []}
+    info: Dict = {"resumed_from": k0,
+                  "iters": list(ckpt.metrics_history()) if k0 else []}
     if k0 is not None and info["iters"] and info["iters"][-1]["l1"] < tol:
         info["num_iters"] = len(info["iters"])
         info["converged"] = True
@@ -215,42 +261,74 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
     p2a = part_to_actor_map(owned, num_parts)
     actors = [RankShardActor.remote(i, owned[i], paths, offsets, p2a, A, N, d)
               for i in range(A)]
+    final_k = k0 or 0
     try:
         if k0 is not None:
-            files = {p: ckpt.part_path(k0, p) for p in range(num_parts)}
-            ray.get([a.load_state.remote({p: files[p] for p in owned[i]})
-                     for i, a in enumerate(actors)])
+            ray.get([a.load_state.remote(
+                {p: ckpt.part_path(k0, p) for p in owned[i]})
+                for i, a in enumerate(actors)])
             start = k0 + 1
         else:
             start = 1
-        dm = sum(ray.get([a.dangling.remote() for a in actors]))
+        dm_ref = ray.put(sum(ray.get([a.dangling.remote() for a in actors])))
+        inbox = transpose_refs(scatter_refs_matrix(actors, A))
 
-        last_k = k0 or 0
-        for k in range(start, max_iters + 1):
-            t0 = time.time()
-            reuse_all = ckpt.have_parts(k) if resume else set()
-            sc = scatter_refs_matrix(actors, A)
-            inbox = transpose_refs(sc)
-            gr = []
-            for j, a in enumerate(actors):
-                ck = {p: ckpt.part_path(k, p) for p in owned[j]}
-                ru = {p: ckpt.part_path(k, p) for p in owned[j] if p in reuse_all}
-                gr.append(a.gather.remote(k, dm, ck, ru, *inbox[j]))
-            parts_res = ray.get(gr)
-            l1 = float(sum(r[0] for r in parts_res))
-            dm = float(sum(r[1] for r in parts_res))
-            metrics = {"iter": k, "l1": l1, "dangling_mass": dm,
-                       "wall_sec": time.time() - t0}
-            ckpt.commit_iter(k, metrics, list(range(num_parts)))
+        pending: Dict[int, Tuple[List, float]] = {}
+        converged = False
+
+        def commit(kk: int) -> float:
+            ms = ray.get(pending.pop(kk)[0])
+            l1 = float(sum(m[0] for m in ms))
+            dm_val = float(sum(m[1] for m in ms))
+            metrics = {"iter": kk, "l1": l1, "dangling_mass": dm_val,
+                       "wall_sec": round(time.time() - t_start, 4)}
+            if kk % checkpoint_interval == 0 or l1 < tol:
+                ckpt.commit_iter(kk, metrics, list(range(num_parts)))
             info["iters"].append(metrics)
-            last_k = k
-            if l1 < tol:
-                break
+            return l1
+
+        t_start = time.time()
+        for k in range(start, max_iters + 1):
+            reuse_all = ckpt.have_parts(k) if resume else set()
+            do_ckpt = (k % checkpoint_interval == 0)
+            outs = []
+            for j, a in enumerate(actors):
+                ck = {p: ckpt.part_path(k, p) for p in owned[j]} if do_ckpt else {}
+                ru = {p: ckpt.part_path(k, p) for p in owned[j]
+                      if p in reuse_all}
+                o = a.step.options(num_returns=A + 1).remote(
+                    k, dm_ref, ck, ru, *inbox[j])
+                outs.append(list(o))
+            inbox = transpose_refs([o[:A] for o in outs])
+            metric_refs = [o[A] for o in outs]
+            dm_ref = _dm_reduce.remote(*metric_refs)
+            pending[k] = (metric_refs, time.time())
+            final_k = k
+            # trailing convergence check (one round of overlap)
+            if k - 1 in pending:
+                if commit(k - 1) < tol:
+                    final_k = k - 1
+                    converged = True
+                    break
+        if not converged and final_k in pending:
+            l1 = commit(final_k)
+            converged = l1 < tol
+        # discard the overshoot round's refs, if any
+        pending.clear()
+        # ensure the final state is durably checkpointed even when
+        # checkpoint_interval skipped it
+        if str(final_k) not in ckpt.manifest["iters"] or \
+                not ckpt.have_parts(final_k):
+            ray.get([a.write_state.remote(
+                {p: ckpt.part_path(final_k, p) for p in owned[i]})
+                for i, a in enumerate(actors)])
+            last = info["iters"][-1] if info["iters"] else {"iter": final_k}
+            ckpt.commit_iter(final_k, last, list(range(num_parts)))
     finally:
         for a in actors:
             ray.kill(a)
 
     info["num_iters"] = len(info["iters"])
     info["converged"] = bool(info["iters"] and info["iters"][-1]["l1"] < tol)
-    info["final_iter"] = last_k
-    return ranks_ds(last_k), info
+    info["final_iter"] = final_k
+    return ranks_ds(final_k), info

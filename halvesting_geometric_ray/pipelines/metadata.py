@@ -1,0 +1,189 @@
+"""Reference-parity metadata graph construction over nested JSON rows.
+
+The Ray-Data re-expression of the reference's compute_nodes /
+compute_edges (build_metadata.py:50-87,
+link_prediction_metadata.py:193-422) over rows of shape
+``{halid, title, lang, year, domain: list<str>,
+authors: list<struct{name, halauthorid, affiliations: list<str>}>}``:
+
+- explode + normalize the nested author structs (M1/M2,
+  build_metadata.py:59-68) as zero-copy Arrow list/struct kernels;
+- language filter (F2, link_prediction_metadata.py:368-371), non-empty
+  filters (F4: title != "", name != "", halauthorid != 0,
+  link_prediction_metadata.py:384,392,237);
+- `split_domain` (M7, link_prediction_metadata.py:452-470):
+  "cs.AI" -> "cs", empty -> "other";
+- per node type: project -> exact dedup (D2) -> dense zip-with-index ids
+  (I1) done ORDER-INDEPENDENTLY (sorted), avoiding the reference's
+  cross-partition index bug (link_prediction_metadata.py:349-353);
+- typed edge tables via dimension joins (J1-J5) + exact dedup (D1);
+  keys stay int64 throughout (the reference's float-keyed joins at
+  :240,264 are a bug-smell, not semantics).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..config import DEFAULT, EngineConfig
+from ..ops._util import pre_shuffle
+from ..ops.dedup import distinct
+from ..ops.ids import assign_dense_ids_sorted
+from ..ops.join import broadcast_lookup
+
+
+def read_meta(path: str):
+    return rd.read_json(path)
+
+
+def explode_authors(meta):
+    """-> (halid, name, halauthorid:int64, affiliations:list<string>)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = b.column("authors")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parent = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        halid = pc.take(b.column("halid"), parent)
+        name = pc.struct_field(flat, "name")
+        aid = pc.struct_field(flat, "halauthorid").cast(pa.int64())
+        affs = pc.struct_field(flat, "affiliations")
+        return pa.table({
+            "halid": halid.cast(pa.string()),
+            "name": name.cast(pa.string()),
+            "halauthorid": aid,
+            "affiliations": affs,
+        })
+
+    return meta.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_domain_batch(arr: pa.Array) -> pa.Array:
+    """M7: leading dotted segment, empty/null -> 'other'."""
+    first = pc.list_element(pc.split_pattern(arr, "."), 0)
+    empty = pc.or_kleene(pc.is_null(first), pc.equal(first, ""))
+    return pc.if_else(empty, pa.scalar("other"), first).cast(pa.string())
+
+
+def build_metadata_graph(meta_path: str, workdir: str,
+                         langs: Optional[List[str]] = None,
+                         cfg: EngineConfig = DEFAULT) -> Dict[str, "rd.Dataset"]:
+    """Returns the node/edge tables as Datasets (also written as Parquet
+    layers under workdir): papers, authors, affiliations, domains,
+    writes, affiliated_with, has_topic."""
+    os.makedirs(workdir, exist_ok=True)
+    meta = read_meta(meta_path)
+    if langs:
+        meta = meta.map_batches(
+            lambda b: b.filter(pc.is_in(b["lang"], value_set=pa.array(langs))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    meta = meta.materialize()
+
+    # ---- nodes ----------------------------------------------------------
+    papers_src = meta.map_batches(
+        lambda b: b.filter(pc.not_equal(b["title"], ""))
+        .select(["halid", "title", "lang", "year"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    papers = assign_dense_ids_sorted(papers_src.select_columns(["halid"]),
+                                     "halid", id_col="paper_idx")
+    papers = broadcast_lookup(
+        papers,
+        "halid",
+        pa.Table.from_pandas(papers_src.to_pandas().drop_duplicates("halid"),
+                             preserve_index=False),
+        "halid", ["title", "lang", "year"])
+
+    exploded = explode_authors(meta).materialize()
+    authors_src = exploded.map_batches(
+        lambda b: b.filter(pc.and_(pc.not_equal(b["halauthorid"], 0),
+                                   pc.not_equal(b["name"], "")))
+        .select(["halauthorid", "name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    authors = assign_dense_ids_sorted(
+        authors_src.select_columns(["halauthorid"]), "halauthorid",
+        id_col="author_idx")
+
+    def expl_affs(b: pa.Table) -> pa.Table:
+        col = b.column("affiliations")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parent = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col).cast(pa.string())
+        aid = pc.take(b.column("halauthorid"), parent)
+        t = pa.table({"halauthorid": aid, "affiliation": flat})
+        return t.filter(pc.not_equal(t["affiliation"], ""))
+
+    author_affs = exploded.map_batches(
+        lambda b: expl_affs(b.filter(pc.not_equal(b["halauthorid"], 0))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    affiliations = assign_dense_ids_sorted(
+        author_affs.select_columns(["affiliation"]), "affiliation",
+        id_col="affiliation_idx")
+
+    def expl_domains(b: pa.Table) -> pa.Table:
+        col = b.column("domain")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parent = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col).cast(pa.string())
+        halid = pc.take(b.column("halid"), parent)
+        return pa.table({"halid": halid.cast(pa.string()),
+                         "domain": split_domain_batch(flat)})
+
+    paper_domains = meta.map_batches(expl_domains, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+    domains = assign_dense_ids_sorted(
+        paper_domains.select_columns(["domain"]), "domain", id_col="domain_idx")
+
+    # small dimension tables -> driver Arrow for broadcast joins
+    papers_t = pa.Table.from_pandas(papers.to_pandas(), preserve_index=False)
+    authors_t = pa.Table.from_pandas(authors.to_pandas(), preserve_index=False)
+    affil_t = pa.Table.from_pandas(affiliations.to_pandas(), preserve_index=False)
+    domains_t = pa.Table.from_pandas(domains.to_pandas(), preserve_index=False)
+
+    # ---- edges (J1-J5 + D1) --------------------------------------------
+    ap = exploded.map_batches(
+        lambda b: b.select(["halid", "halauthorid"])
+        .filter(pc.not_equal(b["halauthorid"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ap = broadcast_lookup(ap, "halid", papers_t.select(["halid", "paper_idx"]),
+                          "halid", ["paper_idx"])
+    ap = broadcast_lookup(ap, "halauthorid",
+                          authors_t.select(["halauthorid", "author_idx"]),
+                          "halauthorid", ["author_idx"])
+    writes = distinct(ap.select_columns(["author_idx", "paper_idx"]),
+                      ["author_idx", "paper_idx"], num_parts=cfg.num_parts)
+
+    aa = broadcast_lookup(author_affs, "halauthorid",
+                          authors_t.select(["halauthorid", "author_idx"]),
+                          "halauthorid", ["author_idx"])
+    aa = broadcast_lookup(aa, "affiliation",
+                          affil_t.select(["affiliation", "affiliation_idx"]),
+                          "affiliation", ["affiliation_idx"])
+    affiliated_with = distinct(
+        aa.select_columns(["author_idx", "affiliation_idx"]),
+        ["author_idx", "affiliation_idx"], num_parts=cfg.num_parts)
+
+    pd_ = broadcast_lookup(paper_domains, "halid",
+                           papers_t.select(["halid", "paper_idx"]),
+                           "halid", ["paper_idx"])
+    pd_ = broadcast_lookup(pd_, "domain",
+                           domains_t.select(["domain", "domain_idx"]),
+                           "domain", ["domain_idx"])
+    has_topic = distinct(pd_.select_columns(["paper_idx", "domain_idx"]),
+                         ["paper_idx", "domain_idx"], num_parts=cfg.num_parts)
+
+    out = {"papers": papers, "authors": authors, "affiliations": affiliations,
+           "domains": domains, "writes": writes,
+           "affiliated_with": affiliated_with, "has_topic": has_topic}
+    for name, ds in out.items():
+        ds.write_parquet(os.path.join(workdir, name))
+    return {name: rd.read_parquet(os.path.join(workdir, name)) for name in out}

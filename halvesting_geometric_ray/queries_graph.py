@@ -162,3 +162,43 @@ def q_degree_distribution(sf_dir: str):
     deg = grouped_aggregate(edges, ["src"], {"outdeg": ("count", None)})
     return grouped_aggregate(deg.select_columns(["outdeg"]), ["outdeg"],
                              {"n_vertices": ("count", None)})
+
+
+@_q("q_host_counts")
+def q_host_counts(sf_dir: str):
+    """M7 analogue (reference split_domain, link_prediction_metadata.py:452-470):
+    url -> host, vectorized; pages per host."""
+    import pyarrow.compute as pc
+
+    from .ops.agg import grouped_aggregate
+
+    g = graph_for(sf_dir)
+    urls = rd.read_parquet(g.vertices, columns=["url"])
+
+    def host(b: pa.Table) -> pa.Table:
+        h = pc.list_element(pc.split_pattern(b.column("url"), "/"), 2)
+        return pa.table({"host": h.cast(pa.string())})
+
+    hosts = urls.map_batches(host, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(hosts, ["host"], {"n_pages": ("count", None)})
+
+
+@_q("q_edge_splits")
+def q_edge_splits(sf_dir: str):
+    """R1: deterministic train/val/test split sizes."""
+    from .graph.splits import split_edges
+    from .ops.agg import grouped_aggregate
+
+    g = graph_for(sf_dir)
+    s = split_edges(rd.read_parquet(g.edges))
+    return grouped_aggregate(s.select_columns(["split"]), ["split"],
+                             {"n_edges": ("count", None)})
+
+
+@_q("q_negative_samples")
+def q_negative_samples(sf_dir: str):
+    """R1: seeded negative (non-edge) samples."""
+    from .graph.splits import negative_sample
+
+    g = graph_for(sf_dir)
+    return negative_sample(rd.read_parquet(g.edges), g.num_vertices, 100)

@@ -321,3 +321,96 @@ def q_cosupply_triangles(sf_dir: str):
                                 zero_copy_batch=True))
     _, total = tri_pipeline(sym)
     return pd.DataFrame({"n_triangles": [total]})
+
+
+# ---- event-time windows (stream-shaped operators; ray_guide pattern) ---
+
+@_q("q_tumbling_window",
+    "SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_bucket, "
+    "count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY user_id, hour_bucket")
+def q_tumbling_window(sf_dir: str):
+    """Tumbling 1h windows per user: bucket assignment is a vectorized
+    map (no per-window state), then the standard grouped aggregate."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy()
+        hb = np.floor_divide(us, 3_600_000_000)
+        return pa.table({"user_id": b.column("user_id"),
+                         "hour_bucket": pa.array(hb),
+                         "value": b.column("value")})
+
+    out = grouped_aggregate(
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "hour_bucket"],
+        {"n_events": ("count", None), "value_cents": ("sum", "value")})
+    return _to_cents(out, ["value_cents"])
+
+
+@_q("q_sessionize",
+    "WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+    "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT user_id, ts, sum(new_s) OVER "
+    "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+    "SELECT user_id, CAST(sid AS BIGINT) AS session_id, min(ts) AS session_start, "
+    "count(*) AS n_events FROM s GROUP BY user_id, sid")
+def q_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) — per-key ordered
+    map_groups over the event log (the documented ordering assumption:
+    events sorted by (ts, event_id) within each user)."""
+    import pandas as pd
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g.ts.diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype("int64") + 1
+        out = (g.assign(session_id=sid)
+               .groupby("session_id", as_index=False)
+               .agg(user_id=("user_id", "first"), session_start=("ts", "min"),
+                    n_events=("ts", "size")))
+        return out[["user_id", "session_id", "session_start", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+@_q("q_asof_join",
+    "SELECT e.event_id, o.o_orderdate AS matched_date FROM events e "
+    "ASOF JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate")
+def q_asof_join(sf_dir: str):
+    """As-of join: latest order at-or-before each event, per user —
+    hash-bucket both sides on the key, pandas merge_asof per bucket
+    (ray_guide's documented as-of pattern)."""
+    import pandas as pd
+
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"])
+    import ray
+
+    oref = ray.put(orders)
+
+    class Asof:
+        def __init__(self):
+            df = ray.get(oref).to_pandas()
+            self.orders = df.sort_values("o_orderdate")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            b = batch.to_pandas().sort_values("ts")
+            m = pd.merge_asof(b, self.orders, left_on="ts",
+                              right_on="o_orderdate", left_by="user_id",
+                              right_by="o_custkey")
+            m = m.dropna(subset=["o_orderdate"])
+            out = pd.DataFrame({"event_id": m.event_id.astype("int64"),
+                                "matched_date": m.o_orderdate})
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    # orders is customer-cardinality (small side) -> broadcast asof;
+    # for big-big, bucket both sides on user hash and merge per bucket
+    return ev.map_batches(Asof, batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
