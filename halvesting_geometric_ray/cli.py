@@ -1,0 +1,134 @@
+"""Job entry point — the `ray job submit` surface of the north rule
+(the analogue of the reference's sbatch scripts, scripts/*.sbatch).
+
+    ray job submit -- python -m halvesting_geometric_ray.cli build \
+        --pages /data/pages --workdir /data/graph
+    ray job submit -- python -m halvesting_geometric_ray.cli pagerank \
+        --workdir /data/graph
+    python -m halvesting_geometric_ray.cli all --pages ... --workdir ...
+
+Owns the Ray session (auto-connects inside a job via RAY_ADDRESS; falls
+back to a local session) and shuts it down on exit.  All state lives in
+the workdir: graph layers, CSR shards, per-iteration checkpoints —
+re-running any subcommand resumes from what is durable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session():
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if os.environ.get("RAY_ADDRESS", "local") == "local":
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    rd.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="halvesting_geometric_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--workdir", required=True)
+        sp.add_argument("--num-parts", type=int, default=0)
+
+    sp = sub.add_parser("build", help="pages parquet -> graph layers")
+    sp.add_argument("--pages", required=True)
+    common(sp)
+
+    for name in ("pagerank", "cc", "labelprop", "triangles"):
+        sp = sub.add_parser(name)
+        common(sp)
+        if name == "pagerank":
+            sp.add_argument("--damping", type=float, default=None)
+            sp.add_argument("--tol", type=float, default=None)
+            sp.add_argument("--max-iters", type=int, default=None)
+            sp.add_argument("--checkpoint-interval", type=int, default=1)
+        if name == "labelprop":
+            sp.add_argument("--rounds", type=int, default=5)
+
+    sp = sub.add_parser("all", help="build + pagerank + cc + triangles")
+    sp.add_argument("--pages", required=True)
+    common(sp)
+
+    args = p.parse_args(argv)
+    ray = _session()
+    try:
+        import ray.data as rd
+
+        from .config import DEFAULT, EngineConfig
+        from .graph.build import build_graph, symmetrize
+
+        cfg = EngineConfig(num_parts=args.num_parts) if args.num_parts \
+            else DEFAULT
+
+        def load_graph():
+            from .graph.build import GraphLayers
+            import os
+
+            meta = json.load(open(os.path.join(args.workdir, "_META.json")))
+            layers = {k: os.path.join(args.workdir, k)
+                      for k in ("extracted", "vertices", "edges")}
+            return GraphLayers(args.workdir, layers["extracted"],
+                               layers["vertices"], layers["edges"], meta)
+
+        out = {}
+        if args.cmd in ("build", "all"):
+            g = build_graph(args.pages, args.workdir, cfg)
+            out["build"] = g.meta
+        else:
+            g = load_graph()
+
+        edges = rd.read_parquet(g.edges)
+        if args.cmd in ("pagerank", "all"):
+            from .graph.pagerank import pagerank
+
+            kw = {}
+            if args.cmd == "pagerank":
+                kw = {"damping": args.damping, "tol": args.tol,
+                      "max_iters": args.max_iters,
+                      "checkpoint_interval": args.checkpoint_interval}
+            _, info = pagerank(edges, g.offsets, args.workdir, cfg, **kw)
+            out["pagerank"] = {k: v for k, v in info.items() if k != "iters"}
+        if args.cmd in ("cc", "all"):
+            from .graph.components import connected_components
+
+            _, info = connected_components(symmetrize(edges, cfg), g.offsets,
+                                           args.workdir, cfg)
+            out["cc"] = {k: v for k, v in info.items() if k != "iters"}
+        if args.cmd == "labelprop":
+            from .graph.labelprop import label_propagation
+
+            _, info = label_propagation(
+                symmetrize(edges, cfg, drop_self_loops=True), g.offsets,
+                args.workdir, cfg, rounds=args.rounds)
+            out["labelprop"] = {k: v for k, v in info.items() if k != "iters"}
+        if args.cmd in ("triangles", "all"):
+            from .graph.triangles import triangles
+
+            per, total = triangles(
+                symmetrize(edges, cfg, drop_self_loops=True), cfg)
+            import os
+
+            per.write_parquet(os.path.join(args.workdir, "triangles"))
+            out["triangles"] = {"total": total}
+        print(json.dumps(out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,46 @@
+"""Source/sink surface (S1-S7, K1-K4 of SURVEY.md section 2).
+
+Thin, opinionated wrappers over Ray Data's parallel readers/writers —
+the engine standardizes on Parquet+zstd (the reference's single-file
+TSV + external zip compression, link_prediction_metadata.py:379-422 and
+helpers.py:252-287, are anti-scale artifacts deliberately dropped;
+sharded parquet with deterministic part files is what makes reruns
+resumable).  Column pruning at the read is mandatory at 100 TB: pass
+`columns` always.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import ray.data as rd
+
+
+def read_parquet(path: str, columns: Optional[List[str]] = None, **kw):
+    """S1/S5 analogue: parallel parquet with column pruning (+ optional
+    pyarrow `filter=` expression for row-group pushdown)."""
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
+def read_jsonl(path: str, **kw):
+    """S2/S3 analogue (pd_read_jsons/dd_read_jsons, helpers.py:306-359):
+    parallel JSON-lines with nested struct/list inference."""
+    return rd.read_json(path, **kw)
+
+
+def read_csv(path: str, **kw):
+    """S5 analogue: the reference's chunked TSV reads become parallel
+    blocks for free (chunksize=1e6, link_prediction_metadata.py:206-218)."""
+    return rd.read_csv(path, **kw)
+
+
+def write_parquet(ds, path: str, compression: str = "zstd", **kw):
+    """K1/K2: sharded parquet, zstd (native codec replaces the
+    reference's post-hoc zip/gzip compress, helpers.py:252-287)."""
+    return ds.write_parquet(path, arrow_parquet_args={"compression": compression},
+                            **kw)
+
+
+def write_jsonl(ds, path: str, **kw):
+    """K4 analogue (jsons_to_jsonls, helpers.py:290-303)."""
+    return ds.write_json(path, **kw)
