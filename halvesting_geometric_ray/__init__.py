@@ -27,3 +27,10 @@ sessions are owned by the caller (bench.py, CLI, test fixture).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# polars defaults to one thread pool per process sized to ALL cores; a
+# 32-core box running 32 Ray workers would oversubscribe 1024 threads.
+# Our per-batch/per-bucket frames are small — a few threads suffice.
+_os.environ.setdefault("POLARS_MAX_THREADS", "4")

@@ -139,7 +139,10 @@ def build_graph(pages_path: str, workdir: str,
     extracted.write_parquet(layers["extracted"])
 
     extracted = rd.read_parquet(layers["extracted"])
-    outlinks = outlinks_from_extracted(extracted)
+    # materialize the exploded outlinks once: they feed the vertex union
+    # AND both resolution joins (re-deriving re-reads + re-explodes the
+    # extracted layer each time)
+    outlinks = outlinks_from_extracted(extracted).materialize()
     vertices, offsets = build_vertices(
         rd.read_parquet(layers["extracted"], columns=["url"]), outlinks, cfg)
     vertices.write_parquet(layers["vertices"])
