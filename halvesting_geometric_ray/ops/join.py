@@ -17,10 +17,11 @@ Three regimes, chosen explicitly by the caller:
   the streaming choice on real multi-node clusters with CPUs to reserve.
 
 Skew note: bucket = stable_hash(key) % B spreads distinct keys; a single
-hot key (hub url) still lands in one bucket.  For our edge-resolution
-joins the UNIQUE side is the vertex table, so per-bucket work is bounded
-by left rows per key-bucket; pass a larger ``num_buckets`` (or pre-salt
-the left side) when a bucket outgrows a task.
+hot key (hub url) still lands in one bucket.  ``hash_join(salt=k)``
+splits each left key across k sub-buckets and replicates the right side
+into them — the salted-key hub treatment of SURVEY.md section 7.4 (use
+when a hub key's rows outgrow one bucket task; costs k x right-side
+shuffle volume).
 """
 
 from __future__ import annotations
@@ -49,7 +50,8 @@ def hash_join(left, right, on, right_on=None,
               left_cols: Optional[List[str]] = None,
               right_cols: Optional[List[str]] = None,
               left_schema: Optional[pa.Schema] = None,
-              right_schema: Optional[pa.Schema] = None):
+              right_schema: Optional[pa.Schema] = None,
+              salt: int = 1):
     """Bucketed big-big equi-join on one or more key columns.
 
     `on`/`right_on` are a column name or list of names (right keys are
@@ -58,6 +60,13 @@ def hash_join(left, right, on, right_on=None,
     first key co-locate, the per-bucket merge applies all keys.  Output
     columns: keys + left payload cols + right payload cols.  Row order
     is arbitrary; the result set is deterministic.
+
+    Skew: `salt > 1` splits each LEFT key across `salt` sub-buckets
+    (per-row hash) and replicates every RIGHT row into all of them —
+    the salted-key treatment for hub keys (a hub url whose outlink rows
+    would otherwise pile into one bucket task, SURVEY.md section 7.4).
+    Only for inner/semi/anti with a unique-keyed right side; costs
+    salt x right-side shuffle volume.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rkeys = keys if right_on is None else \
@@ -80,6 +89,8 @@ def hash_join(left, right, on, right_on=None,
 
     def tag(side: int, key_cols: List[str], payload: List[str]):
         def fn(b: pa.Table) -> pa.Table:
+            import numpy as np
+
             n = b.num_rows
             cols = {}
             for name, typ, kc in zip(keys, key_types, key_cols):
@@ -91,12 +102,29 @@ def hash_join(left, right, on, right_on=None,
                     cols[name] = c.cast(typ) if c.type != typ else c
                 else:
                     cols[name] = pa.nulls(n, type=typ)
-            cols[_SIDE] = pa.array([side] * n, type=pa.int8())
             h = stable_hash64(cols[keys[0]]) % num_parts
+            if salt > 1:
+                if side == 0:
+                    sub = np.arange(n, dtype=np.int64) % salt
+                    cols[_SIDE] = pa.array([side] * n, type=pa.int8())
+                    cols[_BUCKET] = pa.array(h * salt + sub, type=pa.int32())
+                    return pa.table(cols)
+                # replicate the right side into every sub-bucket
+                outs = []
+                for sb in range(salt):
+                    c2 = dict(cols)
+                    c2[_SIDE] = pa.array([side] * n, type=pa.int8())
+                    c2[_BUCKET] = pa.array(h * salt + sb, type=pa.int32())
+                    outs.append(pa.table(c2))
+                return pa.concat_tables(outs)
+            cols[_SIDE] = pa.array([side] * n, type=pa.int8())
             cols[_BUCKET] = pa.array(h, type=pa.int32())
             return pa.table(cols)
 
         return fn
+
+    if salt > 1 and join_type not in ("inner", "semi", "anti"):
+        raise ValueError("salt>1 requires inner/semi/anti join")
 
     tagged = left.map_batches(tag(0, keys, l_payload), batch_format="pyarrow",
                               zero_copy_batch=True).union(

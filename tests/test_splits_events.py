@@ -57,3 +57,28 @@ def test_negative_samples_are_non_edges(tiny_graph):
     neg2 = negative_sample(edges, n, 50).to_pandas()
     assert (neg.sort_values(["src", "dst"]).to_numpy()
             == neg2.sort_values(["src", "dst"]).to_numpy()).all()
+
+
+def test_salted_join_equals_unsalted(tiny_graph):
+    """Hub-key salting: same result set, spread across salt sub-buckets."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.join import hash_join
+
+    # skewed left: one hub key with many rows
+    import numpy as np
+
+    n = 5000
+    left = pa.table({"k": pa.array(np.where(np.arange(n) % 10 < 8, 1,
+                                            np.arange(n)).astype(np.int64)),
+                     "payload": pa.array(np.arange(n))})
+    right = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                      "val": pa.array(np.arange(n) * 2)})
+    a = hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                  salt=1).to_pandas()
+    b = hash_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                  salt=4).to_pandas()
+    key = ["k", "payload", "val"]
+    assert (a[key].sort_values(key).to_numpy()
+            == b[key].sort_values(key).to_numpy()).all()
