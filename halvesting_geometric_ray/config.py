@@ -37,8 +37,12 @@ class EngineConfig:
     damping: float = 0.85
     pagerank_tol: float = 1e-6
     max_iters: int = 200
-    # Out-degree above which a source vertex is vertex-cut into salted
-    # sub-keys during shuffles (hub skew handling, SURVEY.md section 7.4).
+    # Hub-skew guidance (SURVEY.md section 7.4): when a join key's row
+    # count exceeds roughly this many rows per bucket task, pass
+    # ops.join.hash_join(salt=k) to split the hot key across k
+    # sub-buckets.  Iterative analytics need no vertex-cut: scatter
+    # pre-aggregates per shard AND per destination actor, so a hub's
+    # work is one bincount wherever it lives.
     hub_degree_threshold: int = 8192
     # Checkpoint root (per-iteration per-partition lineage manifests).
     checkpoint_root: str = "/tmp/hgr_checkpoints"

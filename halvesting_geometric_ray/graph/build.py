@@ -150,6 +150,15 @@ def build_graph(pages_path: str, workdir: str,
     vertices_ds = rd.read_parquet(layers["vertices"])
     edges = resolve_edges(outlinks, vertices_ds, cfg)
     edges.write_parquet(layers["edges"])
+    if not os.path.isdir(layers["edges"]) or not os.listdir(layers["edges"]):
+        # an empty Dataset writes no files; keep the layer readable
+        import pyarrow.parquet as pq
+
+        os.makedirs(layers["edges"], exist_ok=True)
+        pq.write_table(
+            pa.schema([pa.field("src", pa.int64()),
+                       pa.field("dst", pa.int64())]).empty_table(),
+            os.path.join(layers["edges"], "part-empty.parquet"))
 
     n_edges = rd.read_parquet(layers["edges"]).count()
     meta = {

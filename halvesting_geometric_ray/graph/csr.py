@@ -111,7 +111,7 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
         .map_groups(build, batch_format="pyarrow")
         .to_pandas()
     )
-    present = set(built["part"].tolist())
+    present = set(built["part"].tolist()) if "part" in built.columns else set()
     # empty shards for partitions with no out-edges
     for p in range(num_parts):
         if p not in present:

@@ -235,6 +235,15 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
     max_iters = cfg.max_iters if max_iters is None else max_iters
     N = int(offsets[-1])
     num_parts = len(offsets) - 1
+    if N == 0:
+        import pandas as _pd
+
+        return rd.from_pandas(_pd.DataFrame(
+            {"part": _pd.Series([], dtype="int32"),
+             "vid": _pd.Series([], dtype="int64"),
+             "rank": _pd.Series([], dtype="float64")})), \
+            {"resumed_from": None, "iters": [], "num_iters": 0,
+             "converged": True, "final_iter": 0}
 
     descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr")
     paths = {dd["part"]: dd["path"] for dd in descs}

@@ -60,3 +60,33 @@ def test_ids_deterministic_across_runs(tiny_pages_dir, tmp_path):
     v1 = rd.read_parquet(g1.vertices).to_pandas().sort_values("url")
     v2 = rd.read_parquet(g2.vertices).to_pandas().sort_values("url")
     assert (v1.vid.to_numpy() == v2.vid.to_numpy()).all()
+
+
+def test_empty_and_degenerate_inputs(tmp_path):
+    """Graceful behavior on degenerate corpora (all pages malformed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from halvesting_geometric_ray.graph.build import build_graph
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    d = tmp_path / "badpages"
+    d.mkdir()
+    t = pa.table({
+        "url": pa.array([f"https://x/{i}" for i in range(10)]),
+        "warc_ts": pa.array(np.zeros(10, dtype="int64"),
+                            type=pa.timestamp("us")),
+        "html": pa.array([b"<html><body>trunc"] * 10, type=pa.binary()),
+        "text": pa.array([""] * 10),
+        "lang": pa.array(["en"] * 10),
+    })
+    pq.write_table(t, str(d / "p.parquet"))
+    g = build_graph(str(d), str(tmp_path / "wd"))
+    assert g.num_vertices == 10  # page urls still become vertices
+    assert g.meta["num_edges"] == 0
+    ranks, info = pagerank(rd.read_parquet(g.edges), g.offsets,
+                           str(tmp_path / "wd"))
+    got = ranks.to_pandas()
+    assert len(got) == 10
+    assert abs(got["rank"].sum() - 1.0) < 1e-9  # pure dangling graph
