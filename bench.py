@@ -63,9 +63,23 @@ def run_bench() -> dict:
     iters = info["num_iters"]
     eps_iter = g.meta["num_edges"] * iters / t_pr if t_pr > 0 else 0.0
 
+    from halvesting_geometric_ray.graph.build import symmetrize
+    from halvesting_geometric_ray.graph.components import connected_components
+    from halvesting_geometric_ray.graph.triangles import triangles as tri
+
+    t2 = time.time()
+    _, cc_info = connected_components(symmetrize(edges), g.offsets, wd,
+                                      resume=False)
+    t_cc = time.time() - t2
+    t3 = time.time()
+    _, n_tri = tri(symmetrize(edges, drop_self_loops=True))
+    t_tri = time.time() - t3
+
     queries: dict = {
         "graph_build": round(t_build, 3),
         "pagerank": round(t_pr, 3),
+        "connected_components": round(t_cc, 3),
+        "triangles": round(t_tri, 3),
     }
 
     # sample of conformance queries over the sf tables
@@ -90,6 +104,8 @@ def run_bench() -> dict:
         "n_pages": int(n_pages),
         "n_vertices": g.meta["num_vertices"],
         "n_edges": g.meta["num_edges"],
+        "cc_iters": cc_info["num_iters"],
+        "n_triangles": int(n_tri),
         "pagerank_iters": iters,
         "pagerank_converged": info["converged"],
         "edges_per_sec_per_iter": round(eps_iter, 1),

@@ -59,8 +59,11 @@ def negative_sample(edges, n_vertices: int, n_samples: int,
     m = src != dst
     cand = pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])})
     cand_ds = rd.from_arrow(cand)
+    pair_schema = pa.schema([pa.field("src", pa.int64()),
+                             pa.field("dst", pa.int64())])
     non_edges = hash_join(cand_ds, edges, on=["src", "dst"],
-                          join_type="anti", num_parts=cfg.num_parts)
+                          join_type="anti", num_parts=cfg.num_parts,
+                          left_schema=pair_schema, right_schema=pair_schema)
 
     def order_key(b: pa.Table) -> pa.Table:
         h = stable_hash_pair64(b.column("src"), b.column("dst"), seed=seed + 1)

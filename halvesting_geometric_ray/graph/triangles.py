@@ -50,12 +50,21 @@ def orient(sym, cfg: EngineConfig = DEFAULT):
     """sym (both directions present) -> oriented (src, dst, deg_src, deg_dst)
     with (deg_src, src) < (deg_dst, dst)."""
     deg = _degrees(sym)
+    edge_schema = pa.schema([pa.field("src", pa.int64()),
+                             pa.field("dst", pa.int64())])
+    deg_schema = pa.schema([pa.field("vid", pa.int64()),
+                            pa.field("deg", pa.int64())])
     j = hash_join(sym, deg, on="src", right_on="vid", num_parts=cfg.num_parts,
-                  right_cols=["deg"])
+                  right_cols=["deg"], left_schema=edge_schema,
+                  right_schema=deg_schema)
     j = j.map_batches(lambda b: b.rename_columns(["src", "dst", "deg_src"]),
                       batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([pa.field("src", pa.int64()),
+                           pa.field("dst", pa.int64()),
+                           pa.field("deg_src", pa.int64())])
     j = hash_join(j, deg, on="dst", right_on="vid", num_parts=cfg.num_parts,
-                  right_cols=["deg"])
+                  right_cols=["deg"], left_schema=j1_schema,
+                  right_schema=deg_schema)
     j = j.map_batches(lambda b: b.rename_columns(["dst", "src", "deg_src", "deg_dst"]),
                       batch_format="pyarrow", zero_copy_batch=True)
 
@@ -83,17 +92,20 @@ def _wedges(oriented, cfg: EngineConfig):
         order = np.lexsort((dst, degd, src))
         src, dst = src[order], dst[order]
         bounds = np.flatnonzero(np.r_[True, src[1:] != src[:-1], True])
+        starts, ends = bounds[:-1], bounds[1:]
+        counts = ends - starts
         outs_a, outs_b, outs_u = [], [], []
-        for i in range(len(bounds) - 1):
-            s, e = bounds[i], bounds[i + 1]
-            k = e - s
+        # vectorize per distinct neighbor-count: all srcs with k neighbors
+        # form an (m, k) matrix -> one triu expansion per k, not per src
+        for k in np.unique(counts):
             if k < 2:
                 continue
-            ii, jj = np.triu_indices(k, 1)
-            nbrs = dst[s:e]
-            outs_a.append(nbrs[ii])
-            outs_b.append(nbrs[jj])
-            outs_u.append(np.full(len(ii), src[s], dtype=np.int64))
+            sel = counts == k
+            mat = dst[starts[sel][:, None] + np.arange(k)[None, :]]
+            ii, jj = np.triu_indices(int(k), 1)
+            outs_a.append(mat[:, ii].ravel())
+            outs_b.append(mat[:, jj].ravel())
+            outs_u.append(np.repeat(src[starts[sel]], len(ii)))
         if not outs_a:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
@@ -113,11 +125,19 @@ def triangles(sym_simple, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", in
     """Input: symmetrized SELF-LOOP-FREE edge table (graph.build.symmetrize
     with drop_self_loops=True).  Returns (per_vertex_ds(vid, triangles),
     global_count) — vertices in no triangle are absent (count 0)."""
+    # sym feeds both the degree aggregate and the orientation join left
+    # side — materialize once or the symmetrize+distinct runs twice
+    sym_simple = sym_simple.materialize()
     oriented = orient(sym_simple, cfg).materialize()
     o = oriented.select_columns(["src", "dst"])
     w = _wedges(oriented, cfg)
+    w_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+                          pa.field("u", pa.int64())])
+    o_schema = pa.schema([pa.field("src", pa.int64()),
+                          pa.field("dst", pa.int64())])
     tri = hash_join(w, o, on=["a", "b"], right_on=["src", "dst"],
-                    join_type="semi", num_parts=cfg.num_parts)
+                    join_type="semi", num_parts=cfg.num_parts,
+                    left_schema=w_schema, right_schema=o_schema)
     tri = tri.materialize()
     total = tri.count()
 

@@ -72,4 +72,5 @@ def grouped_aggregate(ds, keys: List[str],
     prepped = ds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
     return (pre_shuffle(prepped).groupby(_PART)
-            .map_groups(final, batch_format="pyarrow"))
+            .map_groups(final, batch_format="pyarrow",
+                        retry_exceptions=True))

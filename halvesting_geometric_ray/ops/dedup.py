@@ -59,4 +59,5 @@ def distinct(ds, keys: List[str], num_parts: int = 16,
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return (pre_shuffle(prepped).groupby(_PART_COL)
-            .map_groups(per_part, batch_format="pyarrow"))
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -144,7 +144,8 @@ def hash_join(left, right, on, right_on=None,
         return cast_like(j.to_arrow(), out_schema)
 
     return (pre_shuffle(tagged).groupby(_BUCKET)
-            .map_groups(per_bucket, batch_format="pyarrow"))
+            .map_groups(per_bucket, batch_format="pyarrow",
+                        retry_exceptions=True))
 
 
 def broadcast_lookup(ds, key: str, mapping_table: pa.Table, map_key: str,

@@ -153,7 +153,9 @@ def q_priority_revenue(sf_dir: str):
 
     li = li.map_batches(add_rev, batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                  num_parts=DEFAULT.num_parts)
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=pa.schema([pa.field("l_orderkey", pa.int64()),
+                                         pa.field("rev", pa.float64())]))
     out = grouped_aggregate(j, ["o_orderpriority"],
                             {"revenue": ("sum", "rev"),
                              "n_items": ("count", None)})
@@ -298,12 +300,15 @@ def q_cosupply_triangles(sf_dir: str):
     ds = _t(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
     ds = ds.map_batches(lambda b: b.rename_columns(["src", "dst"]),
                         batch_format="pyarrow", zero_copy_batch=True)
-    ps = distinct(ds, ["src", "dst"], num_parts=DEFAULT.num_parts)
+    ps = distinct(ds, ["src", "dst"], num_parts=DEFAULT.num_parts).materialize()
     a = ps.map_batches(lambda b: b.rename_columns(["p", "a"]),
                        batch_format="pyarrow", zero_copy_batch=True)
     b = ps.map_batches(lambda t: t.rename_columns(["p", "b"]),
                        batch_format="pyarrow", zero_copy_batch=True)
-    j = hash_join(a, b, on="p", num_parts=DEFAULT.num_parts)
+    pa_schema = pa.schema([pa.field("p", pa.int64()), pa.field("a", pa.int64())])
+    pb_schema = pa.schema([pa.field("p", pa.int64()), pa.field("b", pa.int64())])
+    j = hash_join(a, b, on="p", num_parts=DEFAULT.num_parts,
+                  left_schema=pa_schema, right_schema=pb_schema)
 
     def ordered(t: pa.Table) -> pa.Table:
         x, y = t.column("a").to_numpy(), t.column("b").to_numpy()

@@ -181,7 +181,11 @@ def q_neardup_jaccard(sf_dir: str):
                        batch_format="pyarrow", zero_copy_batch=True)
     gb = g.map_batches(lambda b: b.rename_columns(["b", "gram"]),
                        batch_format="pyarrow", zero_copy_batch=True)
-    j = hash_join(ga, gb, on="gram", num_parts=DEFAULT.num_parts)
+    j = hash_join(ga, gb, on="gram", num_parts=DEFAULT.num_parts,
+                  left_schema=pa.schema([pa.field("a", pa.int64()),
+                                         pa.field("gram", pa.string())]),
+                  right_schema=pa.schema([pa.field("b", pa.int64()),
+                                          pa.field("gram", pa.string())]))
 
     def ordered(b: pa.Table) -> pa.Table:
         a = b.column("a").to_numpy()
@@ -254,12 +258,16 @@ def q_minhash_lsh(sf_dir: str):
     cand = distinct(cand, ["a", "b"], num_parts=DEFAULT.num_parts)
 
     docs = _docs(sf_dir, ["doc_id", "text"])
+    ab_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
     j = hash_join(cand, docs, on="a", right_on="doc_id",
-                  num_parts=DEFAULT.num_parts)
+                  num_parts=DEFAULT.num_parts, left_schema=ab_schema)
     j = j.map_batches(lambda b: b.rename_columns(["a", "b", "text_a"]),
                       batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(j, docs, on="b", right_on="doc_id",
-                  num_parts=DEFAULT.num_parts)
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=pa.schema([pa.field("a", pa.int64()),
+                                         pa.field("b", pa.int64()),
+                                         pa.field("text_a", pa.string())]))
 
     def verify(b: pa.Table) -> pa.Table:
         a_ids, b_ids = [], []
