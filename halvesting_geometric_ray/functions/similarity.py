@@ -194,3 +194,90 @@ def cosine_pairs(embeddings, threshold: float, col: str = "embedding",
 
     return ds.map_batches(Block, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=2048, concurrency=(1, 8))
+
+
+def ivf_centroids(embeddings, n_centroids: int = 16, col: str = "embedding",
+                  seed: int = 13, iters: int = 5, sample_size: int = 4096):
+    """Coarse quantizer for IVF: k-means (Lloyd) on a seeded sample,
+    driver-side — centroids are a tiny model broadcast to the search
+    stage.  Deterministic given (seed, data)."""
+    tbl = pa.concat_tables(list(
+        embeddings.limit(sample_size).iter_batches(batch_format="pyarrow",
+                                                   batch_size=sample_size)))
+    _, m = _mat(tbl, col)
+    m = _norm(m)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def knn_cosine_ivf(embeddings, query_table: pa.Table, k: int = 5,
+                   col: str = "embedding", n_centroids: int = 16,
+                   nprobe: int = 4, seed: int = 13):
+    """IVF top-k: vectors are bucketed by nearest coarse centroid; each
+    query scans only its `nprobe` closest buckets — the inverted-file
+    scale path (vs the exhaustive knn_cosine baseline).  Recall measured
+    in tests."""
+    cent = ivf_centroids(embeddings, n_centroids, col, seed)
+    q_ids_np, q_mat = _mat(query_table, col)
+    qn = _norm(q_mat)
+    q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids_np, qn, q_probe, cent))
+
+    class Partial:
+        def __init__(self):
+            self.q_ids, self.q, self.qp, self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, m = _mat(batch, col)
+            mn = _norm(m)
+            lists = (mn @ self.cent.T).argmax(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(self.q_ids):
+                cand = np.flatnonzero(np.isin(lists, self.qp[j]))
+                if cand.size == 0:
+                    continue
+                s = mn[cand] @ self.q[j]
+                kk = min(k + 1, cand.size)
+                top = np.argpartition(-s, kk - 1)[:kk] if cand.size > kk else \
+                    np.arange(cand.size)
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_n.append(ids[cand[top]])
+                out_s.append(s[top])
+            if not out_q:
+                return pa.table({"query_id": pa.array([], type=pa.int64()),
+                                 "neighbor_id": pa.array([], type=pa.int64()),
+                                 "sim": pa.array([], type=pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            })
+
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=4096,
+                                     concurrency=(1, 8))
+
+    def final(g: pa.Table) -> pa.Table:
+        qid = g.column("query_id").to_numpy()
+        nid = g.column("neighbor_id").to_numpy()
+        sim = g.column("sim").to_numpy()
+        m = nid != qid[0]
+        nid, sim = nid[m], sim[m]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid[0], dtype=np.int64)),
+            "neighbor_id": pa.array(nid[order]),
+            "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        })
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow")

@@ -410,3 +410,17 @@ def q_binary_decode(sf_dir: str):
                             columns=["url", "html"])
     out = decode_binary(pages, id_col="url", payload_col="html")
     return out.select_columns(["url", "n_bytes", "width", "height"])
+
+
+@_q("q_knn_cosine_ivf")
+def q_knn_cosine_ivf(sf_dir: str):
+    """IVF-bucketed approximate kNN (inverted-file scale path); recall
+    vs the exhaustive baseline asserted in pytest."""
+    from .functions.similarity import knn_cosine_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)])
+    return knn_cosine_ivf(emb, qt, k=5)

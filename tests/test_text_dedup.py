@@ -95,3 +95,13 @@ def test_binary_decode_stub():
 
     with _pt.raises(NotImplementedError):
         DecodeStage(mode="real")(None)
+
+
+def test_knn_ivf_recall():
+    exact = _pdf(QUERIES["q_knn_cosine"](SF))
+    approx = _pdf(QUERIES["q_knn_cosine_ivf"](SF))
+    e1 = dict(zip(exact[exact.rnk == 1].query_id,
+                  exact[exact.rnk == 1].neighbor_id))
+    hits = sum(1 for q, grp in approx.groupby("query_id")
+               if e1.get(q) in set(grp.neighbor_id))
+    assert hits >= len(e1) * 0.5  # nprobe=4 of 16 lists on near-random data
