@@ -1,9 +1,10 @@
 """Similarity search over an embedding column (list<float>).
 
 - brute-force cosine top-k: numpy matmul per batch against a broadcast
-  query matrix (ray.put once, zero-copy in each task), per-batch partial
-  top-k then a tiny final merge — never materializes the full similarity
-  matrix;
+  query matrix (ray.put once; each task reads it zero-copy from the
+  object store — the state is KBs, so plain tasks beat an actor pool),
+  per-batch partial top-k then a tiny final merge — never materializes
+  the full similarity matrix;
 - LSH-bucketed variant (random-hyperplane signs, seeded) as the scale
   path: candidates are restricted to the query's bucket, trading recall
   for a num_buckets-fold cut in dot products.
@@ -46,16 +47,13 @@ def knn_cosine(embeddings, query_table: pa.Table, k: int = 5,
     q_ids_np, q_mat = _mat(query_table, col)
     qref = ray.put((q_ids_np, _norm(q_mat)))
 
-    class Partial:
-        def __init__(self):
-            self.q_ids, self.q = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def partial_fn(batch: pa.Table) -> pa.Table:
+            q_ids, q = ray.get(qref)  # zero-copy plasma read per task
             ids, m = _mat(batch, col)
-            sims = _norm(m) @ self.q.T  # (batch, nq)
+            sims = _norm(m) @ q.T  # (batch, nq)
             out_q, out_n, out_s = [], [], []
             kk = min(k + 1, len(ids))
-            for j, qid in enumerate(self.q_ids):
+            for j, qid in enumerate(q_ids):
                 s = sims[:, j]
                 top = np.argpartition(-s, kk - 1)[:kk] if len(ids) > kk else \
                     np.arange(len(ids))
@@ -68,9 +66,8 @@ def knn_cosine(embeddings, query_table: pa.Table, k: int = 5,
                 "sim": pa.array(np.concatenate(out_s)),
             })
 
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow",
-                                     zero_copy_batch=True, batch_size=4096,
-                                     concurrency=(1, 8))
+    partial = embeddings.map_batches(partial_fn, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=4096)
 
     def final(g: pa.Table) -> pa.Table:
         qid = g.column("query_id").to_numpy()
@@ -108,21 +105,18 @@ def knn_cosine_lsh(embeddings, query_table: pa.Table, k: int = 5,
                           for t in range(n_tables)], axis=1)
     qref = ray.put((q_ids_np, qn, q_buckets))
 
-    class Partial:
-        def __init__(self):
-            self.q_ids, self.q, self.qb = ray.get(qref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def partial_fn(batch: pa.Table) -> pa.Table:
+            q_ids, q, qb = ray.get(qref)
             ids, m = _mat(batch, col)
             mn = _norm(m)
             mb = np.stack([lsh_bucket_ids(mn, n_planes, seed=5 + t)
                            for t in range(n_tables)], axis=1)
             out_q, out_n, out_s = [], [], []
-            for j, qid in enumerate(self.q_ids):
-                cand = np.flatnonzero((mb == self.qb[j][None, :]).any(axis=1))
+            for j, qid in enumerate(q_ids):
+                cand = np.flatnonzero((mb == qb[j][None, :]).any(axis=1))
                 if cand.size == 0:
                     continue
-                s = mn[cand] @ self.q[j]
+                s = mn[cand] @ q[j]
                 kk = min(k + 1, cand.size)
                 top = np.argpartition(-s, kk - 1)[:kk] if cand.size > kk else \
                     np.arange(cand.size)
@@ -139,9 +133,8 @@ def knn_cosine_lsh(embeddings, query_table: pa.Table, k: int = 5,
                 "sim": pa.array(np.concatenate(out_s)),
             })
 
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow",
-                                     zero_copy_batch=True, batch_size=4096,
-                                     concurrency=(1, 8))
+    partial = embeddings.map_batches(partial_fn, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=4096)
 
     def final(g: pa.Table) -> pa.Table:
         qid = g.column("query_id").to_numpy()
@@ -179,21 +172,18 @@ def cosine_pairs(embeddings, threshold: float, col: str = "embedding",
     ids, m = _mat(full, col)
     ref = ray.put((ids, _norm(m)))
 
-    class Block:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref)
+    def block_fn(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        bids, bm = _mat(batch, col)
+        sims = _norm(bm) @ all_m.T
+        ai, bj = np.nonzero(sims >= threshold)
+        a = bids[ai]
+        b = all_ids[bj]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids, bm = _mat(batch, col)
-            sims = _norm(bm) @ self.m.T
-            ai, bj = np.nonzero(sims >= threshold)
-            a = bids[ai]
-            b = self.ids[bj]
-            keep = a < b
-            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
-
-    return ds.map_batches(Block, batch_format="pyarrow", zero_copy_batch=True,
-                          batch_size=2048, concurrency=(1, 8))
+    return ds.map_batches(block_fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=2048)
 
 
 def ivf_centroids(embeddings, n_centroids: int = 16, col: str = "embedding",
@@ -233,20 +223,17 @@ def knn_cosine_ivf(embeddings, query_table: pa.Table, k: int = 5,
     q_probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
     ref = ray.put((q_ids_np, qn, q_probe, cent))
 
-    class Partial:
-        def __init__(self):
-            self.q_ids, self.q, self.qp, self.cent = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def partial_fn(batch: pa.Table) -> pa.Table:
+            q_ids, q, qp, cent2 = ray.get(ref)
             ids, m = _mat(batch, col)
             mn = _norm(m)
-            lists = (mn @ self.cent.T).argmax(axis=1)
+            lists = (mn @ cent2.T).argmax(axis=1)
             out_q, out_n, out_s = [], [], []
-            for j, qid in enumerate(self.q_ids):
-                cand = np.flatnonzero(np.isin(lists, self.qp[j]))
+            for j, qid in enumerate(q_ids):
+                cand = np.flatnonzero(np.isin(lists, qp[j]))
                 if cand.size == 0:
                     continue
-                s = mn[cand] @ self.q[j]
+                s = mn[cand] @ q[j]
                 kk = min(k + 1, cand.size)
                 top = np.argpartition(-s, kk - 1)[:kk] if cand.size > kk else \
                     np.arange(cand.size)
@@ -263,9 +250,8 @@ def knn_cosine_ivf(embeddings, query_table: pa.Table, k: int = 5,
                 "sim": pa.array(np.concatenate(out_s)),
             })
 
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow",
-                                     zero_copy_batch=True, batch_size=4096,
-                                     concurrency=(1, 8))
+    partial = embeddings.map_batches(partial_fn, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=4096)
 
     def final(g: pa.Table) -> pa.Table:
         qid = g.column("query_id").to_numpy()
