@@ -197,7 +197,8 @@ def connected_components(sym_edges, offsets: np.ndarray, workdir: str,
     N = int(offsets[-1])
     num_parts = len(offsets) - 1
 
-    descs = build_csr_shards(sym_edges, offsets, shards_dir or f"{workdir}/csr_sym")
+    descs = build_csr_shards(sym_edges, offsets, shards_dir or f"{workdir}/csr_sym",
+                             lineage={"kind": "sym"})
     paths = {dd["part"]: dd["path"] for dd in descs}
     ckpt = IterativeCheckpoint(
         workdir, job, {"algo": "cc", "n": N, "parts": num_parts,

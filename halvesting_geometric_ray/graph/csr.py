@@ -72,17 +72,32 @@ def _shard_table(p: int, lo: int, hi: int, src: np.ndarray, dst: np.ndarray,
 
 
 def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
-                     force: bool = False) -> List[Dict]:
+                     force: bool = False,
+                     lineage: Optional[Dict] = None) -> List[Dict]:
     """edges(src,dst) -> one CSR shard parquet per partition + descriptors.
 
     Returns the descriptor list [{part, path, vid_lo, vid_hi, n_edges}].
     Partitions with no out-edges get an empty shard (their vertices are
     dangling) so every vid range is covered.
+
+    `lineage` (edge-set provenance: self-loop flag, vertex count, ...) is
+    stored in the done-marker; a marker written under a DIFFERENT lineage
+    forces a rebuild instead of silently reusing foreign shards.
     """
+    import json
+
     num_parts = len(offsets) - 1
+    stamp = {"lineage": lineage or {}, "num_parts": num_parts,
+             "n": int(offsets[-1])}
     done = os.path.join(out_dir, "_SHARDS_DONE")
     if os.path.exists(done) and not force:
-        return shard_descriptors(out_dir, offsets)
+        try:
+            with open(done) as f:
+                prev = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            prev = None
+        if prev == stamp:
+            return shard_descriptors(out_dir, offsets)
     os.makedirs(out_dir, exist_ok=True)
     off = offsets
 
@@ -121,7 +136,7 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
             path = os.path.join(out_dir, f"shard-{p:05d}.parquet")
             pq.write_table(t, path)
     with open(done, "w") as f:
-        f.write("ok")
+        json.dump(stamp, f)
     return shard_descriptors(out_dir, offsets)
 
 

@@ -145,7 +145,12 @@ def label_propagation(sym_edges, offsets: np.ndarray, workdir: str,
 
     N = int(offsets[-1])
     num_parts = len(offsets) - 1
-    descs = build_csr_shards(sym_edges, offsets, shards_dir or f"{workdir}/csr_sym")
+    # NOTE: distinct default dir from connected_components' csr_sym —
+    # LP runs on the self-loop-free symmetrization, CC keeps self-loops;
+    # sharing one shard cache would poison whichever runs second.
+    descs = build_csr_shards(sym_edges, offsets,
+                             shards_dir or f"{workdir}/csr_sym_simple",
+                             lineage={"kind": "sym_noselfloop"})
     paths = {dd["part"]: dd["path"] for dd in descs}
     ckpt = IterativeCheckpoint(
         workdir, job, {"algo": "labelprop", "n": N, "parts": num_parts,

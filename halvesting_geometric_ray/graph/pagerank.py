@@ -91,6 +91,7 @@ class RankShardActor:
             self.shards[p] = s
             size = s["vid_hi"] - s["vid_lo"]
             self.r[p] = np.full(size, 1.0 / n_vertices, dtype=np.float64)
+        self.r_prev: Dict[int, np.ndarray] = dict(self.r)
 
     def load_state(self, files: Dict[int, str]) -> bool:
         for p, path in files.items():
@@ -162,6 +163,10 @@ class RankShardActor:
         object (l1_partial, dm_next_partial).  `reuse` maps part -> an
         existing checkpoint file of THIS iteration to adopt instead of
         recomputing (mid-iteration resume)."""
+        # snapshot the pre-update state: with pipelined rounds the driver
+        # may detect convergence at k-1 AFTER submitting step(k); the
+        # durable finalize then needs state_{k-1}, not the overshoot's.
+        self.r_prev = dict(self.r)
         l1 = 0.0
         dm_next = 0.0
         contrib: Dict[int, np.ndarray] = {
@@ -201,15 +206,18 @@ class RankShardActor:
         msgs = self._scatter_msgs()
         return (*msgs, (l1, dm_next))
 
-    def write_state(self, ckpt_paths: Dict[int, str]) -> bool:
-        """Persist current state (used when checkpoint_interval > 1)."""
+    def write_state(self, ckpt_paths: Dict[int, str],
+                    use_prev: bool = False) -> bool:
+        """Persist current (or pre-overshoot) state — used when
+        checkpoint_interval > 1 skipped the converged iteration's write."""
+        src = self.r_prev if use_prev else self.r
         for p, path in ckpt_paths.items():
             s = self.shards[p]
             lo, hi = s["vid_lo"], s["vid_hi"]
             out = pa.table({
                 "part": pa.array(np.full(hi - lo, p, dtype=np.int32)),
                 "vid": pa.array(np.arange(lo, hi, dtype=np.int64)),
-                "rank": pa.array(self.r[p]),
+                "rank": pa.array(src[p]),
                 "outdeg": pa.array(s["outdeg"].astype(np.int64)),
                 "delta": pa.array(np.zeros(hi - lo)),
             })
@@ -284,6 +292,7 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
 
         pending: Dict[int, Tuple[List, float]] = {}
         converged = False
+        overshoot = False  # actors ran one round past final_k
 
         def commit(kk: int) -> float:
             ms = ray.get(pending.pop(kk)[0])
@@ -318,6 +327,7 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
                 if commit(k - 1) < tol:
                     final_k = k - 1
                     converged = True
+                    overshoot = True  # step(k) was already submitted
                     break
         if not converged and final_k in pending:
             l1 = commit(final_k)
@@ -329,7 +339,8 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
         if str(final_k) not in ckpt.manifest["iters"] or \
                 not ckpt.have_parts(final_k):
             ray.get([a.write_state.remote(
-                {p: ckpt.part_path(final_k, p) for p in owned[i]})
+                {p: ckpt.part_path(final_k, p) for p in owned[i]},
+                use_prev=overshoot)
                 for i, a in enumerate(actors)])
             last = info["iters"][-1] if info["iters"] else {"iter": final_k}
             ckpt.commit_iter(final_k, last, list(range(num_parts)))

@@ -37,9 +37,18 @@ def run_flagship(pages_path: str, workdir: str,
     labels, cc_info = connected_components(
         symmetrize(edges, cfg), g.offsets, workdir, cfg)
 
+    # top_k rows only ever reach the driver; the vertex- and
+    # label-cardinality tables are filtered DISTRIBUTEDLY by a broadcast
+    # semi-join on the tiny top-k vid set (at target scale those tables
+    # are 10^12 rows — never .to_pandas() them).
+    from ..ops.join import broadcast_semi
+
     top = ranks.sort("rank", descending=True).limit(top_k).to_pandas()
-    lab = labels.to_pandas()[["vid", "label"]]
-    verts = rd.read_parquet(g.vertices).to_pandas()[["vid", "url"]]
+    vid_keys = pa.table({"vid": pa.array(top["vid"].to_numpy(), type=pa.int64())})
+    lab = broadcast_semi(labels.select_columns(["vid", "label"]),
+                         "vid", vid_keys, "vid").to_pandas()
+    verts = broadcast_semi(rd.read_parquet(g.vertices, columns=["vid", "url"]),
+                           "vid", vid_keys, "vid").to_pandas()
     out = (top.merge(verts, on="vid").merge(lab, on="vid")
            .rename(columns={"label": "component"})
            [["url", "vid", "rank", "component"]]

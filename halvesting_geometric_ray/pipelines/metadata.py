@@ -34,9 +34,10 @@ import ray.data as rd
 
 from ..config import DEFAULT, EngineConfig
 from ..ops._util import pre_shuffle
+from ..ops.agg import grouped_aggregate
 from ..ops.dedup import distinct
 from ..ops.ids import assign_dense_ids_sorted
-from ..ops.join import broadcast_lookup
+from ..ops.join import broadcast_lookup, hash_join
 
 
 def read_meta(path: str):
@@ -92,14 +93,24 @@ def build_metadata_graph(meta_path: str, workdir: str,
         lambda b: b.filter(pc.not_equal(b["title"], ""))
         .select(["halid", "title", "lang", "year"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    papers = assign_dense_ids_sorted(papers_src.select_columns(["halid"]),
-                                     "halid", id_col="paper_idx")
-    papers = broadcast_lookup(
-        papers,
-        "halid",
-        pa.Table.from_pandas(papers_src.to_pandas().drop_duplicates("halid"),
-                             preserve_index=False),
-        "halid", ["title", "lang", "year"])
+    papers_ids = assign_dense_ids_sorted(papers_src.select_columns(["halid"]),
+                                         "halid", id_col="paper_idx").materialize()
+    # papers is the reference's 18.6M-row table
+    # (link_prediction_dataset.py:54) — the one node table that is NOT a
+    # dimension, so attributes attach via a partitioned hash_join, never
+    # a driver-pandas broadcast.
+    _str = pa.string()
+    ids_schema = pa.schema([pa.field("halid", _str),
+                            pa.field("paper_idx", pa.int64())])
+    attrs_schema = pa.schema([pa.field("halid", _str), pa.field("title", _str),
+                              pa.field("lang", _str),
+                              pa.field("year", pa.int64())])
+    paper_attrs = distinct(papers_src, ["halid"],
+                           select=["halid", "title", "lang", "year"],
+                           num_parts=cfg.num_parts)
+    papers = hash_join(papers_ids, paper_attrs, on="halid",
+                       num_parts=cfg.num_parts,
+                       left_schema=ids_schema, right_schema=attrs_schema)
 
     exploded = explode_authors(meta).materialize()
     authors_src = exploded.map_batches(
@@ -110,6 +121,17 @@ def build_metadata_graph(meta_path: str, workdir: str,
     authors = assign_dense_ids_sorted(
         authors_src.select_columns(["halauthorid"]), "halauthorid",
         id_col="author_idx")
+    # reference parity: authors.csv carries name alongside halauthorid
+    # (compute_nodes, link_prediction_metadata.py:384-392).  Deterministic
+    # representative name = min(name) per id; authors is a dimension
+    # (238k rows at reference scale) so a broadcast lookup is right.
+    author_names = grouped_aggregate(authors_src, ["halauthorid"],
+                                     {"name": ("min", "name")},
+                                     num_parts=cfg.num_parts)
+    authors = broadcast_lookup(
+        authors, "halauthorid",
+        pa.Table.from_pandas(author_names.to_pandas(), preserve_index=False),
+        "halauthorid", ["name"])
 
     def expl_affs(b: pa.Table) -> pa.Table:
         col = b.column("affiliations")
@@ -144,18 +166,20 @@ def build_metadata_graph(meta_path: str, workdir: str,
         paper_domains.select_columns(["domain"]), "domain", id_col="domain_idx")
 
     # small dimension tables -> driver Arrow for broadcast joins
-    papers_t = pa.Table.from_pandas(papers.to_pandas(), preserve_index=False)
+    # (authors/affiliations/domains: 238k/96k/20 rows at reference scale —
+    # legitimately small; papers is NOT here, it joins via hash_join)
     authors_t = pa.Table.from_pandas(authors.to_pandas(), preserve_index=False)
     affil_t = pa.Table.from_pandas(affiliations.to_pandas(), preserve_index=False)
     domains_t = pa.Table.from_pandas(domains.to_pandas(), preserve_index=False)
-
-    # ---- edges (J1-J5 + D1) --------------------------------------------
+    # ---- edges (J1-J5 broadcast; paper-keyed J4/J7 hash_join + D1) -----
     ap = exploded.map_batches(
         lambda b: b.select(["halid", "halauthorid"])
         .filter(pc.not_equal(b["halauthorid"], 0)),
         batch_format="pyarrow", zero_copy_batch=True)
-    ap = broadcast_lookup(ap, "halid", papers_t.select(["halid", "paper_idx"]),
-                          "halid", ["paper_idx"])
+    ap_schema = pa.schema([pa.field("halid", _str),
+                           pa.field("halauthorid", pa.int64())])
+    ap = hash_join(ap, papers_ids, on="halid", num_parts=cfg.num_parts,
+                   left_schema=ap_schema, right_schema=ids_schema)
     ap = broadcast_lookup(ap, "halauthorid",
                           authors_t.select(["halauthorid", "author_idx"]),
                           "halauthorid", ["author_idx"])
@@ -172,9 +196,11 @@ def build_metadata_graph(meta_path: str, workdir: str,
         aa.select_columns(["author_idx", "affiliation_idx"]),
         ["author_idx", "affiliation_idx"], num_parts=cfg.num_parts)
 
-    pd_ = broadcast_lookup(paper_domains, "halid",
-                           papers_t.select(["halid", "paper_idx"]),
-                           "halid", ["paper_idx"])
+    pdom_schema = pa.schema([pa.field("halid", _str),
+                             pa.field("domain", _str)])
+    pd_ = hash_join(paper_domains, papers_ids, on="halid",
+                    num_parts=cfg.num_parts,
+                    left_schema=pdom_schema, right_schema=ids_schema)
     pd_ = broadcast_lookup(pd_, "domain",
                            domains_t.select(["domain", "domain_idx"]),
                            "domain", ["domain_idx"])

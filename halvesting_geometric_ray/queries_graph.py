@@ -102,8 +102,12 @@ def q_pagerank_top20(sf_dir: str):
 
     g = graph_for(sf_dir)
     ranks, _ = pagerank(rd.read_parquet(g.edges), g.offsets, g.workdir)
+    from .ops.join import broadcast_semi
+
     top = ranks.sort("rank", descending=True).limit(20).to_pandas()
-    verts = rd.read_parquet(g.vertices).to_pandas()[["vid", "url"]]
+    vid_keys = pa.table({"vid": pa.array(top["vid"].to_numpy(), type=pa.int64())})
+    verts = broadcast_semi(rd.read_parquet(g.vertices, columns=["vid", "url"]),
+                           "vid", vid_keys, "vid").to_pandas()
     out = top.merge(verts, on="vid")[["url", "vid", "rank"]]
     out["rank"] = out["rank"].round(9)
     return out.sort_values(["rank", "vid"], ascending=[False, True]).reset_index(drop=True)

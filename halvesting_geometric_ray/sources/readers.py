@@ -37,8 +37,9 @@ def read_csv(path: str, **kw):
 def write_parquet(ds, path: str, compression: str = "zstd", **kw):
     """K1/K2: sharded parquet, zstd (native codec replaces the
     reference's post-hoc zip/gzip compress, helpers.py:252-287)."""
-    return ds.write_parquet(path, arrow_parquet_args={"compression": compression},
-                            **kw)
+    # Ray 2.49 forwards extra kwargs to pyarrow's ParquetWriter directly
+    # (collected via **arrow_parquet_args), so pass compression bare.
+    return ds.write_parquet(path, compression=compression, **kw)
 
 
 def write_jsonl(ds, path: str, **kw):

@@ -37,8 +37,21 @@ class IterativeCheckpoint:
                 m = json.load(f)
             if m.get("lineage") == self.lineage:
                 return m
-            # input changed -> stale checkpoints are not resumable
+        # Input changed (or manifest missing while part files linger):
+        # stale iter_*/part-*.parquet would otherwise be silently adopted
+        # by the purely filesystem-based have_parts() — wipe them so only
+        # files written under the current lineage are visible.
+        self._clear_iter_dirs()
         return {"lineage": self.lineage, "iters": {}}
+
+    def _clear_iter_dirs(self) -> None:
+        import shutil
+
+        if not os.path.isdir(self.dir):
+            return
+        for f in os.listdir(self.dir):
+            if f.startswith("iter_"):
+                shutil.rmtree(os.path.join(self.dir, f), ignore_errors=True)
 
     def _save(self) -> None:
         tmp = self.manifest_path + ".tmp"

@@ -42,6 +42,22 @@ def test_pagerank_matches_oracle_small(small_graph, tmp_path):
     assert np.allclose(got, exp, rtol=0, atol=1e-6)
 
 
+def test_pagerank_sparse_checkpoint_interval(tiny_graph, tmp_path):
+    """checkpoint_interval > 1 with convergence at a NON-interval
+    iteration: the durable finalize must persist the converged state, not
+    the pipelined overshoot round's (one iteration ahead)."""
+    seq, info_seq = _run(tiny_graph, str(tmp_path / "seq"))
+    exp = seq.to_pandas().sort_values("vid")["rank"].to_numpy()
+    # pick an interval that does NOT divide the converged iteration count
+    k = info_seq["num_iters"]
+    interval = next(i for i in (7, 5, 3, 2) if k % i != 0)
+    ranks, info = _run(tiny_graph, str(tmp_path / "sparse"),
+                       checkpoint_interval=interval)
+    assert info["converged"] and info["num_iters"] == k
+    got = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(got, exp, rtol=0, atol=0)  # bitwise identical
+
+
 def test_pagerank_resume_mid_run(tiny_graph, tmp_path):
     wd = str(tmp_path / "pr")
     # full run for the expected answer

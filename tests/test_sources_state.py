@@ -1,0 +1,102 @@
+"""Round-trip tests for the source/sink wrappers (S1-S5, K1-K4) and
+regression tests for checkpoint/CSR-shard lineage hygiene:
+
+- write_parquet forwards compression correctly (Ray 2.49 collects extra
+  kwargs via **arrow_parquet_args — passing a dict named arrow_parquet_args
+  used to TypeError);
+- IterativeCheckpoint wipes stale iter_* part files when the lineage
+  changes (filesystem-based have_parts must never adopt foreign state);
+- build_csr_shards rebuilds when the recorded lineage stamp differs
+  (the CC-with-self-loops vs LP-without collision).
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.sources.readers import (
+    read_csv, read_jsonl, read_parquet, write_jsonl, write_parquet)
+from halvesting_geometric_ray.state.checkpoint import IterativeCheckpoint
+
+
+def test_parquet_roundtrip(tmp_path):
+    df = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    out = str(tmp_path / "t")
+    write_parquet(rd.from_pandas(df), out, compression="zstd")
+    back = read_parquet(out, columns=["k", "v"]).to_pandas().sort_values("k")
+    pd.testing.assert_frame_equal(back.reset_index(drop=True), df)
+    # the codec actually took effect
+    f = [x for x in os.listdir(out) if x.endswith(".parquet")][0]
+    assert pq.ParquetFile(os.path.join(out, f)).metadata.row_group(0) \
+        .column(0).compression.lower() == "zstd"
+
+
+def test_jsonl_roundtrip(tmp_path):
+    df = pd.DataFrame({"k": [1, 2], "tags": [["x"], ["y", "z"]]})
+    out = str(tmp_path / "j")
+    write_jsonl(rd.from_pandas(df), out)
+    back = read_jsonl(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert back["k"].tolist() == [1, 2]
+    assert [list(t) for t in back["tags"]] == [["x"], ["y", "z"]]
+
+
+def test_read_csv(tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    back = read_csv(str(p)).to_pandas().sort_values("a")
+    assert back["b"].tolist() == ["x", "y"]
+
+
+def test_checkpoint_lineage_wipes_stale_parts(tmp_path):
+    root = str(tmp_path)
+    ck = IterativeCheckpoint(root, "job", {"n": 10})
+    t = pa.table({"vid": pa.array([0, 1], type=pa.int64())})
+    IterativeCheckpoint.write_part(t, ck.part_path(3, 0))
+    ck.commit_iter(3, {"iter": 3}, [0])
+    assert ck.have_parts(3) == {0}
+
+    # same lineage -> resumable
+    ck2 = IterativeCheckpoint(root, "job", {"n": 10})
+    assert ck2.have_parts(3) == {0}
+    assert ck2.latest_complete() == 3
+
+    # changed lineage -> stale part files must vanish, not be adopted
+    ck3 = IterativeCheckpoint(root, "job", {"n": 99})
+    assert ck3.have_parts(3) == set()
+    assert ck3.latest_complete() is None
+
+
+def test_csr_lineage_stamp_forces_rebuild(tmp_path):
+    from halvesting_geometric_ray.graph.csr import build_csr_shards
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [0, 1, 2, 2], "dst": [1, 2, 0, 2]}))
+    offsets = np.array([0, 2, 3], dtype=np.int64)
+    d = str(tmp_path / "csr")
+    build_csr_shards(edges, offsets, d, lineage={"kind": "sym"})
+    done = os.path.join(d, "_SHARDS_DONE")
+    stamp0 = json.load(open(done))
+    mtime0 = os.path.getmtime(os.path.join(d, "shard-00000.parquet"))
+
+    # same lineage: cached (shard files untouched)
+    build_csr_shards(edges, offsets, d, lineage={"kind": "sym"})
+    assert os.path.getmtime(os.path.join(d, "shard-00000.parquet")) == mtime0
+
+    # different lineage: rebuilt (self-loop-free edge set this time)
+    import pyarrow.compute as pc
+
+    simple = edges.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["src"], b["dst"]))),
+        batch_format="pyarrow")
+    build_csr_shards(simple, offsets, d, lineage={"kind": "sym_noselfloop"})
+    stamp1 = json.load(open(done))
+    assert stamp0 != stamp1
+    t = pq.read_table(os.path.join(d, "shard-00001.parquet"))
+    # vertex 2's self-loop is gone from its shard
+    assert 2 not in np.asarray(t.column("indices")[0].values).tolist()
