@@ -50,6 +50,12 @@ class EngineConfig:
     # small in fixtures; at 100 TB scale pages average ~100 KB so keep
     # batches modest to bound worker heap (batch x concurrency).
     extract_batch_size: int = 1024
+    # LSH band-bucket size cap: a hot bucket (boilerplate duplicated
+    # across millions of pages) must never become one O(n^2) pair task.
+    # Buckets over the cap emit star edges to the bucket-min
+    # representative instead — O(n) candidates, near-dups still connect
+    # through the representative.
+    lsh_bucket_cap: int = int(os.environ.get("HGR_LSH_BUCKET_CAP", "512"))
 
 
 DEFAULT = EngineConfig()

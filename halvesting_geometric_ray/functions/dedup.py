@@ -70,6 +70,79 @@ def minhash_signature(gram_hashes: np.ndarray) -> np.ndarray:
     return out
 
 
+def minhash_signatures_batch(texts: List[str]) -> np.ndarray:
+    """(n_docs, NUM_PERM) minhash signatures for a whole batch —
+    bit-identical to per-doc `minhash_signature(trigram_hashes(t))` but
+    vectorized: one polars hash over ALL grams, then one per-perm
+    ``np.minimum.reduceat`` over the concatenated gram array (min over
+    duplicated grams equals min over the distinct set, so no per-doc
+    unique is needed)."""
+    all_grams: List[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        g = trigrams(toks)
+        all_grams.extend(g)
+        counts[i] = len(g)
+    out = np.full((len(texts), NUM_PERM), _MOD, dtype=np.int64)
+    if not all_grams:
+        return out
+    h = _hash_strs(all_grams).astype(np.uint64)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    nz = counts > 0
+    seg = starts[nz]
+    for i in range(NUM_PERM):
+        prod = (np.uint64(_A[i]) * h + np.uint64(_B[i])) % np.uint64(_MOD)
+        out[nz, i] = np.minimum.reduceat(prod, seg).astype(np.int64)
+    return out
+
+
+def band_keys_batch(sigs: np.ndarray) -> np.ndarray:
+    """(n_docs, BANDS) int64 band keys, identical to per-doc band_keys
+    (FNV-1a over each band's rows), vectorized across the batch."""
+    n = sigs.shape[0]
+    chunks = sigs.astype(np.uint64).reshape(n, BANDS, ROWS_PER_BAND)
+    x = np.full((n, BANDS), 1469598103934665603, dtype=np.uint64)
+    prime = np.uint64(1099511628211)
+    for r in range(ROWS_PER_BAND):
+        x = (x ^ chunks[:, :, r]) * prime
+    return (x & np.uint64(_MASK63)).astype(np.int64)
+
+
+def simhash64_batch(texts: List[str]) -> np.ndarray:
+    """int64 simhash per text, identical to `simhash64(t.split(' '))` but
+    hashed and bit-accumulated across the whole batch (token counts are
+    implicit: summing per-token ±1 votes weights by multiplicity)."""
+    toks_all: List[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        tk = t.split(" ")
+        toks_all.extend(tk)
+        counts[i] = len(tk)
+    if not toks_all:
+        return np.zeros(len(texts), dtype=np.int64)
+    h = _hash_strs(toks_all, seed=23).astype(np.uint64)
+    # bit matrix via unpackbits (little-endian bytes + little bitorder
+    # puts hash bit i at column i) — ~300x faster than a broadcast shift
+    bits = np.unpackbits(np.ascontiguousarray(h).view(np.uint8)
+                         .reshape(-1, 8), axis=1, bitorder="little")
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # per-bit 1D reduceat: np.add.reduceat on a 2D axis falls back to a
+    # generic row loop (~70x slower, measured); 64 contiguous 1D passes
+    # over the transposed bit matrix stay vectorized
+    bits_t = np.ascontiguousarray(bits.T)
+    ones = np.empty((len(texts), 64), dtype=np.int64)
+    for i in range(64):
+        ones[:, i] = np.add.reduceat(bits_t[i].astype(np.int64), starts)
+    # score = 2*ones - count; bit set iff score > 0 (counts >= 1 always)
+    pos = (2 * ones) > counts[:, None]
+    shifts = np.arange(64, dtype=np.uint64)
+    vals = (pos.astype(np.uint64) << shifts[None, :]).sum(axis=1)
+    return (vals & np.uint64(_MASK63)).astype(np.int64)
+
+
 def band_keys(sig: np.ndarray) -> List[int]:
     """One stable hash per band of the signature."""
     keys = []
@@ -104,7 +177,10 @@ def simhash64(tokens: List[str]) -> int:
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    if x.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return (np.unpackbits(np.ascontiguousarray(x).view(np.uint8)
+                          .reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -24,7 +24,7 @@ from .ops.agg import grouped_aggregate
 from .functions import dedup as FD
 from .functions import text as FT
 from .functions.hashing import stable_hash64
-from .ops.join import broadcast_lookup, hash_join
+from .ops.join import hash_join
 
 QUERIES: Dict[str, Callable] = {}
 ORACLE: Dict[str, str] = {}
@@ -174,8 +174,11 @@ def q_neardup_jaccard(sf_dir: str):
 
     g = ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
     g = g.materialize()
-    sizes = grouped_aggregate(g, ["doc_id"], {"n": ("count", None)})
-    sizes_t = pa.Table.from_pandas(sizes.to_pandas(), preserve_index=False)
+    # per-doc gram counts: doc-cardinality — attach via hash_join, never a
+    # driver-pandas broadcast (at target scale this table is 10^12 rows)
+    sizes = grouped_aggregate(g, ["doc_id"], {"n": ("count", None)}).materialize()
+    sizes_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                              pa.field("n", pa.int64())])
 
     ga = g.map_batches(lambda b: b.rename_columns(["a", "gram"]),
                        batch_format="pyarrow", zero_copy_batch=True)
@@ -196,11 +199,23 @@ def q_neardup_jaccard(sf_dir: str):
     pairs = grouped_aggregate(
         j.map_batches(ordered, batch_format="pyarrow", zero_copy_batch=True),
         ["a", "b"], {"c": ("count", None)})
-    pairs = broadcast_lookup(pairs, "a", sizes_t, "doc_id", ["n"])
+    i64 = pa.int64()
+    pairs = hash_join(pairs, sizes, on="a", right_on="doc_id",
+                      num_parts=DEFAULT.num_parts,
+                      left_schema=pa.schema([pa.field("a", i64),
+                                             pa.field("b", i64),
+                                             pa.field("c", i64)]),
+                      right_schema=sizes_schema)
     pairs = pairs.map_batches(
         lambda b: b.rename_columns(["a", "b", "c", "na"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    pairs = broadcast_lookup(pairs, "b", sizes_t, "doc_id", ["n"])
+    pairs = hash_join(pairs, sizes, on="b", right_on="doc_id",
+                      num_parts=DEFAULT.num_parts,
+                      left_schema=pa.schema([pa.field("a", i64),
+                                             pa.field("b", i64),
+                                             pa.field("c", i64),
+                                             pa.field("na", i64)]),
+                      right_schema=sizes_schema)
 
     def finish(b: pa.Table) -> pa.Table:
         a = b.column("a").to_numpy()
@@ -219,6 +234,35 @@ def q_neardup_jaccard(sf_dir: str):
 
 # ---- MinHash-LSH near-dup (rows-only; pytest-verified) ----------------
 
+def _capped_bucket_pairs(cap: int):
+    """Per-band-bucket candidate emitter with a hot-bucket guard.
+
+    <= cap distinct docs: all pairs (exact LSH candidate semantics).
+    >  cap (a boilerplate cluster at web scale): emit star edges to the
+    bucket-min representative — O(n) instead of O(n^2); members still
+    connect pairwise through the representative after verification
+    (union-find / grouping downstream).  The drop is logged."""
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.unique(g.column("doc_id").to_numpy())
+        n = len(ids)
+        if n < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        if n <= cap:
+            ii, jj = np.triu_indices(n, 1)
+            return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+        import logging
+
+        logging.getLogger("halvesting_geometric_ray.lsh").warning(
+            "hot LSH bucket: %d docs > cap %d; emitting %d star candidates "
+            "instead of %d pairs", n, cap, n - 1, n * (n - 1) // 2)
+        return pa.table({"a": pa.array(np.full(n - 1, ids[0])),
+                         "b": pa.array(ids[1:])})
+
+    return bucket_pairs
+
+
 @_q("q_minhash_lsh")
 def q_minhash_lsh(sf_dir: str):
     """Banded MinHash candidates verified by exact trigram Jaccard >= 0.5.
@@ -227,25 +271,16 @@ def q_minhash_lsh(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def bands(b: pa.Table) -> pa.Table:
-        ids, band_ids, keys = [], [], []
-        for did, text in zip(b.column("doc_id").to_pylist(),
-                             b.column("text").to_pylist()):
-            sig = FD.minhash_signature(FD.trigram_hashes(text))
-            for bi, key in enumerate(FD.band_keys(sig)):
-                ids.append(did)
-                band_ids.append(bi)
-                keys.append(key)
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "band": pa.array(band_ids, type=pa.int32()),
-                         "key": pa.array(keys, type=pa.int64())})
+        ids = b.column("doc_id").to_numpy()
+        sigs = FD.minhash_signatures_batch(b.column("text").to_pylist())
+        keys = FD.band_keys_batch(sigs)  # (n, BANDS)
+        n = len(ids)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, FD.BANDS), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(FD.BANDS, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1), type=pa.int64())})
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.unique(g.column("doc_id").to_numpy())
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        ii, jj = np.triu_indices(len(ids), 1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+    bucket_pairs = _capped_bucket_pairs(DEFAULT.lsh_bucket_cap)
 
     from .ops._util import pre_shuffle
 
@@ -293,8 +328,7 @@ def q_simhash(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def sh(b: pa.Table) -> pa.Table:
-        vals = [FD.simhash64(t.split(" "))
-                for t in b.column("text").to_pylist()]
+        vals = FD.simhash64_batch(b.column("text").to_pylist())
         return pa.table({"doc_id": b.column("doc_id"),
                          "simhash": pa.array(vals, type=pa.int64())})
 
@@ -321,6 +355,8 @@ def q_simhash_pairs(sf_dir: str):
                          "key": pa.array(np.concatenate(out_key)),
                          "simhash": pa.array(np.concatenate(out_sig))})
 
+    cap = DEFAULT.lsh_bucket_cap
+
     def bucket_pairs(g: pa.Table) -> pa.Table:
         import polars as pl
 
@@ -328,10 +364,22 @@ def q_simhash_pairs(sf_dir: str):
               .unique(subset=["doc_id"]).sort("doc_id"))
         ids = df["doc_id"].to_numpy()
         sig = df["simhash"].to_numpy()
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
-        ii, jj = np.triu_indices(len(ids), 1)
+        if n <= cap:
+            ii, jj = np.triu_indices(n, 1)
+        else:
+            # hot bucket guard: compare members only to the bucket-min
+            # representative (O(n)); identical/near-identical docs all sit
+            # at distance ~0 from it, so the cluster still links up
+            import logging
+
+            logging.getLogger("halvesting_geometric_ray.lsh").warning(
+                "hot simhash bucket: %d docs > cap %d; star comparison", n, cap)
+            ii = np.zeros(n - 1, dtype=np.int64)
+            jj = np.arange(1, n, dtype=np.int64)
         hd = FD.hamming64(sig[ii], sig[jj])
         m = hd <= 7
         return pa.table({"a": pa.array(ids[ii][m]), "b": pa.array(ids[jj][m])})

@@ -65,6 +65,63 @@ def test_simhash_pairs_capture_planted_dups():
     assert strong <= got
 
 
+def test_batch_hash_kernels_match_perdoc():
+    """The vectorized batch MinHash/band/SimHash kernels are bit-identical
+    to the per-doc reference implementations (the semantic oracle)."""
+    import numpy as np
+
+    from halvesting_geometric_ray.functions import dedup as FD
+
+    rng = np.random.default_rng(3)
+    vocab = ["w%d" % i for i in range(30)]
+    texts = [""] + [" ".join(rng.choice(vocab, size=n))
+                    for n in (1, 2, 3, 7, 50, 200)]
+    texts.append(texts[-1])
+    sigs = FD.minhash_signatures_batch(texts)
+    keys = FD.band_keys_batch(sigs)
+    sh = FD.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert (sigs[i] == FD.minhash_signature(FD.trigram_hashes(t))).all()
+        assert keys[i].tolist() == FD.band_keys(sigs[i])
+        assert int(sh[i]) == FD.simhash64(t.split(" "))
+
+
+def test_lsh_hot_bucket_capped(tmp_path, monkeypatch):
+    """A planted duplicate cluster far above the bucket cap completes via
+    O(n) star candidates, still links every member to the representative,
+    and never materializes the O(n^2) pair set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from halvesting_geometric_ray.config import DEFAULT
+
+    n_dup, n_other = 2000, 50
+    rng = np.random.default_rng(9)
+    vocab = ["tok%d" % i for i in range(500)]
+    dup_text = " ".join(rng.choice(vocab, size=60))
+    texts = [dup_text] * n_dup + [" ".join(rng.choice(vocab, size=60))
+                                  for _ in range(n_other)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+
+    monkeypatch.setattr(DEFAULT, "lsh_bucket_cap", 50)
+    lsh = _pdf(QUERIES["q_minhash_lsh"](str(sf)))
+    pairs = set(zip(lsh.doc_a, lsh.doc_b))
+    # every duplicate links to the representative (doc 0)...
+    assert {(0, i) for i in range(1, n_dup)} <= pairs
+    # ...and the candidate set stayed O(n), not O(n^2)
+    assert len(pairs) < 5 * (n_dup + n_other)
+
+    sh = _pdf(QUERIES["q_simhash_pairs"](str(sf)))
+    sh_pairs = set(zip(sh.a, sh.b))
+    assert {(0, i) for i in range(1, n_dup)} <= sh_pairs
+    assert len(sh_pairs) < 5 * (n_dup + n_other)
+
+
 def test_knn_lsh_recall():
     exact = _pdf(QUERIES["q_knn_cosine"](SF))
     approx = _pdf(QUERIES["q_knn_cosine_lsh"](SF))
