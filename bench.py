@@ -56,7 +56,8 @@ def run_bench() -> dict:
     g = build_graph(pages, wd)
     t_build = time.time() - t0
 
-    edges = rd.read_parquet(g.edges)
+    from halvesting_geometric_ray.graph.build import read_layer
+    edges = read_layer(g.edges)
     t1 = time.time()
     ranks, info = pagerank(edges, g.offsets, wd, resume=False)
     t_pr = time.time() - t1

@@ -91,7 +91,8 @@ def main(argv=None) -> int:
         else:
             g = load_graph()
 
-        edges = rd.read_parquet(g.edges)
+        from .graph.build import read_layer
+        edges = read_layer(g.edges)
         if args.cmd in ("pagerank", "all"):
             from .graph.pagerank import pagerank
 

@@ -42,6 +42,27 @@ def read_pages(path: str, columns=None):
     return rd.read_parquet(path, columns=columns)
 
 
+def read_layer(path: str, columns=None, cfg: EngineConfig = DEFAULT):
+    """Read a materialized layer with a block count matched to its size.
+
+    Layers are written one file per upstream block, so small/medium layers
+    land as 100+ tiny files; per-file reads then give KB-sized blocks
+    whose fixed per-block costs dominate every downstream shuffle
+    (measured 2x on the vertex/edge stages at sf0.1).  Target ~128 MB
+    blocks but never fewer than shuffle_blocks; big layers keep Ray's own
+    per-file parallelism."""
+    try:
+        total = sum(e.stat().st_size for e in os.scandir(path)
+                    if e.name.endswith(".parquet"))
+    except OSError:
+        return rd.read_parquet(path, columns=columns)
+    est = int(total // (128 << 20)) + 1
+    if est < cfg.shuffle_blocks * 4:
+        nb = max(cfg.shuffle_blocks, est)
+        return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    return rd.read_parquet(path, columns=columns)
+
+
 def extract_pages(pages, batch_size: int = 1024):
     """pages(url, html, ...) -> (url, text, links:list<string>)."""
     return pages.map_batches(
@@ -90,14 +111,27 @@ def resolve_edges(outlinks, vertices, cfg: EngineConfig = DEFAULT):
     )
     j1_schema = pa.schema([pa.field("src", pa.int64()),
                            pa.field("dst_url", str_t)])
-    j2 = hash_join(j1, v, on="dst_url", right_on="url",
-                   num_parts=cfg.num_parts,
-                   left_schema=j1_schema, right_schema=v_schema)
-    j2 = j2.select_columns(["src", "vid"]).map_batches(
-        lambda b: b.rename_columns(["src", "dst"]), batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return distinct(j2, ["src", "dst"], num_parts=cfg.num_parts)
+    # Exact dedup WITHOUT a third shuffle: duplicate (src, dst) pairs share
+    # dst_url, so join-2's dst_url-keyed buckets already co-locate them —
+    # the bucket_post hook dedups inside the merge task, globally exact.
+    def dedup_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from ..ops._util import cast_like
+
+        out = (pl.from_arrow(t.select(["vid", "src"]))
+               .rename({"vid": "dst"})
+               .unique(subset=["src", "dst"])
+               .sort(["src", "dst"])
+               .select(["src", "dst"]))
+        want = pa.schema([pa.field("src", pa.int64()),
+                          pa.field("dst", pa.int64())])
+        return cast_like(out.to_arrow(), want)
+
+    return hash_join(j1, v, on="dst_url", right_on="url",
+                     num_parts=cfg.num_parts,
+                     left_schema=j1_schema, right_schema=v_schema,
+                     bucket_post=dedup_bucket)
 
 
 @dataclass
@@ -138,16 +172,17 @@ def build_graph(pages_path: str, workdir: str,
     extracted = extract_pages(pages, batch_size=cfg.extract_batch_size)
     extracted.write_parquet(layers["extracted"])
 
-    extracted = rd.read_parquet(layers["extracted"])
     # materialize the exploded outlinks once: they feed the vertex union
     # AND both resolution joins (re-deriving re-reads + re-explodes the
-    # extracted layer each time)
-    outlinks = outlinks_from_extracted(extracted).materialize()
+    # extracted layer each time); prune to (url, links) — text stays on disk
+    outlinks = outlinks_from_extracted(
+        read_layer(layers["extracted"], columns=["url", "links"], cfg=cfg)
+    ).materialize()
     vertices, offsets = build_vertices(
-        rd.read_parquet(layers["extracted"], columns=["url"]), outlinks, cfg)
+        read_layer(layers["extracted"], columns=["url"], cfg=cfg), outlinks, cfg)
     vertices.write_parquet(layers["vertices"])
 
-    vertices_ds = rd.read_parquet(layers["vertices"])
+    vertices_ds = read_layer(layers["vertices"], cfg=cfg)
     edges = resolve_edges(outlinks, vertices_ds, cfg)
     edges.write_parquet(layers["edges"])
     if not os.path.isdir(layers["edges"]) or not os.listdir(layers["edges"]):

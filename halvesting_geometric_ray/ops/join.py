@@ -51,7 +51,8 @@ def hash_join(left, right, on, right_on=None,
               right_cols: Optional[List[str]] = None,
               left_schema: Optional[pa.Schema] = None,
               right_schema: Optional[pa.Schema] = None,
-              salt: int = 1):
+              salt: int = 1,
+              bucket_post=None):
     """Bucketed big-big equi-join on one or more key columns.
 
     `on`/`right_on` are a column name or list of names (right keys are
@@ -141,7 +142,11 @@ def hash_join(left, right, on, right_on=None,
         rhs = df.filter(pl.col(_SIDE) == 1).select(keys + r_payload)
         how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[join_type]
         j = lhs.join(rhs, on=keys, how=how)
-        return cast_like(j.to_arrow(), out_schema)
+        out = cast_like(j.to_arrow(), out_schema)
+        # bucket_post runs on the complete merged bucket (all rows of each
+        # key co-located) — the hook for exactly-once per-key work like a
+        # shuffle-free dedup of join-key-functional outputs.
+        return bucket_post(out) if bucket_post is not None else out
 
     return (pre_shuffle(tagged).groupby(_BUCKET)
             .map_groups(per_bucket, batch_format="pyarrow",

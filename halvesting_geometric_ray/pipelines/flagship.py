@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..config import DEFAULT, EngineConfig
-from ..graph.build import GraphLayers, build_graph, symmetrize
+from ..graph.build import GraphLayers, build_graph, read_layer, symmetrize
 from ..graph.components import connected_components
 from ..graph.pagerank import pagerank
 
@@ -32,7 +32,7 @@ def run_flagship(pages_path: str, workdir: str,
     highest-PageRank vertices — a small, human-meaningful head of the
     full outputs (which stay on disk as Parquet layers)."""
     g = build_graph(pages_path, workdir, cfg)
-    edges = rd.read_parquet(g.edges)
+    edges = read_layer(g.edges, cfg=cfg)
     ranks, pr_info = pagerank(edges, g.offsets, workdir, cfg)
     labels, cc_info = connected_components(
         symmetrize(edges, cfg), g.offsets, workdir, cfg)
@@ -47,7 +47,7 @@ def run_flagship(pages_path: str, workdir: str,
     vid_keys = pa.table({"vid": pa.array(top["vid"].to_numpy(), type=pa.int64())})
     lab = broadcast_semi(labels.select_columns(["vid", "label"]),
                          "vid", vid_keys, "vid").to_pandas()
-    verts = broadcast_semi(rd.read_parquet(g.vertices, columns=["vid", "url"]),
+    verts = broadcast_semi(read_layer(g.vertices, columns=["vid", "url"], cfg=cfg),
                            "vid", vid_keys, "vid").to_pandas()
     out = (top.merge(verts, on="vid").merge(lab, on="vid")
            .rename(columns={"label": "component"})

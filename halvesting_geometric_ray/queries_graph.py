@@ -23,7 +23,7 @@ import ray.data as rd
 
 from .config import DEFAULT
 from .fixtures import ensure_pages_parquet
-from .graph.build import GraphLayers, build_graph, symmetrize
+from .graph.build import GraphLayers, build_graph, read_layer, symmetrize
 
 QUERIES: Dict[str, Callable] = {}
 
@@ -56,7 +56,7 @@ def graph_for(sf_dir: str) -> GraphLayers:
 def q_extract_links(sf_dir: str):
     """Per-page extraction head: url, byte length of text, outlink count."""
     g = graph_for(sf_dir)
-    ext = rd.read_parquet(g.extracted)
+    ext = read_layer(g.extracted)
 
     def stats(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -73,13 +73,13 @@ def q_extract_links(sf_dir: str):
 @_q("q_graph_vertices")
 def q_graph_vertices(sf_dir: str):
     g = graph_for(sf_dir)
-    return rd.read_parquet(g.vertices)
+    return read_layer(g.vertices)
 
 
 @_q("q_graph_edges")
 def q_graph_edges(sf_dir: str):
     g = graph_for(sf_dir)
-    return rd.read_parquet(g.edges)
+    return read_layer(g.edges)
 
 
 @_q("q_pagerank")
@@ -87,7 +87,7 @@ def q_pagerank(sf_dir: str):
     from .graph.pagerank import pagerank
 
     g = graph_for(sf_dir)
-    ranks, _ = pagerank(rd.read_parquet(g.edges), g.offsets, g.workdir)
+    ranks, _ = pagerank(read_layer(g.edges), g.offsets, g.workdir)
 
     def quant(b: pa.Table) -> pa.Table:
         r = np.round(b.column("rank").to_numpy(), 9)
@@ -101,12 +101,12 @@ def q_pagerank_top20(sf_dir: str):
     from .graph.pagerank import pagerank
 
     g = graph_for(sf_dir)
-    ranks, _ = pagerank(rd.read_parquet(g.edges), g.offsets, g.workdir)
+    ranks, _ = pagerank(read_layer(g.edges), g.offsets, g.workdir)
     from .ops.join import broadcast_semi
 
     top = ranks.sort("rank", descending=True).limit(20).to_pandas()
     vid_keys = pa.table({"vid": pa.array(top["vid"].to_numpy(), type=pa.int64())})
-    verts = broadcast_semi(rd.read_parquet(g.vertices, columns=["vid", "url"]),
+    verts = broadcast_semi(read_layer(g.vertices, columns=["vid", "url"]),
                            "vid", vid_keys, "vid").to_pandas()
     out = top.merge(verts, on="vid")[["url", "vid", "rank"]]
     out["rank"] = out["rank"].round(9)
@@ -119,7 +119,7 @@ def q_components(sf_dir: str):
 
     g = graph_for(sf_dir)
     labels, _ = connected_components(
-        symmetrize(rd.read_parquet(g.edges)), g.offsets, g.workdir)
+        symmetrize(read_layer(g.edges)), g.offsets, g.workdir)
     return labels.select_columns(["vid", "label"])
 
 
@@ -130,7 +130,7 @@ def q_component_sizes(sf_dir: str):
 
     g = graph_for(sf_dir)
     labels, _ = connected_components(
-        symmetrize(rd.read_parquet(g.edges)), g.offsets, g.workdir)
+        symmetrize(read_layer(g.edges)), g.offsets, g.workdir)
     return grouped_aggregate(labels.select_columns(["label"]), ["label"],
                              {"size": ("count", None)})
 
@@ -141,7 +141,7 @@ def q_triangles(sf_dir: str):
 
     g = graph_for(sf_dir)
     per, total = triangles(
-        symmetrize(rd.read_parquet(g.edges), drop_self_loops=True))
+        symmetrize(read_layer(g.edges), drop_self_loops=True))
     return per
 
 
@@ -151,7 +151,7 @@ def q_label_propagation(sf_dir: str):
 
     g = graph_for(sf_dir)
     labels, _ = label_propagation(
-        symmetrize(rd.read_parquet(g.edges), drop_self_loops=True),
+        symmetrize(read_layer(g.edges), drop_self_loops=True),
         g.offsets, g.workdir, rounds=5)
     return labels.select_columns(["vid", "label"])
 
@@ -162,7 +162,7 @@ def q_degree_distribution(sf_dir: str):
     from .ops.agg import grouped_aggregate
 
     g = graph_for(sf_dir)
-    edges = rd.read_parquet(g.edges, columns=["src"])
+    edges = read_layer(g.edges, columns=["src"])
     deg = grouped_aggregate(edges, ["src"], {"outdeg": ("count", None)})
     return grouped_aggregate(deg.select_columns(["outdeg"]), ["outdeg"],
                              {"n_vertices": ("count", None)})
@@ -177,7 +177,7 @@ def q_host_counts(sf_dir: str):
     from .ops.agg import grouped_aggregate
 
     g = graph_for(sf_dir)
-    urls = rd.read_parquet(g.vertices, columns=["url"])
+    urls = read_layer(g.vertices, columns=["url"])
 
     def host(b: pa.Table) -> pa.Table:
         h = pc.list_element(pc.split_pattern(b.column("url"), "/"), 2)
@@ -194,7 +194,7 @@ def q_edge_splits(sf_dir: str):
     from .ops.agg import grouped_aggregate
 
     g = graph_for(sf_dir)
-    s = split_edges(rd.read_parquet(g.edges))
+    s = split_edges(read_layer(g.edges))
     return grouped_aggregate(s.select_columns(["split"]), ["split"],
                              {"n_edges": ("count", None)})
 
@@ -205,4 +205,4 @@ def q_negative_samples(sf_dir: str):
     from .graph.splits import negative_sample
 
     g = graph_for(sf_dir)
-    return negative_sample(rd.read_parquet(g.edges), g.num_vertices, 100)
+    return negative_sample(read_layer(g.edges), g.num_vertices, 100)
