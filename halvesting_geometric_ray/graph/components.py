@@ -143,6 +143,31 @@ class LabelShardActor:
             out.append((q, ans))
         return tuple(out) if len(out) > 1 else out[0]
 
+    # ---- fused pipelined round steps -----------------------------------
+    # One CC round used to be 5 sequential driver barriers (scatter,
+    # apply_min, pj_queries, pj_answers, pj_apply).  Fused to 3 actor
+    # calls with NO driver blocking inside the round (PageRank's
+    # pipelined-step pattern): apply_and_query -> pj_answers ->
+    # pj_apply_and_scatter, where the last also emits the NEXT round's
+    # min-label messages; the convergence check trails one round behind.
+
+    def apply_and_query(self, *incoming):
+        """Apply round-k min messages, then emit pointer-jump queries.
+        Returns A query messages + the lp_changed count."""
+        lp_changed = self.apply_min(*incoming)
+        q = self.pj_queries()
+        qs = list(q) if self.num_actors > 1 else [q]
+        return (*qs, lp_changed)
+
+    def pj_apply_and_scatter(self, k: int, ckpt_paths: Dict[int, str],
+                             reuse: Dict[int, str], *answers):
+        """pj_apply + checkpoint, then emit round-(k+1) scatter messages.
+        Returns A scatter messages + the pj_changed count."""
+        pj_changed = self.pj_apply(k, ckpt_paths, reuse, *answers)
+        s = self.scatter()
+        msgs = list(s) if self.num_actors > 1 else [s]
+        return (*msgs, pj_changed)
+
     def pj_apply(self, k: int, ckpt_paths: Dict[int, str],
                  reuse: Dict[int, str], *answers) -> int:
         """label <- label[label]; then checkpoint this iteration."""
@@ -230,37 +255,58 @@ def connected_components(sym_edges, offsets: np.ndarray, workdir: str,
             start = k0 + 1
         else:
             start = 1
+        inbox = transpose_refs(scatter_refs_matrix(actors, A))
+        pending: Dict[int, Tuple[List, List]] = {}
+        converged = False
+        t_start = time.time()
+
+        def commit(kk: int) -> int:
+            lp_refs, pj_refs = pending.pop(kk)
+            lp = int(sum(ray.get(lp_refs)))
+            pj = int(sum(ray.get(pj_refs)))
+            metrics = {"iter": kk, "changed": lp + pj, "lp_changed": lp,
+                       "pj_changed": pj,
+                       "wall_sec": round(time.time() - t_start, 4)}
+            ckpt.commit_iter(kk, metrics, list(range(num_parts)))
+            info["iters"].append(metrics)
+            return lp + pj
+
         for k in range(start, max_iters + 1):
-            t0 = time.time()
             reuse_all = ckpt.have_parts(k) if resume else set()
-            inbox = transpose_refs(scatter_refs_matrix(actors, A))
-            lp_changed = sum(ray.get(
-                [a.apply_min.remote(*inbox[j]) for j, a in enumerate(actors)]))
-            pj_changed = 0
+            q_outs = [list(a.apply_and_query.options(num_returns=A + 1)
+                           .remote(*inbox[j])) for j, a in enumerate(actors)]
+            lp_refs = [o[A] for o in q_outs]
             if pointer_jumping:
-                q_inbox = transpose_refs(
-                    scatter_refs_matrix(actors, A, method="pj_queries"))
-                ans = [actors[j].pj_answers.options(num_returns=A).remote(*q_inbox[j])
+                q_inbox = transpose_refs([o[:A] for o in q_outs])
+                ans = [list(actors[j].pj_answers.options(num_returns=A)
+                            .remote(*q_inbox[j]))
                        if A > 1 else [actors[j].pj_answers.remote(*q_inbox[j])]
                        for j in range(A)]
-                ans = [list(a) if A > 1 else a for a in ans]
                 a_inbox = transpose_refs(ans)
             else:
                 a_inbox = [[] for _ in range(A)]
-            prs = []
+            s_outs = []
             for j, a in enumerate(actors):
                 ck = {p: ckpt.part_path(k, p) for p in owned[j]}
                 ru = {p: ckpt.part_path(k, p) for p in owned[j] if p in reuse_all}
-                prs.append(a.pj_apply.remote(k, ck, ru, *a_inbox[j]))
-            pj_changed = sum(ray.get(prs))
-            changed = int(lp_changed + pj_changed)
-            metrics = {"iter": k, "changed": changed, "lp_changed": int(lp_changed),
-                       "pj_changed": int(pj_changed), "wall_sec": time.time() - t0}
-            ckpt.commit_iter(k, metrics, list(range(num_parts)))
-            info["iters"].append(metrics)
+                s_outs.append(list(a.pj_apply_and_scatter
+                                   .options(num_returns=A + 1)
+                                   .remote(k, ck, ru, *a_inbox[j])))
+            pj_refs = [o[A] for o in s_outs]
+            inbox = transpose_refs([o[:A] for o in s_outs])
+            pending[k] = (lp_refs, pj_refs)
             last_k = k
-            if changed == 0:
+            # trailing convergence check (one round of overlap); the
+            # overshoot round is a no-op on converged labels (min/pj are
+            # idempotent at fixpoint) and its uncommitted part files are
+            # bitwise-identical to the committed round's
+            if k - 1 in pending and commit(k - 1) == 0:
+                last_k = k - 1
+                converged = True
                 break
+        if not converged and last_k in pending:
+            commit(last_k)
+        pending.clear()
     finally:
         for a in actors:
             ray.kill(a)

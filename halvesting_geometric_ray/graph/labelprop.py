@@ -91,6 +91,16 @@ class ModeLabelActor:
                 out.append(None)
         return tuple(out) if self.num_actors > 1 else out[0]
 
+    def gather_and_scatter(self, k: int, ckpt_paths: Dict[int, str],
+                           reuse: Dict[int, str], *incoming):
+        """Fused pipelined round: apply round-k mode-label messages +
+        checkpoint, then emit round-(k+1) scatter messages (PageRank's
+        single-call step pattern — no driver barrier inside a round)."""
+        changed = self.gather(k, ckpt_paths, reuse, *incoming)
+        s = self.scatter()
+        msgs = list(s) if self.num_actors > 1 else [s]
+        return (*msgs, changed)
+
     def gather(self, k: int, ckpt_paths: Dict[int, str],
                reuse: Dict[int, str], *incoming) -> int:
         msgs = [m for m in incoming if m is not None]
@@ -181,21 +191,33 @@ def label_propagation(sym_edges, offsets: np.ndarray, workdir: str,
             start = k0 + 1
         else:
             start = 1
+        inbox = transpose_refs(scatter_refs_matrix(actors, A))
+        pending: Dict[int, List] = {}
+        t_start = time.time()
+
+        def commit(kk: int) -> None:
+            changed = int(sum(ray.get(pending.pop(kk))))
+            metrics = {"iter": kk, "changed": changed,
+                       "wall_sec": round(time.time() - t_start, 4)}
+            ckpt.commit_iter(kk, metrics, list(range(num_parts)))
+            info["iters"].append(metrics)
+
         for k in range(start, rounds + 1):
-            t0 = time.time()
             reuse_all = ckpt.have_parts(k) if resume else set()
-            inbox = transpose_refs(scatter_refs_matrix(actors, A))
-            gr = []
+            outs = []
             for j, a in enumerate(actors):
                 ck = {p: ckpt.part_path(k, p) for p in owned[j]}
                 ru = {p: ckpt.part_path(k, p) for p in owned[j] if p in reuse_all}
-                gr.append(a.gather.remote(k, ck, ru, *inbox[j]))
-            changed = int(sum(ray.get(gr)))
-            metrics = {"iter": k, "changed": changed,
-                       "wall_sec": time.time() - t0}
-            ckpt.commit_iter(k, metrics, list(range(num_parts)))
-            info["iters"].append(metrics)
+                outs.append(list(a.gather_and_scatter
+                                 .options(num_returns=A + 1)
+                                 .remote(k, ck, ru, *inbox[j])))
+            inbox = transpose_refs([o[:A] for o in outs])
+            pending[k] = [o[A] for o in outs]
             last_k = k
+            if k - 1 in pending:
+                commit(k - 1)
+        if last_k in pending:
+            commit(last_k)
     finally:
         for a in actors:
             ray.kill(a)
