@@ -24,6 +24,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
 from .config import DEFAULT
+from .functions.hashing import stable_hash64
 from .ops.agg import grouped_aggregate
 from .ops.dedup import distinct
 from .ops.ids import assign_dense_ids_sorted
@@ -362,60 +363,65 @@ def q_tumbling_window(sf_dir: str):
     "SELECT user_id, CAST(sid AS BIGINT) AS session_id, min(ts) AS session_start, "
     "count(*) AS n_events FROM s GROUP BY user_id, sid")
 def q_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) — per-key ordered
-    map_groups over the event log (the documented ordering assumption:
-    events sorted by (ts, event_id) within each user)."""
+    """Session windows (30-min inactivity gap).  Users are hash-bucketed
+    and each bucket sessionizes ALL its users in one vectorized pass —
+    a per-user groupby would push millions of micro-groups through the
+    sort shuffle at scale (the repo's measured blocks^2 cost)."""
     import pandas as pd
 
     ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g.ts.diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().astype("int64") + 1
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b.column("user_id")) % DEFAULT.num_parts
+        return b.append_column("__b", pa.array(h, type=pa.int32()))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = g.user_id.ne(g.user_id.shift())
+        gap = (g.ts.diff() > pd.Timedelta(minutes=30)) | new_user
+        sid_global = gap.cumsum()
+        first_sid = sid_global.where(new_user).ffill()
+        sid = (sid_global - first_sid + 1).astype("int64")
         out = (g.assign(session_id=sid)
-               .groupby("session_id", as_index=False)
-               .agg(user_id=("user_id", "first"), session_start=("ts", "min"),
-                    n_events=("ts", "size")))
+               .groupby(["user_id", "session_id"], as_index=False)
+               .agg(session_start=("ts", "min"), n_events=("ts", "size")))
+        out["n_events"] = out["n_events"].astype("int64")
         return out[["user_id", "session_id", "session_start", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    from .ops._util import pre_shuffle
+
+    return (pre_shuffle(ds.map_batches(add_bucket, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+            .groupby("__b")
+            .map_groups(sessions_bucket, batch_format="pandas",
+                        retry_exceptions=True))
 
 
 @_q("q_asof_join",
     "SELECT e.event_id, o.o_orderdate AS matched_date FROM events e "
     "ASOF JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate")
 def q_asof_join(sf_dir: str):
-    """As-of join: latest order at-or-before each event, per user —
-    hash-bucket both sides on the key, pandas merge_asof per bucket
-    (ray_guide's documented as-of pattern)."""
-    import pandas as pd
+    """As-of join: latest order at-or-before each event, per user — the
+    big-big bucketed path (ops/asof.py): hash-bucket BOTH sides on the
+    user key, one exchange, merge_asof per bucket.  orders is
+    order-cardinality (NOT a dimension) so the broadcast variant
+    (ops.asof.broadcast_asof) is wrong at scale."""
+    from .ops.asof import asof_join
 
+    ts = pa.timestamp("us")
     ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_orderdate"])
-    import ray
-
-    oref = ray.put(orders)
-
-    class Asof:
-        def __init__(self):
-            df = ray.get(oref).to_pandas()
-            self.orders = df.sort_values("o_orderdate")
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            b = batch.to_pandas().sort_values("ts")
-            m = pd.merge_asof(b, self.orders, left_on="ts",
-                              right_on="o_orderdate", left_by="user_id",
-                              right_by="o_custkey")
-            m = m.dropna(subset=["o_orderdate"])
-            out = pd.DataFrame({"event_id": m.event_id.astype("int64"),
-                                "matched_date": m.o_orderdate})
-            return pa.Table.from_pandas(out, preserve_index=False)
-
-    # orders is customer-cardinality (small side) -> broadcast asof;
-    # for big-big, bucket both sides on user hash and merge per bucket
-    return ev.map_batches(Asof, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 8))
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    j = asof_join(
+        ev, orders, on="ts", right_on="o_orderdate",
+        by="user_id", right_by="o_custkey",
+        left_cols=["event_id"], right_cols=["o_orderdate"],
+        num_parts=DEFAULT.num_parts,
+        left_schema=pa.schema([pa.field("event_id", pa.int64()),
+                               pa.field("user_id", pa.int64()),
+                               pa.field("ts", ts)]),
+        right_schema=pa.schema([pa.field("o_custkey", pa.int64()),
+                                pa.field("o_orderdate", ts)]))
+    return j.map_batches(
+        lambda b: pa.table({"event_id": b.column("event_id"),
+                            "matched_date": b.column("o_orderdate")}),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,99 @@
+"""As-of join operator: bucketed big-big path vs broadcast path vs a
+pandas merge_asof oracle, including a right side far larger than the
+left (the case the broadcast regime cannot serve at scale)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.ops.asof import asof_join, broadcast_asof
+
+TS = pa.timestamp("us")
+
+
+def _mk(seed=5, n_left=2000, n_right=8000, n_keys=97):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame({
+        "event_id": np.arange(n_left, dtype="int64"),
+        "user_id": rng.integers(0, n_keys, n_left),
+        "ts": base + rng.integers(0, 10**9, n_left).astype("timedelta64[us]"),
+    })
+    right = pd.DataFrame({
+        "o_custkey": rng.integers(0, n_keys, n_right),
+        "o_orderdate": base + rng.integers(0, 10**9, n_right)
+        .astype("timedelta64[us]"),
+        "price": rng.random(n_right),
+    })
+    return left, right
+
+
+def _oracle(left, right):
+    l = left.sort_values("ts", kind="mergesort")
+    r = right.sort_values("o_orderdate", kind="mergesort")
+    m = pd.merge_asof(l, r, left_on="ts", right_on="o_orderdate",
+                      left_by="user_id", right_by="o_custkey",
+                      direction="backward")
+    m = m.dropna(subset=["o_orderdate"])
+    return (m[["user_id", "event_id", "o_orderdate", "price"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
+def _norm(df):
+    return (df[["user_id", "event_id", "o_orderdate", "price"]]
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+
+
+L_SCHEMA = pa.schema([pa.field("event_id", pa.int64()),
+                      pa.field("user_id", pa.int64()),
+                      pa.field("ts", TS)])
+R_SCHEMA = pa.schema([pa.field("o_custkey", pa.int64()),
+                      pa.field("o_orderdate", TS),
+                      pa.field("price", pa.float64())])
+
+
+def test_bucketed_asof_matches_oracle_big_right():
+    left, right = _mk()
+    got = asof_join(
+        rd.from_pandas(left).repartition(8),
+        rd.from_pandas(right).repartition(8),
+        on="ts", right_on="o_orderdate", by="user_id", right_by="o_custkey",
+        left_cols=["event_id", "ts"], right_cols=["o_orderdate", "price"],
+        left_schema=L_SCHEMA, right_schema=R_SCHEMA).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _oracle(left, right))
+
+
+def test_broadcast_asof_matches_bucketed():
+    left, right = _mk(seed=9, n_right=500)
+    bc = broadcast_asof(
+        rd.from_pandas(left).repartition(4),
+        pa.Table.from_pandas(right, preserve_index=False).cast(R_SCHEMA),
+        on="ts", right_on="o_orderdate", by="user_id", right_by="o_custkey",
+        left_cols=["event_id", "ts"],
+        right_cols=["o_orderdate", "price"]).to_pandas()
+    bk = asof_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(4),
+        on="ts", right_on="o_orderdate", by="user_id", right_by="o_custkey",
+        left_cols=["event_id", "ts"], right_cols=["o_orderdate", "price"],
+        left_schema=L_SCHEMA, right_schema=R_SCHEMA).to_pandas()
+    pd.testing.assert_frame_equal(_norm(bc), _norm(bk))
+    pd.testing.assert_frame_equal(_norm(bk), _oracle(left, right))
+
+
+def test_asof_keys_without_matches_dropped():
+    left = pd.DataFrame({
+        "event_id": [1, 2], "user_id": np.array([1, 2], dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-02"])})
+    right = pd.DataFrame({
+        "o_custkey": np.array([1], dtype="int64"),
+        "o_orderdate": pd.to_datetime(["2024-01-03"]),  # after -> no match
+        "price": [1.0]})
+    got = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="ts", right_on="o_orderdate", by="user_id", right_by="o_custkey",
+        left_cols=["event_id", "ts"], right_cols=["o_orderdate", "price"],
+        left_schema=L_SCHEMA, right_schema=R_SCHEMA).to_pandas()
+    assert len(got) == 0
