@@ -56,10 +56,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from halvesting_geometric_ray import queries_relational
+    from halvesting_geometric_ray import queries_graph, queries_relational
 
     out: dict[str, str] = {}
     out.update(queries_relational.ORACLE)
+    # url-level graph oracles read the fixture-truth parquet directly
+    # (build_oracles ensures it exists and embeds the absolute paths)
+    out.update(queries_graph.build_oracles())
     try:
         from halvesting_geometric_ray import queries_text
 

@@ -231,6 +231,27 @@ def ensure_pages_parquet(n_core: int, seed: int = 42, shards: int = 8) -> str:
     return d
 
 
+def ensure_anchors_parquet(n_core: int, seed: int = 42) -> str:
+    """Write (once) the corpus TRUTH anchor table (src_url, dst_url), one
+    row per authored anchor on a well-formed page, duplicates preserved —
+    the independent oracle for extraction/graph queries (the same
+    authored truth the html and text columns are rendered from), readable
+    by DuckDB for SQL oracles."""
+    path = os.path.join(FIXTURE_ROOT, f"anchors_n{n_core}_seed{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    c = build_corpus(n_core, seed)
+    src = [s for s, _ in c.outlinks]
+    dst = [d for _, d in c.outlinks]
+    t = pa.table({"src_url": pa.array(src, type=pa.string()),
+                  "dst_url": pa.array(dst, type=pa.string())})
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Reference-shaped metadata fixture (FIXTURES.md section 4): the nested
 # document-metadata rows consumed by the reference at build_metadata.py:58-68,

@@ -3,10 +3,18 @@
 BASELINE.json's input_hint table (url, warc_ts, html, text, lang) does
 not exist in the driver testdata, so these queries synthesize it
 deterministically at a scale keyed to the sf directory (fixtures.py,
-seed fixed) and run the real pipelines.  They are NOT SQL-expressible
-end-to-end (html parsing, iterative analytics), so there are no ORACLE
-entries — the driver records rows-only checks; exact/allclose
-correctness is enforced by the pytest oracles (tests/oracle.py).
+seed fixed) and run the real pipelines.
+
+Oracles: the fixture generator also writes its authored TRUTH as
+DuckDB-readable parquet (the pages table's `text` column and the anchors
+table, fixtures.ensure_anchors_parquet) — the url-level queries
+(extraction stats, vertex/edge sets, degree/host distributions, dense-id
+properties) therefore carry SQL oracles via `build_oracles()`, which
+embeds the fixture paths for the gate scale (documents-rows -> n=500 at
+sf0.001/sf0.01).  The iterative/hashed queries (PageRank, CC, LP,
+triangles, splits) are not SQL-expressible — the driver records
+rows-only checks and exact/allclose correctness is enforced by the
+pytest oracles (tests/oracle.py).
 """
 
 from __future__ import annotations
@@ -22,12 +30,13 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .config import DEFAULT
-from .fixtures import ensure_pages_parquet
+from .fixtures import ensure_anchors_parquet, ensure_pages_parquet
 from .graph.build import GraphLayers, build_graph, read_layer, symmetrize
 
 QUERIES: Dict[str, Callable] = {}
 
 _SEED = 123
+_GATE_N = 500  # _scale_for() at the driver's correctness tiers
 
 
 def _q(name: str):
@@ -36,6 +45,38 @@ def _q(name: str):
         return fn
 
     return deco
+
+
+def build_oracles() -> Dict[str, str]:
+    """DuckDB oracle SQL for the url-level graph queries, reading the
+    fixture truth parquet directly (paths for the gate scale n=500 —
+    the same corpus graph_for() builds at sf0.001/sf0.01)."""
+    pages = ensure_pages_parquet(_GATE_N, _SEED)
+    anchors = ensure_anchors_parquet(_GATE_N, _SEED)
+    P = f"read_parquet('{pages}/*.parquet')"
+    A = f"read_parquet('{anchors}')"
+    vert = (f"(SELECT url FROM {P} UNION SELECT dst_url AS url FROM {A})")
+    return {
+        "q_extract_links":
+            f"SELECT p.url, octet_length(encode(p.text)) AS text_len, "
+            f"coalesce(a.n, 0) AS n_links FROM {P} p LEFT JOIN "
+            f"(SELECT src_url, count(*) AS n FROM {A} GROUP BY src_url) a "
+            f"ON a.src_url = p.url",
+        "q_vertex_urls": f"SELECT url FROM {vert} v",
+        "q_vertex_id_props":
+            f"SELECT count(*) AS n_vertices, CAST(0 AS BIGINT) AS min_vid, "
+            f"count(*) - 1 AS max_vid, count(*) AS n_distinct FROM {vert} v",
+        "q_edge_urls":
+            f"SELECT DISTINCT src_url, dst_url FROM {A}",
+        "q_degree_distribution":
+            f"SELECT outdeg, count(*) AS n_vertices FROM ("
+            f"SELECT src_url, count(*) AS outdeg FROM "
+            f"(SELECT DISTINCT src_url, dst_url FROM {A}) GROUP BY src_url) "
+            f"GROUP BY outdeg",
+        "q_host_counts":
+            f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_pages "
+            f"FROM {vert} v GROUP BY host",
+    }
 
 
 def _scale_for(sf_dir: str) -> int:
@@ -80,6 +121,71 @@ def q_graph_vertices(sf_dir: str):
 def q_graph_edges(sf_dir: str):
     g = graph_for(sf_dir)
     return read_layer(g.edges)
+
+
+@_q("q_vertex_urls")
+def q_vertex_urls(sf_dir: str):
+    """Vertex SET parity (oracle: union of page urls + anchor targets)."""
+    g = graph_for(sf_dir)
+    return read_layer(g.vertices, columns=["url"])
+
+
+@_q("q_vertex_id_props")
+def q_vertex_id_props(sf_dir: str):
+    """Dense-id bijection properties: N vertices, vids exactly 0..N-1,
+    all distinct — SQL-checkable even though the hash-ids themselves are
+    not SQL-reproducible."""
+    from .ops.dedup import distinct
+
+    g = graph_for(sf_dir)
+    vids = read_layer(g.vertices, columns=["vid"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("vid").to_numpy()
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "mn": pa.array([int(v.min())], type=pa.int64()),
+                         "mx": pa.array([int(v.max())], type=pa.int64())})
+
+    parts = vids.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    n_distinct = distinct(vids, ["vid"], num_parts=DEFAULT.num_parts).count()
+    return pd.DataFrame({
+        "n_vertices": [int(parts.n.sum())],
+        "min_vid": [int(parts.mn.min())],
+        "max_vid": [int(parts.mx.max())],
+        "n_distinct": [int(n_distinct)]})
+
+
+@_q("q_edge_urls")
+def q_edge_urls(sf_dir: str):
+    """Edge SET parity at the url level: map the resolved (src, dst) vid
+    table BACK to (src_url, dst_url) via two bucketed hash joins with the
+    vertex table; must equal the distinct authored anchor pairs."""
+    from .ops.join import hash_join
+
+    g = graph_for(sf_dir)
+    edges = read_layer(g.edges)
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    e_schema = pa.schema([pa.field("src", pa.int64()),
+                          pa.field("dst", pa.int64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    j1 = hash_join(edges, v, on="src", right_on="vid",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=e_schema, right_schema=v_schema)
+    j1 = j1.map_batches(
+        lambda b: pa.table({"dst": b.column("dst"),
+                            "src_url": b.column("url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([pa.field("dst", pa.int64()),
+                           pa.field("src_url", pa.string())])
+    j2 = hash_join(j1, v, on="dst", right_on="vid",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=j1_schema, right_schema=v_schema)
+    return j2.map_batches(
+        lambda b: pa.table({"src_url": b.column("src_url"),
+                            "dst_url": b.column("url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 @_q("q_pagerank")
