@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     def common(sp):
         sp.add_argument("--workdir", required=True)
         sp.add_argument("--num-parts", type=int, default=0)
+        # S7: YAML/JSON engine-config file (reference build_metadata.py:84-87
+        # + configs/); --num-parts wins over the file value
+        sp.add_argument("--config", default=None)
 
     sp = sub.add_parser("build", help="pages parquet -> graph layers")
     sp.add_argument("--pages", required=True)
@@ -68,11 +71,16 @@ def main(argv=None) -> int:
     try:
         import ray.data as rd
 
-        from .config import DEFAULT, EngineConfig
+        from .config import DEFAULT, EngineConfig, config_from_file
         from .graph.build import build_graph, symmetrize
 
-        cfg = EngineConfig(num_parts=args.num_parts) if args.num_parts \
-            else DEFAULT
+        if args.config:
+            over = {"num_parts": args.num_parts} if args.num_parts else {}
+            cfg = config_from_file(args.config, **over)
+        elif args.num_parts:
+            cfg = EngineConfig(num_parts=args.num_parts)
+        else:
+            cfg = DEFAULT
 
         def load_graph():
             from .graph.build import GraphLayers

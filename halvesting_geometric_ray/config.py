@@ -58,4 +58,44 @@ class EngineConfig:
     lsh_bucket_cap: int = int(os.environ.get("HGR_LSH_BUCKET_CAP", "512"))
 
 
+def load_config_file(path: str) -> dict:
+    """S7 analogue of the reference's load_config_from_file
+    (reference helpers.py:51-114): YAML or JSON by extension."""
+    import json
+
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext not in ("yaml", "yml", "json"):
+        raise ValueError(f"unsupported config extension: {ext!r} (yaml/json)")
+    with open(path) as f:
+        if ext == "json":
+            return json.load(f)
+        import yaml
+
+        return yaml.safe_load(f) or {}
+
+
+def boolify(v) -> bool:
+    """Tolerant bool coercion (reference helpers.py boolean_argument)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        return v.lower() in ("yes", "true", "t", "y", "1")
+    return v == 1
+
+
+def config_from_file(path: str, **overrides) -> EngineConfig:
+    """Build an EngineConfig from a YAML/JSON file; unknown keys are
+    rejected loudly (a typo'd knob silently ignored is worse than an
+    error), explicit kwargs win over file values."""
+    from dataclasses import fields
+
+    raw = load_config_file(path)
+    raw.update(overrides)
+    known = {f.name: f.type for f in fields(EngineConfig)}
+    unknown = set(raw) - set(known)
+    if unknown:
+        raise ValueError(f"unknown config keys: {sorted(unknown)}")
+    return EngineConfig(**raw)
+
+
 DEFAULT = EngineConfig()

@@ -45,3 +45,27 @@ def write_parquet(ds, path: str, compression: str = "zstd", **kw):
 def write_jsonl(ds, path: str, **kw):
     """K4 analogue (jsons_to_jsonls, helpers.py:290-303)."""
     return ds.write_json(path, **kw)
+
+
+def write_single_tsv(ds, path: str, sep: str = "\t",
+                     compression: Optional[str] = None) -> int:
+    """Compatibility sink for the reference's single-file TSV node/edge
+    layout (link_prediction_metadata.py:230-231,381-422; optional gzip per
+    helpers.py:252-287).  ANTI-SCALE by design — one file, written by the
+    driver — but it STREAMS batch-by-batch (iter_batches) so only one
+    batch is ever in driver memory.  Returns the row count.  Use
+    write_parquet for anything that matters."""
+    import gzip
+    import os
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    opener = gzip.open if compression == "gzip" else open
+    n = 0
+    with opener(tmp, "wt", newline="") as f:
+        first = True
+        for b in ds.iter_batches(batch_format="pandas"):
+            b.to_csv(f, sep=sep, header=first, index=False)
+            first = False
+            n += len(b)
+    os.replace(tmp, path)
+    return n

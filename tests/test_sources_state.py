@@ -53,6 +53,47 @@ def test_read_csv(tmp_path):
     assert back["b"].tolist() == ["x", "y"]
 
 
+def test_single_tsv_sink_roundtrip(tmp_path):
+    from halvesting_geometric_ray.sources.readers import write_single_tsv
+
+    df = pd.DataFrame({"a": [3, 1, 2], "b": ["x", "y", "z"]})
+    out = str(tmp_path / "t.tsv")
+    n = write_single_tsv(rd.from_pandas(df).repartition(3), out)
+    assert n == 3
+    back = pd.read_csv(out, sep="\t").sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df.sort_values("a").reset_index(drop=True))
+
+    gz = str(tmp_path / "t.tsv.gz")
+    write_single_tsv(rd.from_pandas(df), gz, compression="gzip")
+    back = pd.read_csv(gz, sep="\t", compression="gzip")
+    assert len(back) == 3
+
+
+def test_config_file_reader(tmp_path):
+    from halvesting_geometric_ray.config import boolify, config_from_file
+
+    y = tmp_path / "c.yaml"
+    y.write_text("num_parts: 8\ndamping: 0.9\n")
+    cfg = config_from_file(str(y))
+    assert cfg.num_parts == 8 and cfg.damping == 0.9
+    # explicit kwargs beat file values
+    assert config_from_file(str(y), num_parts=4).num_parts == 4
+
+    j = tmp_path / "c.json"
+    j.write_text('{"pagerank_tol": 1e-8}')
+    assert config_from_file(str(j)).pagerank_tol == 1e-8
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("nmu_parts: 8\n")
+    with pytest.raises(ValueError, match="nmu_parts"):
+        config_from_file(str(bad))
+    with pytest.raises(ValueError, match="extension"):
+        from halvesting_geometric_ray.config import load_config_file
+        load_config_file(str(tmp_path / "c.toml"))
+
+    assert boolify("Yes") and boolify(1) and not boolify("no")
+
+
 def test_checkpoint_lineage_wipes_stale_parts(tmp_path):
     root = str(tmp_path)
     ck = IterativeCheckpoint(root, "job", {"n": 10})
