@@ -104,3 +104,53 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
                       count=len(texts))
     return pa.table({"doc_id": batch.column("doc_id"),
                      "fingerprint": pa.array(fps)})
+
+
+# ---- PII scrubbing / repetition (Gopher-style) -------------------------
+
+# Conservative patterns valid in BOTH the Rust regex engine (polars) and
+# RE2 (DuckDB) with identical greedy semantics, so the SQL oracle
+# hash-matches the distributed kernel exactly.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, clean_text, n_emails, n_phones): emails then phones
+    replaced by typed placeholders; counts from the ORIGINAL text."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.replace_all(EMAIL_RE, "<EMAIL>")
+        .str.replace_all(PHONE_RE, "<PHONE>").alias("clean_text"),
+        pl.col("text").str.count_matches(EMAIL_RE).cast(pl.Int64)
+        .alias("n_emails"),
+        pl.col("text").str.count_matches(PHONE_RE).cast(pl.Int64)
+        .alias("n_phones"),
+    )
+    return out.to_arrow().cast(pa.schema([
+        pa.field("doc_id", pa.int64()), pa.field("clean_text", pa.string()),
+        pa.field("n_emails", pa.int64()), pa.field("n_phones", pa.int64())]))
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, top_tok_n, top_ratio_pct): most-frequent-token
+    share — the cheap Gopher-style repetition screen."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    counts = (df.with_columns(pl.col("text").str.split(" ").alias("tok"))
+              .select(["doc_id", "tok"]).explode("tok")
+              .group_by(["doc_id", "tok"]).len())
+    agg = (counts.group_by("doc_id")
+           .agg(pl.col("len").max().cast(pl.Int64).alias("top_tok_n"),
+                pl.col("len").sum().cast(pl.Int64).alias("n_tokens")))
+    t = agg["n_tokens"].to_numpy()
+    top = agg["top_tok_n"].to_numpy()
+    pct = np.floor(100.0 * top / np.maximum(t, 1)).astype(np.int64)
+    return pa.table({"doc_id": agg["doc_id"].to_numpy().astype(np.int64),
+                     "n_tokens": pa.array(t),
+                     "top_tok_n": pa.array(top),
+                     "top_ratio_pct": pa.array(pct)})

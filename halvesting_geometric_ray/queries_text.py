@@ -102,6 +102,86 @@ def q_quality(sf_dir: str):
         FT.quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_pii_scrub",
+    f"SELECT doc_id, regexp_replace(regexp_replace(text, "
+    f"'{FT.EMAIL_RE}', '<EMAIL>', 'g'), '{FT.PHONE_RE}', '<PHONE>', 'g') "
+    f"AS clean_text, "
+    f"CAST(len(regexp_extract_all(text, '{FT.EMAIL_RE}')) AS BIGINT) "
+    f"AS n_emails, "
+    f"CAST(len(regexp_extract_all(text, '{FT.PHONE_RE}')) AS BIGINT) "
+    f"AS n_phones FROM documents")
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails/phones -> typed placeholders) — vectorized
+    regex kernel; patterns chosen to behave identically under Rust regex
+    and RE2 so the oracle compares exactly.  Planted-PII behavior is
+    pinned in tests/test_text_dedup.py."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.pii_scrub_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_repetition",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "c AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok), "
+    "a AS (SELECT doc_id, max(n) AS top_tok_n, CAST(sum(n) AS BIGINT) "
+    "AS n_tokens FROM c GROUP BY doc_id) "
+    "SELECT doc_id, n_tokens, top_tok_n, "
+    "CAST(floor(100.0 * top_tok_n / n_tokens) AS BIGINT) AS top_ratio_pct "
+    "FROM a")
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition screen: most-frequent-token share."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_token_percentiles",
+    "SELECT count(*) AS n_docs, "
+    "CAST(floor(quantile_cont(len(string_split(text, ' ')), 0.5)) AS BIGINT) "
+    "AS p50, "
+    "CAST(floor(quantile_cont(len(string_split(text, ' ')), 0.9)) AS BIGINT) "
+    "AS p90, "
+    "CAST(floor(quantile_cont(len(string_split(text, ' ')), 0.99)) AS BIGINT) "
+    "AS p99 FROM documents")
+def q_token_percentiles(sf_dir: str):
+    """Exact token-count percentiles WITHOUT a global sort: per-doc token
+    counts reduce to a (n_tokens -> n_docs) histogram (bounded distinct
+    values), and the quantile interpolation runs on that tiny table —
+    the scale pattern for exact order statistics on integer metrics."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def ntok(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = (pl.from_arrow(b.select(["text"]))["text"]
+             .str.split(" ").list.len().cast(pl.Int64))
+        return pa.table({"n_tokens": n.to_arrow().cast(pa.int64())})
+
+    hist = grouped_aggregate(
+        ds.map_batches(ntok, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_tokens"], {"n_docs": ("count", None)}).to_pandas()
+    v = hist["n_tokens"].to_numpy()
+    c = hist["n_docs"].to_numpy()
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+
+    def q(p: float) -> int:
+        # quantile_cont semantics: linear interpolation at h=(n-1)p over
+        # the sorted sequence, floored to int
+        h = (n - 1) * p
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        x_lo = v[np.searchsorted(cum, lo + 1)]
+        x_hi = v[np.searchsorted(cum, hi + 1)]
+        return int(np.floor(x_lo + (h - lo) * (x_hi - x_lo)))
+
+    return pd.DataFrame({"n_docs": pd.array([n], dtype="int64"),
+                         "p50": pd.array([q(0.5)], dtype="int64"),
+                         "p90": pd.array([q(0.9)], dtype="int64"),
+                         "p99": pd.array([q(0.99)], dtype="int64")})
+
+
 @_q("q_fingerprint")  # rolling-hash fingerprint: no SQL analogue
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(

@@ -65,6 +65,37 @@ def test_simhash_pairs_capture_planted_dups():
     assert strong <= got
 
 
+def test_pii_scrub_planted():
+    """Planted emails/phones are redacted identically by the polars
+    kernel and the DuckDB oracle regexes."""
+    import pyarrow as pa
+
+    from halvesting_geometric_ray.functions.text import (
+        EMAIL_RE, PHONE_RE, pii_scrub_batch)
+
+    texts = [
+        "contact bob.smith+x@example.co.uk or call +1-555-123-4567 now",
+        "no pii here at all",
+        "two mails a@b.io c@d.org and digits 123456789 in one row",
+        "",
+    ]
+    b = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = pii_scrub_batch(b).to_pandas()
+    assert got.clean_text[0] == "contact <EMAIL> or call <PHONE> now"
+    assert got.n_emails.tolist() == [1, 0, 2, 0]
+    assert got.n_phones.tolist() == [1, 0, 1, 0]
+
+    con = duckdb.connect()
+    con.register("t", b.to_pandas())
+    exp = con.execute(
+        f"SELECT regexp_replace(regexp_replace(text, '{EMAIL_RE}', "
+        f"'<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g') AS c, "
+        f"len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne FROM t").fetchdf()
+    assert exp.c.tolist() == got.clean_text.tolist()
+    assert exp["ne"].tolist() == got.n_emails.tolist()
+
+
 def test_batch_hash_kernels_match_perdoc():
     """The vectorized batch MinHash/band/SimHash kernels are bit-identical
     to the per-doc reference implementations (the semantic oracle)."""
