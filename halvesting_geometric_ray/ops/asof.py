@@ -126,29 +126,29 @@ def broadcast_asof(left, right_table: pa.Table, *, on: str, right_on: str,
     Same output contract as asof_join."""
     import ray
 
+    from .join import _bcast_get
+
     ref = ray.put(right_table)
+    r_fields = [right_table.schema.field(c) for c in right_cols]
 
-    class Asof:
-        def __init__(self):
-            df = ray.get(ref).to_pandas()
-            self.right = df.sort_values(right_on, kind="mergesort")
+    def asof(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
+        right = _bcast_get(
+            ref, lambda t: t.to_pandas().sort_values(right_on,
+                                                     kind="mergesort"))
+        b = batch.to_pandas().sort_values(on, kind="mergesort")
+        m = pd.merge_asof(b, right, left_on=on, right_on=right_on,
+                          left_by=by, right_by=right_by,
+                          direction="backward",
+                          allow_exact_matches=allow_exact_matches)
+        m = m.dropna(subset=[right_on])
+        out = m[[by] + left_cols + right_cols]
+        want = pa.schema([batch.schema.field(by)]
+                         + [batch.schema.field(c) for c in left_cols]
+                         + r_fields)
+        return cast_like(pa.Table.from_pandas(out, preserve_index=False),
+                         want)
 
-            b = batch.to_pandas().sort_values(on, kind="mergesort")
-            m = pd.merge_asof(b, self.right, left_on=on, right_on=right_on,
-                              left_by=by, right_by=right_by,
-                              direction="backward",
-                              allow_exact_matches=allow_exact_matches)
-            m = m.dropna(subset=[right_on])
-            out = m[[by] + left_cols + right_cols]
-            want = pa.schema(
-                [batch.schema.field(by)]
-                + [batch.schema.field(c) for c in left_cols]
-                + [right_table.schema.field(c) for c in right_cols])
-            return cast_like(pa.Table.from_pandas(out, preserve_index=False),
-                             want)
-
-    return left.map_batches(Asof, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=(1, 8))
+    return left.map_batches(asof, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -153,50 +153,62 @@ def hash_join(left, right, on, right_on=None,
                         retry_exceptions=True))
 
 
+# Per-worker-process cache of broadcast small sides, keyed by ObjectRef.
+# Broadcast stages run as PLAIN TASKS (not actor pools — Ray 2.49 actor
+# pools can intermittently hang at startup after heavy sessions); Ray
+# worker processes persist across tasks, so this cache gives actor-style
+# amortization of the arrow->polars conversion without the pool.
+_BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 32
+
+
+def _bcast_get(ref, build):
+    k = ref.hex()
+    v = _BCAST_CACHE.get(k)
+    if v is None:
+        if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        v = build(ray.get(ref))
+        _BCAST_CACHE[k] = v
+    return v
+
+
 def broadcast_lookup(ds, key: str, mapping_table: pa.Table, map_key: str,
                      map_vals: List[str], how: str = "inner"):
     """Map-side join of `ds` against a small table via an object-store
-    broadcast (ray.put once; each actor reads zero-copy in __init__)."""
+    broadcast (ray.put once; workers read zero-copy and cache the
+    converted frame per process)."""
     ref = ray.put(mapping_table)
+    val_fields = [mapping_table.schema.field(v) for v in map_vals]
 
-    class Lookup:
-        def __init__(self):
-            import polars as pl
+    def lookup(batch: pa.Table) -> pa.Table:
+        import polars as pl
 
-            self.small = pl.from_arrow(ray.get(ref)).select([map_key] + map_vals)
+        small = _bcast_get(
+            ref, lambda t: pl.from_arrow(t).select([map_key] + map_vals))
+        b = pl.from_arrow(batch)
+        out = b.join(small, left_on=key, right_on=map_key,
+                     how=("inner" if how == "inner" else "left"))
+        want = batch.schema
+        for f in val_fields:
+            want = want.append(f)
+        return cast_like(out.to_arrow(), want)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import polars as pl
-
-            b = pl.from_arrow(batch)
-            out = b.join(self.small, left_on=key, right_on=map_key,
-                         how=("inner" if how == "inner" else "left"))
-            want = batch.schema
-            for v in map_vals:
-                want = want.append(mapping_table.schema.field(v))
-            return cast_like(out.to_arrow(), want)
-
-    return ds.map_batches(Lookup, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 8))
+    return ds.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def broadcast_semi(ds, key: str, keys_table: pa.Table, key_col: str, anti: bool = False):
     """Semi/anti join against a broadcast key set (F1' of SURVEY 2.5)."""
     ref = ray.put(keys_table)
 
-    class Semi:
-        def __init__(self):
-            import polars as pl
+    def semi(batch: pa.Table) -> pa.Table:
+        import polars as pl
 
-            self.keys = pl.from_arrow(ray.get(ref)).select(key_col).unique()
+        keys_df = _bcast_get(
+            ref, lambda t: pl.from_arrow(t).select(key_col).unique())
+        b = pl.from_arrow(batch)
+        out = b.join(keys_df.rename({key_col: key}), on=key,
+                     how=("anti" if anti else "semi"))
+        return cast_like(out.to_arrow(), batch.schema)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import polars as pl
-
-            b = pl.from_arrow(batch)
-            out = b.join(self.keys.rename({key_col: key}), on=key,
-                         how=("anti" if anti else "semi"))
-            return cast_like(out.to_arrow(), batch.schema)
-
-    return ds.map_batches(Semi, batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 8))
+    return ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
