@@ -66,14 +66,14 @@ def run_bench() -> dict:
 
     from halvesting_geometric_ray.graph.build import symmetrize
     from halvesting_geometric_ray.graph.components import connected_components
-    from halvesting_geometric_ray.graph.triangles import triangles as tri
+    from halvesting_geometric_ray.graph.triangles import triangles_edges as tri
 
     t2 = time.time()
     _, cc_info = connected_components(symmetrize(edges), g.offsets, wd,
                                       resume=False)
     t_cc = time.time() - t2
     t3 = time.time()
-    _, n_tri = tri(symmetrize(edges, drop_self_loops=True))
+    _, n_tri = tri(edges)
     t_tri = time.time() - t3
 
     queries: dict = {

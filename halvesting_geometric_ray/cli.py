@@ -125,10 +125,9 @@ def main(argv=None) -> int:
                 args.workdir, cfg, rounds=args.rounds)
             out["labelprop"] = {k: v for k, v in info.items() if k != "iters"}
         if args.cmd in ("triangles", "all"):
-            from .graph.triangles import triangles
+            from .graph.triangles import triangles_edges
 
-            per, total = triangles(
-                symmetrize(edges, cfg, drop_self_loops=True), cfg)
+            per, total = triangles_edges(edges, cfg)
             import os
 
             per.write_parquet(os.path.join(args.workdir, "triangles"))

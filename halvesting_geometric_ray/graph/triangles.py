@@ -34,27 +34,34 @@ from ..functions.hashing import stable_hash64
 from ..ops.join import hash_join
 
 
-def _degrees(sym):
+def _degrees_canonical(und):
+    """Undirected degree from the canonical (src<dst, each edge once)
+    table: explode both endpoints, count."""
     from ..ops.agg import grouped_aggregate
 
-    deg = grouped_aggregate(sym.select_columns(["src"]), ["src"],
-                            {"deg": ("count", None)})
+    def both(b: pa.Table) -> pa.Table:
+        vid = np.concatenate([b.column("src").to_numpy(),
+                              b.column("dst").to_numpy()])
+        return pa.table({"vid": pa.array(vid, type=pa.int64())})
 
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"vid": b.column("src"), "deg": b.column("deg")})
+    return grouped_aggregate(
+        und.map_batches(both, batch_format="pyarrow", zero_copy_batch=True),
+        ["vid"], {"deg": ("count", None)})
 
-    return deg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
+def orient(und, cfg: EngineConfig = DEFAULT):
+    """canonical und (src<dst, each undirected edge ONCE) -> oriented
+    (src, dst, deg_dst) pointing from the lower (degree, vid) rank.
 
-def orient(sym, cfg: EngineConfig = DEFAULT):
-    """sym (both directions present) -> oriented (src, dst, deg_src, deg_dst)
-    with (deg_src, src) < (deg_dst, dst)."""
-    deg = _degrees(sym)
+    Working on the canonical table halves the degree-attach join volume
+    vs the symmetrized 2E form, and orientation becomes a swap instead
+    of a half-discarding filter."""
+    deg = _degrees_canonical(und)
     edge_schema = pa.schema([pa.field("src", pa.int64()),
                              pa.field("dst", pa.int64())])
     deg_schema = pa.schema([pa.field("vid", pa.int64()),
                             pa.field("deg", pa.int64())])
-    j = hash_join(sym, deg, on="src", right_on="vid", num_parts=cfg.num_parts,
+    j = hash_join(und, deg, on="src", right_on="vid", num_parts=cfg.num_parts,
                   right_cols=["deg"], left_schema=edge_schema,
                   right_schema=deg_schema)
     j = j.map_batches(lambda b: b.rename_columns(["src", "dst", "deg_src"]),
@@ -68,13 +75,18 @@ def orient(sym, cfg: EngineConfig = DEFAULT):
     j = j.map_batches(lambda b: b.rename_columns(["dst", "src", "deg_src", "deg_dst"]),
                       batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_forward(b: pa.Table) -> pa.Table:
+    def swap_forward(b: pa.Table) -> pa.Table:
         s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
         ds_, dd = b.column("deg_src").to_numpy(), b.column("deg_dst").to_numpy()
         m = (ds_ < dd) | ((ds_ == dd) & (s < d))
-        return b.filter(pa.array(m)).select(["src", "dst", "deg_dst"])
+        return pa.table({
+            "src": pa.array(np.where(m, s, d)),
+            "dst": pa.array(np.where(m, d, s)),
+            "deg_dst": pa.array(np.where(m, dd, ds_)),
+        })
 
-    return j.map_batches(keep_forward, batch_format="pyarrow", zero_copy_batch=True)
+    return j.map_batches(swap_forward, batch_format="pyarrow",
+                         zero_copy_batch=True)
 
 
 def _wedges(oriented, cfg: EngineConfig):
@@ -125,10 +137,42 @@ def triangles(sym_simple, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", in
     """Input: symmetrized SELF-LOOP-FREE edge table (graph.build.symmetrize
     with drop_self_loops=True).  Returns (per_vertex_ds(vid, triangles),
     global_count) — vertices in no triangle are absent (count 0)."""
-    # sym feeds both the degree aggregate and the orientation join left
-    # side — materialize once or the symmetrize+distinct runs twice
-    sym_simple = sym_simple.materialize()
-    oriented = orient(sym_simple, cfg).materialize()
+
+    def canon(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.less(b["src"], b["dst"]))
+
+    return triangles_canonical(
+        sym_simple.map_batches(canon, batch_format="pyarrow",
+                               zero_copy_batch=True), cfg)
+
+
+def triangles_edges(edges, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", int]:
+    """Triangle count straight from the DIRECTED deduped edge table —
+    canonicalizes (min, max) pairs + distinct at E volume, skipping the
+    2E symmetrize shuffle entirely."""
+    from ..ops.dedup import distinct
+
+    def canon(b: pa.Table) -> pa.Table:
+        s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table({"src": pa.array(np.minimum(s, d)),
+                         "dst": pa.array(np.maximum(s, d))})
+
+    und = distinct(edges.map_batches(canon, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                   ["src", "dst"], num_parts=cfg.num_parts)
+    return triangles_canonical(und, cfg)
+
+
+def triangles_canonical(und, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", int]:
+    """Core: canonical undirected table (src<dst, each edge once)."""
+    # und feeds both the degree aggregate and the orientation join left
+    # side — materialize once or the upstream runs twice
+    und = und.materialize()
+    oriented = orient(und, cfg).materialize()
     o = oriented.select_columns(["src", "dst"])
     w = _wedges(oriented, cfg)
     w_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64()),

@@ -243,11 +243,10 @@ def q_component_sizes(sf_dir: str):
 
 @_q("q_triangles")
 def q_triangles(sf_dir: str):
-    from .graph.triangles import triangles
+    from .graph.triangles import triangles_edges
 
     g = graph_for(sf_dir)
-    per, total = triangles(
-        symmetrize(read_layer(g.edges), drop_self_loops=True))
+    per, total = triangles_edges(read_layer(g.edges))
     return per
 
 

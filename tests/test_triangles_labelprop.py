@@ -5,7 +5,7 @@ import ray.data as rd
 
 from halvesting_geometric_ray.graph.build import symmetrize
 from halvesting_geometric_ray.graph.labelprop import label_propagation
-from halvesting_geometric_ray.graph.triangles import triangles
+from halvesting_geometric_ray.graph.triangles import triangles, triangles_edges
 
 from .oracle import labelprop_oracle, triangles_oracle
 
@@ -25,6 +25,17 @@ def test_triangles_exact_tiny(tiny_graph, tiny_corpus):
     full = np.zeros(n, dtype=np.int64)
     full[got.vid.to_numpy()] = got.triangles.to_numpy()
     assert (full == exp_per).all()
+
+
+def test_triangles_edges_matches_sym_path(tiny_graph):
+    """The directed-input path (canonicalize at E volume, no 2E
+    symmetrize) produces identical per-vertex counts and total."""
+    per_sym, tot_sym = triangles(_sym_simple(tiny_graph))
+    per_e, tot_e = triangles_edges(rd.read_parquet(tiny_graph.edges))
+    assert tot_e == tot_sym
+    a = per_sym.to_pandas().sort_values("vid").reset_index(drop=True)
+    b = per_e.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_triangles_exact_small(small_graph, tmp_path):
