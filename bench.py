@@ -69,7 +69,7 @@ def run_bench() -> dict:
     from halvesting_geometric_ray.graph.triangles import triangles_edges as tri
 
     t2 = time.time()
-    _, cc_info = connected_components(symmetrize(edges), g.offsets, wd,
+    _, cc_info = connected_components(symmetrize(edges, dedup=False), g.offsets, wd,
                                       resume=False)
     t_cc = time.time() - t2
     t3 = time.time()

@@ -114,14 +114,14 @@ def main(argv=None) -> int:
         if args.cmd in ("cc", "all"):
             from .graph.components import connected_components
 
-            _, info = connected_components(symmetrize(edges, cfg), g.offsets,
+            _, info = connected_components(symmetrize(edges, cfg, dedup=False), g.offsets,
                                            args.workdir, cfg)
             out["cc"] = {k: v for k, v in info.items() if k != "iters"}
         if args.cmd == "labelprop":
             from .graph.labelprop import label_propagation
 
             _, info = label_propagation(
-                symmetrize(edges, cfg, drop_self_loops=True), g.offsets,
+                symmetrize(edges, cfg, drop_self_loops=True, dedup=False), g.offsets,
                 args.workdir, cfg, rounds=args.rounds)
             out["labelprop"] = {k: v for k, v in info.items() if k != "iters"}
         if args.cmd in ("triangles", "all"):

@@ -210,9 +210,14 @@ def build_graph(pages_path: str, workdir: str,
                        layers["edges"], meta)
 
 
-def symmetrize(edges, cfg: EngineConfig = DEFAULT, drop_self_loops: bool = False):
+def symmetrize(edges, cfg: EngineConfig = DEFAULT, drop_self_loops: bool = False,
+               dedup: bool = True):
     """Undirected view: union(edges, swapped) + exact dedup (G1 of SURVEY
-    2.6; reference ToUndirected, link_prediction_datamodule.py:124-136)."""
+    2.6; reference ToUndirected, link_prediction_datamodule.py:124-136).
+
+    dedup=False skips the global distinct SHUFFLE — safe when the
+    consumer dedups per co-located key group itself (build_csr_shards
+    dedups (src, dst) inside each shard), which is how CC/LP consume it."""
     def swap(b: pa.Table) -> pa.Table:
         return pa.table({"src": b.column("dst"), "dst": b.column("src")})
 
@@ -224,4 +229,6 @@ def symmetrize(edges, cfg: EngineConfig = DEFAULT, drop_self_loops: bool = False
         sym = sym.map_batches(
             lambda b: b.filter(pc.invert(pc.equal(b["src"], b["dst"]))),
             batch_format="pyarrow", zero_copy_batch=True)
+    if not dedup:
+        return sym
     return distinct(sym, ["src", "dst"], num_parts=cfg.num_parts)

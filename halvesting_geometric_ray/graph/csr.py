@@ -52,6 +52,13 @@ def _shard_table(p: int, lo: int, hi: int, src: np.ndarray, dst: np.ndarray,
     order = np.lexsort((dst, src))
     src = src[order]
     dst = dst[order]
+    if src.size:
+        # exact (src, dst) dedup INSIDE the shard: all copies of a pair
+        # land in the same shard group, so this enforces the simple-graph
+        # invariant without any upstream global distinct — callers may
+        # feed symmetrize(distinct=False) output (saves a 2E shuffle)
+        keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        src, dst = src[keep], dst[keep]
     size = hi - lo
     counts = np.bincount((src - lo).astype(np.int64), minlength=size)
     indptr = np.zeros(size + 1, dtype=np.int64)

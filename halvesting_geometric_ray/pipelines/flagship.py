@@ -35,7 +35,7 @@ def run_flagship(pages_path: str, workdir: str,
     edges = read_layer(g.edges, cfg=cfg)
     ranks, pr_info = pagerank(edges, g.offsets, workdir, cfg)
     labels, cc_info = connected_components(
-        symmetrize(edges, cfg), g.offsets, workdir, cfg)
+        symmetrize(edges, cfg, dedup=False), g.offsets, workdir, cfg)
 
     # top_k rows only ever reach the driver; the vertex- and
     # label-cardinality tables are filtered DISTRIBUTEDLY by a broadcast

@@ -225,7 +225,7 @@ def q_components(sf_dir: str):
 
     g = graph_for(sf_dir)
     labels, _ = connected_components(
-        symmetrize(read_layer(g.edges)), g.offsets, g.workdir)
+        symmetrize(read_layer(g.edges), dedup=False), g.offsets, g.workdir)
     return labels.select_columns(["vid", "label"])
 
 
@@ -236,7 +236,7 @@ def q_component_sizes(sf_dir: str):
 
     g = graph_for(sf_dir)
     labels, _ = connected_components(
-        symmetrize(read_layer(g.edges)), g.offsets, g.workdir)
+        symmetrize(read_layer(g.edges), dedup=False), g.offsets, g.workdir)
     return grouped_aggregate(labels.select_columns(["label"]), ["label"],
                              {"size": ("count", None)})
 
@@ -256,7 +256,7 @@ def q_label_propagation(sf_dir: str):
 
     g = graph_for(sf_dir)
     labels, _ = label_propagation(
-        symmetrize(read_layer(g.edges), drop_self_loops=True),
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
         g.offsets, g.workdir, rounds=5)
     return labels.select_columns(["vid", "label"])
 
