@@ -132,7 +132,10 @@ def run_scaling_worker() -> dict:
     BASELINE.md for the breakdown.
     """
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("HGR_SCALE_PAGES", str(100_000)))
+    # 200k pages: the round-2 extractor is ~4x faster per page, so the
+    # round-1 100k-page job finished in ~9s at 8 CPUs — too short for
+    # fixed session costs not to pollute the scaling ratio
+    n_pages = int(os.environ.get("HGR_SCALE_PAGES", str(200_000)))
     n_edges = int(os.environ.get("HGR_SCALE_EDGES", str(20_000_000)))
     n_vertices = int(os.environ.get("HGR_SCALE_VERTICES", str(2_000_000)))
     pr_iters = int(os.environ.get("HGR_SCALE_ITERS", "10"))
@@ -160,13 +163,18 @@ def run_scaling_worker() -> dict:
     rd.read_parquet(corpus, columns=["html"]).map_batches(
         lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").sum("n")
 
-    out_dir = f"/tmp/hgr_scalebench/outlinks_cpus{num_cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    ext = extract_pages(read_pages(corpus, columns=["url", "html"]),
-                        batch_size=512)
-    outlinks_from_extracted(ext).write_parquet(out_dir)
-    t_extract = time.time() - t0
+    # best-of-2 for both measurements: the low-CPU point shares its few
+    # cores with driver/raylet threads, so single runs jitter ~20%
+    t_extract = None
+    for _rep in range(2):
+        out_dir = f"/tmp/hgr_scalebench/outlinks_cpus{num_cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        ext = extract_pages(read_pages(corpus, columns=["url", "html"]),
+                            batch_size=512)
+        outlinks_from_extracted(ext).write_parquet(out_dir)
+        t = time.time() - t0
+        t_extract = t if t_extract is None else min(t_extract, t)
 
     # PageRank iteration throughput at this level (same fixed input)
     cfg = EngineConfig(num_parts=num_parts)
@@ -175,12 +183,15 @@ def run_scaling_worker() -> dict:
     shards_dir = f"/tmp/hgr_scalebench/csr_e{n_edges}_v{n_vertices}_p{num_parts}"
     build_csr_shards(rd.read_parquet(edges_dir), offsets, shards_dir)  # cached
     wd = f"/tmp/hgr_scalebench/run_cpus{num_cpus}"
-    shutil.rmtree(wd, ignore_errors=True)
-    t0 = time.time()
-    _, info = pagerank(rd.read_parquet(edges_dir), offsets, wd, cfg,
-                       shards_dir=shards_dir, resume=False, tol=0.0,
-                       max_iters=pr_iters, num_actors=num_cpus)
-    t_pr = time.time() - t0
+    t_pr = None
+    for _rep in range(2):
+        shutil.rmtree(wd, ignore_errors=True)
+        t0 = time.time()
+        _, info = pagerank(rd.read_parquet(edges_dir), offsets, wd, cfg,
+                           shards_dir=shards_dir, resume=False, tol=0.0,
+                           max_iters=pr_iters, num_actors=num_cpus)
+        t = time.time() - t0
+        t_pr = t if t_pr is None else min(t_pr, t)
 
     out = {
         "num_cpus": num_cpus,
@@ -228,6 +239,9 @@ def run_scaling() -> dict:
         "n_pages": r_hi["n_pages"],
         "pagerank_eps_iter_lo": r_lo["edges_per_sec_per_iter"],
         "pagerank_eps_iter_hi": r_hi["edges_per_sec_per_iter"],
+        "pagerank_efficiency": round(
+            (r_hi["edges_per_sec_per_iter"]
+             / max(r_lo["edges_per_sec_per_iter"], 1)) / (hi / lo), 3),
         "workload": "link extraction over ~50KB pages (ingest compute); "
                     "pagerank iteration throughput reported alongside",
     }

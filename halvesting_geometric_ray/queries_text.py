@@ -243,14 +243,25 @@ def q_neardup_jaccard(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def grams(b: pa.Table) -> pa.Table:
-        ids, gs = [], []
-        for did, text in zip(b.column("doc_id").to_pylist(),
-                             b.column("text").to_pylist()):
-            u = sorted(set(FD.trigrams(text.split(" "))))
-            ids.extend([did] * len(u))
-            gs.extend(u)
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "gram": pa.array(gs, type=pa.string())})
+        """(doc_id, gram:int64) distinct pairs — grams carried as 63-bit
+        hashes (one vectorized polars hash over the whole batch; int64
+        join keys shuffle far cheaper than gram strings).  Set semantics
+        are identical to string grams barring 2^-63 collisions."""
+        import polars as pl
+
+        ids = b.column("doc_id").to_numpy()
+        all_grams: list = []
+        counts = np.empty(len(ids), dtype=np.int64)
+        for i, text in enumerate(b.column("text").to_pylist()):
+            g = FD.trigrams(text.split(" "))
+            all_grams.extend(g)
+            counts[i] = len(g)
+        h = FD._hash_strs(all_grams)
+        t = pa.table({"doc_id": pa.array(np.repeat(ids, counts),
+                                         type=pa.int64()),
+                      "gram": pa.array(h, type=pa.int64())})
+        out = pl.from_arrow(t).unique(subset=["doc_id", "gram"]).to_arrow()
+        return out.cast(t.schema)
 
     g = ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
     g = g.materialize()
@@ -266,9 +277,9 @@ def q_neardup_jaccard(sf_dir: str):
                        batch_format="pyarrow", zero_copy_batch=True)
     j = hash_join(ga, gb, on="gram", num_parts=DEFAULT.num_parts,
                   left_schema=pa.schema([pa.field("a", pa.int64()),
-                                         pa.field("gram", pa.string())]),
+                                         pa.field("gram", pa.int64())]),
                   right_schema=pa.schema([pa.field("b", pa.int64()),
-                                          pa.field("gram", pa.string())]))
+                                          pa.field("gram", pa.int64())]))
 
     def ordered(b: pa.Table) -> pa.Table:
         a = b.column("a").to_numpy()
