@@ -82,7 +82,8 @@ def knn_cosine(embeddings, query_table: pa.Table, k: int = 5,
             "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         })
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow",
+                                                  retry_exceptions=True)
 
 
 def lsh_bucket_ids(m: np.ndarray, n_planes: int = 8, seed: int = 5) -> np.ndarray:
@@ -149,7 +150,8 @@ def knn_cosine_lsh(embeddings, query_table: pa.Table, k: int = 5,
             "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         })
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow",
+                                                  retry_exceptions=True)
 
 
 def cosine_pairs(embeddings, threshold: float, col: str = "embedding",
@@ -266,4 +268,5 @@ def knn_cosine_ivf(embeddings, query_table: pa.Table, k: int = 5,
             "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
         })
 
-    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final, batch_format="pyarrow",
+                                                  retry_exceptions=True)

@@ -130,7 +130,7 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
         pre_shuffle(edges.map_batches(add_part, batch_format="pyarrow",
                                       zero_copy_batch=True))
         .groupby("part")
-        .map_groups(build, batch_format="pyarrow")
+        .map_groups(build, batch_format="pyarrow", retry_exceptions=True)
         .to_pandas()
     )
     present = set(built["part"].tolist()) if "part" in built.columns else set()

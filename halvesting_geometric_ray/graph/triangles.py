@@ -130,7 +130,8 @@ def _wedges(oriented, cfg: EngineConfig):
 
     return (pre_shuffle(oriented.map_batches(bucket, batch_format="pyarrow",
                                              zero_copy_batch=True))
-            .groupby("__b").map_groups(gen, batch_format="pyarrow"))
+            .groupby("__b").map_groups(gen, batch_format="pyarrow",
+                                       retry_exceptions=True))
 
 
 def triangles(sym_simple, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", int]:

@@ -62,7 +62,7 @@ def assign_dense_ids_hash(ds, key: str, num_parts: int,
         pre_shuffle(ds.map_batches(prep, batch_format="pyarrow",
                                    zero_copy_batch=True))
         .groupby(PART_COL)
-        .map_groups(per_part, batch_format="pyarrow")
+        .map_groups(per_part, batch_format="pyarrow", retry_exceptions=True)
         .materialize()
     )
 

@@ -224,7 +224,8 @@ def q_dedup_exact(sf_dir: str):
 
     return (pre_shuffle(ds.map_batches(add_part, batch_format="pyarrow",
                                        zero_copy_batch=True))
-            .groupby("__p").map_groups(per_part, batch_format="pyarrow"))
+            .groupby("__p").map_groups(per_part, batch_format="pyarrow",
+                                       retry_exceptions=True))
 
 
 # ---- n-gram Jaccard near-dup (SQL-checkable) ---------------------------
@@ -387,7 +388,8 @@ def q_minhash_lsh(sf_dir: str):
     cand = (pre_shuffle(ds.map_batches(bands, batch_format="pyarrow",
                                        zero_copy_batch=True))
             .groupby(["band", "key"])
-            .map_groups(bucket_pairs, batch_format="pyarrow"))
+            .map_groups(bucket_pairs, batch_format="pyarrow",
+                        retry_exceptions=True))
     from .ops.dedup import distinct
 
     cand = distinct(cand, ["a", "b"], num_parts=DEFAULT.num_parts)
@@ -491,7 +493,8 @@ def q_simhash_pairs(sf_dir: str):
     pairs = (pre_shuffle(sh.map_batches(bands, batch_format="pyarrow",
                                         zero_copy_batch=True))
              .groupby(["band", "key"])
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
+             .map_groups(bucket_pairs, batch_format="pyarrow",
+                        retry_exceptions=True))
     return distinct(pairs, ["a", "b"], num_parts=DEFAULT.num_parts)
 
 
