@@ -76,10 +76,21 @@ def split_domain_batch(arr: pa.Array) -> pa.Array:
 
 def build_metadata_graph(meta_path: str, workdir: str,
                          langs: Optional[List[str]] = None,
-                         cfg: EngineConfig = DEFAULT) -> Dict[str, "rd.Dataset"]:
+                         cfg: EngineConfig = DEFAULT,
+                         id_mode: str = "sorted") -> Dict[str, "rd.Dataset"]:
     """Returns the node/edge tables as Datasets (also written as Parquet
     layers under workdir): papers, authors, affiliations, domains,
-    writes, affiliated_with, has_topic."""
+    writes, affiliated_with, has_topic.
+
+    id_mode: paper-id assignment.  "sorted" (default) reproduces the
+    reference's row_number-over-sorted-halid ids exactly (SQL-oracle
+    parity) but funnels the paper key set through one sort task;
+    "hash" is the scale path — hash-partitioned dense ids with
+    contiguous per-partition ranges (ops.ids.assign_dense_ids_hash),
+    same graph up to a paper-id relabeling.  Dimension tables
+    (authors/affiliations/domains) always use sorted ids."""
+    if id_mode not in ("sorted", "hash"):
+        raise ValueError(id_mode)
     os.makedirs(workdir, exist_ok=True)
     meta = read_meta(meta_path)
     if langs:
@@ -93,8 +104,17 @@ def build_metadata_graph(meta_path: str, workdir: str,
         lambda b: b.filter(pc.not_equal(b["title"], ""))
         .select(["halid", "title", "lang", "year"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    papers_ids = assign_dense_ids_sorted(papers_src.select_columns(["halid"]),
-                                         "halid", id_col="paper_idx").materialize()
+    if id_mode == "hash":
+        from ..ops.ids import assign_dense_ids_hash
+
+        papers_ids, _ = assign_dense_ids_hash(
+            papers_src.select_columns(["halid"]), "halid", cfg.num_parts,
+            id_col="paper_idx")
+        papers_ids = papers_ids.select_columns(["halid", "paper_idx"]).materialize()
+    else:
+        papers_ids = assign_dense_ids_sorted(
+            papers_src.select_columns(["halid"]), "halid",
+            id_col="paper_idx").materialize()
     # papers is the reference's 18.6M-row table
     # (link_prediction_dataset.py:54) — the one node table that is NOT a
     # dimension, so attributes attach via a partitioned hash_join, never

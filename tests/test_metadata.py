@@ -89,6 +89,34 @@ def test_edge_tables(meta_graph, oracle):
     assert set(zip(ht.paper_idx, ht.domain_idx)) == oracle["has_topic"]
 
 
+def test_hash_id_mode_isomorphic(tmp_path_factory, oracle):
+    """id_mode='hash' (the scale path) yields the same graph up to a
+    paper-id relabeling: identical node/edge counts, dense 0..N-1 paper
+    ids, and identical (halid -> author) edge structure."""
+    path = ensure_meta_jsonl(N, SEED)
+    wd = str(tmp_path_factory.mktemp("metagraph_hash"))
+    g = build_metadata_graph(path, wd, langs=["en", "fr"], id_mode="hash")
+
+    papers = g["papers"].to_pandas()
+    assert sorted(papers.halid) == oracle["papers"]
+    assert sorted(papers.paper_idx) == list(range(len(oracle["papers"])))
+
+    writes = g["writes"].to_pandas()
+    assert len(writes) == len(oracle["writes"])
+    # relabel via the halid<->paper_idx bijection and compare structure
+    idx2hal = dict(zip(papers.paper_idx, papers.halid))
+    srt = sorted(oracle["papers"])
+    hal2ref = {h: i for i, h in enumerate(srt)}
+    relabeled = {(a, hal2ref[idx2hal[p]])
+                 for a, p in zip(writes.author_idx, writes.paper_idx)}
+    assert relabeled == oracle["writes"]
+
+    ht = g["has_topic"].to_pandas()
+    relabeled_ht = {(hal2ref[idx2hal[p]], d)
+                    for p, d in zip(ht.paper_idx, ht.domain_idx)}
+    assert relabeled_ht == oracle["has_topic"]
+
+
 def test_domain_split_and_filters(meta_graph):
     doms = meta_graph["domains"].to_pandas()
     assert not doms.domain.str.contains(r"\.").any()  # "cs.AI" -> "cs"
