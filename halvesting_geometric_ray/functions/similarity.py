@@ -188,6 +188,74 @@ def cosine_pairs(embeddings, threshold: float, col: str = "embedding",
                           batch_size=2048)
 
 
+def cosine_pairs_lsh(embeddings, threshold: float, col: str = "embedding",
+                     n_planes: int = 3, n_tables: int = 12,
+                     bucket_cap: int = 4096, seed: int = 5):
+    """All pairs with cosine >= threshold, the SCALE path: random-
+    hyperplane bucketing (n_tables independent tables), within-bucket
+    exact pair computation, global distinct.  Never materializes the
+    corpus matrix anywhere — the shuffle ships each (normalized) vector
+    n_tables times into its buckets.
+
+    Recall ~ 1-(1-p^n_planes)^n_tables with p = 1 - theta/pi; tune
+    n_planes UP as the corpus grows (bucket size ~ N / 2^n_planes).
+    Buckets above bucket_cap are truncated deterministically (lowest
+    vec_ids kept) with a logged drop — the hot-bucket guard."""
+    from ..ops.dedup import distinct
+
+    def bands(b: pa.Table) -> pa.Table:
+        ids, m = _mat(b, col)
+        mn = _norm(m)
+        n = len(ids)
+        tabs, bks, out_ids, out_emb = [], [], [], []
+        for t in range(n_tables):
+            bk = lsh_bucket_ids(mn, n_planes, seed=seed + t)
+            tabs.append(np.full(n, t, dtype=np.int32))
+            bks.append(bk)
+            out_ids.append(ids)
+            out_emb.append(mn)
+        emb = np.concatenate(out_emb, axis=0)
+        return pa.table({
+            "t": pa.array(np.concatenate(tabs)),
+            "bk": pa.array(np.concatenate(bks)),
+            "vec_id": pa.array(np.concatenate(out_ids)),
+            "emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), type=pa.float64()), emb.shape[1]),
+        })
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(g.select(["vec_id", "emb"]))
+              .unique(subset=["vec_id"]).sort("vec_id"))
+        ids = df["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        if len(ids) > bucket_cap:
+            import logging
+
+            logging.getLogger("halvesting_geometric_ray.lsh").warning(
+                "hot cosine-LSH bucket: %d > cap %d; truncating",
+                len(ids), bucket_cap)
+            ids = ids[:bucket_cap]
+            df = df.head(bucket_cap)
+        m = np.asarray([np.asarray(v) for v in df["emb"].to_numpy()])
+        sims = m @ m.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+        return pa.table({"a": pa.array(ids[ii].astype(np.int64)),
+                         "b": pa.array(ids[jj].astype(np.int64))})
+
+    from ..ops._util import pre_shuffle
+
+    cand = (pre_shuffle(embeddings.map_batches(
+        bands, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby(["t", "bk"])
+        .map_groups(per_bucket, batch_format="pyarrow",
+                    retry_exceptions=True))
+    return distinct(cand, ["a", "b"], num_parts=16)
+
+
 def ivf_centroids(embeddings, n_centroids: int = 16, col: str = "embedding",
                   seed: int = 13, iters: int = 5, sample_size: int = 4096):
     """Coarse quantizer for IVF: k-means (Lloyd) on a seeded sample,

@@ -354,6 +354,39 @@ def q_tumbling_window(sf_dir: str):
     return _to_cents(out, ["value_cents"])
 
 
+@_q("q_sliding_window",
+    "WITH g AS (SELECT user_id, value, "
+    "CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) AS q FROM events), "
+    "e AS (SELECT user_id, value, q - o AS w FROM g, "
+    "UNNEST([0, 1, 2, 3]) AS u(o)) "
+    "SELECT user_id, w AS window_start_q, count(*) AS n_events, "
+    "CAST(round(sum(value) * 100) AS BIGINT) AS value_cents "
+    "FROM e GROUP BY user_id, w")
+def q_sliding_window(sf_dir: str):
+    """Sliding 1h windows stepping 15min per user: each event lands in
+    exactly 4 quarter-hour-aligned windows — a vectorized 4x explode,
+    then the standard grouped aggregate (no per-window state; empty
+    windows absent)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def expand(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy()
+        q = np.floor_divide(us, 900_000_000)
+        uid = b.column("user_id").to_numpy()
+        val = b.column("value").to_numpy()
+        n = len(q)
+        w = np.concatenate([q - o for o in range(4)])
+        return pa.table({"user_id": pa.array(np.tile(uid, 4)),
+                         "window_start_q": pa.array(w),
+                         "value": pa.array(np.tile(val, 4))})
+
+    out = grouped_aggregate(
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "window_start_q"],
+        {"n_events": ("count", None), "value_cents": ("sum", "value")})
+    return _to_cents(out, ["value_cents"])
+
+
 @_q("q_sessionize",
     "WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
     "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "

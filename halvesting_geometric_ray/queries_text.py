@@ -563,6 +563,22 @@ def q_binary_decode(sf_dir: str):
     return out.select_columns(["url", "n_bytes", "width", "height"])
 
 
+@_q("q_embed_neardup_lsh")
+def q_embed_neardup_lsh(sf_dir: str):
+    """Scale path for embedding near-dup: hyperplane-bucketed exact
+    pairs (no corpus-matrix broadcast); subset + recall vs the exact
+    q_embed_neardup pairs asserted in pytest."""
+    import pyarrow.compute as pc
+
+    from .functions.similarity import cosine_pairs_lsh
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], 500)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cosine_pairs_lsh(emb, 0.4)
+
+
 @_q("q_knn_cosine_ivf")
 def q_knn_cosine_ivf(sf_dir: str):
     """IVF-bucketed approximate kNN (inverted-file scale path); recall

@@ -185,6 +185,49 @@ def test_binary_decode_stub():
         DecodeStage(mode="real")(None)
 
 
+def test_embed_neardup_lsh_recall():
+    """LSH pairs are a subset of the exact pairs with decent recall
+    (n_planes=3 x 12 tables -> ~0.97 expected at sim=0.4)."""
+    exact = _pdf(QUERIES["q_embed_neardup"](SF))
+    lsh = _pdf(QUERIES["q_embed_neardup_lsh"](SF))
+    e = set(zip(exact.a, exact.b))
+    l = set(zip(lsh.a, lsh.b))
+    assert l <= e
+    assert len(e) > 0
+    assert len(l & e) >= 0.8 * len(e)
+
+
+def test_cosine_pairs_lsh_planted_cluster():
+    """Planted near-identical vectors are all recovered, and a planted
+    hot bucket (many near-dups) stays within the cap guard."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.similarity import (
+        cosine_pairs, cosine_pairs_lsh)
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal(64)
+    dups = base[None, :] + 0.01 * rng.standard_normal((40, 64))
+    others = rng.standard_normal((200, 64))
+    m = np.concatenate([dups, others], axis=0)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(m)), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), type=pa.float64()), 64)})
+    ds = rd.from_arrow(t)
+    got = set(map(tuple, cosine_pairs_lsh(ds, 0.95, n_planes=4, n_tables=12)
+                  .to_pandas().to_numpy()))
+    exp = set(map(tuple,
+                  cosine_pairs(ds, 0.95).to_pandas().to_numpy()))
+    # every planted near-dup pair (sim ~0.999) must be recovered
+    planted = {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    assert planted <= exp
+    assert planted <= got
+    assert got <= exp
+
+
 def test_knn_ivf_recall():
     exact = _pdf(QUERIES["q_knn_cosine"](SF))
     approx = _pdf(QUERIES["q_knn_cosine_ivf"](SF))
