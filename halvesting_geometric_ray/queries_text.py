@@ -579,6 +579,29 @@ def q_embed_neardup_lsh(sf_dir: str):
     return cosine_pairs_lsh(emb, 0.4)
 
 
+@_q("q_frame_sample")
+def q_frame_sample(sf_dir: str):
+    """Row-expanding multimodal stage: n_frames rows per payload with
+    per-frame binary slices (fake sampler; real decoder drops in)."""
+    from .functions.multimodal import frame_sample
+    from .queries_graph import _scale_for
+    from .fixtures import ensure_pages_parquet
+
+    pages = rd.read_parquet(ensure_pages_parquet(_scale_for(sf_dir), 123),
+                            columns=["url", "html"])
+    out = frame_sample(pages, id_col="url", payload_col="html", n_frames=4)
+
+    def head(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"url": b.column("url"),
+                         "frame_idx": b.column("frame_idx"),
+                         "frame_bytes": pc.binary_length(b.column("frame"))
+                         .cast(pa.int64())})
+
+    return out.map_batches(head, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_knn_cosine_ivf")
 def q_knn_cosine_ivf(sf_dir: str):
     """IVF-bucketed approximate kNN (inverted-file scale path); recall

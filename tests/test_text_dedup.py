@@ -173,6 +173,40 @@ def test_fingerprint_deterministic():
     assert a.fingerprint.nunique() > 1
 
 
+def test_multimodal_resize_and_frames():
+    """Plumbing for the resize and frame-sample stages: deterministic
+    fake output with the contracted schema/shapes; real mode raises."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.multimodal import (
+        FrameSampleStage, ResizeStage, frame_sample, resize_binary)
+
+    payloads = [bytes(range(200)), b"xy", b""]
+    t = pa.table({"url": pa.array(["a", "b", "c"]),
+                  "html": pa.array(payloads, type=pa.binary())})
+    ds = rd.from_arrow(t)
+
+    rz = resize_binary(ds, out_w=8, out_h=4).to_pandas().set_index("url")
+    assert (rz.out_w == 8).all() and (rz.out_h == 4).all()
+    assert all(len(x) == 32 for x in rz.resized)
+    rz2 = resize_binary(ds, out_w=8, out_h=4).to_pandas().set_index("url")
+    assert (rz.loc["a", "resized"] == rz2.loc["a", "resized"])  # deterministic
+
+    fr = frame_sample(ds, n_frames=4).to_pandas()
+    assert len(fr[fr.url == "a"]) == 4
+    assert fr[fr.url == "a"].frame_idx.tolist() == [0, 1, 2, 3]
+    assert len(fr[fr.url == "b"]) == 2  # payload shorter than n_frames
+    assert len(fr[fr.url == "c"]) == 1  # empty payload -> one empty frame
+
+    with _pt.raises(NotImplementedError):
+        ResizeStage(mode="real")(t)
+    with _pt.raises(NotImplementedError):
+        FrameSampleStage(mode="real")(t)
+
+
 def test_binary_decode_stub():
     out = _pdf(QUERIES["q_binary_decode"](SF))
     assert len(out) > 0
