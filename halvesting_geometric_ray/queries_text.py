@@ -412,8 +412,17 @@ def q_minhash_lsh(sf_dir: str):
         b_col = b.column("b").to_pylist()
         ta_col = b.column("text_a").to_pylist()
         tb_col = b.column("text").to_pylist()
+        memo: Dict[int, np.ndarray] = {}  # doc id -> gram hashes: a doc
+        # in a dup cluster appears in many candidate pairs per batch
+
+        def grams_of(doc, text):
+            g = memo.get(doc)
+            if g is None:
+                g = memo[doc] = FD.trigram_hashes(text)
+            return g
+
         for a, bb, ta, tb in zip(a_col, b_col, ta_col, tb_col):
-            ja = FD.jaccard(FD.trigram_hashes(ta), FD.trigram_hashes(tb))
+            ja = FD.jaccard(grams_of(a, ta), grams_of(bb, tb))
             if ja >= 0.5:
                 a_ids.append(a)
                 b_ids.append(bb)
