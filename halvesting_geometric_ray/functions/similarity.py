@@ -232,15 +232,23 @@ def cosine_pairs_lsh(embeddings, threshold: float, col: str = "embedding",
         if len(ids) < 2:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
+        m = np.asarray([np.asarray(v) for v in df["emb"].to_numpy()])
         if len(ids) > bucket_cap:
+            # hot bucket (near-dup mega-cluster): compare every member
+            # only to the bucket-min representative — O(n) dot products,
+            # same star policy as the MinHash/SimHash guards; cluster
+            # members still link through the representative downstream
             import logging
 
             logging.getLogger("halvesting_geometric_ray.lsh").warning(
-                "hot cosine-LSH bucket: %d > cap %d; truncating",
+                "hot cosine-LSH bucket: %d > cap %d; star comparison",
                 len(ids), bucket_cap)
-            ids = ids[:bucket_cap]
-            df = df.head(bucket_cap)
-        m = np.asarray([np.asarray(v) for v in df["emb"].to_numpy()])
+            s = m[1:] @ m[0]
+            keep = s >= threshold
+            return pa.table({
+                "a": pa.array(np.full(int(keep.sum()), ids[0],
+                                      dtype=np.int64)),
+                "b": pa.array(ids[1:][keep].astype(np.int64))})
         sims = m @ m.T
         ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
         return pa.table({"a": pa.array(ids[ii].astype(np.int64)),

@@ -264,6 +264,9 @@ def connected_components(sym_edges, offsets: np.ndarray, workdir: str,
             lp_refs, pj_refs = pending.pop(kk)
             lp = int(sum(ray.get(lp_refs)))
             pj = int(sum(ray.get(pj_refs)))
+            # wall_sec is CUMULATIVE since loop start (same convention
+            # as PageRank's pipelined commit — rounds overlap, so
+            # per-round walls are not individually observable)
             metrics = {"iter": kk, "changed": lp + pj, "lp_changed": lp,
                        "pj_changed": pj,
                        "wall_sec": round(time.time() - t_start, 4)}

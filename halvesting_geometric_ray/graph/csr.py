@@ -87,6 +87,11 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
     Partitions with no out-edges get an empty shard (their vertices are
     dangling) so every vid range is covered.
 
+    SIMPLE-GRAPH CONTRACT: duplicate (src, dst) rows are dropped inside
+    each shard (the engine's edge tables are exact-deduped per the north
+    rule; this also lets symmetrize(dedup=False) skip its shuffle).  Do
+    NOT feed multigraphs expecting multiplicity-as-weight semantics.
+
     `lineage` (edge-set provenance: self-loop flag, vertex count, ...) is
     stored in the done-marker; a marker written under a DIFFERENT lineage
     forces a rebuild instead of silently reusing foreign shards.
@@ -105,6 +110,10 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
             prev = None
         if prev == stamp:
             return shard_descriptors(out_dir, offsets)
+        # lineage mismatch: drop the stale marker BEFORE rebuilding — a
+        # crash mid-rebuild must not leave the old stamp next to a mix of
+        # old and new shard files
+        os.remove(done)
     os.makedirs(out_dir, exist_ok=True)
     off = offsets
 

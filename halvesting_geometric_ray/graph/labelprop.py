@@ -197,6 +197,7 @@ def label_propagation(sym_edges, offsets: np.ndarray, workdir: str,
 
         def commit(kk: int) -> None:
             changed = int(sum(ray.get(pending.pop(kk))))
+            # wall_sec cumulative since loop start (pipelined rounds)
             metrics = {"iter": kk, "changed": changed,
                        "wall_sec": round(time.time() - t_start, 4)}
             ckpt.commit_iter(kk, metrics, list(range(num_parts)))

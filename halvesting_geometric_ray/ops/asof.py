@@ -98,18 +98,35 @@ def asof_join(left, right, *, on: str, right_on: str,
         + [pa.field(c, r_schema.field(c).type) for c in right_cols])
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
         import pandas as pd
+        import pyarrow.compute as pc
 
-        df = g.drop_columns([_BUCKET]).to_pandas()
-        lhs = df[df[_SIDE] == 0][[by, "__lt"] + left_cols] \
-            .sort_values("__lt", kind="mergesort")
-        rhs = df[df[_SIDE] == 1][[by, _RT] + right_cols] \
-            .sort_values(_RT, kind="mergesort")
-        m = pd.merge_asof(lhs, rhs, left_on="__lt", right_on=_RT,
+        # split sides in ARROW first: the union table pads each side's
+        # missing columns with nulls, and a whole-table to_pandas() would
+        # coerce null-padded int64 columns to float64 (corrupting ids
+        # beyond 2^53); per-side slices are null-free and keep int64
+        side = g.column(_SIDE)
+        lhs = (g.filter(pc.equal(side, 0))
+               .select([by, "__lt"] + left_cols).to_pandas()
+               .sort_values("__lt", kind="mergesort"))
+        rhs = (g.filter(pc.equal(side, 1))
+               .select([by, _RT] + right_cols).to_pandas()
+               .sort_values(_RT, kind="mergesort").reset_index(drop=True))
+        # merge only a positional index into the right side: merge_asof
+        # coerces matched columns to float64 when any left row is
+        # unmatched (NaN), silently corrupting int64 payloads > 2^53 —
+        # gathering payload rows by position afterwards avoids that
+        rix = rhs[[by, _RT]].copy()
+        rix["__ri"] = np.arange(len(rix), dtype=np.int64)
+        m = pd.merge_asof(lhs, rix, left_on="__lt", right_on=_RT,
                           by=by, direction="backward",
                           allow_exact_matches=allow_exact_matches)
-        m = m.dropna(subset=[_RT])
-        out = m[[by] + left_cols + right_cols]
+        m = m.dropna(subset=["__ri"])
+        ri = m["__ri"].to_numpy().astype(np.int64)
+        out = m[[by] + left_cols].reset_index(drop=True)
+        picked = rhs.iloc[ri][right_cols].reset_index(drop=True)
+        out = pd.concat([out, picked], axis=1)
         return cast_like(pa.Table.from_pandas(out, preserve_index=False),
                          out_schema)
 
@@ -132,18 +149,29 @@ def broadcast_asof(left, right_table: pa.Table, *, on: str, right_on: str,
     r_fields = [right_table.schema.field(c) for c in right_cols]
 
     def asof(batch: pa.Table) -> pa.Table:
+        import numpy as np
         import pandas as pd
 
         right = _bcast_get(
-            ref, lambda t: t.to_pandas().sort_values(right_on,
-                                                     kind="mergesort"))
+            ref, lambda t: t.to_pandas().sort_values(
+                right_on, kind="mergesort").reset_index(drop=True))
         b = batch.to_pandas().sort_values(on, kind="mergesort")
-        m = pd.merge_asof(b, right, left_on=on, right_on=right_on,
+        # positional-index merge (see asof_join.per_bucket): avoids the
+        # NaN-driven float64 coercion of int64 right payloads
+        rix = right[[right_by, right_on]].copy()
+        rix["__ri"] = np.arange(len(rix), dtype=np.int64)
+        if rix[right_on].dtype != b[on].dtype:
+            # e.g. timestamp unit mismatch (ns vs us) across sources
+            rix[right_on] = rix[right_on].astype(b[on].dtype)
+        m = pd.merge_asof(b, rix, left_on=on, right_on=right_on,
                           left_by=by, right_by=right_by,
                           direction="backward",
                           allow_exact_matches=allow_exact_matches)
-        m = m.dropna(subset=[right_on])
-        out = m[[by] + left_cols + right_cols]
+        m = m.dropna(subset=["__ri"])
+        ri = m["__ri"].to_numpy().astype(np.int64)
+        out = pd.concat([m[[by] + left_cols].reset_index(drop=True),
+                         right.iloc[ri][right_cols].reset_index(drop=True)],
+                        axis=1)
         want = pa.schema([batch.schema.field(by)]
                          + [batch.schema.field(c) for c in left_cols]
                          + r_fields)

@@ -126,6 +126,11 @@ def hash_join(left, right, on, right_on=None,
 
     if salt > 1 and join_type not in ("inner", "semi", "anti"):
         raise ValueError("salt>1 requires inner/semi/anti join")
+    if salt > 1 and bucket_post is not None:
+        # bucket_post's contract is "all rows of a key in one bucket";
+        # salting splits a key across sub-buckets, so per-bucket
+        # post-processing (e.g. dedup) would silently stop being global
+        raise ValueError("bucket_post cannot be combined with salt>1")
 
     tagged = left.map_batches(tag(0, keys, l_payload), batch_format="pyarrow",
                               zero_copy_batch=True).union(
@@ -159,7 +164,9 @@ def hash_join(left, right, on, right_on=None,
 # worker processes persist across tasks, so this cache gives actor-style
 # amortization of the arrow->polars conversion without the pool.
 _BCAST_CACHE: dict = {}
-_BCAST_CACHE_MAX = 32
+_BCAST_CACHE_MAX = 8  # bound per-worker heap: entries are converted
+# dimension tables (KB-100MB); 8 x worst-case stays well under a worker
+# heap while still amortizing the busy stages' conversions
 
 
 def _bcast_get(ref, build):

@@ -108,10 +108,22 @@ def graph_for(sf_dir: str) -> GraphLayers:
     return build_graph(pages, wd)
 
 
+def gate_graph() -> GraphLayers:
+    """The FIXED gate-scale corpus graph (n=500) used by every
+    SQL-oracled conformance query: the oracle SQL embeds the n=500
+    fixture-truth paths, so the paired queries must run on that exact
+    corpus regardless of sf tier (the sf-scaled variants —
+    q_graph_vertices/q_graph_edges/etc. — stay rows-only)."""
+    pages = ensure_pages_parquet(_GATE_N, _SEED)
+    wd = os.path.join("/tmp/hgr_querygraph", f"n{_GATE_N}_seed{_SEED}")
+    return build_graph(pages, wd)
+
+
 @_q("q_extract_links")
 def q_extract_links(sf_dir: str):
-    """Per-page extraction head: url, byte length of text, outlink count."""
-    g = graph_for(sf_dir)
+    """Per-page extraction head: url, byte length of text, outlink count.
+    Gate-pinned corpus (oracle reads the n=500 fixture truth)."""
+    g = gate_graph()
     ext = read_layer(g.extracted)
 
     def stats(b: pa.Table) -> pa.Table:
@@ -140,8 +152,9 @@ def q_graph_edges(sf_dir: str):
 
 @_q("q_vertex_urls")
 def q_vertex_urls(sf_dir: str):
-    """Vertex SET parity (oracle: union of page urls + anchor targets)."""
-    g = graph_for(sf_dir)
+    """Vertex SET parity (oracle: union of page urls + anchor targets);
+    gate-pinned corpus."""
+    g = gate_graph()
     return read_layer(g.vertices, columns=["url"])
 
 
@@ -152,11 +165,15 @@ def q_vertex_id_props(sf_dir: str):
     not SQL-reproducible."""
     from .ops.dedup import distinct
 
-    g = graph_for(sf_dir)
+    g = gate_graph()
     vids = read_layer(g.vertices, columns=["vid"])
 
     def partial(b: pa.Table) -> pa.Table:
         v = b.column("vid").to_numpy()
+        if len(v) == 0:  # block re-splitting can deliver empty batches
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "mx": pa.array([], type=pa.int64())})
         return pa.table({"n": pa.array([len(v)], type=pa.int64()),
                          "mn": pa.array([int(v.min())], type=pa.int64()),
                          "mx": pa.array([int(v.max())], type=pa.int64())})
@@ -178,7 +195,7 @@ def q_edge_urls(sf_dir: str):
     vertex table; must equal the distinct authored anchor pairs."""
     from .ops.join import hash_join
 
-    g = graph_for(sf_dir)
+    g = gate_graph()
     edges = read_layer(g.edges)
     v = read_layer(g.vertices, columns=["url", "vid"])
     e_schema = pa.schema([pa.field("src", pa.int64()),
@@ -252,7 +269,7 @@ def q_component_size_distribution(sf_dir: str):
     from .graph.components import connected_components
     from .ops.agg import grouped_aggregate
 
-    g = graph_for(sf_dir)
+    g = gate_graph()
     labels, _ = connected_components(
         symmetrize(read_layer(g.edges), dedup=False), g.offsets, g.workdir)
     sizes = grouped_aggregate(labels.select_columns(["label"]), ["label"],
@@ -295,10 +312,10 @@ def q_label_propagation(sf_dir: str):
 
 @_q("q_degree_distribution")
 def q_degree_distribution(sf_dir: str):
-    """Out-degree histogram — the hub-skew diagnostic."""
+    """Out-degree histogram — the hub-skew diagnostic (gate-pinned)."""
     from .ops.agg import grouped_aggregate
 
-    g = graph_for(sf_dir)
+    g = gate_graph()
     edges = read_layer(g.edges, columns=["src"])
     deg = grouped_aggregate(edges, ["src"], {"outdeg": ("count", None)})
     return grouped_aggregate(deg.select_columns(["outdeg"]), ["outdeg"],
@@ -313,7 +330,7 @@ def q_host_counts(sf_dir: str):
 
     from .ops.agg import grouped_aggregate
 
-    g = graph_for(sf_dir)
+    g = gate_graph()
     urls = read_layer(g.vertices, columns=["url"])
 
     def host(b: pa.Table) -> pa.Table:

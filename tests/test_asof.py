@@ -83,6 +83,39 @@ def test_broadcast_asof_matches_bucketed():
     pd.testing.assert_frame_equal(_norm(bk), _oracle(left, right))
 
 
+def test_asof_int64_payload_above_2_53_exact():
+    """Right payloads > 2^53 survive exactly: merge_asof's NaN-driven
+    float64 coercion must not round matched int64 ids (regression —
+    positional-index merge)."""
+    big = (1 << 60) + 1
+    left = pd.DataFrame({
+        "event_id": [1, 2], "user_id": np.array([7, 7], dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-05"])})
+    right = pd.DataFrame({
+        "o_custkey": np.array([7], dtype="int64"),
+        "o_orderdate": pd.to_datetime(["2024-01-03"]),
+        "big_id": np.array([big], dtype="int64")})
+    r_schema = pa.schema([pa.field("o_custkey", pa.int64()),
+                          pa.field("o_orderdate", TS),
+                          pa.field("big_id", pa.int64())])
+    got = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        on="ts", right_on="o_orderdate", by="user_id", right_by="o_custkey",
+        left_cols=["event_id"], right_cols=["big_id"],
+        left_schema=L_SCHEMA, right_schema=r_schema).to_pandas()
+    # event 1 predates every order (unmatched -> NaN in the merge);
+    # event 2 matches and must carry the EXACT id
+    assert got.event_id.tolist() == [2]
+    assert got.big_id.tolist() == [big]
+
+    bc = broadcast_asof(
+        rd.from_pandas(left),
+        pa.Table.from_pandas(right, preserve_index=False).cast(r_schema),
+        on="ts", right_on="o_orderdate", by="user_id", right_by="o_custkey",
+        left_cols=["event_id"], right_cols=["big_id"]).to_pandas()
+    assert bc.big_id.tolist() == [big]
+
+
 def test_asof_keys_without_matches_dropped():
     left = pd.DataFrame({
         "event_id": [1, 2], "user_id": np.array([1, 2], dtype="int64"),
