@@ -102,6 +102,22 @@ def q_quality(sf_dir: str):
         FT.quality_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_top_docs_per_lang",
+    "SELECT doc_id, lang, n_chars, rnk FROM ("
+    "SELECT doc_id, lang, n_chars, row_number() OVER "
+    "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk "
+    "FROM documents) WHERE rnk <= 3")
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k operator (ops/topk.py): top-3 docs per language by
+    n_chars — two-level per-key candidate pruning, shuffle volume
+    <= k x keys x blocks, never a global sort."""
+    from .ops.topk import grouped_top_k
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return grouped_top_k(ds, ["lang"], "n_chars", k=3,
+                         tie_break=["doc_id"], num_parts=DEFAULT.num_parts)
+
+
 @_q("q_pii_scrub",
     f"SELECT doc_id, regexp_replace(regexp_replace(text, "
     f"'{FT.EMAIL_RE}', '<EMAIL>', 'g'), '{FT.PHONE_RE}', '<PHONE>', 'g') "
