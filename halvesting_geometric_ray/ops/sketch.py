@@ -1,0 +1,74 @@
+"""Sketch aggregates: HyperLogLog distinct counting.
+
+The exact-distinct path (ops/dedup.distinct + count) shuffles every
+distinct key; at 10^12 keys that is the single biggest exchange in a
+dedup-style pipeline.  HLL replaces it with a fixed 2^p-byte register
+array per batch, merged by elementwise max — no shuffle at all, one
+tiny driver reduce.  Standard bias-corrected estimator (Flajolet et al.
+2007) with the linear-counting small-range correction; relative error
+~ 1.04 / sqrt(2^p) (p=14 -> ~0.8%).
+
+Accuracy is certified by pytest against exact counts (no SQL oracle:
+DuckDB's approx_count_distinct is a different HLL implementation and
+will not hash-match).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+
+
+def _registers_for(h: np.ndarray, p: int) -> np.ndarray:
+    """Register array (2^p, uint8) for a batch of 63-bit hashes."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if h.size == 0:
+        return regs
+    hv = h.astype(np.uint64)
+    idx = (hv >> np.uint64(63 - p)).astype(np.int64)  # top p of 63 bits
+    rest = (hv << np.uint64(p + 1)) >> np.uint64(p + 1)  # low 63-p bits
+    # rank = leading zeros of `rest` within its (63-p)-bit window, + 1.
+    # bit_length via np.frexp exponent — exact for integers < 2^53,
+    # guaranteed by requiring p >= 11 (rest < 2^52)
+    if p < 11:
+        raise ValueError("p >= 11 required (frexp exactness window)")
+    w = 63 - p
+    _, nbits = np.frexp(rest.astype(np.float64))
+    rank = (w - nbits + 1).astype(np.int64)
+    rank[rest == 0] = w + 1
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(
+        np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def hll_count_distinct(ds, col: str, p: int = 14) -> int:
+    """Approximate COUNT(DISTINCT col) with ~1.04/sqrt(2^p) error.
+
+    Per-batch register arrays (2^p bytes) merged by max — constant
+    communication regardless of cardinality."""
+    def partial(b: pa.Table) -> pa.Table:
+        h = np.asarray(stable_hash64(b.column(col)))
+        regs = _registers_for(h, p)
+        return pa.table({"regs": pa.array([regs],
+                                          type=pa.list_(pa.uint8()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        col_ = b.column("regs")
+        for row in col_:
+            merged = np.maximum(merged, np.asarray(row.values))
+    return int(round(_estimate(merged)))

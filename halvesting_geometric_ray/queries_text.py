@@ -604,6 +604,21 @@ def q_embed_neardup_lsh(sf_dir: str):
     return cosine_pairs_lsh(emb, 0.4)
 
 
+@_q("q_hll_distinct")
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct counts (ops/sketch.py) — the
+    shuffle-free alternative to exact distinct at 10^12-key scale;
+    <5%-error accuracy certified in tests/test_sketch.py."""
+    from .ops.sketch import hll_count_distinct
+
+    docs = _docs(sf_dir, ["text", "lang"])
+    return pd.DataFrame({
+        "column": ["text", "lang"],
+        "approx_distinct": pd.array(
+            [hll_count_distinct(docs, "text"),
+             hll_count_distinct(docs, "lang")], dtype="int64")})
+
+
 @_q("q_frame_sample")
 def q_frame_sample(sf_dir: str):
     """Row-expanding multimodal stage: n_frames rows per payload with

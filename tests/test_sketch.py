@@ -1,0 +1,41 @@
+"""HyperLogLog distinct-count sketch vs exact counts."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from halvesting_geometric_ray.ops.sketch import hll_count_distinct
+
+
+def test_hll_accuracy_across_cardinalities():
+    rng = np.random.default_rng(2)
+    for true_n in (50, 1000, 100_000):
+        vals = rng.choice(10**12, size=true_n, replace=False)
+        # duplicate every value ~3x so the sketch must actually dedup
+        data = np.concatenate([vals, rng.choice(vals, size=2 * true_n)])
+        rng.shuffle(data)
+        ds = rd.from_pandas(pd.DataFrame({"v": data})).repartition(8)
+        est = hll_count_distinct(ds, "v", p=14)
+        rel = abs(est - true_n) / true_n
+        assert rel < 0.05, (true_n, est, rel)
+
+
+def test_hll_deterministic_and_merge_order_free():
+    vals = pd.DataFrame({"v": np.arange(5000, dtype=np.int64)})
+    a = hll_count_distinct(rd.from_pandas(vals).repartition(2), "v")
+    b = hll_count_distinct(rd.from_pandas(vals).repartition(16), "v")
+    assert a == b  # register max-merge commutes; partitioning-free
+
+
+def test_hll_strings():
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["text"])
+    est = hll_count_distinct(docs, "text", p=14)
+    import duckdb
+
+    exact = duckdb.connect().execute(
+        "SELECT count(DISTINCT text) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05
