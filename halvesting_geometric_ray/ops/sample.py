@@ -1,0 +1,40 @@
+"""Deterministic distributed sampling (R3 of SURVEY.md section 2.7).
+
+`seeded_sample` draws a uniform n-row sample that depends only on
+(key column values, seed) — NOT on partitioning, block order, or
+cluster size: every row gets the score stable_hash64(key XOR'd with the
+seed), and the global n smallest scores win.  Per-batch pruning keeps
+the exchange at <= n x blocks rows (a top-k, not a shuffle of the
+input); ties (duplicate keys) are kept deterministically by score then
+key order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+
+_SCORE = "__sample_score"
+
+
+def seeded_sample(ds, key: str, n: int, seed: int = 17):
+    """Uniform deterministic sample of n rows keyed on `key`."""
+    smix = np.int64(
+        ((seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF) >> 1)
+
+    def score(b: pa.Table) -> pa.Table:
+        h = np.asarray(stable_hash64(b.column(key)))
+        s = np.bitwise_xor(h, smix)
+        t = b.append_column(_SCORE, pa.array(s, type=pa.int64()))
+        # local prune: only this batch's n best can make the global cut
+        if t.num_rows > n:
+            order = np.argsort(s, kind="stable")[:n]
+            t = t.take(pa.array(np.sort(order)))
+        return t
+
+    out = (ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .sort(_SCORE).limit(n))
+    return out.drop_columns([_SCORE])
