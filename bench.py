@@ -94,6 +94,17 @@ def run_bench() -> dict:
             res.materialize()
         queries[name] = round(time.time() - t, 3)
 
+    # training-data operator suite sample (dedup / hashing / ANN)
+    from halvesting_geometric_ray import queries_text as QT
+
+    for name in ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
+                 "q_dedup_exact"]:
+        t = time.time()
+        res = QT.QUERIES[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        queries[name] = round(time.time() - t, 3)
+
     total = queries["graph_build"] + queries["pagerank"]
     out = {
         "metric": "graph_build_plus_pagerank_sec",

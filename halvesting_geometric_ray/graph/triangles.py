@@ -2,12 +2,14 @@
 
 One-shot Dataset pipeline (no iteration), SURVEY.md section 2.8:
 
-1. symmetrize + drop self-loops (undirected simple graph);
-2. degrees via groupby-count; oriented edge (u,v) kept iff
-   (deg[u], u) < (deg[v], v) — each undirected edge once, pointing from
-   the lower (degree, vid) rank.  Orientation bounds every vertex's
-   oriented out-degree by O(sqrt(E)) amortized, which is the skew guard
-   that makes wedge generation tractable on power-law graphs;
+1. canonicalize to (min, max) pairs + self-loop drop + distinct at E
+   volume (triangles_edges; the sym-input entrypoint filters src<dst) —
+   no 2E symmetrize shuffle;
+2. undirected degrees by exploding both endpoints; each canonical edge
+   is then SWAPPED to point from the lower (degree, vid) rank.
+   Orientation bounds every vertex's oriented out-degree by O(sqrt(E))
+   amortized, which is the skew guard that makes wedge generation
+   tractable on power-law graphs;
 3. wedges per source: all rank-ordered pairs of oriented neighbors,
    generated per hash-partition of sources (vectorized pair expansion);
 4. semi-join wedges against the oriented edge set on (a, b): a surviving
