@@ -23,7 +23,7 @@ from .config import DEFAULT
 from .ops.agg import grouped_aggregate
 from .functions import dedup as FD
 from .functions import text as FT
-from .functions.hashing import stable_hash64
+from .functions.hashing import stable_hash64, stable_hash_pair64
 from .ops.join import hash_join
 
 QUERIES: Dict[str, Callable] = {}
@@ -351,33 +351,67 @@ def q_neardup_jaccard(sf_dir: str):
 
 # ---- MinHash-LSH near-dup (rows-only; pytest-verified) ----------------
 
-def _capped_bucket_pairs(cap: int):
-    """Per-band-bucket candidate emitter with a hot-bucket guard.
-
-    <= cap distinct docs: all pairs (exact LSH candidate semantics).
-    >  cap (a boilerplate cluster at web scale): emit star edges to the
-    bucket-min representative — O(n) instead of O(n^2); members still
-    connect pairwise through the representative after verification
-    (union-find / grouping downstream).  The drop is logged."""
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.unique(g.column("doc_id").to_numpy())
+def _segment_pairs(ids_sorted: np.ndarray, bounds: np.ndarray, cap: int):
+    """Pairs per [bounds[i], bounds[i+1]) segment of a doc-id array
+    already sorted WITHIN each segment; hot segments (> cap distinct
+    docs) emit star edges to the segment-min representative."""
+    outs_a, outs_b = [], []
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        if s1 - s0 < 2:
+            continue
+        ids = np.unique(ids_sorted[s0:s1])
         n = len(ids)
         if n < 2:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
+            continue
         if n <= cap:
             ii, jj = np.triu_indices(n, 1)
-            return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
-        import logging
+            outs_a.append(ids[ii])
+            outs_b.append(ids[jj])
+        else:
+            import logging
 
-        logging.getLogger("halvesting_geometric_ray.lsh").warning(
-            "hot LSH bucket: %d docs > cap %d; emitting %d star candidates "
-            "instead of %d pairs", n, cap, n - 1, n * (n - 1) // 2)
-        return pa.table({"a": pa.array(np.full(n - 1, ids[0])),
-                         "b": pa.array(ids[1:])})
+            logging.getLogger("halvesting_geometric_ray.lsh").warning(
+                "hot LSH bucket: %d docs > cap %d; emitting %d star "
+                "candidates instead of %d pairs", n, cap, n - 1,
+                n * (n - 1) // 2)
+            outs_a.append(np.full(n - 1, ids[0]))
+            outs_b.append(ids[1:])
+    if not outs_a:
+        return (np.empty(0, dtype=np.int64),) * 2
+    return np.concatenate(outs_a), np.concatenate(outs_b)
 
-    return bucket_pairs
+
+def _banded_pairs(banded, cap: int, num_parts: int):
+    """(doc_id, band, key) rows -> candidate (a, b) pairs.
+
+    The (band, key) space has ~docs x bands distinct values — running
+    Ray's map_groups per bucket costs one task dispatch per MICRO-group
+    (measured 7.7s of a 8.5s stage at 5k docs).  Instead the buckets are
+    hash-coarsened into num_parts tasks and segmented vectorized inside
+    each (the same treatment as sessionize's per-user micro-groups)."""
+    from .ops._util import pre_shuffle
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = stable_hash_pair64(b.column("band").cast(pa.int64()),
+                               b.column("key")) % num_parts
+        return b.append_column("__g", pa.array(h, type=pa.int32()))
+
+    def gen(g: pa.Table) -> pa.Table:
+        band = g.column("band").to_numpy()
+        key = g.column("key").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        order = np.lexsort((doc, key, band))
+        band, key, doc = band[order], key[order], doc[order]
+        bounds = np.flatnonzero(np.r_[
+            True, (band[1:] != band[:-1]) | (key[1:] != key[:-1]), True])
+        a, b = _segment_pairs(doc, bounds, cap)
+        return pa.table({"a": pa.array(a, type=pa.int64()),
+                         "b": pa.array(b, type=pa.int64())})
+
+    return (pre_shuffle(banded.map_batches(prep, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+            .groupby("__g").map_groups(gen, batch_format="pyarrow",
+                                       retry_exceptions=True))
 
 
 @_q("q_minhash_lsh")
@@ -397,20 +431,56 @@ def q_minhash_lsh(sf_dir: str):
             "band": pa.array(np.tile(np.arange(FD.BANDS, dtype=np.int32), n)),
             "key": pa.array(keys.reshape(-1), type=pa.int64())})
 
-    bucket_pairs = _capped_bucket_pairs(DEFAULT.lsh_bucket_cap)
-
-    from .ops._util import pre_shuffle
-
-    cand = (pre_shuffle(ds.map_batches(bands, batch_format="pyarrow",
-                                       zero_copy_batch=True))
-            .groupby(["band", "key"])
-            .map_groups(bucket_pairs, batch_format="pyarrow",
-                        retry_exceptions=True))
+    cand = _banded_pairs(ds.map_batches(bands, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         DEFAULT.lsh_bucket_cap, DEFAULT.num_parts)
     from .ops.dedup import distinct
 
-    cand = distinct(cand, ["a", "b"], num_parts=DEFAULT.num_parts)
-
+    cand = distinct(cand, ["a", "b"], num_parts=DEFAULT.num_parts).materialize()
     docs = _docs(sf_dir, ["doc_id", "text"])
+    if cand.count() <= 100_000:
+        # the normal LSH regime: candidates << corpus.  Broadcast the
+        # candidate id set, filter the doc table distributedly (one
+        # no-shuffle pass over doc-cardinality data), then verify against
+        # the SMALL filtered text table — replaces two bucketed joins.
+        # Above the bound it falls through to the join path, which has no
+        # driver-side materialization.
+        import ray
+
+        from .ops.join import broadcast_semi
+
+        pairs_pd = cand.to_pandas()
+        uniq = np.unique(np.concatenate([pairs_pd.a.to_numpy(),
+                                         pairs_pd.b.to_numpy()]))
+        if len(uniq) == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        keys_t = pa.table({"doc_id": pa.array(uniq, type=pa.int64())})
+        texts = broadcast_semi(docs, "doc_id", keys_t, "doc_id").to_pandas()
+        tref = ray.put(dict(zip(texts.doc_id, texts.text)))
+
+        def verify_small(b: pa.Table) -> pa.Table:
+            tmap = ray.get(tref)
+            memo: Dict[int, np.ndarray] = {}
+
+            def grams_of(d):
+                g = memo.get(d)
+                if g is None:
+                    g = memo[d] = FD.trigram_hashes(tmap[d])
+                return g
+
+            a_ids, b_ids = [], []
+            for a, bb in zip(b.column("a").to_pylist(),
+                             b.column("b").to_pylist()):
+                if FD.jaccard(grams_of(a), grams_of(bb)) >= 0.5:
+                    a_ids.append(a)
+                    b_ids.append(bb)
+            return pa.table({"doc_a": pa.array(a_ids, type=pa.int64()),
+                             "doc_b": pa.array(b_ids, type=pa.int64())})
+
+        return cand.map_batches(verify_small, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     ab_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64())])
     j = hash_join(cand, docs, on="a", right_on="doc_id",
                   num_parts=DEFAULT.num_parts, left_schema=ab_schema)
@@ -484,42 +554,61 @@ def q_simhash_pairs(sf_dir: str):
 
     cap = DEFAULT.lsh_bucket_cap
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        import polars as pl
+    def prep(b: pa.Table) -> pa.Table:
+        h = stable_hash_pair64(b.column("band").cast(pa.int64()),
+                               b.column("key")) % DEFAULT.num_parts
+        return b.append_column("__g", pa.array(h, type=pa.int32()))
 
-        df = (pl.from_arrow(g.select(["doc_id", "simhash"]))
-              .unique(subset=["doc_id"]).sort("doc_id"))
-        ids = df["doc_id"].to_numpy()
-        sig = df["simhash"].to_numpy()
-        n = len(ids)
-        if n < 2:
+    def gen(g: pa.Table) -> pa.Table:
+        # coarse-bucketed segmentation (see _banded_pairs): one pass over
+        # all (band, key) micro-buckets in this task instead of one Ray
+        # group dispatch per micro-bucket
+        band = g.column("band").to_numpy()
+        key = g.column("key").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        sig = g.column("simhash").to_numpy()
+        order = np.lexsort((doc, key, band))
+        band, key, doc, sig = band[order], key[order], doc[order], sig[order]
+        bounds = np.flatnonzero(np.r_[
+            True, (band[1:] != band[:-1]) | (key[1:] != key[:-1]), True])
+        outs_a, outs_b = [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            n = s1 - s0
+            if n < 2:
+                continue
+            ids, ss = doc[s0:s1], sig[s0:s1]
+            if n <= cap:
+                ii, jj = np.triu_indices(n, 1)
+            else:
+                # hot-bucket star guard: near-identical docs sit at
+                # distance ~0 from the representative, cluster still links
+                import logging
+
+                logging.getLogger("halvesting_geometric_ray.lsh").warning(
+                    "hot simhash bucket: %d docs > cap %d; star", n, cap)
+                ii = np.zeros(n - 1, dtype=np.int64)
+                jj = np.arange(1, n, dtype=np.int64)
+            hd = FD.hamming64(ss[ii], ss[jj])
+            m = hd <= 7
+            outs_a.append(ids[ii][m])
+            outs_b.append(ids[jj][m])
+        if not outs_a:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
-        if n <= cap:
-            ii, jj = np.triu_indices(n, 1)
-        else:
-            # hot bucket guard: compare members only to the bucket-min
-            # representative (O(n)); identical/near-identical docs all sit
-            # at distance ~0 from it, so the cluster still links up
-            import logging
-
-            logging.getLogger("halvesting_geometric_ray.lsh").warning(
-                "hot simhash bucket: %d docs > cap %d; star comparison", n, cap)
-            ii = np.zeros(n - 1, dtype=np.int64)
-            jj = np.arange(1, n, dtype=np.int64)
-        hd = FD.hamming64(sig[ii], sig[jj])
-        m = hd <= 7
-        return pa.table({"a": pa.array(ids[ii][m]), "b": pa.array(ids[jj][m])})
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b))})
 
     from .ops.dedup import distinct
 
     from .ops._util import pre_shuffle
 
     pairs = (pre_shuffle(sh.map_batches(bands, batch_format="pyarrow",
-                                        zero_copy_batch=True))
-             .groupby(["band", "key"])
-             .map_groups(bucket_pairs, batch_format="pyarrow",
-                        retry_exceptions=True))
+                                        zero_copy_batch=True)
+                         .map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+             .groupby("__g")
+             .map_groups(gen, batch_format="pyarrow",
+                         retry_exceptions=True))
     return distinct(pairs, ["a", "b"], num_parts=DEFAULT.num_parts)
 
 
