@@ -54,6 +54,37 @@ def q_token_stats(sf_dir: str):
         FT.token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+
+
+@_q("q_bpe_token_counts",
+    f"SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+    f"CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) "
+    f"AS bpe_tokens FROM documents")
+def q_bpe_token_counts(sf_dir: str):
+    """Token counting two ways: whitespace split + a BPE-ish regex
+    (letter runs / digit runs / punctuation runs with leading-space
+    absorption — the GPT-2 pre-tokenizer shape without lookaheads, so
+    Rust regex and RE2 agree exactly)."""
+    import polars as pl
+
+    def counts(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "text"]))
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.split(" ").list.len().cast(pl.Int64)
+            .alias("ws_tokens"),
+            pl.col("text").str.count_matches(_BPE_PAT).cast(pl.Int64)
+            .alias("bpe_tokens"))
+        return out.to_arrow().cast(pa.schema([
+            pa.field("doc_id", pa.int64()),
+            pa.field("ws_tokens", pa.int64()),
+            pa.field("bpe_tokens", pa.int64())]))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_lang_token_totals",
     "SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) "
     "AS total_tokens, count(*) AS n_docs FROM documents GROUP BY lang")
