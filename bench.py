@@ -46,8 +46,10 @@ def run_bench() -> dict:
     n_pages = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
     pages = ensure_pages_parquet(n_pages, 123)  # cached, untimed
 
-    # warm OS page cache (measure compute+shuffle, not first disk read)
-    rd.read_parquet(pages).count()
+    # warm OS page cache (measure compute+shuffle, not first disk read);
+    # count() alone is metadata-only — force a real pass over the payload
+    rd.read_parquet(pages, columns=["html"]).map_batches(
+        lambda b: {"n": [b.num_rows]}, batch_format="pyarrow").sum("n")
 
     wd = f"/tmp/hgr_bench/n{n_pages}_cpus{num_cpus}"
     shutil.rmtree(wd, ignore_errors=True)
