@@ -380,6 +380,59 @@ def q_neardup_jaccard(sf_dir: str):
     return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_NEARDUP_SQL}) t),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      UNION SELECT doc_b, doc_a FROM p),
+d AS (SELECT doc_id FROM documents),
+walk AS (
+  SELECT doc_id AS v, doc_id AS reach FROM d
+  UNION
+  SELECT w.v, e.b AS reach FROM walk w JOIN e ON e.a = w.reach)
+SELECT v AS doc_id, min(reach) AS cluster FROM walk GROUP BY v
+"""
+
+
+@_q("q_dedup_clusters", _DEDUP_CLUSTER_SQL)
+def q_dedup_clusters(sf_dir: str):
+    """END-TO-END corpus dedup: exact near-dup pairs (the inverted-index
+    Jaccard pipeline) become an undirected doc graph, and the engine's
+    shard-actor connected-components collapses transitive near-dup
+    chains into clusters — (doc_id, cluster=min doc id of the cluster).
+    Certified against a recursive-closure SQL oracle over the same pair
+    semantics.  Assumes dense doc ids (testdata contract); general
+    corpora go through ops.ids.assign_dense_ids_hash first."""
+    import os as _os
+
+    from .fixtures import FIXTURE_ROOT
+    from .graph.components import connected_components
+    from .ops._util import pre_shuffle
+
+    pairs = q_neardup_jaccard(sf_dir)
+
+    def to_sym_edges(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy()
+        bb = b.column("doc_b").to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([a, bb])),
+                         "dst": pa.array(np.concatenate([bb, a]))})
+
+    sym = pairs.map_batches(to_sym_edges, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    n_docs = int(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    from .fixtures import even_offsets
+
+    num_parts = min(DEFAULT.num_parts, max(1, n_docs // 64))
+    offsets = even_offsets(n_docs, num_parts)
+    wd = _os.path.join(FIXTURE_ROOT,
+                       f"dedup_cc_{_os.path.basename(sf_dir.rstrip('/'))}")
+    labels, _ = connected_components(sym, offsets, wd, job="dedup_cc")
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("vid"),
+                            "cluster": b.column("label")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---- MinHash-LSH near-dup (rows-only; pytest-verified) ----------------
 
 def _segment_pairs(ids_sorted: np.ndarray, bounds: np.ndarray, cap: int):
