@@ -19,13 +19,24 @@ from ..functions.hashing import stable_hash64
 _SCORE = "__sample_score"
 
 
-def seeded_sample(ds, key: str, n: int, seed: int = 17):
-    """Uniform deterministic sample of n rows keyed on `key`."""
+def seeded_sample(ds, key, n: int, seed: int = 17):
+    """Uniform deterministic sample of n rows keyed on `key` (a column
+    name or list of names).
+
+    DETERMINISM CONTRACT: the key (tuple) must uniquely identify a row —
+    rows sharing a key value share a score, and score ties are broken by
+    arbitrary block order.  Pass every identifying column for full
+    partitioning-independence."""
+    from ..functions.hashing import stable_hash_pair64
+
+    keys = [key] if isinstance(key, str) else list(key)
     smix = np.int64(
         ((seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF) >> 1)
 
     def score(b: pa.Table) -> pa.Table:
-        h = np.asarray(stable_hash64(b.column(key)))
+        h = np.asarray(stable_hash64(b.column(keys[0])))
+        for k in keys[1:]:
+            h = np.asarray(stable_hash_pair64(pa.array(h), b.column(k)))
         s = np.bitwise_xor(h, smix)
         t = b.append_column(_SCORE, pa.array(s, type=pa.int64()))
         # local prune: only this batch's n best can make the global cut

@@ -58,17 +58,27 @@ def hll_count_distinct(ds, col: str, p: int = 14) -> int:
 
     Per-batch register arrays (2^p bytes) merged by max — constant
     communication regardless of cardinality."""
+    return hll_count_distinct_multi(ds, [col], p)[col]
+
+
+def hll_count_distinct_multi(ds, cols, p: int = 14) -> dict:
+    """Approximate distinct counts for SEVERAL columns in ONE pass over
+    the dataset (each batch emits one register row per column)."""
+    cols = list(cols)
+
     def partial(b: pa.Table) -> pa.Table:
-        h = np.asarray(stable_hash64(b.column(col)))
-        regs = _registers_for(h, p)
-        return pa.table({"regs": pa.array([regs],
-                                          type=pa.list_(pa.uint8()))})
+        regs = [_registers_for(np.asarray(stable_hash64(b.column(c))), p)
+                for c in cols]
+        return pa.table({
+            "col": pa.array(cols, type=pa.string()),
+            "regs": pa.array(regs, type=pa.list_(pa.uint8()))})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
-    merged = np.zeros(1 << p, dtype=np.uint8)
+    merged = {c: np.zeros(1 << p, dtype=np.uint8) for c in cols}
     for b in parts.iter_batches(batch_format="pyarrow"):
+        names = b.column("col").to_pylist()
         col_ = b.column("regs")
-        for row in col_:
-            merged = np.maximum(merged, np.asarray(row.values))
-    return int(round(_estimate(merged)))
+        for name, row in zip(names, col_):
+            merged[name] = np.maximum(merged[name], np.asarray(row.values))
+    return {c: int(round(_estimate(m))) for c, m in merged.items()}

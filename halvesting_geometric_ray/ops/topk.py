@@ -28,6 +28,10 @@ def grouped_top_k(ds, keys: List[str], order_col: str, k: int,
 
     `tie_break`: columns that make the order total (ascending); REQUIRED
     for deterministic output when order_col has duplicates.
+
+    CONTRACT: `order_col` must be non-null — polars cum_count skips
+    nulls and polars/DuckDB place nulls at opposite sort ends, so null
+    order values would break the documented row_number parity.
     """
     import polars as pl
 

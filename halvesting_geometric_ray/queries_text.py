@@ -54,7 +54,10 @@ def q_token_stats(sf_dir: str):
         FT.token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+_BPE_PAT = (r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\v]+"
+            r"|[ \t\n\r\f\v]")  # explicit ASCII whitespace:
+# Rust-regex \s is Unicode, RE2 \s is ASCII — NBSP-style chars
+# would silently diverge between engine and oracle
 
 
 @_q("q_bpe_token_counts",
@@ -404,10 +407,10 @@ def q_dedup_clusters(sf_dir: str):
     semantics.  Assumes dense doc ids (testdata contract); general
     corpora go through ops.ids.assign_dense_ids_hash first."""
     import os as _os
+    import shutil as _shutil
 
     from .fixtures import FIXTURE_ROOT
     from .graph.components import connected_components
-    from .ops._util import pre_shuffle
 
     pairs = q_neardup_jaccard(sf_dir)
 
@@ -424,8 +427,12 @@ def q_dedup_clusters(sf_dir: str):
 
     num_parts = min(DEFAULT.num_parts, max(1, n_docs // 64))
     offsets = even_offsets(n_docs, num_parts)
+    # fresh workdir every run: the CC checkpoint lineage does not
+    # fingerprint EDGE CONTENT, so reusing a workdir across pair-set
+    # changes would silently adopt stale clusters
     wd = _os.path.join(FIXTURE_ROOT,
                        f"dedup_cc_{_os.path.basename(sf_dir.rstrip('/'))}")
+    _shutil.rmtree(wd, ignore_errors=True)
     labels, _ = connected_components(sym, offsets, wd, job="dedup_cc")
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b.column("vid"),
@@ -465,14 +472,16 @@ def _segment_pairs(ids_sorted: np.ndarray, bounds: np.ndarray, cap: int):
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
-def _banded_pairs(banded, cap: int, num_parts: int):
-    """(doc_id, band, key) rows -> candidate (a, b) pairs.
+def _coarse_banded(banded, num_parts: int, value_cols, segment_fn):
+    """(doc_id, band, key[, values...]) rows -> (a, b) pairs via
+    `segment_fn(doc_sorted, values_sorted, bounds)`.
 
     The (band, key) space has ~docs x bands distinct values — running
     Ray's map_groups per bucket costs one task dispatch per MICRO-group
     (measured 7.7s of a 8.5s stage at 5k docs).  Instead the buckets are
     hash-coarsened into num_parts tasks and segmented vectorized inside
-    each (the same treatment as sessionize's per-user micro-groups)."""
+    each (the same treatment as sessionize's per-user micro-groups).
+    Shared by the MinHash and SimHash candidate stages."""
     from .ops._util import pre_shuffle
 
     def prep(b: pa.Table) -> pa.Table:
@@ -486,9 +495,10 @@ def _banded_pairs(banded, cap: int, num_parts: int):
         doc = g.column("doc_id").to_numpy()
         order = np.lexsort((doc, key, band))
         band, key, doc = band[order], key[order], doc[order]
+        vals = [g.column(c).to_numpy()[order] for c in value_cols]
         bounds = np.flatnonzero(np.r_[
             True, (band[1:] != band[:-1]) | (key[1:] != key[:-1]), True])
-        a, b = _segment_pairs(doc, bounds, cap)
+        a, b = segment_fn(doc, vals, bounds)
         return pa.table({"a": pa.array(a, type=pa.int64()),
                          "b": pa.array(b, type=pa.int64())})
 
@@ -496,6 +506,14 @@ def _banded_pairs(banded, cap: int, num_parts: int):
                                            zero_copy_batch=True))
             .groupby("__g").map_groups(gen, batch_format="pyarrow",
                                        retry_exceptions=True))
+
+
+def _banded_pairs(banded, cap: int, num_parts: int):
+    """(doc_id, band, key) rows -> candidate (a, b) pairs (see
+    _coarse_banded; all-pairs per segment with the star hot-bucket cap)."""
+    return _coarse_banded(
+        banded, num_parts, [],
+        lambda doc, vals, bounds: _segment_pairs(doc, bounds, cap))
 
 
 @_q("q_minhash_lsh")
@@ -527,8 +545,9 @@ def q_minhash_lsh(sf_dir: str):
         # candidate id set, filter the doc table distributedly (one
         # no-shuffle pass over doc-cardinality data), then verify against
         # the SMALL filtered text table — replaces two bucketed joins.
-        # Above the bound it falls through to the join path, which has no
-        # driver-side materialization.
+        # (cand is object-store-materialized in BOTH regimes: the branch
+        # needs its count and the chosen path reuses it; the object store
+        # spills, nothing is driver-resident above the bound.)
         import ray
 
         from .ops.join import broadcast_semi
@@ -536,9 +555,6 @@ def q_minhash_lsh(sf_dir: str):
         pairs_pd = cand.to_pandas()
         uniq = np.unique(np.concatenate([pairs_pd.a.to_numpy(),
                                          pairs_pd.b.to_numpy()]))
-        if len(uniq) == 0:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64())})
         keys_t = pa.table({"doc_id": pa.array(uniq, type=pa.int64())})
         texts = broadcast_semi(docs, "doc_id", keys_t, "doc_id").to_pandas()
         tref = ray.put(dict(zip(texts.doc_id, texts.text)))
@@ -638,29 +654,19 @@ def q_simhash_pairs(sf_dir: str):
 
     cap = DEFAULT.lsh_bucket_cap
 
-    def prep(b: pa.Table) -> pa.Table:
-        h = stable_hash_pair64(b.column("band").cast(pa.int64()),
-                               b.column("key")) % DEFAULT.num_parts
-        return b.append_column("__g", pa.array(h, type=pa.int32()))
-
-    def gen(g: pa.Table) -> pa.Table:
-        # coarse-bucketed segmentation (see _banded_pairs): one pass over
-        # all (band, key) micro-buckets in this task instead of one Ray
-        # group dispatch per micro-bucket
-        band = g.column("band").to_numpy()
-        key = g.column("key").to_numpy()
-        doc = g.column("doc_id").to_numpy()
-        sig = g.column("simhash").to_numpy()
-        order = np.lexsort((doc, key, band))
-        band, key, doc, sig = band[order], key[order], doc[order], sig[order]
-        bounds = np.flatnonzero(np.r_[
-            True, (band[1:] != band[:-1]) | (key[1:] != key[:-1]), True])
+    def hamming_segments(doc, vals, bounds):
+        sig = vals[0]
         outs_a, outs_b = [], []
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
-            n = s1 - s0
+            ids, ss = doc[s0:s1], sig[s0:s1]
+            # duplicate doc_id guard: a repeated doc row would otherwise
+            # emit self-pairs (doc is sorted within the segment)
+            if len(ids) > 1:
+                keep = np.r_[True, ids[1:] != ids[:-1]]
+                ids, ss = ids[keep], ss[keep]
+            n = len(ids)
             if n < 2:
                 continue
-            ids, ss = doc[s0:s1], sig[s0:s1]
             if n <= cap:
                 ii, jj = np.triu_indices(n, 1)
             else:
@@ -677,22 +683,14 @@ def q_simhash_pairs(sf_dir: str):
             outs_a.append(ids[ii][m])
             outs_b.append(ids[jj][m])
         if not outs_a:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        return pa.table({"a": pa.array(np.concatenate(outs_a)),
-                         "b": pa.array(np.concatenate(outs_b))})
+            return (np.empty(0, dtype=np.int64),) * 2
+        return np.concatenate(outs_a), np.concatenate(outs_b)
 
     from .ops.dedup import distinct
 
-    from .ops._util import pre_shuffle
-
-    pairs = (pre_shuffle(sh.map_batches(bands, batch_format="pyarrow",
-                                        zero_copy_batch=True)
-                         .map_batches(prep, batch_format="pyarrow",
-                                      zero_copy_batch=True))
-             .groupby("__g")
-             .map_groups(gen, batch_format="pyarrow",
-                         retry_exceptions=True))
+    pairs = _coarse_banded(
+        sh.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True),
+        DEFAULT.num_parts, ["simhash"], hamming_segments)
     return distinct(pairs, ["a", "b"], num_parts=DEFAULT.num_parts)
 
 
@@ -782,14 +780,14 @@ def q_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct counts (ops/sketch.py) — the
     shuffle-free alternative to exact distinct at 10^12-key scale;
     <5%-error accuracy certified in tests/test_sketch.py."""
-    from .ops.sketch import hll_count_distinct
+    from .ops.sketch import hll_count_distinct_multi
 
     docs = _docs(sf_dir, ["text", "lang"])
+    est = hll_count_distinct_multi(docs, ["text", "lang"])
     return pd.DataFrame({
         "column": ["text", "lang"],
-        "approx_distinct": pd.array(
-            [hll_count_distinct(docs, "text"),
-             hll_count_distinct(docs, "lang")], dtype="int64")})
+        "approx_distinct": pd.array([est["text"], est["lang"]],
+                                    dtype="int64")})
 
 
 @_q("q_frame_sample")
