@@ -49,3 +49,32 @@ def seeded_sample(ds, key, n: int, seed: int = 17):
                           zero_copy_batch=True)
            .sort(_SCORE).limit(n))
     return out.drop_columns([_SCORE])
+
+
+def stratified_sample(ds, strata, key, n_per_stratum: int, seed: int = 17,
+                      num_parts: int = 16):
+    """Deterministic uniform sample of n rows PER STRATUM (composition of
+    the seeded score with ops.topk.grouped_top_k — per-batch candidate
+    pruning keeps the exchange at <= n x strata x blocks rows).  Same
+    key-uniqueness contract as seeded_sample."""
+    from ..functions.hashing import stable_hash_pair64
+    from .topk import grouped_top_k
+
+    strata = [strata] if isinstance(strata, str) else list(strata)
+    keys = [key] if isinstance(key, str) else list(key)
+    smix = np.int64(
+        ((seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF) >> 1)
+
+    def score(b: pa.Table) -> pa.Table:
+        h = np.asarray(stable_hash64(b.column(keys[0])))
+        for k in keys[1:]:
+            h = np.asarray(stable_hash_pair64(pa.array(h), b.column(k)))
+        s = np.bitwise_xor(h, smix)
+        return b.append_column(_SCORE, pa.array(s, type=pa.int64()))
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_top_k(scored, strata, _SCORE, n_per_stratum,
+                        descending=False, tie_break=keys,
+                        num_parts=num_parts, rank_col="__rnk")
+    return out.drop_columns([_SCORE, "__rnk"])

@@ -30,6 +30,24 @@ def test_sample_seed_changes_selection_and_is_uniformish():
     assert abs(m - 10_000) < 1500
 
 
+def test_stratified_sample_per_group_counts_and_determinism():
+    from halvesting_geometric_ray.ops.sample import stratified_sample
+
+    df = pd.DataFrame({
+        "lang": np.repeat(["en", "fr", "de"], 3000),
+        "k": np.arange(9000, dtype=np.int64)})
+
+    def run(parts):
+        out = stratified_sample(rd.from_pandas(df).repartition(parts),
+                                "lang", "k", 50).to_pandas()
+        return out.sort_values(["lang", "k"]).reset_index(drop=True)
+
+    a, b = run(3), run(13)
+    pd.testing.assert_frame_equal(a, b)
+    assert a.groupby("lang").size().tolist() == [50, 50, 50]
+    assert list(a.columns) == ["lang", "k"]
+
+
 def test_sample_keeps_payload_columns():
     df = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
                        "v": np.arange(100) * 3})
