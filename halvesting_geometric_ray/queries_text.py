@@ -232,6 +232,89 @@ def q_token_percentiles(sf_dir: str):
                          "p99": pd.array([q(0.99)], dtype="int64")})
 
 
+_FP_SQL_EXPR = (
+    "CASE WHEN text = '' THEN 0 ELSE "
+    "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+    "[unicode(x) for x in string_split_regex(text, '')]), "
+    "(acc, x) -> (acc * 257 + x) % 2305843009213693951) AS BIGINT) END")
+
+
+@_q("q_decontaminate",
+    f"SELECT doc_id FROM (SELECT doc_id, {_FP_SQL_EXPR} AS fp "
+    f"FROM documents) d WHERE fp NOT IN ("
+    f"SELECT {_FP_SQL_EXPR} FROM documents WHERE doc_id % 97 = 0)")
+def q_decontaminate(sf_dir: str):
+    """Training-data DECONTAMINATION: drop every document whose content
+    fingerprint appears in a benchmark/eval set (here: the deterministic
+    doc_id % 97 == 0 subset stands in for the benchmark corpus).  The
+    benchmark fingerprint set is dimension-small — broadcast anti-join,
+    no shuffle; exact-dup-of-benchmark rows are dropped too."""
+    from .ops.join import broadcast_semi
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    fps = fps.materialize()
+    def bench_only(b: pa.Table) -> pa.Table:
+        m = (b.column("doc_id").to_numpy() % 97) == 0
+        return b.filter(pa.array(m)).select(["fingerprint"])
+
+    bench_fps = fps.map_batches(bench_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    bench_t = pa.Table.from_pandas(bench_fps.to_pandas(),
+                                   preserve_index=False)
+    keep = broadcast_semi(fps, "fingerprint", bench_t, "fingerprint",
+                          anti=True)
+    return keep.select_columns(["doc_id"])
+
+
+@_q("q_token_percentiles_by_lang",
+    "SELECT lang, count(*) AS n_docs, "
+    "CAST(floor(quantile_cont(len(string_split(text, ' ')), 0.5)) AS BIGINT) "
+    "AS p50, "
+    "CAST(floor(quantile_cont(len(string_split(text, ' ')), 0.9)) AS BIGINT) "
+    "AS p90 FROM documents GROUP BY lang")
+def q_token_percentiles_by_lang(sf_dir: str):
+    """Per-group exact percentiles from per-(lang, n_tokens) histograms —
+    the grouped variant of q_token_percentiles (histogram rows are
+    bounded by groups x distinct integer values, never a global sort)."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def ntok(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = (pl.from_arrow(b.select(["text"]))["text"]
+             .str.split(" ").list.len().cast(pl.Int64))
+        return pa.table({"lang": b.column("lang"),
+                         "n_tokens": n.to_arrow().cast(pa.int64())})
+
+    hist = grouped_aggregate(
+        ds.map_batches(ntok, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "n_tokens"], {"n_docs": ("count", None)}).to_pandas()
+
+    rows = []
+    for lang, grp in hist.groupby("lang"):
+        v = grp["n_tokens"].to_numpy()
+        c = grp["n_docs"].to_numpy()
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+
+        def q(p: float) -> int:
+            h = (n - 1) * p
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            x_lo = v[np.searchsorted(cum, lo + 1)]
+            x_hi = v[np.searchsorted(cum, hi + 1)]
+            return int(np.floor(x_lo + (h - lo) * (x_hi - x_lo)))
+
+        rows.append((lang, n, q(0.5), q(0.9)))
+    out = pd.DataFrame(rows, columns=["lang", "n_docs", "p50", "p90"])
+    for c_ in ("n_docs", "p50", "p90"):
+        out[c_] = out[c_].astype("int64")
+    return out
+
+
 @_q("q_fingerprint",
     # rolling polynomial hash re-expressed as a HUGEINT list_reduce over
     # codepoints — exact for ASCII text (the testdata tiers are all
