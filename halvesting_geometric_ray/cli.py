@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     sp.add_argument("--pages", required=True)
     common(sp)
 
-    for name in ("pagerank", "cc", "labelprop", "triangles"):
+    for name in ("pagerank", "cc", "labelprop", "triangles", "hits"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "pagerank":
@@ -124,6 +124,16 @@ def main(argv=None) -> int:
                 symmetrize(edges, cfg, drop_self_loops=True, dedup=False), g.offsets,
                 args.workdir, cfg, rounds=args.rounds)
             out["labelprop"] = {k: v for k, v in info.items() if k != "iters"}
+        if args.cmd == "hits":
+            from .graph.hits import hits as run_hits
+
+            ds, info = run_hits(edges, g.offsets,
+                                workdir=args.workdir)
+            import os
+
+            ds.write_parquet(os.path.join(args.workdir, "hits_scores"))
+            out["hits"] = {"num_iters": info["num_iters"],
+                           "converged": info["converged"]}
         if args.cmd in ("triangles", "all"):
             from .graph.triangles import triangles_edges
 

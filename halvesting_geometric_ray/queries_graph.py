@@ -251,6 +251,25 @@ def q_pagerank_top20(sf_dir: str):
     return out.sort_values(["rank", "vid"], ascending=[False, True]).reset_index(drop=True)
 
 
+@_q("q_hits")
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities (graph/hits.py) — power iteration on the
+    shard-actor engine; NumPy-oracle allclose 1e-6 in tests/test_hits.py."""
+    from .graph.hits import hits
+
+    g = graph_for(sf_dir)
+    ds, _ = hits(read_layer(g.edges), g.offsets,
+                 workdir=os.path.join(g.workdir, "hits"))
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": b.column("vid"),
+            "authority": pa.array(np.round(b.column("authority").to_numpy(), 9)),
+            "hub": pa.array(np.round(b.column("hub").to_numpy(), 9))})
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_components")
 def q_components(sf_dir: str):
     from .graph.components import connected_components
