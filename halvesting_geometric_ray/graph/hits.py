@@ -16,6 +16,13 @@ Convergence: L1 delta of the normalized authority vector < tol.
 
 Deterministic: actor layout is fixed by plan_actors, all reductions are
 order-fixed float64 sums; matches the NumPy oracle to allclose 1e-6.
+
+Convergence note: power iteration converges at the ratio of the top two
+singular values — graphs with small spectral gaps (including the
+synthetic fixtures) need many rounds at tol=1e-8; production use
+typically fixes max_iters (~50).  Rounds here are barriered (5 actor
+calls each, ~0.2 s/round at 600k vertices / 32 CPUs) — pipelining like
+PageRank's single-call step is possible if HITS becomes a hot path.
 """
 
 from __future__ import annotations
