@@ -70,15 +70,22 @@ class RankShardActor:
 
     def __init__(self, actor_idx: int, owned: List[int], paths: Dict[int, str],
                  offsets: np.ndarray, part2actor: np.ndarray, num_actors: int,
-                 n_vertices: int, damping: float):
+                 n_vertices: int, damping: float, seed_ref=None):
         self.idx = actor_idx
         self.owned = owned
         self.off = offsets
         self.num_actors = num_actors
         self.N = n_vertices
         self.d = damping
+        # restart distribution r0: uniform 1/N (classic PageRank) or
+        # uniform over a seed vid set (PERSONALIZED PageRank) — the
+        # update below is the same formula either way.  seed_ref is a
+        # ray.put ObjectRef at the call site; Ray resolves task/actor
+        # arguments, so it arrives here as the array itself.
+        seeds = seed_ref
         self.shards: Dict[int, Dict] = {}
         self.r: Dict[int, np.ndarray] = {}
+        self.r0: Dict[int, np.ndarray] = {}
         for p in owned:
             s = dict(load_shard(paths[p]))
             # routing: group unique dsts by destination actor, once
@@ -89,8 +96,16 @@ class RankShardActor:
             s["route_bounds"] = np.searchsorted(dest[order],
                                                 np.arange(num_actors + 1))
             self.shards[p] = s
-            size = s["vid_hi"] - s["vid_lo"]
-            self.r[p] = np.full(size, 1.0 / n_vertices, dtype=np.float64)
+            lo, hi = s["vid_lo"], s["vid_hi"]
+            size = hi - lo
+            if seeds is None:
+                r0 = np.full(size, 1.0 / n_vertices, dtype=np.float64)
+            else:
+                r0 = np.zeros(size, dtype=np.float64)
+                mine = seeds[(seeds >= lo) & (seeds < hi)]
+                r0[mine - lo] = 1.0 / len(seeds)
+            self.r0[p] = r0
+            self.r[p] = r0.copy()
         self.r_prev: Dict[int, np.ndarray] = dict(self.r)
 
     def load_state(self, files: Dict[int, str]) -> bool:
@@ -189,7 +204,8 @@ class RankShardActor:
                 new[t.column("vid").to_numpy() - lo] = t.column("rank").to_numpy()
                 l1 += float(t.column("delta").to_numpy().sum())
             else:
-                new = (1.0 - self.d) / self.N + self.d * (contrib[p] + dm / self.N)
+                new = (1.0 - self.d) * self.r0[p] + \
+                    self.d * (contrib[p] + dm * self.r0[p])
                 delta = np.abs(new - self.r[p])
                 l1 += float(delta.sum())
                 if ckpt_paths and p in ckpt_paths:
@@ -232,10 +248,16 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
              resume: bool = True, lineage: Optional[Dict] = None,
              shards_dir: Optional[str] = None,
              num_actors: int = 0,
-             checkpoint_interval: int = 1) -> Tuple["rd.Dataset", Dict]:
+             checkpoint_interval: int = 1,
+             seeds: Optional[np.ndarray] = None) -> Tuple["rd.Dataset", Dict]:
     """Run PageRank over the edge table.  Returns (ranks_ds, info):
     ranks_ds has columns (part, vid, rank); info carries per-iteration
-    metrics (l1, dangling mass, wall) and resume provenance."""
+    metrics (l1, dangling mass, wall) and resume provenance.
+
+    `seeds`: vid array -> PERSONALIZED PageRank (teleport + dangling
+    mass go uniformly to the seed set instead of all vertices); the
+    checkpoint lineage includes a seed fingerprint so classic and
+    personalized runs never adopt each other's state."""
     from .csr import build_csr_shards
 
     d = cfg.damping if damping is None else damping
@@ -256,10 +278,17 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
     descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr")
     paths = {dd["part"]: dd["path"] for dd in descs}
 
+    seed_fp = None
+    if seeds is not None:
+        seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+        if seeds.size == 0:
+            raise ValueError("seeds must be non-empty")
+        seed_fp = [int(seeds.size), int(seeds.min()), int(seeds.max()),
+                   int(seeds.sum() % (1 << 61))]
     ckpt = IterativeCheckpoint(
         workdir, job,
         lineage or {"algo": "pagerank", "n": N, "parts": num_parts,
-                    "d": d, "tol": tol})
+                    "d": d, "tol": tol, "seeds": seed_fp})
 
     def ranks_ds(k: int):
         return (rd.read_parquet(ckpt.state_files(k))
@@ -276,7 +305,9 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
     owned = plan_actors(num_parts, num_actors)
     A = len(owned)
     p2a = part_to_actor_map(owned, num_parts)
-    actors = [RankShardActor.remote(i, owned[i], paths, offsets, p2a, A, N, d)
+    seed_ref = None if seeds is None else ray.put(seeds)
+    actors = [RankShardActor.remote(i, owned[i], paths, offsets, p2a, A, N, d,
+                                    seed_ref)
               for i in range(A)]
     final_k = k0 or 0
     try:

@@ -251,6 +251,26 @@ def q_pagerank_top20(sf_dir: str):
     return out.sort_values(["rank", "vid"], ascending=[False, True]).reset_index(drop=True)
 
 
+@_q("q_personalized_pagerank")
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank from a fixed seed set (vids 0,1,2) —
+    teleport + dangling mass go to the seeds; NumPy-oracle exact in
+    tests/test_pagerank.py."""
+    from .graph.pagerank import pagerank
+
+    g = graph_for(sf_dir)
+    seeds = np.array([0, 1, 2], dtype=np.int64)
+    ranks, _ = pagerank(read_layer(g.edges), g.offsets, g.workdir,
+                        job="ppr_012", seeds=seeds)
+
+    def quant(b: pa.Table) -> pa.Table:
+        r = np.round(b.column("rank").to_numpy(), 9)
+        return pa.table({"vid": b.column("vid"), "rank": pa.array(r)})
+
+    return ranks.map_batches(quant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 @_q("q_hits")
 def q_hits(sf_dir: str):
     """HITS hubs/authorities (graph/hits.py) — power iteration on the

@@ -103,3 +103,52 @@ def test_pagerank_resume_mid_iteration(tiny_graph, tmp_path):
     assert info["resumed_from"] == 4
     got = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
     assert np.allclose(got, exp, rtol=0, atol=0)
+
+
+def ppr_oracle(n, src, dst, seeds, d=0.85, tol=1e-6, max_iters=200):
+    """Personalized PageRank NumPy oracle (teleport + dangling to seeds)."""
+    outdeg = np.bincount(src, minlength=n)
+    r0 = np.zeros(n)
+    r0[seeds] = 1.0 / len(seeds)
+    r = r0.copy()
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        dm = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] / np.maximum(outdeg[src], 1))
+        new = (1.0 - d) * r0 + d * (contrib + dm * r0)
+        l1 = np.abs(new - r).sum()
+        r = new
+        if l1 < tol:
+            break
+    return r, iters
+
+
+def test_personalized_pagerank_matches_oracle(tiny_graph, tmp_path):
+    src, dst = _edges_np(tiny_graph)
+    n = tiny_graph.num_vertices
+    seeds = np.array([0, 3, 7], dtype=np.int64)
+    exp, exp_iters = ppr_oracle(n, src, dst, seeds)
+    ranks, info = _run(tiny_graph, str(tmp_path / "ppr"), seeds=seeds)
+    got = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert info["converged"]
+    assert info["num_iters"] == exp_iters
+    assert np.allclose(got, exp, rtol=0, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+    # mass concentrates near the seeds vs classic PageRank
+    classic, _ = _run(tiny_graph, str(tmp_path / "pr_classic"))
+    cg = classic.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert got[seeds].sum() > cg[seeds].sum()
+
+
+def test_ppr_and_classic_checkpoints_do_not_mix(tiny_graph, tmp_path):
+    wd = str(tmp_path / "shared")
+    seeds = np.array([1, 2], dtype=np.int64)
+    r1, _ = _run(tiny_graph, wd, seeds=seeds)
+    a = r1.to_pandas().sort_values("vid")["rank"].to_numpy()
+    # same workdir, classic run: lineage differs -> no stale adoption
+    r2, info2 = _run(tiny_graph, wd)
+    b = r2.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert info2["resumed_from"] is None
+    assert not np.allclose(a, b)
