@@ -40,18 +40,48 @@ def entry() -> Any:
     return out
 
 
+# Rows-only queries, most informative first — they follow every
+# SQL-oracled query in the dict order so that a bounded recording window
+# (r2: the driver recorded the first 50 of 63 entries, dropping the
+# whole dedup/ANN suite) always certifies the oracled set first.
+# Entries near the tail are redundant variants whose semantics are
+# certified elsewhere (q_simhash by q_simhash_pairs, the sf-scaled
+# q_components/q_triangles by the gate-certified *_urls versions,
+# q_knn_cosine_lsh/_ivf by pytest recall tests + the exact q_knn_cosine).
+_ROWS_ONLY_PRIORITY = [
+    "q_pagerank", "q_personalized_pagerank", "q_hits",
+    "q_label_propagation", "q_minhash_lsh", "q_simhash_pairs",
+    "q_edge_splits", "q_negative_samples", "q_hll_distinct",
+    "q_frame_sample", "q_components", "q_triangles",
+    "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_embed_neardup_lsh",
+    "q_component_sizes", "q_graph_vertices", "q_graph_edges",
+    "q_pagerank_top20", "q_binary_decode", "q_simhash",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from halvesting_geometric_ray import queries_graph, queries_relational
 
-    out: dict[str, Callable[[str], Any]] = {}
-    out.update(queries_relational.QUERIES)
-    out.update(queries_graph.QUERIES)
+    merged: dict[str, Callable[[str], Any]] = {}
+    merged.update(queries_relational.QUERIES)
+    merged.update(queries_graph.QUERIES)
     try:
         from halvesting_geometric_ray import queries_text
 
-        out.update(queries_text.QUERIES)
+        merged.update(queries_text.QUERIES)
     except ImportError:
         pass
+    oracled = set(oracle_sql())
+    out: dict[str, Callable[[str], Any]] = {}
+    for k in merged:  # 1) every SQL-oracled query, module order
+        if k in oracled:
+            out[k] = merged[k]
+    for k in _ROWS_ONLY_PRIORITY:  # 2) rows-only, curated order
+        if k in merged and k not in out:
+            out[k] = merged[k]
+    for k in merged:  # 3) anything new not yet listed
+        if k not in out:
+            out[k] = merged[k]
     return out
 
 

@@ -275,7 +275,11 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
             {"resumed_from": None, "iters": [], "num_iters": 0,
              "converged": True, "final_iter": 0}
 
-    descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr")
+    # Same lineage stamp as hits() — both consume the directed CSR, so
+    # alternating pagerank/hits on one workdir reuses one shard cache
+    # instead of rebuilding it every run (ADVICE r2).
+    descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr",
+                             lineage={"kind": "directed"})
     paths = {dd["part"]: dd["path"] for dd in descs}
 
     seed_fp = None
@@ -283,6 +287,10 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
         seeds = np.unique(np.asarray(seeds, dtype=np.int64))
         if seeds.size == 0:
             raise ValueError("seeds must be non-empty")
+        if seeds[0] < 0 or seeds[-1] >= N:
+            raise ValueError(
+                f"seed vids must be in [0, {N}); got min={seeds[0]} "
+                f"max={seeds[-1]}")
         seed_fp = [int(seeds.size), int(seeds.min()), int(seeds.max()),
                    int(seeds.sum() % (1 << 61))]
     ckpt = IterativeCheckpoint(
@@ -331,7 +339,11 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
             dm_val = float(sum(m[1] for m in ms))
             metrics = {"iter": kk, "l1": l1, "dangling_mass": dm_val,
                        "wall_sec": round(time.time() - t_start, 4)}
-            if kk % checkpoint_interval == 0 or l1 < tol:
+            # Only commit when the part files were actually written this
+            # round (do_ckpt).  Committing a converged-but-unwritten iter
+            # would leave the manifest ahead of the files across a crash;
+            # the finalize block below writes state FIRST, then commits.
+            if kk % checkpoint_interval == 0:
                 ckpt.commit_iter(kk, metrics, list(range(num_parts)))
             info["iters"].append(metrics)
             return l1

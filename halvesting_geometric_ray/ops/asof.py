@@ -52,10 +52,24 @@ def asof_join(left, right, *, on: str, right_on: str,
     if overlap:
         raise ValueError(f"overlapping payload columns: {overlap}")
 
+    rt_type = r_schema.field(right_on).type
+    if rt_type != t_type:
+        # Normalize the right ordering column to the left's type (e.g.
+        # us-vs-ns timestamp units across sources) — merge_asof inside
+        # the bucket task raises an opaque MergeError otherwise.  Fail
+        # fast here if the types aren't castable at all.
+        import pyarrow.compute as _pc
+        try:
+            _pc.cast(pa.nulls(0, type=rt_type), t_type)
+        except pa.lib.ArrowError as e:
+            raise TypeError(
+                f"asof_join ordering columns have incompatible types: "
+                f"left {on}={t_type}, right {right_on}={rt_type}") from e
+
     out_fields = ([(by, by_type)]
                   + [(c, l_schema.field(c).type) for c in left_cols]
                   + [(c, r_schema.field(c).type) for c in right_cols]
-                  + [(_RT, r_schema.field(right_on).type)])
+                  + [(_RT, t_type)])
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:

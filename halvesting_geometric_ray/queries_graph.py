@@ -91,6 +91,34 @@ def build_oracles() -> Dict[str, str]:
             f"comp AS (SELECT v, min(reach) AS c FROM walk GROUP BY v) "
             f"SELECT sz AS size, count(*) AS n_components FROM "
             f"(SELECT c, count(*) AS sz FROM comp GROUP BY c) GROUP BY sz",
+        # per-VERTEX CC certification: component representative =
+        # lexicographic min url over the component (labels themselves are
+        # min-vid and not SQL-reproducible; the url-level rep is)
+        "q_components_urls":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT src_url AS a, dst_url AS b FROM {A} "
+            f"UNION SELECT dst_url, src_url FROM {A}), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, e.b AS reach FROM walk w "
+            f"JOIN e ON e.a = w.reach) "
+            f"SELECT v AS url, min(reach) AS component_url "
+            f"FROM walk GROUP BY v",
+        # per-VERTEX triangle certification: triple self-join over the
+        # distinct canonical (lexicographic min/max) anchor pairs — the
+        # undirected edge SET is vid-order-independent, so counts match
+        # the vid-level orientation algorithm exactly
+        "q_triangles_urls":
+            f"WITH und AS (SELECT least(src_url, dst_url) AS u, "
+            f"greatest(src_url, dst_url) AS v FROM {A} "
+            f"WHERE src_url <> dst_url GROUP BY 1, 2), "
+            f"tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM und e1 JOIN und e2 ON e2.u = e1.v "
+            f"JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v) "
+            f"SELECT url, count(*) AS n_triangles FROM "
+            f"(SELECT a AS url FROM tri UNION ALL "
+            f"SELECT b AS url FROM tri UNION ALL "
+            f"SELECT c AS url FROM tri) GROUP BY url",
     }
 
 
@@ -315,6 +343,70 @@ def q_component_size_distribution(sf_dir: str):
                               {"size": ("count", None)})
     return grouped_aggregate(sizes.select_columns(["size"]), ["size"],
                              {"n_components": ("count", None)})
+
+
+@_q("q_components_urls")
+def q_components_urls(sf_dir: str):
+    """Per-vertex CC certification at the url level: every vertex paired
+    with its component representative = min(url) over the component.
+    Gate-pinned (oracle: recursive closure over the authored anchors).
+    Two bucketed hash joins + one grouped min — scale-shaped."""
+    from .graph.components import connected_components
+    from .ops.agg import grouped_aggregate
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    labels, _ = connected_components(
+        symmetrize(read_layer(g.edges), dedup=False), g.offsets, g.workdir)
+    lab = labels.select_columns(["vid", "label"])
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    lab_schema = pa.schema([pa.field("vid", pa.int64()),
+                            pa.field("label", pa.int64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    withurl = hash_join(lab, v, on="vid", right_on="vid",
+                        num_parts=DEFAULT.num_parts,
+                        left_schema=lab_schema, right_schema=v_schema)
+    withurl = withurl.materialize()  # feeds both the rep agg and the join
+    rep = grouped_aggregate(withurl.select_columns(["label", "url"]),
+                            ["label"], {"component_url": ("min", "url")})
+    wu_schema = pa.schema([pa.field("vid", pa.int64()),
+                           pa.field("label", pa.int64()),
+                           pa.field("url", pa.string())])
+    rep_schema = pa.schema([pa.field("label", pa.int64()),
+                            pa.field("component_url", pa.string())])
+    out = hash_join(withurl, rep, on="label", right_on="label",
+                    num_parts=DEFAULT.num_parts, left_cols=["url"],
+                    left_schema=wu_schema, right_schema=rep_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "component_url": b.column("component_url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_triangles_urls")
+def q_triangles_urls(sf_dir: str):
+    """Per-vertex triangle counts mapped to urls — SQL-certified against
+    a triple self-join over the distinct canonical anchor pairs
+    (gate-pinned; reference conformance anchor: golden cardinalities at
+    halvesting_geometric/utils/data/link_prediction_dataset.py:50-75)."""
+    from .graph.triangles import triangles_edges
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    per, _total = triangles_edges(read_layer(g.edges))
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    per_schema = pa.schema([pa.field("vid", pa.int64()),
+                            pa.field("triangles", pa.int64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    out = hash_join(per, v, on="vid", right_on="vid",
+                    num_parts=DEFAULT.num_parts,
+                    left_schema=per_schema, right_schema=v_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "n_triangles": b.column("triangles")}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 @_q("q_component_sizes")
