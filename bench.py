@@ -28,6 +28,10 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+    # sets RAY_DATA_LOGGING_CONFIG (empty-block schema-noise silencer);
+    # must happen BEFORE ray.init so workers inherit it
+    import halvesting_geometric_ray  # noqa: F401
+
     import ray
     import ray.data as rd
 
@@ -78,11 +82,19 @@ def run_bench() -> dict:
     _, n_tri = tri(edges)
     t_tri = time.time() - t3
 
+    from halvesting_geometric_ray.graph.hits import hits
+
+    t4 = time.time()
+    _, hits_info = hits(edges, g.offsets, workdir=f"{wd}/hits",
+                        shards_dir=f"{wd}/csr", max_iters=25)
+    t_hits = time.time() - t4
+
     queries: dict = {
         "graph_build": round(t_build, 3),
         "pagerank": round(t_pr, 3),
         "connected_components": round(t_cc, 3),
         "triangles": round(t_tri, 3),
+        "hits_25_iters": round(t_hits, 3),
     }
 
     # sample of conformance queries over the sf tables

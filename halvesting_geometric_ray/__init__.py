@@ -34,3 +34,10 @@ import os as _os
 # 32-core box running 32 Ray workers would oversubscribe 1024 threads.
 # Our per-batch/per-bucket frames are small — a few threads suffice.
 _os.environ.setdefault("POLARS_MAX_THREADS", "4")
+
+# Silence two known Ray 2.49 empty-block schema warnings (root cause is
+# Ray's all-to-all operators, not this package — see _raylog docstring).
+# Installed here so Ray worker processes pick the filter up too.
+from . import _raylog as _raylog  # noqa: E402
+
+_raylog.install()

@@ -46,6 +46,45 @@ def trigram_hashes(text: str) -> np.ndarray:
     return np.unique(_hash_strs(trigrams(toks)))
 
 
+def trigram_hash_batch(doc_ids: np.ndarray, texts) -> tuple:
+    """Vectorized (doc_id, trigram-hash) pairs for a whole batch of
+    documents — replaces the per-doc trigrams()+_hash_strs() loop in the
+    n-gram Jaccard pipeline.
+
+    Tokens of ALL documents are hashed as one flat vector (polars
+    xxhash); a trigram's 63-bit key then mixes the three consecutive
+    token hashes with distinct odd multipliers + an avalanche step.
+    Equal trigrams get equal keys and distinct trigrams collide with
+    prob ~2^-63 — the same set-semantics contract as hashing the joined
+    gram string (tokens cannot contain the join character, so both
+    encodings are injective).  Returns (doc_id, key) int64 arrays,
+    NOT deduplicated."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lst = pc.split_pattern(texts, " ")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    offs = np.asarray(lst.offsets)
+    flat = lst.values
+    ntok = np.diff(offs)
+    ngrams = np.maximum(ntok - 2, 0).astype(np.int64)
+    total = int(ngrams.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    th = pl.from_arrow(flat).hash(seed=7).to_numpy().astype(np.uint64)
+    csum = np.concatenate([[0], np.cumsum(ngrams)])[:-1]
+    i0 = np.repeat(offs[:-1] - csum, ngrams) + np.arange(total)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        k = ((th[i0] * np.uint64(0x9E3779B97F4A7C15))
+             ^ (th[i0 + 1] * np.uint64(0xC2B2AE3D27D4EB4F))
+             ^ (th[i0 + 2] * np.uint64(0x165667B19E3779F9)))
+        k = (k ^ (k >> np.uint64(29))) * np.uint64(0xBF58476D1CE4E5B9)
+    keys = (k & np.uint64(_MASK63)).astype(np.int64)
+    return (np.repeat(np.asarray(doc_ids, dtype=np.int64), ngrams), keys)
+
+
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 11):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MOD, size=num_perm, dtype=np.int64)
@@ -146,12 +185,13 @@ def simhash64_batch(texts: List[str]) -> np.ndarray:
 def band_keys(sig: np.ndarray) -> List[int]:
     """One stable hash per band of the signature."""
     keys = []
-    for b in range(BANDS):
-        chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-        x = np.uint64(1469598103934665603)
-        for v in chunk.astype(np.uint64):
-            x = (x ^ v) * np.uint64(1099511628211)
-        keys.append(int(x & np.uint64(_MASK63)))
+    with np.errstate(over="ignore"):  # FNV wraparound is intentional
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            x = np.uint64(1469598103934665603)
+            for v in chunk.astype(np.uint64):
+                x = (x ^ v) * np.uint64(1099511628211)
+            keys.append(int(x & np.uint64(_MASK63)))
     return keys
 
 

@@ -5,28 +5,37 @@ iteration, on the same CSR-shard actor engine as PageRank.
     h'(v) = sum_{v -> u} a'(u)         (hub: out-links to authorities)
     normalize each vector to unit L2 every iteration
 
-One iteration = two half-rounds on the shard actors:
-  1. scatter: per-shard h-contributions pre-aggregated by unique
-     destination (the PageRank combiner) -> exchange -> owners apply and
-     produce the unnormalized a';
-  2. gather-back: each shard queries a'(udsts) from the owners (the
-     CC pointer-jump query/answer pattern) and reduces per-source to h'.
-Global L2 norms are tiny driver-side reductions over per-actor partials.
-Convergence: L1 delta of the normalized authority vector < tol.
+Pipelined protocol (r3 — replaces the r2 version's 5 barriered actor
+calls per round, which cost ~0.2 s/round at 600k vertices):
+
+- the query/answer exchange for the hub update is STATIC: which dst
+  vids each actor needs from each owner never changes, so the request
+  sets are exchanged ONCE at setup and owners push value arrays (no
+  per-round vid traffic, and the receiver's gather permutation is
+  precomputed per shard);
+- L2 normalization is DEFERRED: actors keep raw vectors and divide by
+  the global norm of the PREVIOUS half-round, which arrives as a tiny
+  scalar ObjectRef reduced by a side task — no driver barrier;
+- a round is exactly two chained actor calls (step_auth -> step_hub)
+  whose message refs flow actor-to-actor; the driver only collects the
+  (norm, delta) scalar pairs one round BEHIND (trailing convergence
+  check, PageRank's overshoot pattern — the extra submitted round is
+  harmless because each step snapshots the previous round's state
+  before overwriting, and write_out can publish the snapshot).
 
 Deterministic: actor layout is fixed by plan_actors, all reductions are
-order-fixed float64 sums; matches the NumPy oracle to allclose 1e-6.
+order-fixed float64 sums; matches the NumPy oracle to allclose 1e-6
+with identical iteration counts.
 
 Convergence note: power iteration converges at the ratio of the top two
 singular values — graphs with small spectral gaps (including the
 synthetic fixtures) need many rounds at tol=1e-8; production use
-typically fixes max_iters (~50).  Rounds here are barriered (5 actor
-calls each, ~0.2 s/round at 600k vertices / 32 CPUs) — pipelining like
-PageRank's single-call step is possible if HITS becomes a hot path.
+typically fixes max_iters (~50).
 """
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -42,6 +51,16 @@ from .engine import part_to_actor_map, plan_actors, scatter_refs_matrix, transpo
 
 
 @ray.remote(num_cpus=0)
+def _sum_scalars(*xs) -> float:
+    return float(sum(xs))
+
+
+@ray.remote(num_cpus=0)
+def _sum_hsq(*hd) -> float:
+    return float(sum(x[0] for x in hd))
+
+
+@ray.remote(num_cpus=0)
 class HitsShardActor:
     def __init__(self, actor_idx: int, owned: List[int], paths: Dict[int, str],
                  offsets: np.ndarray, part2actor: np.ndarray, num_actors: int):
@@ -52,6 +71,7 @@ class HitsShardActor:
         self.shards: Dict[int, Dict] = {}
         self.h: Dict[int, np.ndarray] = {}
         self.a: Dict[int, np.ndarray] = {}
+        n = float(offsets[-1])
         for p in owned:
             s = dict(load_shard(paths[p]))
             dest = part2actor[s["udst_part"]]
@@ -62,12 +82,47 @@ class HitsShardActor:
                                                 np.arange(num_actors + 1))
             self.shards[p] = s
             size = s["vid_hi"] - s["vid_lo"]
-            n = float(offsets[-1])
             self.h[p] = np.full(size, 1.0 / np.sqrt(n), dtype=np.float64)
-            self.a[p] = np.full(size, 1.0 / np.sqrt(n), dtype=np.float64)
+            self.a[p] = np.zeros(size, dtype=np.float64)
+        # Static answer routing: the dst vids this actor needs for its
+        # hub update, split by owning actor (sorted, possibly empty),
+        # plus the per-shard gather permutation into the sender-ordered
+        # concatenation of those arrays.
+        allq = np.unique(np.concatenate(
+            [self.shards[p]["udsts"] for p in owned
+             if self.shards[p]["udsts"].size]
+        )) if owned else np.empty(0, dtype=np.int64)
+        if allq.size:
+            part = (np.searchsorted(self.off, allq, side="right") - 1)
+            dest = self._p2a[part]
+            self._needs = [allq[dest == i] for i in range(num_actors)]
+        else:
+            self._needs = [np.empty(0, dtype=np.int64)
+                           for _ in range(num_actors)]
+        full = np.concatenate(self._needs) if num_actors else allq
+        order = np.argsort(full, kind="stable")
+        self._gather_idx: Dict[int, np.ndarray] = {}
+        for p in owned:
+            ud = self.shards[p]["udsts"]
+            self._gather_idx[p] = order[np.searchsorted(full[order], ud)] \
+                if ud.size else np.empty(0, dtype=np.int64)
+        self._reqs: Optional[List[np.ndarray]] = None
+        self._a_raw: Dict[int, np.ndarray] = {}
+        self._a_prev: Dict[int, np.ndarray] = {}
+        self._snap: Optional[Tuple[Dict, Dict]] = None
 
-    def _msgs_from_h(self):
-        """Per-destination-actor (vids, sum of h over in-edges)."""
+    # -- one-time setup exchange -----------------------------------------
+
+    def get_needs(self) -> List[np.ndarray]:
+        return self._needs
+
+    def set_requests(self, reqs: List[np.ndarray]) -> bool:
+        """reqs[j] = vids actor j needs from this actor (sorted)."""
+        self._reqs = reqs
+        return True
+
+    def _msgs_list(self):
+        """Per-destination-actor (vids, sum of RAW h over in-edges)."""
         per_v: List[List[np.ndarray]] = [[] for _ in range(self.num_actors)]
         per_s: List[List[np.ndarray]] = [[] for _ in range(self.num_actors)]
         for p in self.owned:
@@ -82,129 +137,104 @@ class HitsShardActor:
                 if b[j + 1] > b[j]:
                     per_v[j].append(s["route_udsts"][b[j]:b[j + 1]])
                     per_s[j].append(sums[b[j]:b[j + 1]])
-        out = [(np.concatenate(per_v[j]), np.concatenate(per_s[j]))
-               if per_v[j] else None for j in range(self.num_actors)]
-        return tuple(out) if self.num_actors > 1 else out[0]
+        return [(np.concatenate(per_v[j]), np.concatenate(per_s[j]))
+                if per_v[j] else None for j in range(self.num_actors)]
 
     def scatter(self):
-        return self._msgs_from_h()
+        """Initial h-contribution messages (round-0 state)."""
+        out = self._msgs_list()
+        return tuple(out) if self.num_actors > 1 else out[0]
 
-    def apply_auth(self, *incoming) -> float:
-        """a_raw(u) = sum incoming h-contributions; returns sum(a_raw^2)
-        partial for the global L2 norm."""
-        sq = 0.0
+    # -- per-round fused steps -------------------------------------------
+
+    def step_auth(self, hsq: float, *h_msgs):
+        """First half-round: apply incoming h-contributions (computed
+        from RAW h — normalize by the global h norm passed as a scalar),
+        store a_raw, and push the statically-requested a_raw values to
+        every requester.  Returns A value arrays + the a-norm partial."""
+        inv_h = 1.0 / np.sqrt(hsq) if hsq > 0 else 0.0
+        asq = 0.0
         for p in self.owned:
             lo, hi = self.shards[p]["vid_lo"], self.shards[p]["vid_hi"]
             new = np.zeros(hi - lo, dtype=np.float64)
-            for msg in incoming:
+            for msg in h_msgs:
                 if msg is None:
                     continue
                 vids, vals = msg
                 m = (vids >= lo) & (vids < hi)
                 if m.any():
                     np.add.at(new, vids[m] - lo, vals[m])
-            self.a[p] = new
-            sq += float((new * new).sum())
-        return sq
-
-    def norm_auth(self, norm: float) -> float:
-        """Normalize a, return L1 delta partial vs previous normalized a
-        (kept by caller passing through prev snapshot)."""
-        inv = 1.0 / norm if norm > 0 else 0.0
-        delta = 0.0
-        for p in self.owned:
-            prev = getattr(self, "_a_prev", {}).get(p)
-            new = self.a[p] * inv
-            if prev is not None:
-                delta += float(np.abs(new - prev).sum())
-            else:
-                delta = float("inf")
-            self.a[p] = new
-        self._a_prev = {p: self.a[p] for p in self.owned}
-        return delta
-
-    def auth_queries(self):
-        """Distinct destination vids needed for the hub update, routed
-        to their owning actor (CC's query/answer exchange pattern)."""
-        allq = np.unique(np.concatenate(
-            [self.shards[p]["udsts"] for p in self.owned
-             if self.shards[p]["udsts"].size]
-        )) if self.owned else np.empty(0, dtype=np.int64)
-        if allq.size == 0:
-            out = [None] * self.num_actors
-            return tuple(out) if self.num_actors > 1 else out[0]
-        part = (np.searchsorted(self.off, allq, side="right") - 1)
-        dest = self._p2a[part]
-        order = np.argsort(dest, kind="stable")
-        q = allq[order]
-        b = np.searchsorted(dest[order], np.arange(self.num_actors + 1))
-        out = [q[b[j]:b[j + 1]] if b[j + 1] > b[j] else None
-               for j in range(self.num_actors)]
-        return tuple(out) if self.num_actors > 1 else out[0]
-
-    def auth_answers(self, *queries):
-        out = []
-        for q in queries:
-            if q is None:
-                out.append(None)
-                continue
+            new *= inv_h
+            self._a_raw[p] = new
+            asq += float((new * new).sum())
+        outs: List = []
+        for j in range(self.num_actors):
+            q = self._reqs[j]
             ans = np.empty(len(q), dtype=np.float64)
             for p in self.owned:
                 lo, hi = self.shards[p]["vid_lo"], self.shards[p]["vid_hi"]
                 m = (q >= lo) & (q < hi)
                 if m.any():
-                    ans[m] = self.a[p][q[m] - lo]
-            out.append((q, ans))
-        return tuple(out) if len(out) > 1 else out[0]
+                    ans[m] = self._a_raw[p][q[m] - lo]
+            outs.append(ans)
+        outs.append(asq)
+        return tuple(outs)
 
-    def update_hubs(self, *answers) -> float:
-        """h_raw(v) = sum over out-edges of a(dst); returns sum(h^2)."""
-        if answers and any(x is not None for x in answers):
-            qs = np.concatenate([x[0] for x in answers if x is not None])
-            vs = np.concatenate([x[1] for x in answers if x is not None])
-            order = np.argsort(qs)
-            qs, vs = qs[order], vs[order]
-        else:
-            qs = np.empty(0, dtype=np.int64)
-            vs = np.empty(0, dtype=np.float64)
-        sq = 0.0
+    def step_hub(self, asq: float, *a_vals):
+        """Second half-round: normalize a, compute the L1 delta vs the
+        previous round, rebuild RAW h from the pushed a values, and emit
+        next round's h-contribution messages.  Returns A messages +
+        (h-norm partial, delta partial)."""
+        inv_a = 1.0 / np.sqrt(asq) if asq > 0 else 0.0
+        # snapshot the PREVIOUS round's published state: the overshoot
+        # round submitted past convergence must not destroy it
+        self._snap = (dict(self.a), dict(self.h))
+        delta = 0.0
+        for p in self.owned:
+            a_n = self._a_raw[p] * inv_a
+            prev = self._a_prev.get(p)
+            delta += float(np.abs(a_n - prev).sum()) if prev is not None \
+                else float("inf")
+            self.a[p] = a_n
+        self._a_prev = dict(self.a)
+        full_vals = np.concatenate([np.asarray(v) for v in a_vals]) \
+            if self.num_actors else np.empty(0, dtype=np.float64)
+        hsq = 0.0
         for p in self.owned:
             s = self.shards[p]
             lo, hi = s["vid_lo"], s["vid_hi"]
             new = np.zeros(hi - lo, dtype=np.float64)
-            if s["indices"].size and qs.size:
-                a_of_udst = vs[np.searchsorted(qs, s["udsts"])]
+            if s["indices"].size and full_vals.size:
+                a_of_udst = full_vals[self._gather_idx[p]] * inv_a
                 per_edge = a_of_udst[s["uinv"]]
-                # per-source reduce over the CSR layout
                 new = np.add.reduceat(
                     np.r_[per_edge, 0.0], np.minimum(s["indptr"][:-1],
                                                      len(per_edge)))
                 new[s["outdeg"] == 0] = 0.0
-            self.h[p] = new
-            sq += float((new * new).sum())
-        return sq
+            self.h[p] = new  # RAW; next round's step_auth divides
+            hsq += float((new * new).sum())
+        msgs = self._msgs_list()
+        return tuple(msgs + [(hsq, delta)])
 
-    def norm_hubs(self, norm: float) -> bool:
-        inv = 1.0 / norm if norm > 0 else 0.0
-        for p in self.owned:
-            self.h[p] = self.h[p] * inv
-        return True
-
-    def write_out(self, paths: Dict[int, str]) -> bool:
+    def write_out(self, paths: Dict[int, str], hsq: float,
+                  use_prev: bool) -> bool:
         """Persist (vid, authority, hub) parquet per partition — results
-        stay sharded on disk, never vertex-cardinality on the driver."""
+        stay sharded on disk, never vertex-cardinality on the driver.
+        ``hsq`` is the GLOBAL h-norm square of the published round (the
+        hub vector is stored raw); ``use_prev`` selects the pre-overshoot
+        snapshot."""
         import pyarrow.parquet as pq
 
+        a_d, h_d = self._snap if use_prev else (self.a, self.h)
+        inv_h = 1.0 / np.sqrt(hsq) if hsq > 0 else 0.0
         for p, path in paths.items():
             lo, hi = self.shards[p]["vid_lo"], self.shards[p]["vid_hi"]
             t = pa.table({
                 "vid": pa.array(np.arange(lo, hi, dtype=np.int64)),
-                "authority": pa.array(self.a[p]),
-                "hub": pa.array(self.h[p])})
+                "authority": pa.array(a_d[p]),
+                "hub": pa.array(h_d[p] * inv_h)})
             tmp = f"{path}.tmp"
             pq.write_table(t, tmp)
-            import os
-
             os.replace(tmp, path)
         return True
 
@@ -217,7 +247,6 @@ def hits(edges, offsets: np.ndarray, cfg: EngineConfig = DEFAULT, *,
     (ds(vid, authority, hub), info with per-iteration L1 deltas)."""
     from .csr import build_csr_shards
 
-    N = int(offsets[-1])
     num_parts = len(offsets) - 1
     descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr",
                              lineage={"kind": "directed"})
@@ -227,38 +256,61 @@ def hits(edges, offsets: np.ndarray, cfg: EngineConfig = DEFAULT, *,
     p2a = part_to_actor_map(owned, num_parts)
     actors = [HitsShardActor.remote(i, owned[i], paths, offsets, p2a, A)
               for i in range(A)]
+    # one-time static exchange of the answer-routing request sets
+    needs = ray.get([a.get_needs.remote() for a in actors])
+    ray.get([a.set_requests.remote([needs[j][i] for j in range(A)])
+             for i, a in enumerate(actors)])
     info: Dict = {"iters": []}
     try:
+        inbox = transpose_refs(scatter_refs_matrix(actors, A))
+        hsq_ref = 1.0  # initial h is exactly unit-L2
+        pending: Dict[int, List] = {}
+        hsq_by_round: Dict[int, float] = {}
+        converged = False
+        overshoot = False
+        final_k = 0
+        t_start = time.time()
+
+        def commit(kk: int) -> float:
+            hd = ray.get(pending.pop(kk))
+            delta = float(sum(x[1] for x in hd))
+            hsq_by_round[kk] = float(sum(x[0] for x in hd))
+            info["iters"].append({"iter": kk, "a_delta_l1": delta,
+                                  "wall_sec": round(time.time() - t_start, 4)})
+            return delta
+
         for k in range(1, max_iters + 1):
-            t0 = time.time()
-            inbox = transpose_refs(scatter_refs_matrix(actors, A))
-            sq = sum(ray.get([a.apply_auth.remote(*inbox[j])
-                              for j, a in enumerate(actors)]))
-            a_norm = float(np.sqrt(sq))
-            deltas = ray.get([a.norm_auth.remote(a_norm) for a in actors])
-            q_inbox = transpose_refs(
-                scatter_refs_matrix(actors, A, method="auth_queries"))
-            ans = [list(actors[j].auth_answers.options(num_returns=A)
-                        .remote(*q_inbox[j]))
-                   if A > 1 else [actors[j].auth_answers.remote(*q_inbox[j])]
-                   for j in range(A)]
-            a_inbox = transpose_refs(ans)
-            sqh = sum(ray.get([a.update_hubs.remote(*a_inbox[j])
-                               for j, a in enumerate(actors)]))
-            h_norm = float(np.sqrt(sqh))
-            ray.get([a.norm_hubs.remote(h_norm) for a in actors])
-            delta = float(sum(deltas))
-            info["iters"].append({"iter": k, "a_delta_l1": delta,
-                                  "wall_sec": round(time.time() - t0, 4)})
-            if delta < tol:
-                break
-        import os
+            outs = [list(a.step_auth.options(num_returns=A + 1)
+                         .remote(hsq_ref, *inbox[j]))
+                    for j, a in enumerate(actors)]
+            a_inbox = transpose_refs([o[:A] for o in outs])
+            asq_ref = _sum_scalars.remote(*[o[A] for o in outs])
+            outs2 = [list(a.step_hub.options(num_returns=A + 1)
+                          .remote(asq_ref, *a_inbox[j]))
+                     for j, a in enumerate(actors)]
+            inbox = transpose_refs([o[:A] for o in outs2])
+            hd_refs = [o[A] for o in outs2]
+            hsq_ref = _sum_hsq.remote(*hd_refs)
+            pending[k] = hd_refs
+            final_k = k
+            # trailing convergence check (one round of overlap)
+            if k - 1 in pending:
+                if commit(k - 1) < tol:
+                    final_k = k - 1
+                    converged = True
+                    overshoot = True  # round k already submitted
+                    break
+        if not converged and final_k in pending:
+            converged = commit(final_k) < tol
+        pending.clear()
 
         out_dir = os.path.join(workdir, "hits_out")
         os.makedirs(out_dir, exist_ok=True)
+        hsq_final = hsq_by_round.get(final_k, 1.0)
         ray.get([a.write_out.remote(
             {p: os.path.join(out_dir, f"part-{p:05d}.parquet")
-             for p in owned[i]}) for i, a in enumerate(actors)])
+             for p in owned[i]}, hsq_final, overshoot)
+            for i, a in enumerate(actors)])
     finally:
         for a in actors:
             ray.kill(a)

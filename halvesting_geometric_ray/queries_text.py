@@ -387,22 +387,17 @@ def q_neardup_jaccard(sf_dir: str):
 
     def grams(b: pa.Table) -> pa.Table:
         """(doc_id, gram:int64) distinct pairs — grams carried as 63-bit
-        hashes (one vectorized polars hash over the whole batch; int64
-        join keys shuffle far cheaper than gram strings).  Set semantics
-        are identical to string grams barring 2^-63 collisions."""
+        hashes (fully vectorized: one flat token split + hash + triple
+        mix across the whole batch, functions/dedup.trigram_hash_batch;
+        int64 join keys shuffle far cheaper than gram strings).  Set
+        semantics are identical to string grams barring 2^-63
+        collisions."""
         import polars as pl
 
-        ids = b.column("doc_id").to_numpy()
-        all_grams: list = []
-        counts = np.empty(len(ids), dtype=np.int64)
-        for i, text in enumerate(b.column("text").to_pylist()):
-            g = FD.trigrams(text.split(" "))
-            all_grams.extend(g)
-            counts[i] = len(g)
-        h = FD._hash_strs(all_grams)
-        t = pa.table({"doc_id": pa.array(np.repeat(ids, counts),
-                                         type=pa.int64()),
-                      "gram": pa.array(h, type=pa.int64())})
+        ids, keys = FD.trigram_hash_batch(b.column("doc_id").to_numpy(),
+                                          b.column("text"))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "gram": pa.array(keys, type=pa.int64())})
         out = pl.from_arrow(t).unique(subset=["doc_id", "gram"]).to_arrow()
         return out.cast(t.schema)
 
