@@ -206,7 +206,10 @@ def run_scaling_worker() -> dict:
     edges_dir = ensure_edges_parquet(n_edges, n_vertices)
     offsets = even_offsets(n_vertices, num_parts)
     shards_dir = f"/tmp/hgr_scalebench/csr_e{n_edges}_v{n_vertices}_p{num_parts}"
-    build_csr_shards(rd.read_parquet(edges_dir), offsets, shards_dir)  # cached
+    # same lineage stamp pagerank() uses — a mismatched stamp makes
+    # pagerank wipe and rebuild the prebuilt shards inside the timing
+    build_csr_shards(rd.read_parquet(edges_dir), offsets, shards_dir,
+                     lineage={"kind": "directed"})  # cached
     wd = f"/tmp/hgr_scalebench/run_cpus{num_cpus}"
     t_pr = None
     for _rep in range(3):  # bandwidth-bound kernels: the box's co-runs

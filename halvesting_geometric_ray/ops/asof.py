@@ -61,7 +61,7 @@ def asof_join(left, right, *, on: str, right_on: str,
         import pyarrow.compute as _pc
         try:
             _pc.cast(pa.nulls(0, type=rt_type), t_type)
-        except pa.lib.ArrowError as e:
+        except pa.lib.ArrowException as e:
             raise TypeError(
                 f"asof_join ordering columns have incompatible types: "
                 f"left {on}={t_type}, right {right_on}={rt_type}") from e

@@ -491,3 +491,24 @@ def q_negative_samples(sf_dir: str):
 
     g = graph_for(sf_dir)
     return negative_sample(read_layer(g.edges), g.num_vertices, 100)
+
+
+@_q("q_sample_khop")
+def q_sample_khop(sf_dir: str):
+    """R2: k-hop neighbor sampling (reference LinkNeighborLoader
+    fan-outs, link_prediction_datamodule.py:147-191) — deterministic
+    seeded [3, 2] fan-out from a fixed seed set over the CSR shards;
+    returns the sampled edge list.  Property-tested in
+    tests/test_sampling_props.py (valid edges, fan-out caps,
+    determinism)."""
+    from .graph.csr import build_csr_shards
+    from .graph.sampling import sample_k_hop
+
+    g = graph_for(sf_dir)
+    descs = build_csr_shards(read_layer(g.edges), g.offsets,
+                             os.path.join(g.workdir, "csr"),
+                             lineage={"kind": "directed"})
+    paths = {d["part"]: d["path"] for d in descs}
+    seeds = np.arange(10, dtype=np.int64)
+    _nodes, s, d = sample_k_hop(seeds, paths, g.offsets, [3, 2], seed=31)
+    return pd.DataFrame({"src": s, "dst": d})

@@ -130,3 +130,45 @@ def test_asof_keys_without_matches_dropped():
         left_cols=["event_id", "ts"], right_cols=["o_orderdate", "price"],
         left_schema=L_SCHEMA, right_schema=R_SCHEMA).to_pandas()
     assert len(got) == 0
+
+
+def test_asof_mixed_timestamp_units():
+    """Right ordering column in ns vs left in us: the bucketed join must
+    normalize units (regression — per-bucket merge_asof raised
+    MergeError on mixed units before r3)."""
+    left, right = _mk(seed=13, n_left=400, n_right=900)
+    r_ns = right.copy()
+    r_ns["o_orderdate"] = r_ns["o_orderdate"].astype("datetime64[ns]")
+    r_schema_ns = pa.schema([pa.field("o_custkey", pa.int64()),
+                             pa.field("o_orderdate", pa.timestamp("ns")),
+                             pa.field("price", pa.float64())])
+    got = asof_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_arrow(pa.Table.from_pandas(r_ns, preserve_index=False)
+                      .cast(r_schema_ns)),
+        on="ts", right_on="o_orderdate", by="user_id", right_by="o_custkey",
+        left_cols=["event_id", "ts"], right_cols=["o_orderdate", "price"],
+        left_schema=L_SCHEMA, right_schema=r_schema_ns).to_pandas()
+    exp = _oracle(left, right)
+    got_n = _norm(got)
+    got_n["o_orderdate"] = got_n["o_orderdate"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got_n, exp)
+
+
+def test_asof_incompatible_order_types_fail_fast():
+    """A right ordering column Arrow cannot cast to the left's type must
+    be rejected at plan time with a clear error, not an opaque MergeError
+    inside a bucket task (string->timestamp IS castable — ISO parse — so
+    the uncastable case needs a nested type)."""
+    left, right = _mk(seed=1, n_left=50, n_right=50)
+    right = right.drop(columns=["o_orderdate"])
+    right["o_lst"] = [[1, 2]] * len(right)
+    r_schema = pa.schema([pa.field("o_custkey", pa.int64()),
+                          pa.field("o_lst", pa.list_(pa.int64())),
+                          pa.field("price", pa.float64())])
+    with pytest.raises(TypeError, match="incompatible"):
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="ts", right_on="o_lst", by="user_id", right_by="o_custkey",
+            left_cols=["event_id"], right_cols=["price"],
+            left_schema=L_SCHEMA, right_schema=r_schema)

@@ -152,3 +152,42 @@ def test_ppr_and_classic_checkpoints_do_not_mix(tiny_graph, tmp_path):
     b = r2.to_pandas().sort_values("vid")["rank"].to_numpy()
     assert info2["resumed_from"] is None
     assert not np.allclose(a, b)
+
+
+def test_pagerank_manifest_never_ahead_of_parts(tiny_graph, tmp_path):
+    """Every iteration the manifest marks complete must have ALL its
+    part files on disk (r3 regression: convergence at a non-interval
+    iteration used to commit the manifest before write_state ran,
+    leaving a window where a crash broke resume)."""
+    import json
+    import os
+
+    wd = str(tmp_path / "mna")
+    _, info = _run(tiny_graph, wd, checkpoint_interval=5)
+    assert info["converged"]
+    mdir = os.path.join(wd, "pagerank")
+    with open(os.path.join(mdir, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["iters"], "no committed iterations"
+    for k, entry in manifest["iters"].items():
+        d = os.path.join(mdir, f"iter_{int(k):05d}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == len(tiny_graph.offsets) - 1, \
+            f"iter {k} committed with {len(files)} part files"
+
+
+def test_personalized_seeds_out_of_range_rejected(tiny_graph, tmp_path):
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    edges = rd.read_parquet(tiny_graph.edges)
+    n = tiny_graph.num_vertices
+    with pytest.raises(ValueError, match="seed vids"):
+        pagerank(edges, tiny_graph.offsets, str(tmp_path / "ppr_bad"),
+                 seeds=np.array([n], dtype=np.int64))
+    with pytest.raises(ValueError, match="seed vids"):
+        pagerank(edges, tiny_graph.offsets, str(tmp_path / "ppr_bad2"),
+                 seeds=np.array([-1, 0], dtype=np.int64))

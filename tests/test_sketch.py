@@ -39,3 +39,18 @@ def test_hll_strings():
         "read_parquet('/root/testdata/sf0.001/documents.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_merge_parts_invariant():
+    """The distributed tree-merge level must not change the estimate:
+    register max-merge is associative, so any merge_parts gives the
+    SAME registers and hence an identical count."""
+    from halvesting_geometric_ray.ops.sketch import hll_count_distinct_multi
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50_000, 200_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(24)
+    a = hll_count_distinct_multi(ds, ["v"], merge_parts=1)["v"]
+    b = hll_count_distinct_multi(ds, ["v"], merge_parts=4)["v"]
+    c = hll_count_distinct_multi(ds, ["v"], merge_parts=16)["v"]
+    assert a == b == c

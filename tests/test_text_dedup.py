@@ -270,3 +270,64 @@ def test_knn_ivf_recall():
     hits = sum(1 for q, grp in approx.groupby("query_id")
                if e1.get(q) in set(grp.neighbor_id))
     assert hits >= len(e1) * 0.5  # nprobe=4 of 16 lists on near-random data
+
+
+def test_trigram_hash_batch_matches_perdoc_sets():
+    """The vectorized batch trigram hasher must induce the SAME per-doc
+    gram-set structure as the per-doc string-gram path: identical
+    per-doc distinct counts and identical pairwise intersection sizes
+    (different concrete hash values are fine — only set semantics feed
+    the Jaccard pipeline)."""
+    import pyarrow as pa
+
+    from halvesting_geometric_ray.functions import dedup as FD
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=rng.integers(3, 40)))
+             for _ in range(50)]
+    texts += ["a b", "", "a b c", "a b c"]  # short/empty/dup edge cases
+    ids = np.arange(len(texts), dtype=np.int64)
+
+    did, keys = FD.trigram_hash_batch(ids, pa.array(texts))
+    got = {}
+    for d, k in zip(did, keys):
+        got.setdefault(int(d), set()).add(int(k))
+    exp = {}
+    for d, t in zip(ids, texts):
+        exp[int(d)] = set(FD.trigrams(t.split(" ")))
+    for d in exp:
+        assert len(got.get(d, set())) == len(exp[d]), d
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            gi, gj = got.get(i, set()), got.get(j, set())
+            assert len(gi & gj) == len(exp[i] & exp[j]), (i, j)
+
+
+def test_cosine_pairs_chunked_equals_single_chunk():
+    """Blocked chunk-pair tasks must produce the exact same pair set for
+    any chunk_rows (the r3 rewrite of the driver-matrix variant)."""
+    from halvesting_geometric_ray.functions.similarity import cosine_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 16
+    m = rng.normal(size=(n, dim))
+    m[50] = m[10]  # planted duplicates
+    m[51] = m[10] + 1e-9
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), type=pa.float64()), dim)})
+    ds = rd.from_arrow(t).repartition(6)
+
+    def pairs(chunk_rows):
+        df = cosine_pairs(ds, 0.7, chunk_rows=chunk_rows).to_pandas()
+        return set(zip(df.a, df.b))
+
+    big = pairs(10_000)   # single chunk
+    small = pairs(64)     # many chunk-pair tasks
+    assert big == small
+    assert (10, 50) in big and (10, 51) in big
