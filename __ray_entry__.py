@@ -71,7 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merged.update(queries_text.QUERIES)
     except ImportError:
         pass
-    oracled = set(oracle_sql())
+    # name set only — ensure=False keeps queries() free of the fixture-
+    # synthesis side effect (oracle_sql() proper still ensures the files)
+    oracled = set(_oracle_sql(ensure=False))
     out: dict[str, Callable[[str], Any]] = {}
     for k in merged:  # 1) every SQL-oracled query, module order
         if k in oracled:
@@ -86,13 +88,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    return _oracle_sql(ensure=True)
+
+
+def _oracle_sql(ensure: bool) -> dict[str, str]:
     from halvesting_geometric_ray import queries_graph, queries_relational
 
     out: dict[str, str] = {}
     out.update(queries_relational.ORACLE)
     # url-level graph oracles read the fixture-truth parquet directly
-    # (build_oracles ensures it exists and embeds the absolute paths)
-    out.update(queries_graph.build_oracles())
+    # (build_oracles ensures it exists and embeds the absolute paths;
+    # ensure=False is the side-effect-free name-set path)
+    out.update(queries_graph.build_oracles(ensure=ensure))
     try:
         from halvesting_geometric_ray import queries_text
 

@@ -231,13 +231,17 @@ def ensure_pages_parquet(n_core: int, seed: int = 42, shards: int = 8) -> str:
     return d
 
 
+def anchors_path(n_core: int, seed: int = 42) -> str:
+    return os.path.join(FIXTURE_ROOT, f"anchors_n{n_core}_seed{seed}.parquet")
+
+
 def ensure_anchors_parquet(n_core: int, seed: int = 42) -> str:
     """Write (once) the corpus TRUTH anchor table (src_url, dst_url), one
     row per authored anchor on a well-formed page, duplicates preserved —
     the independent oracle for extraction/graph queries (the same
     authored truth the html and text columns are rendered from), readable
     by DuckDB for SQL oracles."""
-    path = os.path.join(FIXTURE_ROOT, f"anchors_n{n_core}_seed{seed}.parquet")
+    path = anchors_path(n_core, seed)
     if os.path.exists(path):
         return path
     c = build_corpus(n_core, seed)

@@ -178,15 +178,20 @@ def cosine_pairs(embeddings, threshold: float, col: str = "embedding",
             batch_format="pyarrow", zero_copy_batch=True)
 
     def norm_batch(b: pa.Table) -> pa.Table:
+        # nemb is a VARIABLE list<float64> in both branches so an empty
+        # batch (whose embedding dim is unknowable) emits the same schema
+        # as a populated one — fixed_size_list here would make strict
+        # schema unification fail if any block ever empties upstream.
         if b.num_rows == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "nemb": pa.array([], type=pa.list_(pa.float64()))})
         ids, m = _mat(b, col)
         mn = _norm(m)
+        offs = pa.array(np.arange(len(ids) + 1, dtype=np.int32) * mn.shape[1])
         return pa.table({
             "vec_id": pa.array(ids, type=pa.int64()),
-            "nemb": pa.FixedSizeListArray.from_arrays(
-                pa.array(mn.ravel(), type=pa.float64()), mn.shape[1]),
+            "nemb": pa.ListArray.from_arrays(
+                offs, pa.array(mn.ravel(), type=pa.float64())),
         })
 
     nds = ds.map_batches(norm_batch, batch_format="pyarrow",
@@ -211,6 +216,10 @@ def cosine_pairs(embeddings, threshold: float, col: str = "embedding",
         else:
             ii, jj = np.nonzero(sims >= threshold)
         a_ids, b_ids = idi[ii], idj[jj]
+        # drop self-pairs from DUPLICATED vec_ids (distinct rows sharing
+        # an id would otherwise survive the triu/min-max canonicalization)
+        keep = a_ids != b_ids
+        a_ids, b_ids = a_ids[keep], b_ids[keep]
         return pa.table({
             "a": pa.array(np.minimum(a_ids, b_ids), type=pa.int64()),
             "b": pa.array(np.maximum(a_ids, b_ids), type=pa.int64())})

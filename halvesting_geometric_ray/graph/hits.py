@@ -106,7 +106,22 @@ class HitsShardActor:
             ud = self.shards[p]["udsts"]
             self._gather_idx[p] = order[np.searchsorted(full[order], ud)] \
                 if ud.size else np.empty(0, dtype=np.int64)
+        # Static per-destination vid arrays for the h-contribution
+        # messages (the sums change per round, the vids never do): the
+        # concatenation order below MUST match _sums_list exactly.
+        self._sent_vids: List[Optional[np.ndarray]] = []
+        for j in range(num_actors):
+            vs = [self.shards[p]["route_udsts"][
+                      self.shards[p]["route_bounds"][j]:
+                      self.shards[p]["route_bounds"][j + 1]]
+                  for p in owned if self.shards[p]["indices"].size]
+            vs = [v for v in vs if v.size]
+            self._sent_vids.append(np.concatenate(vs) if vs else None)
         self._reqs: Optional[List[np.ndarray]] = None
+        # static plans built once from the setup exchanges (vid routing
+        # never changes between rounds, so no per-round mask work):
+        self._req_plan: Optional[List[List[Tuple]]] = None
+        self._h_plan: Optional[Dict[int, Tuple]] = None
         self._a_raw: Dict[int, np.ndarray] = {}
         self._a_prev: Dict[int, np.ndarray] = {}
         self._snap: Optional[Tuple[Dict, Dict]] = None
@@ -117,13 +132,42 @@ class HitsShardActor:
         return self._needs
 
     def set_requests(self, reqs: List[np.ndarray]) -> bool:
-        """reqs[j] = vids actor j needs from this actor (sorted)."""
+        """reqs[j] = vids actor j needs from this actor (sorted).  Also
+        precomputes the per-requester answer plan (which owned part each
+        requested vid lives in, and where) — static across rounds."""
         self._reqs = reqs
+        self._req_plan = []
+        for q in reqs:
+            plans: List[Tuple] = []
+            for p in self.owned:
+                lo, hi = self.shards[p]["vid_lo"], self.shards[p]["vid_hi"]
+                m = (q >= lo) & (q < hi)
+                if m.any():
+                    plans.append((p, np.nonzero(m)[0], q[m] - lo))
+            self._req_plan.append(plans)
         return True
 
-    def _msgs_list(self):
-        """Per-destination-actor (vids, sum of RAW h over in-edges)."""
-        per_v: List[List[np.ndarray]] = [[] for _ in range(self.num_actors)]
+    def get_sent_vids(self) -> List[Optional[np.ndarray]]:
+        """Static per-destination vid arrays for this actor's
+        h-contribution messages (exchanged once; rounds ship sums only)."""
+        return self._sent_vids
+
+    def set_incoming_vids(self, vids_by_sender: List[Optional[np.ndarray]]) -> bool:
+        """Build the static scatter plan for incoming h-sums:
+        vids_by_sender[i] = the vids actor i's sums will cover, in the
+        exact order its _sums_list concatenates them."""
+        nz = [v for v in vids_by_sender if v is not None]
+        full = np.concatenate(nz) if nz else np.empty(0, dtype=np.int64)
+        self._h_plan = {}
+        for p in self.owned:
+            lo, hi = self.shards[p]["vid_lo"], self.shards[p]["vid_hi"]
+            m = (full >= lo) & (full < hi)
+            self._h_plan[p] = (np.nonzero(m)[0], full[m] - lo)
+        return True
+
+    def _sums_list(self) -> List[Optional[np.ndarray]]:
+        """Per-destination-actor sums of RAW h over in-edges, aligned
+        with the static vid arrays in self._sent_vids."""
         per_s: List[List[np.ndarray]] = [[] for _ in range(self.num_actors)]
         for p in self.owned:
             s = self.shards[p]
@@ -135,47 +179,42 @@ class HitsShardActor:
             b = s["route_bounds"]
             for j in range(self.num_actors):
                 if b[j + 1] > b[j]:
-                    per_v[j].append(s["route_udsts"][b[j]:b[j + 1]])
                     per_s[j].append(sums[b[j]:b[j + 1]])
-        return [(np.concatenate(per_v[j]), np.concatenate(per_s[j]))
-                if per_v[j] else None for j in range(self.num_actors)]
+        return [np.concatenate(per_s[j]) if per_s[j] else None
+                for j in range(self.num_actors)]
 
     def scatter(self):
-        """Initial h-contribution messages (round-0 state)."""
-        out = self._msgs_list()
+        """Initial h-contribution sums (round-0 state)."""
+        out = self._sums_list()
         return tuple(out) if self.num_actors > 1 else out[0]
 
     # -- per-round fused steps -------------------------------------------
 
-    def step_auth(self, hsq: float, *h_msgs):
-        """First half-round: apply incoming h-contributions (computed
+    def step_auth(self, hsq: float, *h_sums):
+        """First half-round: apply incoming h-contribution sums (computed
         from RAW h — normalize by the global h norm passed as a scalar),
         store a_raw, and push the statically-requested a_raw values to
-        every requester.  Returns A value arrays + the a-norm partial."""
+        every requester.  Returns A value arrays + the a-norm partial.
+
+        All vid routing is via the static plans built at setup
+        (set_incoming_vids / set_requests) — no per-round mask work."""
         inv_h = 1.0 / np.sqrt(hsq) if hsq > 0 else 0.0
+        nz = [v for v in h_sums if v is not None]
+        full = np.concatenate(nz) if nz else np.empty(0, dtype=np.float64)
         asq = 0.0
         for p in self.owned:
-            lo, hi = self.shards[p]["vid_lo"], self.shards[p]["vid_hi"]
-            new = np.zeros(hi - lo, dtype=np.float64)
-            for msg in h_msgs:
-                if msg is None:
-                    continue
-                vids, vals = msg
-                m = (vids >= lo) & (vids < hi)
-                if m.any():
-                    np.add.at(new, vids[m] - lo, vals[m])
+            size = self.shards[p]["vid_hi"] - self.shards[p]["vid_lo"]
+            sel, loc = self._h_plan[p]
+            new = np.bincount(loc, weights=full[sel], minlength=size) \
+                if sel.size else np.zeros(size, dtype=np.float64)
             new *= inv_h
             self._a_raw[p] = new
             asq += float((new * new).sum())
         outs: List = []
         for j in range(self.num_actors):
-            q = self._reqs[j]
-            ans = np.empty(len(q), dtype=np.float64)
-            for p in self.owned:
-                lo, hi = self.shards[p]["vid_lo"], self.shards[p]["vid_hi"]
-                m = (q >= lo) & (q < hi)
-                if m.any():
-                    ans[m] = self._a_raw[p][q[m] - lo]
+            ans = np.empty(len(self._reqs[j]), dtype=np.float64)
+            for p, sel, loc in self._req_plan[j]:
+                ans[sel] = self._a_raw[p][loc]
             outs.append(ans)
         outs.append(asq)
         return tuple(outs)
@@ -213,7 +252,7 @@ class HitsShardActor:
                 new[s["outdeg"] == 0] = 0.0
             self.h[p] = new  # RAW; next round's step_auth divides
             hsq += float((new * new).sum())
-        msgs = self._msgs_list()
+        msgs = self._sums_list()
         return tuple(msgs + [(hsq, delta)])
 
     def write_out(self, paths: Dict[int, str], hsq: float,
@@ -256,10 +295,14 @@ def hits(edges, offsets: np.ndarray, cfg: EngineConfig = DEFAULT, *,
     p2a = part_to_actor_map(owned, num_parts)
     actors = [HitsShardActor.remote(i, owned[i], paths, offsets, p2a, A)
               for i in range(A)]
-    # one-time static exchange of the answer-routing request sets
+    # one-time static exchange of the answer-routing request sets and
+    # the h-message vid layouts (rounds then ship value arrays only)
     needs = ray.get([a.get_needs.remote() for a in actors])
     ray.get([a.set_requests.remote([needs[j][i] for j in range(A)])
              for i, a in enumerate(actors)])
+    sent = ray.get([a.get_sent_vids.remote() for a in actors])
+    ray.get([a.set_incoming_vids.remote([sent[i][j] for i in range(A)])
+             for j, a in enumerate(actors)])
     info: Dict = {"iters": []}
     try:
         inbox = transpose_refs(scatter_refs_matrix(actors, A))

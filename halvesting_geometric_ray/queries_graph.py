@@ -47,12 +47,23 @@ def _q(name: str):
     return deco
 
 
-def build_oracles() -> Dict[str, str]:
+def build_oracles(ensure: bool = True) -> Dict[str, str]:
     """DuckDB oracle SQL for the url-level graph queries, reading the
     fixture truth parquet directly (paths for the gate scale n=500 —
-    the same corpus graph_for() builds at sf0.001/sf0.01)."""
-    pages = ensure_pages_parquet(_GATE_N, _SEED)
-    anchors = ensure_anchors_parquet(_GATE_N, _SEED)
+    the same corpus graph_for() builds at sf0.001/sf0.01).
+
+    ``ensure=False`` returns the same SQL without synthesizing the
+    fixture files — for callers that only need the oracled NAME SET
+    (e.g. ``queries()`` ordering); the matching Ray queries write the
+    fixtures before any oracle actually runs."""
+    if ensure:
+        pages = ensure_pages_parquet(_GATE_N, _SEED)
+        anchors = ensure_anchors_parquet(_GATE_N, _SEED)
+    else:
+        from .fixtures import pages_dir, anchors_path
+
+        pages = pages_dir(_GATE_N, _SEED)
+        anchors = anchors_path(_GATE_N, _SEED)
     P = f"read_parquet('{pages}/*.parquet')"
     A = f"read_parquet('{anchors}')"
     vert = (f"(SELECT url FROM {P} UNION SELECT dst_url AS url FROM {A})")

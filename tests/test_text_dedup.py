@@ -331,3 +331,29 @@ def test_cosine_pairs_chunked_equals_single_chunk():
     small = pairs(64)     # many chunk-pair tasks
     assert big == small
     assert (10, 50) in big and (10, 51) in big
+
+
+def test_cosine_pairs_duplicated_vec_id_no_self_pairs():
+    """Rows sharing a vec_id (e.g. a re-ingested document) must not
+    surface as self-pairs (a == b) — regression for the r3 chunked
+    rewrite which dropped v1's a<b guard."""
+    from halvesting_geometric_ray.functions.similarity import cosine_pairs
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(20, dtype=np.int64)
+    ids[7] = 3  # duplicate id
+    m = rng.normal(size=(20, 8))
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(m.ravel(), type=pa.float64()), 8)})
+    for chunk_rows in (6, 100):  # same-chunk and cross-chunk duplicates
+        df = cosine_pairs(rd.from_arrow(t), -1.0,
+                          chunk_rows=chunk_rows).to_pandas()
+        assert not (df.a == df.b).any()
+        assert set(zip(df.a, df.b)) == {
+            (int(min(ids[x], ids[y])), int(max(ids[x], ids[y])))
+            for x in range(20) for y in range(x + 1, 20)
+            if ids[x] != ids[y]}
