@@ -1,4 +1,5 @@
-"""Sketch aggregates: HyperLogLog distinct counting.
+"""Sketch aggregates: HyperLogLog distinct counting, Misra-Gries
+heavy hitters.
 
 The exact-distinct path (ops/dedup.distinct + count) shuffles every
 distinct key; at 10^12 keys that is the single biggest exchange in a
@@ -17,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import stable_hash64
 
@@ -102,3 +104,81 @@ def hll_count_distinct_multi(ds, cols, p: int = 14,
         for name, row in zip(b.column("col").to_pylist(), b.column("regs")):
             merged[name] = np.maximum(merged[name], np.asarray(row.values))
     return {c: int(round(_estimate(m))) for c, m in merged.items()}
+
+
+def heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096,
+                  merge_parts: int = 8) -> pa.Table:
+    """Approximate top-k most frequent values of ``col`` via mergeable
+    Misra-Gries summaries (Agarwal et al., "Mergeable Summaries", 2012).
+
+    Exact top-k needs a full groupby shuffle of every distinct key; MG
+    replaces it with a bounded summary of at most ``capacity`` (key,
+    count) rows per batch, merged associatively through the same tree
+    shape as the HLL registers — communication is O(capacity x blocks),
+    independent of key cardinality.
+
+    Returns a pa.Table (col, count_min, count_max) ordered by
+    (count_min DESC, col ASC): ``count_min`` is the summary's lower
+    bound, ``count_max = count_min + err`` its upper bound, where err is
+    the total decrement applied (err <= N / capacity).  When
+    ``capacity`` >= the number of distinct values nothing is ever
+    trimmed and count_min == count_max == the exact count — the regime
+    the SQL-oracled q_heavy_hitters certifies; at web scale capacity is
+    a knob trading memory for bound tightness.
+
+    Nulls in ``col`` are ignored (the summary's error row uses a null
+    key internally).
+    """
+    import polars as pl
+
+    def _trim(df: "pl.DataFrame", err_in: int) -> "pl.DataFrame":
+        """df: (col, cnt) exact within this summary -> MG summary with
+        the error scalar carried on a single null-key row."""
+        if df.height > capacity:
+            cstar = int(df.get_column("cnt")
+                        .sort(descending=True)[capacity])  # (cap+1)-th
+            df = (df.with_columns((pl.col("cnt") - cstar).alias("cnt"))
+                    .filter(pl.col("cnt") > 0))
+            err_in += cstar
+        err_col = np.zeros(df.height + 1, dtype=np.int64)
+        err_col[df.height] = err_in
+        out = pl.concat([df, pl.DataFrame(
+            {col: pl.Series([None], dtype=df.get_column(col).dtype),
+             "cnt": pl.Series([0], dtype=pl.Int64)})])
+        return out.with_columns(pl.Series("err", err_col))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select([col])).drop_nulls()
+              .group_by(col).len().rename({"len": "cnt"})
+              .with_columns(pl.col("cnt").cast(pl.Int64)))
+        return _trim(df, 0).to_arrow().cast(_schema(b.schema.field(col).type))
+
+    def merge(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        err_in = int(df.get_column("err").sum())
+        df = (df.drop_nulls(col).group_by(col)
+              .agg(pl.col("cnt").sum()))
+        return _trim(df, err_in).to_arrow().cast(
+            _schema(b.schema.field(col).type))
+
+    def _schema(kt) -> pa.Schema:
+        return pa.schema([pa.field(col, kt), pa.field("cnt", pa.int64()),
+                          pa.field("err", pa.int64())])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True)
+    reduced = (parts.repartition(merge_parts)
+               .map_batches(merge, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True))
+    final = merge(pa.concat_tables(
+        list(reduced.iter_batches(batch_format="pyarrow"))))
+    err = int(pc.sum(final.column("err")).as_py() or 0)
+    top = (pl.from_arrow(final).drop_nulls(col)
+           .sort(["cnt", col], descending=[True, False]).head(k))
+    kt = final.schema.field(col).type
+    return pa.table({
+        col: top.get_column(col).to_arrow().cast(kt),
+        "count_min": top.get_column("cnt").to_arrow().cast(pa.int64()),
+        "count_max": pc.add(top.get_column("cnt").to_arrow().cast(pa.int64()),
+                            pa.scalar(err, type=pa.int64())),
+    })

@@ -523,3 +523,18 @@ def q_sample_khop(sf_dir: str):
     seeds = np.arange(10, dtype=np.int64)
     _nodes, s, d = sample_k_hop(seeds, paths, g.offsets, [3, 2], seed=31)
     return pd.DataFrame({"src": s, "dst": d})
+
+
+@_q("q_kcore")
+def q_kcore(sf_dir: str):
+    """2-core membership of the link graph (graph/kcore.py) — degree
+    peeling on the CSR shard engine; the web-scale generalization of the
+    reference's clean-set vertex filtering.  Rows-only at the gate
+    (iterative peeling is not ANSI-SQL-expressible); exact peeling
+    oracle in tests/test_kcore.py."""
+    from .graph.kcore import k_core
+
+    g = graph_for(sf_dir)
+    ds, _ = k_core(symmetrize(read_layer(g.edges), dedup=False),
+                   g.offsets, 2, g.workdir)
+    return ds.select_columns(["vid", "in_kcore", "core_degree"])

