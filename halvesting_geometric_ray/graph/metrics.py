@@ -1,0 +1,243 @@
+"""Structural / link-prediction metrics over the link graph.
+
+The reference's whole purpose is link prediction on a citation graph
+(reference link_prediction.py:33-106): its GNN scores candidate
+(paper, paper) pairs.  The classical, deterministic analogues of those
+scores — common-neighbor counts and neighborhood Jaccard — plus the
+standard structure diagnostics (local clustering coefficient,
+reciprocity, degree assortativity) are implemented here as one-shot
+Dataset pipelines on the same canonical-undirected machinery as
+triangle counting (graph/triangles.py):
+
+- clustering_coefficients: per-vertex lcc = 2*tri(v) / (deg(v)*(deg(v)-1))
+  from the exact per-vertex triangle counts + canonical degrees.
+- common_neighbor_scores: per unordered vertex pair with >=1 shared
+  neighbor, the common-neighbor count and neighborhood Jaccard
+  cn / (deg_a + deg_b - cn) — the link-prediction candidate scorer.
+  Pair generation is the same per-center vectorized expansion as wedge
+  generation, run over the full symmetrized adjacency (every center
+  emits its neighbor pairs, so each shared neighbor is counted exactly
+  once per pair).  ``max_center_degree`` caps hub fan-out (a center of
+  degree d emits d*(d-1)/2 pairs; at web scale hubs are uninformative
+  for CN scoring and are excluded, logged, not silently truncated).
+- reciprocity: fraction of directed non-loop edges whose reverse edge
+  exists (semi-join against the swapped edge set).
+- degree_assortativity: Pearson correlation of endpoint degrees over
+  the undirected edges, returned as exact int64 sufficient statistics
+  (m, sx, sxy, sxx) plus the coefficient — the final value is ONE
+  double division of exactly-computed integers, so it is bitwise
+  reproducible under any partitioning (and SQL-certifiable).
+
+All floats produced here are single IEEE-754 divisions of exactly
+representable integers — identical bit patterns in numpy and DuckDB —
+which is what lets the gate hash-certify them.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT, EngineConfig
+from ..ops.agg import grouped_aggregate
+from ..ops.join import hash_join
+from .triangles import (_degrees_canonical, _wedges, canonical_undirected,
+                        triangles_canonical)
+
+_E_SCHEMA = pa.schema([pa.field("src", pa.int64()),
+                       pa.field("dst", pa.int64())])
+_DEG_SCHEMA = pa.schema([pa.field("vid", pa.int64()),
+                         pa.field("deg", pa.int64())])
+
+
+def clustering_coefficients(edges, cfg: EngineConfig = DEFAULT):
+    """Per-vertex local clustering coefficient from the DIRECTED edge
+    table.  Returns a Dataset (vid, degree, n_triangles, lcc) over every
+    vertex with canonical degree >= 1; lcc = 0.0 when degree < 2."""
+    und = canonical_undirected(edges, cfg).materialize()
+    deg = _degrees_canonical(und)
+    per_tri, _total = triangles_canonical(und, cfg)
+    tri_schema = pa.schema([pa.field("vid", pa.int64()),
+                            pa.field("triangles", pa.int64())])
+    j = hash_join(deg, per_tri, on="vid", right_on="vid", join_type="left",
+                  num_parts=cfg.num_parts, left_schema=_DEG_SCHEMA,
+                  right_schema=tri_schema)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = b.column("deg").to_numpy(zero_copy_only=False)
+        t = pc.fill_null(b.column("triangles"), 0).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lcc = np.zeros(len(d), dtype=np.float64)
+        m = d >= 2
+        # one division of exactly-representable ints (bitwise stable)
+        lcc[m] = (2 * t[m]).astype(np.float64) / (d[m] * (d[m] - 1)).astype(np.float64)
+        return pa.table({"vid": b.column("vid"),
+                         "degree": pa.array(d, type=pa.int64()),
+                         "n_triangles": pa.array(t, type=pa.int64()),
+                         "lcc": pa.array(lcc, type=pa.float64())})
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def common_neighbor_scores(edges, cfg: EngineConfig = DEFAULT,
+                           max_center_degree: Optional[int] = None):
+    """Link-prediction candidate scores from the DIRECTED edge table.
+
+    Returns a Dataset (a, b, common_neighbors, jaccard) with a < b, one
+    row per unordered vertex pair sharing >= 1 neighbor in the canonical
+    undirected graph.  jaccard = cn / (deg_a + deg_b - cn) (neighborhood
+    union size in the denominator).
+
+    ``max_center_degree``: exclude centers whose degree exceeds the cap
+    from pair generation (hub guard — pair volume is sum over centers of
+    deg^2/2).  The number of excluded centers is logged by the caller via
+    the returned dataset's lineage; exclusion changes cn counts for pairs
+    adjacent to hubs, so the cap is OFF by default and must be an
+    explicit caller decision.
+    """
+    und = canonical_undirected(edges, cfg).materialize()
+    deg = _degrees_canonical(und).materialize()
+
+    def sym(b: pa.Table) -> pa.Table:
+        s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    centers = und.map_batches(sym, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if max_center_degree is not None:
+        import pyarrow.compute as pc
+
+        small = deg.filter(
+            lambda row: row["deg"] <= max_center_degree)
+        small_schema = _DEG_SCHEMA
+        centers_schema = _E_SCHEMA
+        centers = hash_join(centers, small, on="src", right_on="vid",
+                            join_type="semi", num_parts=cfg.num_parts,
+                            left_schema=centers_schema,
+                            right_schema=small_schema)
+
+    # reuse the wedge generator: ordering key = neighbor vid (pass dst as
+    # deg_dst) so every emitted pair already satisfies a < b
+    ordered = centers.map_batches(
+        lambda b: pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                            "deg_dst": b.column("dst")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _wedges(ordered, cfg)
+    cn = grouped_aggregate(pairs.select_columns(["a", "b"]), ["a", "b"],
+                           {"common_neighbors": ("count", None)},
+                           num_parts=cfg.num_parts)
+
+    cn_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+                           pa.field("common_neighbors", pa.int64())])
+    j = hash_join(cn, deg, on="a", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"], left_schema=cn_schema,
+                  right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["a", "b", "common_neighbors", "deg_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+                          pa.field("common_neighbors", pa.int64()),
+                          pa.field("deg_a", pa.int64())])
+    j = hash_join(j, deg, on="b", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"], left_schema=j_schema,
+                  right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["b", "a", "common_neighbors", "deg_a", "deg_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(b: pa.Table) -> pa.Table:
+        cn_ = b.column("common_neighbors").to_numpy()
+        da = b.column("deg_a").to_numpy()
+        db = b.column("deg_b").to_numpy()
+        jac = cn_.astype(np.float64) / (da + db - cn_).astype(np.float64)
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "common_neighbors": b.column("common_neighbors"),
+                         "jaccard": pa.array(jac, type=pa.float64())})
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def reciprocity(edges, cfg: EngineConfig = DEFAULT) -> dict:
+    """Directed-edge reciprocity: share of distinct non-loop edges
+    (u, v) for which (v, u) also exists.  Returns
+    {n_edges, n_reciprocal, reciprocity}."""
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import distinct
+
+    de = distinct(
+        edges.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["src"], b["dst"]))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], num_parts=cfg.num_parts).materialize()
+    swapped = de.map_batches(
+        lambda b: pa.table({"src": b.column("dst"), "dst": b.column("src")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    recip = hash_join(de, swapped, on=["src", "dst"],
+                      right_on=["src", "dst"], join_type="semi",
+                      num_parts=cfg.num_parts, left_schema=_E_SCHEMA,
+                      right_schema=_E_SCHEMA)
+    n_edges = int(de.count())
+    n_recip = int(recip.count())
+    return {"n_edges": n_edges, "n_reciprocal": n_recip,
+            "reciprocity": float(n_recip) / float(n_edges) if n_edges else 0.0}
+
+
+def degree_assortativity(edges, cfg: EngineConfig = DEFAULT) -> dict:
+    """Degree assortativity of the canonical undirected graph (Newman
+    2002): Pearson correlation of endpoint degrees with each edge
+    counted in both orientations.
+
+    Returns exact int64 sufficient statistics plus the coefficient:
+    {m, sx, sxy, sxx, assortativity} where m = 2E, sx = sum(deg_u+deg_v),
+    sxy = 2*sum(deg_u*deg_v), sxx = sum(deg_u^2+deg_v^2) and
+    r = (m*sxy - sx^2) / (m*sxx - sx^2)  (symmetry makes sy=sx, syy=sxx,
+    collapsing the usual sqrt product into one integer denominator).
+
+    The partial sums are exact int64 per batch (valid while
+    batch_rows * max_deg^2 < 2^63 — i.e. max degree ~3e6 at 1k-row
+    batches; beyond that, pre-split hub batches), accumulated as exact
+    Python ints on the driver (num_blocks scalar rows, not data)."""
+    und = canonical_undirected(edges, cfg).materialize()
+    deg = _degrees_canonical(und)
+
+    j = hash_join(und, deg, on="src", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"], left_schema=_E_SCHEMA,
+                  right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(["src", "dst", "deg_src"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([pa.field("src", pa.int64()),
+                           pa.field("dst", pa.int64()),
+                           pa.field("deg_src", pa.int64())])
+    j = hash_join(j, deg, on="dst", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"], left_schema=j1_schema,
+                  right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["dst", "src", "deg_src", "deg_dst"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("deg_src").to_numpy()
+        y = b.column("deg_dst").to_numpy()
+        return pa.table({
+            "n": pa.array([len(x)], type=pa.int64()),
+            "sx": pa.array([int(x.sum() + y.sum())], type=pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            "sxx": pa.array([int((x * x).sum() + (y * y).sum())],
+                            type=pa.int64())})
+
+    parts = j.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    m = 2 * int(parts["n"].sum())
+    sx = int(parts["sx"].sum())
+    sxy = 2 * int(parts["sxy"].sum())
+    sxx = int(parts["sxx"].sum())
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    r = float(num) / float(den) if den != 0 else 0.0
+    return {"m": m, "sx": sx, "sxy": sxy, "sxx": sxx, "assortativity": r}

@@ -151,10 +151,10 @@ def triangles(sym_simple, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", in
                                zero_copy_batch=True), cfg)
 
 
-def triangles_edges(edges, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", int]:
-    """Triangle count straight from the DIRECTED deduped edge table —
-    canonicalizes (min, max) pairs + distinct at E volume, skipping the
-    2E symmetrize shuffle entirely."""
+def canonical_undirected(edges, cfg: EngineConfig = DEFAULT):
+    """DIRECTED edge table -> canonical undirected simple graph:
+    self-loops dropped, (min, max) pairs, each undirected edge exactly
+    once (distinct at E volume — no 2E symmetrize shuffle)."""
     from ..ops.dedup import distinct
 
     def canon(b: pa.Table) -> pa.Table:
@@ -164,10 +164,16 @@ def triangles_edges(edges, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", i
         return pa.table({"src": pa.array(np.minimum(s, d)),
                          "dst": pa.array(np.maximum(s, d))})
 
-    und = distinct(edges.map_batches(canon, batch_format="pyarrow",
-                                     zero_copy_batch=True),
-                   ["src", "dst"], num_parts=cfg.num_parts)
-    return triangles_canonical(und, cfg)
+    return distinct(edges.map_batches(canon, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                    ["src", "dst"], num_parts=cfg.num_parts)
+
+
+def triangles_edges(edges, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", int]:
+    """Triangle count straight from the DIRECTED deduped edge table —
+    canonicalizes (min, max) pairs + distinct at E volume, skipping the
+    2E symmetrize shuffle entirely."""
+    return triangles_canonical(canonical_undirected(edges, cfg), cfg)
 
 
 def triangles_canonical(und, cfg: EngineConfig = DEFAULT) -> Tuple["rd.Dataset", int]:

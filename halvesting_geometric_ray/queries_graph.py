@@ -38,6 +38,15 @@ QUERIES: Dict[str, Callable] = {}
 _SEED = 123
 _GATE_N = 500  # _scale_for() at the driver's correctness tiers
 
+# shared oracle CTE bodies: canonical undirected simple graph over the
+# authored anchors + its degree table (graph/metrics.py semantics)
+_UND_BODY = ("SELECT least(src_url, dst_url) AS u, "
+             "greatest(src_url, dst_url) AS v FROM {A} "
+             "WHERE src_url <> dst_url GROUP BY 1, 2")
+_DEG_BODY = ("SELECT x AS url, count(*) AS deg FROM "
+             "(SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und) "
+             "GROUP BY x")
+
 
 def _q(name: str):
     def deco(fn):
@@ -130,6 +139,54 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"(SELECT a AS url FROM tri UNION ALL "
             f"SELECT b AS url FROM tri UNION ALL "
             f"SELECT c AS url FROM tri) GROUP BY url",
+        # structural / link-prediction metrics (graph/metrics.py): every
+        # float below is ONE double division of exactly-representable
+        # integers, computed identically by numpy and DuckDB — bitwise
+        # hash-certifiable
+        "q_clustering_coeff":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), deg AS ({_DEG_BODY}), "
+            f"tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM und e1 JOIN und e2 ON e2.u = e1.v "
+            f"JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            f"pertri AS (SELECT url, count(*) AS n FROM "
+            f"(SELECT a AS url FROM tri UNION ALL "
+            f"SELECT b AS url FROM tri UNION ALL "
+            f"SELECT c AS url FROM tri) GROUP BY url) "
+            f"SELECT d.url, d.deg AS degree, "
+            f"coalesce(p.n, CAST(0 AS BIGINT)) AS n_triangles, "
+            f"CASE WHEN d.deg >= 2 THEN "
+            f"CAST(2 * coalesce(p.n, 0) AS DOUBLE) / (d.deg * (d.deg - 1)) "
+            f"ELSE 0.0 END AS lcc "
+            f"FROM deg d LEFT JOIN pertri p ON p.url = d.url",
+        "q_common_neighbors":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), deg AS ({_DEG_BODY}), "
+            f"sym AS (SELECT u AS a, v AS b FROM und "
+            f"UNION ALL SELECT v, u FROM und), "
+            f"wed AS (SELECT e1.b AS pa, e2.b AS pb, count(*) AS cn "
+            f"FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b "
+            f"GROUP BY 1, 2) "
+            f"SELECT w.pa AS url_a, w.pb AS url_b, "
+            f"w.cn AS common_neighbors, "
+            f"CAST(w.cn AS DOUBLE) / (da.deg + db.deg - w.cn) AS jaccard "
+            f"FROM wed w JOIN deg da ON da.url = w.pa "
+            f"JOIN deg db ON db.url = w.pb",
+        "q_reciprocity":
+            f"WITH de AS (SELECT DISTINCT src_url AS s, dst_url AS d "
+            f"FROM {A} WHERE src_url <> dst_url) "
+            f"SELECT count(*) AS n_edges, count(r.s) AS n_reciprocal, "
+            f"CAST(count(r.s) AS DOUBLE) / count(*) AS reciprocity "
+            f"FROM de x LEFT JOIN de r ON x.s = r.d AND x.d = r.s",
+        "q_assortativity":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), deg AS ({_DEG_BODY}), "
+            f"ed AS (SELECT da.deg AS x, db.deg AS y FROM und e "
+            f"JOIN deg da ON da.url = e.u JOIN deg db ON db.url = e.v), "
+            f"s AS (SELECT CAST(2 * count(*) AS BIGINT) AS m, "
+            f"CAST(sum(x) + sum(y) AS BIGINT) AS sx, "
+            f"CAST(2 * sum(x * y) AS BIGINT) AS sxy, "
+            f"CAST(sum(x * x) + sum(y * y) AS BIGINT) AS sxx FROM ed) "
+            f"SELECT m, sx, sxy, sxx, "
+            f"CAST(m * sxy - sx * sx AS DOUBLE) / (m * sxx - sx * sx) "
+            f"AS assortativity FROM s",
     }
 
 
@@ -418,6 +475,105 @@ def q_triangles_urls(sf_dir: str):
         lambda b: pa.table({"url": b.column("url"),
                             "n_triangles": b.column("triangles")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_clustering_coeff")
+def q_clustering_coeff(sf_dir: str):
+    """Per-vertex local clustering coefficient at the url level
+    (graph/metrics.py) — SQL-certified: degree + exact triangle count +
+    lcc as one integer division, gate-pinned corpus."""
+    from .graph.metrics import clustering_coefficients
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    cc = clustering_coefficients(read_layer(g.edges))
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    cc_schema = pa.schema([pa.field("vid", pa.int64()),
+                           pa.field("degree", pa.int64()),
+                           pa.field("n_triangles", pa.int64()),
+                           pa.field("lcc", pa.float64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    out = hash_join(cc, v, on="vid", right_on="vid",
+                    num_parts=DEFAULT.num_parts,
+                    left_schema=cc_schema, right_schema=v_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "degree": b.column("degree"),
+                            "n_triangles": b.column("n_triangles"),
+                            "lcc": b.column("lcc")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_common_neighbors")
+def q_common_neighbors(sf_dir: str):
+    """Link-prediction candidate scores (graph/metrics.py): per
+    unordered url pair with a shared neighbor, common-neighbor count +
+    neighborhood Jaccard — the deterministic analogue of the reference's
+    GNN pair scorer (link_prediction.py:33-106).  SQL-certified,
+    gate-pinned corpus."""
+    from .graph.metrics import common_neighbor_scores
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    cn = common_neighbor_scores(read_layer(g.edges))
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    cn_schema = pa.schema([pa.field("a", pa.int64()),
+                           pa.field("b", pa.int64()),
+                           pa.field("common_neighbors", pa.int64()),
+                           pa.field("jaccard", pa.float64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    j = hash_join(cn, v, on="a", right_on="vid",
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=cn_schema, right_schema=v_schema)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["a", "b", "common_neighbors", "jaccard", "url_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = pa.schema([pa.field("a", pa.int64()),
+                          pa.field("b", pa.int64()),
+                          pa.field("common_neighbors", pa.int64()),
+                          pa.field("jaccard", pa.float64()),
+                          pa.field("url_a", pa.string())])
+    j = hash_join(j, v, on="b", right_on="vid",
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=j_schema, right_schema=v_schema)
+
+    def fin(b: pa.Table) -> pa.Table:
+        ua = b.column("url_a").to_numpy(zero_copy_only=False)
+        ub = b.column("url").to_numpy(zero_copy_only=False)
+        # pair identity is the unordered SET; canonicalize by url so the
+        # assignment matches the oracle's lexicographic ordering (vid
+        # order is hash-based and differs)
+        m = ua < ub
+        return pa.table({
+            "url_a": pa.array(np.where(m, ua, ub), type=pa.string()),
+            "url_b": pa.array(np.where(m, ub, ua), type=pa.string()),
+            "common_neighbors": b.column("common_neighbors"),
+            "jaccard": b.column("jaccard")})
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_reciprocity")
+def q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the link graph (graph/metrics.py);
+    SQL-certified single-row summary, gate-pinned corpus."""
+    from .graph.metrics import reciprocity
+
+    g = gate_graph()
+    return pd.DataFrame([reciprocity(read_layer(g.edges))])
+
+
+@_q("q_assortativity")
+def q_assortativity(sf_dir: str):
+    """Degree assortativity with exact int64 sufficient statistics
+    (graph/metrics.py); SQL-certified single-row summary, gate-pinned
+    corpus."""
+    from .graph.metrics import degree_assortativity
+
+    g = gate_graph()
+    return pd.DataFrame([degree_assortativity(read_layer(g.edges))])
 
 
 @_q("q_component_sizes")

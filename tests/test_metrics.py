@@ -1,0 +1,122 @@
+"""Structural/link-prediction metrics vs brute-force NumPy oracles.
+
+Independent of the DuckDB SQL oracles in queries_graph.build_oracles():
+these recompute clustering coefficients, common-neighbor scores,
+reciprocity and assortativity from adjacency sets in one process.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from halvesting_geometric_ray.graph.metrics import (
+    clustering_coefficients, common_neighbor_scores, degree_assortativity,
+    reciprocity)
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(pa.table({"src": pa.array(src, type=pa.int64()),
+                                   "dst": pa.array(dst, type=pa.int64())}))
+
+
+def _rand_graph(n=60, m=300, seed=7):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    return src.astype(np.int64), dst.astype(np.int64), n
+
+
+def _adj(src, dst, n):
+    """Undirected simple-graph adjacency sets."""
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            nbrs[int(s)].add(int(d))
+            nbrs[int(d)].add(int(s))
+    return nbrs
+
+
+def test_clustering_matches_bruteforce():
+    src, dst, n = _rand_graph()
+    nbrs = _adj(src, dst, n)
+    got = clustering_coefficients(_edges_ds(src, dst)).to_pandas()
+    got = got.set_index("vid").sort_index()
+    for v in range(n):
+        deg = len(nbrs[v])
+        if deg == 0:
+            assert v not in got.index
+            continue
+        tri = sum(1 for a in nbrs[v] for b in nbrs[v]
+                  if a < b and b in nbrs[a]) if deg >= 2 else 0
+        assert got.loc[v, "degree"] == deg
+        assert got.loc[v, "n_triangles"] == tri
+        exp_lcc = 2.0 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert got.loc[v, "lcc"] == exp_lcc  # single int division: exact
+
+
+def test_common_neighbors_matches_bruteforce():
+    src, dst, n = _rand_graph(n=40, m=160, seed=11)
+    nbrs = _adj(src, dst, n)
+    got = common_neighbor_scores(_edges_ds(src, dst)).to_pandas()
+    got_map = {(int(r.a), int(r.b)): (int(r.common_neighbors), float(r.jaccard))
+               for r in got.itertuples()}
+    exp_map = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            cn = len(nbrs[a] & nbrs[b])
+            if cn:
+                union = len(nbrs[a]) + len(nbrs[b]) - cn
+                exp_map[(a, b)] = (cn, cn / union)
+    assert got_map == exp_map
+    # a < b canonical ordering holds on every row
+    assert (got.a < got.b).all()
+
+
+def test_common_neighbors_hub_cap():
+    # star: hub 0 adjacent to 1..9; every leaf pair has cn=1 via the hub
+    src = np.zeros(9, dtype=np.int64)
+    dst = np.arange(1, 10, dtype=np.int64)
+    full = common_neighbor_scores(_edges_ds(src, dst)).to_pandas()
+    assert len(full) == 36  # C(9,2) leaf pairs
+    capped = common_neighbor_scores(_edges_ds(src, dst),
+                                    max_center_degree=5).to_pandas()
+    assert len(capped) == 0  # hub excluded as center, leaves have deg 1
+
+
+def test_reciprocity_matches_bruteforce():
+    src, dst, n = _rand_graph(n=25, m=200, seed=3)
+    de = {(int(s), int(d)) for s, d in zip(src, dst) if s != d}
+    n_recip = sum(1 for s, d in de if (d, s) in de)
+    got = reciprocity(_edges_ds(src, dst))
+    assert got["n_edges"] == len(de)
+    assert got["n_reciprocal"] == n_recip
+    assert got["reciprocity"] == n_recip / len(de)
+
+
+def test_assortativity_matches_bruteforce():
+    src, dst, n = _rand_graph(n=50, m=250, seed=19)
+    nbrs = _adj(src, dst, n)
+    deg = np.array([len(s) for s in nbrs])
+    xs, ys = [], []
+    for a in range(n):
+        for b in nbrs[a]:  # each directed orientation once -> 2E samples
+            xs.append(deg[a])
+            ys.append(deg[b])
+    xs, ys = np.array(xs, dtype=np.float64), np.array(ys, dtype=np.float64)
+    exp_r = np.corrcoef(xs, ys)[0, 1]
+    got = degree_assortativity(_edges_ds(src, dst))
+    assert got["m"] == len(xs)
+    assert got["sx"] == int(xs.sum())
+    assert got["sxy"] == int((xs * ys).sum())
+    assert got["sxx"] == int((xs * xs).sum())
+    assert abs(got["assortativity"] - exp_r) < 1e-12
+
+
+def test_assortativity_partitioning_independent():
+    src, dst, _ = _rand_graph(n=80, m=400, seed=23)
+    ds1 = _edges_ds(src, dst)
+    ds8 = _edges_ds(src, dst).repartition(8)
+    r1 = degree_assortativity(ds1)
+    r8 = degree_assortativity(ds8)
+    assert r1 == r8  # integer stats -> bitwise identical coefficient
