@@ -1,5 +1,5 @@
 """Sketch aggregates: HyperLogLog distinct counting, Misra-Gries
-heavy hitters.
+heavy hitters, KLL-style mergeable quantiles.
 
 The exact-distinct path (ops/dedup.distinct + count) shuffles every
 distinct key; at 10^12 keys that is the single biggest exchange in a
@@ -182,3 +182,159 @@ def heavy_hitters(ds, col: str, k: int = 20, capacity: int = 4096,
         "count_max": pc.add(top.get_column("cnt").to_arrow().cast(pa.int64()),
                             pa.scalar(err, type=pa.int64())),
     })
+
+
+class _KLL:
+    """Compactor-ladder quantile sketch (Karnin-Lall-Liberty 2016,
+    simplified: every level holds up to ``k`` items; a full level is
+    sorted and every second item promoted with doubled weight).
+
+    Deterministic: the keep-offset alternates per level-compaction
+    (0, 1, 0, ...) instead of coin flips, so a given ingest order always
+    yields the same sketch.  Results are therefore reproducible but
+    PARTITIONING-dependent within the error bound — unlike the exact
+    histogram percentiles (queries_text.q_token_percentiles), which stay
+    the certified path for integer metrics.  Rank error is O(log2(n/k)/k);
+    empirically < 1.5/k of n at the sizes the tests pin.
+
+    ``n`` is exact under add(); under add_weighted() the weighted row
+    mass drifts by +-1 per odd-size compaction in the source sketch, so
+    distributed callers carry the exact count out-of-band (the ``cnt``
+    column in quantile_sketch()).
+    """
+
+    __slots__ = ("k", "levels", "flips", "n")
+
+    def __init__(self, k: int = 256):
+        if k < 8:
+            raise ValueError("k >= 8 required")
+        self.k = k
+        self.levels: list = [np.empty(0, dtype=np.float64)]
+        self.flips: list = [0]
+        self.n = 0
+
+    def add(self, vals: np.ndarray) -> None:
+        vals = np.asarray(vals, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return
+        self.n += int(vals.size)
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compress()
+
+    def add_weighted(self, vals: np.ndarray, levels: np.ndarray) -> None:
+        """Ingest serialized sketch rows: each value carries weight
+        2^level and lands in its original compactor level (KLL merge =
+        same-level buffer concatenation)."""
+        vals = np.asarray(vals, dtype=np.float64)
+        levels = np.asarray(levels, dtype=np.int64)
+        if vals.size == 0:
+            return
+        top = int(levels.max())
+        while len(self.levels) <= top:
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.flips.append(0)
+        for lv in np.unique(levels):
+            sel = vals[levels == lv]
+            self.levels[lv] = np.concatenate([self.levels[lv], sel])
+            self.n += int(sel.size) << int(lv)
+        self._compress()
+
+    def _compress(self) -> None:
+        lv = 0
+        while lv < len(self.levels):
+            buf = self.levels[lv]
+            if buf.size <= self.k:
+                lv += 1
+                continue
+            buf = np.sort(buf, kind="stable")
+            off = self.flips[lv]
+            self.flips[lv] ^= 1
+            keep = buf[off::2]
+            if lv + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self.flips.append(0)
+            self.levels[lv + 1] = np.concatenate([self.levels[lv + 1], keep])
+            self.levels[lv] = np.empty(0, dtype=np.float64)
+            lv += 1
+
+    def rows(self):
+        """Serialize as (level, value) arrays."""
+        lvs, vs = [], []
+        for lv, buf in enumerate(self.levels):
+            if buf.size:
+                lvs.append(np.full(buf.size, lv, dtype=np.int32))
+                vs.append(buf)
+        if not vs:
+            return (np.empty(0, dtype=np.int32), np.empty(0, dtype=np.float64))
+        return np.concatenate(lvs), np.concatenate(vs)
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Value whose (weighted) rank is closest above q*n for each q
+        (lower quantile semantics over the sketch's weighted sample)."""
+        lvs, vs = self.rows()
+        if vs.size == 0:
+            return np.full(len(list(qs)), np.nan)
+        w = (np.int64(1) << lvs.astype(np.int64)).astype(np.float64)
+        order = np.argsort(vs, kind="stable")
+        vs, w = vs[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        qs = np.asarray(list(qs), dtype=np.float64)
+        idx = np.searchsorted(cum, qs * total, side="left")
+        return vs[np.minimum(idx, vs.size - 1)]
+
+
+def quantile_sketch(ds, col: str, qs, k: int = 256,
+                    merge_parts: int = 8) -> dict:
+    """Approximate quantiles of a numeric column via mergeable KLL
+    sketches — no global sort, no shuffle: per-batch sketches serialize
+    to at most ~k*log2(n/k) (level, value) rows, tree-merge through
+    ``merge_parts`` tasks (same shape as the HLL/Misra-Gries reduce),
+    and the driver folds ``merge_parts`` small sketches.
+
+    Returns {"n": total_count, "quantiles": {q: value}}.  When the total
+    input fits a single level (n <= k) the result is exact.  Use
+    queries_text.q_token_percentiles's histogram pattern when the metric
+    is integer-valued with bounded distinct values — that path is exact
+    AND cheap; this sketch is for unbounded/continuous domains.
+    """
+
+    def _rows_table(sk: "_KLL", n_exact: int) -> pa.Table:
+        # the exact total count rides on the first row (sketch n is
+        # exact too, but carrying it explicitly keeps the contract
+        # obvious); a sketch with n > 0 always has >= 1 row
+        lvs, vs = sk.rows()
+        cnt = np.zeros(lvs.size, dtype=np.int64)
+        if lvs.size:
+            cnt[0] = n_exact
+        return pa.table({"level": pa.array(lvs, type=pa.int32()),
+                         "value": pa.array(vs, type=pa.float64()),
+                         "cnt": pa.array(cnt, type=pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = _KLL(k)
+        sk.add(np.asarray(pc.cast(pc.drop_null(b.column(col)),
+                                  pa.float64())))
+        return _rows_table(sk, sk.n)
+
+    def merge(b: pa.Table) -> pa.Table:
+        sk = _KLL(k)
+        sk.add_weighted(np.asarray(b.column("value")),
+                        np.asarray(b.column("level")))
+        return _rows_table(sk, int(pc.sum(b.column("cnt")).as_py() or 0))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    reduced = (parts.repartition(merge_parts)
+               .map_batches(merge, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True))
+    sk = _KLL(k)
+    n_exact = 0
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        sk.add_weighted(np.asarray(b.column("value")),
+                        np.asarray(b.column("level")))
+        n_exact += int(pc.sum(b.column("cnt")).as_py() or 0)
+    vals = sk.quantiles(qs)
+    return {"n": n_exact,
+            "quantiles": {float(q): float(v) for q, v in zip(qs, vals)}}

@@ -853,6 +853,35 @@ def q_embed_neardup_lsh(sf_dir: str):
     return cosine_pairs_lsh(emb, 0.4)
 
 
+@_q("q_token_percentiles_sketch")
+def q_token_percentiles_sketch(sf_dir: str):
+    """KLL quantile-sketch percentiles of per-doc token counts
+    (ops/sketch.py::quantile_sketch) — the mergeable, shuffle-free scale
+    path for quantiles over unbounded/continuous domains (the exact
+    histogram path, q_token_percentiles, stays the certified route for
+    bounded-integer metrics).  Rows-only: sketch output is approximate
+    by design; rank-error bounds certified in tests/test_sketch.py."""
+    from .ops.sketch import quantile_sketch
+
+    ds = _docs(sf_dir, ["text"])
+
+    def ntok(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = (pl.from_arrow(b.select(["text"]))["text"]
+             .str.split(" ").list.len().cast(pl.Int64))
+        return pa.table({"n_tokens": n.to_arrow().cast(pa.int64())})
+
+    out = quantile_sketch(
+        ds.map_batches(ntok, batch_format="pyarrow", zero_copy_batch=True),
+        "n_tokens", [0.5, 0.9, 0.99], k=256)
+    return pd.DataFrame({
+        "n_docs": pd.array([out["n"]], dtype="int64"),
+        "p50_approx": [out["quantiles"][0.5]],
+        "p90_approx": [out["quantiles"][0.9]],
+        "p99_approx": [out["quantiles"][0.99]]})
+
+
 @_q("q_hll_distinct")
 def q_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct counts (ops/sketch.py) — the

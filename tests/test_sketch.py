@@ -107,3 +107,84 @@ def test_heavy_hitters_string_keys_and_nulls():
     assert list(out.s) == ["a", "b", "c"]
     assert list(out.count_min) == [50, 30, 20]
     assert out.s.notna().all()
+
+
+# ---------------------------------------------------------------- KLL
+
+
+from halvesting_geometric_ray.ops.sketch import _KLL, quantile_sketch
+
+
+def _rank_err(sorted_vals: np.ndarray, est: float, q: float) -> float:
+    return abs(np.searchsorted(sorted_vals, est) / len(sorted_vals) - q)
+
+
+def test_kll_rank_error_bound():
+    rng = np.random.default_rng(5)
+    x = rng.lognormal(3.0, 1.5, 200_000)  # heavy-tailed
+    sk = _KLL(256)
+    for chunk in np.array_split(x, 64):
+        sk.add(chunk)
+    assert sk.n == len(x)
+    xs = np.sort(x)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sk.quantiles([q])[0]
+        assert _rank_err(xs, est, q) < 0.01, q  # 1% rank error at k=256
+
+
+def test_kll_exact_when_small():
+    x = np.arange(100, dtype=np.float64)
+    sk = _KLL(256)
+    sk.add(x)
+    got = sk.quantiles([0.0, 0.5, 1.0])
+    assert got[0] == 0.0 and got[2] == 99.0
+    assert abs(got[1] - 50.0) <= 1.0
+
+
+def test_kll_merge_preserves_bound_and_count():
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 100, 150_000)
+    # build two sketches over disjoint halves, merge via serialization
+    a, b = _KLL(256), _KLL(256)
+    a.add(x[:70_000]); b.add(x[70_000:])
+    m = _KLL(256)
+    for s in (a, b):
+        lvs, vs = s.rows()
+        m.add_weighted(vs, lvs)
+    # weighted row mass drifts +-1 per odd-size compaction — the exact
+    # count rides on the separate cnt column in quantile_sketch()
+    assert abs(m.n - len(x)) / len(x) < 0.01
+    xs = np.sort(x)
+    for q in (0.1, 0.5, 0.9):
+        assert _rank_err(xs, m.quantiles([q])[0], q) < 0.015, q
+
+
+def test_kll_deterministic():
+    rng = np.random.default_rng(13)
+    x = rng.uniform(0, 1, 50_000)
+    r = []
+    for _ in range(2):
+        sk = _KLL(128)
+        for chunk in np.array_split(x, 10):
+            sk.add(chunk)
+        r.append(sk.quantiles([0.25, 0.5, 0.75]))
+    assert (r[0] == r[1]).all()
+
+
+def test_quantile_sketch_dataset():
+    rng = np.random.default_rng(21)
+    x = rng.lognormal(2.0, 1.0, 80_000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(x)})).repartition(16)
+    out = quantile_sketch(ds, "v", [0.1, 0.5, 0.9, 0.99], k=256)
+    assert out["n"] == len(x)
+    xs = np.sort(x)
+    for q, est in out["quantiles"].items():
+        assert _rank_err(xs, est, q) < 0.015, q
+
+
+def test_quantile_sketch_nulls_and_ints():
+    vals = pa.array([1, 2, None, 3, 4, None, 5], type=pa.int64())
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    out = quantile_sketch(ds, "v", [0.0, 1.0], k=64)
+    assert out["n"] == 5
+    assert out["quantiles"][0.0] == 1.0 and out["quantiles"][1.0] == 5.0
