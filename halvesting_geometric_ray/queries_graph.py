@@ -170,6 +170,19 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"CAST(w.cn AS DOUBLE) / (da.deg + db.deg - w.cn) AS jaccard "
             f"FROM wed w JOIN deg da ON da.url = w.pa "
             f"JOIN deg db ON db.url = w.pb",
+        # BFS hop distances from the lexicographic-min-url vertex:
+        # recursive closure bounded by |V| (cycle guard); min(d) per
+        # reached vertex = exact hop distance
+        "q_bfs_hops":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT src_url AS a, dst_url AS b FROM {A} "
+            f"UNION SELECT dst_url, src_url FROM {A}), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, CAST(0 AS BIGINT) AS d FROM verts "
+            f"WHERE url = (SELECT min(url) FROM verts v2) "
+            f"UNION SELECT e.b, w.d + 1 FROM walk w JOIN e ON e.a = w.v "
+            f"WHERE w.d < (SELECT count(*) FROM verts v3)) "
+            f"SELECT v AS url, min(d) AS dist FROM walk GROUP BY v",
         "q_reciprocity":
             f"WITH de AS (SELECT DISTINCT src_url AS s, dst_url AS d "
             f"FROM {A} WHERE src_url <> dst_url) "
@@ -553,6 +566,48 @@ def q_common_neighbors(sf_dir: str):
             "jaccard": b.column("jaccard")})
 
     return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_bfs_hops")
+def q_bfs_hops(sf_dir: str):
+    """BFS hop distances (graph/bfs.py) from the lexicographic-min-url
+    vertex over the symmetrized link graph — SQL-certified against a
+    |V|-bounded recursive closure; unreachable vertices absent.
+    Gate-pinned corpus."""
+    import pyarrow.compute as pc
+
+    from .graph.bfs import bfs
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    # source = min(url) vertex: tiny per-batch partial min -> driver
+    mins = v.map_batches(
+        lambda b: pa.table({"u": pa.array(
+            [pc.min(b.column("url")).as_py()], type=pa.string()),
+            "vid": pa.array([b.column("vid").to_numpy()[
+                pc.index(b.column("url"),
+                         pc.min(b.column("url"))).as_py()]],
+                type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    src_vid = int(mins.loc[mins["u"].idxmin(), "vid"])
+
+    dist, _info = bfs(symmetrize(read_layer(g.edges), dedup=False),
+                      g.offsets, g.workdir, np.array([src_vid]))
+    d_schema = pa.schema([pa.field("part", pa.int32()),
+                          pa.field("vid", pa.int64()),
+                          pa.field("dist", pa.int64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    out = hash_join(dist.select_columns(["vid", "dist"]), v,
+                    on="vid", right_on="vid", num_parts=DEFAULT.num_parts,
+                    left_schema=pa.schema([pa.field("vid", pa.int64()),
+                                           pa.field("dist", pa.int64())]),
+                    right_schema=v_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "dist": b.column("dist")}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 @_q("q_reciprocity")
