@@ -338,3 +338,114 @@ def quantile_sketch(ds, col: str, qs, k: int = 256,
     vals = sk.quantiles(qs)
     return {"n": n_exact,
             "quantiles": {float(q): float(v) for q, v in zip(qs, vals)}}
+
+
+# ------------------------------------------------------------------ Bloom
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64/murmur3 finalizer — NONLINEAR, so h2 is independent of
+    h1 modulo any power of two (a linear h2 = a*h1+b collapses
+    pos_i = h1 + i*h2 to few residues whenever 1+i*a has low-order
+    zeros, measured as a 72% single-probe collision rate)."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        return h ^ (h >> np.uint64(33))
+
+
+def _bloom_positions(h: np.ndarray, num_bits: int, num_hashes: int):
+    """k bit positions per hash via double hashing (Kirsch-Mitzenmacher
+    2006: pos_i = h1 + i*h2 suffices for the Bloom FPR bound)."""
+    h1 = h.astype(np.uint64)
+    h2 = _mix64(h1) | np.uint64(1)  # odd -> full-period step
+    mask = np.uint64(num_bits - 1)
+    with np.errstate(over="ignore"):
+        return [((h1 + np.uint64(i) * h2) & mask) for i in range(num_hashes)]
+
+
+def _bloom_insert(bits: np.ndarray, h: np.ndarray, num_bits: int,
+                  num_hashes: int) -> None:
+    for pos in _bloom_positions(h, num_bits, num_hashes):
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+
+def bloom_build(ds, col: str, num_bits: int = 1 << 22, num_hashes: int = 5,
+                merge_parts: int = 8) -> np.ndarray:
+    """Build a Bloom filter (uint64 word array, ``num_bits`` a power of
+    two) over ``col`` — the broadcastable membership structure for
+    decontamination-style anti-joins: ~``num_bits/n`` bits per key
+    instead of a 64-bit fingerprint each, FPR ~ (1-e^(-kn/m))^k.
+
+    Per-batch local filters OR-merge through the same ``merge_parts``
+    tree as the HLL registers; OR is commutative and idempotent, so the
+    final bitmap is EXACTLY identical under any partitioning.  No false
+    negatives ever; false positives only (for decontamination that
+    direction is conservative — a clean doc may be dropped, contaminated
+    never kept).  Communication is num_bits/8 bytes per input block;
+    size num_bits ~ 10-15 bits per expected key for ~1% FPR."""
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    n_words = num_bits >> 6
+
+    def partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        h = np.asarray(stable_hash64(pc.drop_null(b.column(col))))
+        if h.size:
+            _bloom_insert(bits, h, num_bits, num_hashes)
+        return pa.table({"bits": pa.array([bits], type=pa.list_(pa.uint64()))})
+
+    def orm(b: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for row in b.column("bits"):
+            acc |= np.asarray(row.values)
+        return pa.table({"bits": pa.array([acc], type=pa.list_(pa.uint64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    reduced = (parts.repartition(merge_parts)
+               .map_batches(orm, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True))
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        for row in b.column("bits"):
+            bits |= np.asarray(row.values)
+    return bits
+
+
+def bloom_might_contain(bits: np.ndarray, column,
+                        num_hashes: int = 5) -> np.ndarray:
+    """Vectorized membership probe; True = possibly present (FPR-bounded),
+    False = definitely absent.  Nulls probe as absent."""
+    num_bits = int(bits.size) << 6
+    valid = np.asarray(pc.is_valid(column))
+    h = np.asarray(stable_hash64(pc.drop_null(column)))
+    hit = np.ones(h.size, dtype=bool)
+    for pos in _bloom_positions(h, num_bits, num_hashes):
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit &= ((word >> (pos & np.uint64(63))) & np.uint64(1)) != 0
+    out = np.zeros(valid.size, dtype=bool)
+    out[valid] = hit
+    return out
+
+
+def bloom_anti_filter(ds, col: str, bits: np.ndarray, num_hashes: int = 5):
+    """Drop every row whose ``col`` might be in the filter (broadcast
+    once via ray.put; per-worker cached)."""
+    import ray
+
+    from .join import _bcast_get
+
+    ref = ray.put(bits)
+
+    def drop(b: pa.Table) -> pa.Table:
+        w = _bcast_get(ref, lambda x: x)
+        keep = ~bloom_might_contain(w, b.column(col), num_hashes)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)

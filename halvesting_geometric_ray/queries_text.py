@@ -267,6 +267,34 @@ def q_decontaminate(sf_dir: str):
     return keep.select_columns(["doc_id"])
 
 
+@_q("q_decontaminate_bloom")
+def q_decontaminate_bloom(sf_dir: str):
+    """Decontamination via a Bloom filter over the benchmark fingerprint
+    set (ops/sketch.py::bloom_build / bloom_anti_filter) — the 100-TB
+    path: ~13 bits/key broadcast instead of a 64-bit fingerprint table,
+    false positives only (a clean doc may be dropped — conservative;
+    contaminated docs are NEVER kept).  Rows-only by design (FPR-bounded
+    approximation; no-false-negative + FPR-bound + bitmap
+    partitioning-invariance certified in tests/test_sketch.py); the
+    exact broadcast anti-join stays the SQL-certified route
+    (q_decontaminate)."""
+    from .ops.sketch import bloom_anti_filter, bloom_build
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    fps = fps.materialize()
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        m = (b.column("doc_id").to_numpy() % 97) == 0
+        return b.filter(pa.array(m)).select(["fingerprint"])
+
+    bench_fps = fps.map_batches(bench_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    bits = bloom_build(bench_fps, "fingerprint", num_bits=1 << 22)
+    return bloom_anti_filter(fps, "fingerprint",
+                             bits).select_columns(["doc_id"])
+
+
 @_q("q_token_percentiles_by_lang",
     "SELECT lang, count(*) AS n_docs, "
     "CAST(floor(quantile_cont(len(string_split(text, ' ')), 0.5)) AS BIGINT) "

@@ -188,3 +188,54 @@ def test_quantile_sketch_nulls_and_ints():
     out = quantile_sketch(ds, "v", [0.0, 1.0], k=64)
     assert out["n"] == 5
     assert out["quantiles"][0.0] == 1.0 and out["quantiles"][1.0] == 5.0
+
+
+# --------------------------------------------------------------- Bloom
+
+
+from halvesting_geometric_ray.ops.sketch import (bloom_anti_filter,
+                                                 bloom_build,
+                                                 bloom_might_contain)
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    keys = pa.table({"k": [f"key{i}" for i in range(30_000)]})
+    ds = rd.from_arrow(keys).repartition(8)
+    nb, kh = 1 << 19, 5
+    bits = bloom_build(ds, "k", num_bits=nb, num_hashes=kh)
+    assert bool(bloom_might_contain(bits, keys.column("k").combine_chunks(),
+                                    kh).all())
+    other = pa.array([f"other{i}" for i in range(200_000)])
+    fpr = bloom_might_contain(bits, other, kh).mean()
+    theory = (1 - np.exp(-kh * 30_000 / nb)) ** kh
+    assert fpr < 3 * theory + 1e-4, (fpr, theory)
+
+
+def test_bloom_partitioning_invariant_bitmap():
+    keys = pa.table({"k": [f"v{i}" for i in range(5_000)]})
+    b1 = bloom_build(rd.from_arrow(keys), "k", num_bits=1 << 16)
+    b8 = bloom_build(rd.from_arrow(keys).repartition(8), "k",
+                     num_bits=1 << 16)
+    assert (b1 == b8).all()  # OR is commutative -> identical bitmap
+
+
+def test_bloom_anti_filter_matches_exact_in_clean_regime():
+    docs = pa.table({"doc_id": pa.array(range(2_000), type=pa.int64()),
+                     "fp": pa.array([f"fp{i}" for i in range(2_000)])})
+    bench = pa.table({"fp": pa.array([f"fp{i}" for i in range(0, 2_000, 97)])})
+    bits = bloom_build(rd.from_arrow(bench), "fp", num_bits=1 << 16)
+    kept = bloom_anti_filter(rd.from_arrow(docs).repartition(4), "fp",
+                             bits).to_pandas()
+    exact_dropped = {i for i in range(0, 2_000, 97)}
+    kept_ids = set(kept.doc_id)
+    # never keeps a benchmark doc; at 2^16 bits / 21 keys FPs are ~0
+    assert kept_ids.isdisjoint(exact_dropped)
+    assert kept_ids == set(range(2_000)) - exact_dropped
+
+
+def test_bloom_nulls_probe_absent():
+    bits = bloom_build(rd.from_arrow(pa.table({"k": ["a", "b"]})), "k",
+                       num_bits=1 << 12)
+    col = pa.array(["a", None, "zz"])
+    got = bloom_might_contain(bits, col)
+    assert got[0] and not got[1] and not got[2]
