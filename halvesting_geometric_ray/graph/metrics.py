@@ -162,6 +162,65 @@ def common_neighbor_scores(edges, cfg: EngineConfig = DEFAULT,
     return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def adamic_adar_scores(edges, cfg: EngineConfig = DEFAULT,
+                       max_center_degree: Optional[int] = None):
+    """Adamic-Adar and resource-allocation link-prediction scores per
+    unordered vertex pair with >= 1 shared neighbor:
+
+        AA(a, b) = sum over shared z of 1/ln(deg_z)
+        RA(a, b) = sum over shared z of 1/deg_z
+
+    (Adamic & Adar 2003; Zhou et al. 2009 — the strongest classical
+    baselines for the reference's link-prediction task,
+    link_prediction.py:33-106.)  Same wedge machinery and hub guard as
+    common_neighbor_scores; every shared neighbor z has deg_z >= 2, so
+    ln(deg_z) > 0 always.  Returns (a, b, common_neighbors, adamic_adar,
+    resource_allocation).  Float sums are order-dependent in the last
+    ulps under re-partitioning — certified by allclose pytest oracles,
+    not SQL hashes."""
+    und = canonical_undirected(edges, cfg).materialize()
+    deg = _degrees_canonical(und)
+
+    def sym(b: pa.Table) -> pa.Table:
+        s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    centers = und.map_batches(sym, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if max_center_degree is not None:
+        small = deg.filter(lambda row: row["deg"] <= max_center_degree)
+        centers = hash_join(centers, small, on="src", right_on="vid",
+                            join_type="semi", num_parts=cfg.num_parts,
+                            left_schema=_E_SCHEMA, right_schema=_DEG_SCHEMA)
+
+    ordered = centers.map_batches(
+        lambda b: pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                            "deg_dst": b.column("dst")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _wedges(ordered, cfg)  # (a, b, u): u = shared neighbor
+    w_schema = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+                          pa.field("u", pa.int64())])
+    j = hash_join(pairs, deg, on="u", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"], left_schema=w_schema,
+                  right_schema=_DEG_SCHEMA)
+
+    def weights(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy().astype(np.float64)
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "aa": pa.array(1.0 / np.log(d)),
+                         "ra": pa.array(1.0 / d),
+                         "one": pa.array(np.ones(len(d), dtype=np.int64))})
+
+    scored = j.map_batches(weights, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return grouped_aggregate(
+        scored, ["a", "b"],
+        {"common_neighbors": ("sum", "one"),
+         "adamic_adar": ("sum", "aa"),
+         "resource_allocation": ("sum", "ra")}, num_parts=cfg.num_parts)
+
+
 def reciprocity(edges, cfg: EngineConfig = DEFAULT) -> dict:
     """Directed-edge reciprocity: share of distinct non-loop edges
     (u, v) for which (v, u) also exists.  Returns

@@ -610,6 +610,31 @@ def q_bfs_hops(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_adamic_adar")
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar / resource-allocation link-prediction scores
+    (graph/metrics.py::adamic_adar_scores) — the classical baselines for
+    the reference's GNN task (link_prediction.py:33-106).  Rows-only:
+    the scores are float sums (order-dependent last ulps); allclose
+    brute-force oracle in tests/test_metrics.py.  Gate-pinned corpus."""
+    from .graph.metrics import adamic_adar_scores
+
+    g = gate_graph()
+    out = adamic_adar_scores(read_layer(g.edges))
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": b.column("a"), "b": b.column("b"),
+            "common_neighbors": b.column("common_neighbors"),
+            "adamic_adar": pa.array(
+                np.round(b.column("adamic_adar").to_numpy(), 9)),
+            "resource_allocation": pa.array(
+                np.round(b.column("resource_allocation").to_numpy(), 9))})
+
+    return out.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_reciprocity")
 def q_reciprocity(sf_dir: str):
     """Directed-edge reciprocity of the link graph (graph/metrics.py);
@@ -734,6 +759,17 @@ def q_sample_khop(sf_dir: str):
     seeds = np.arange(10, dtype=np.int64)
     _nodes, s, d = sample_k_hop(seeds, paths, g.offsets, [3, 2], seed=31)
     return pd.DataFrame({"src": s, "dst": d})
+
+
+@_q("q_url_canonical")
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization (functions/urls.py) over the vertex table —
+    the dedup-identity normalizer for web corpora.  Rows-only; the
+    pinned rule cases are certified in tests/test_urls.py."""
+    from .functions.urls import canonicalize_urls
+
+    g = gate_graph()
+    return canonicalize_urls(read_layer(g.vertices, columns=["url"]))
 
 
 @_q("q_kcore")

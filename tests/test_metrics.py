@@ -120,3 +120,28 @@ def test_assortativity_partitioning_independent():
     r1 = degree_assortativity(ds1)
     r8 = degree_assortativity(ds8)
     assert r1 == r8  # integer stats -> bitwise identical coefficient
+
+
+def test_adamic_adar_matches_bruteforce():
+    from halvesting_geometric_ray.graph.metrics import adamic_adar_scores
+
+    src, dst, n = _rand_graph(n=40, m=160, seed=29)
+    nbrs = _adj(src, dst, n)
+    got = adamic_adar_scores(_edges_ds(src, dst)).to_pandas()
+    got_map = {(int(r.a), int(r.b)):
+               (int(r.common_neighbors), float(r.adamic_adar),
+                float(r.resource_allocation))
+               for r in got.itertuples()}
+    exp_map = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            shared = nbrs[a] & nbrs[b]
+            if shared:
+                aa = sum(1.0 / np.log(len(nbrs[z])) for z in shared)
+                ra = sum(1.0 / len(nbrs[z]) for z in shared)
+                exp_map[(a, b)] = (len(shared), aa, ra)
+    assert set(got_map) == set(exp_map)
+    for k, (cn, aa, ra) in exp_map.items():
+        g = got_map[k]
+        assert g[0] == cn
+        assert abs(g[1] - aa) < 1e-9 and abs(g[2] - ra) < 1e-9, k
