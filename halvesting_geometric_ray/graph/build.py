@@ -95,8 +95,16 @@ def build_vertices(pages, outlinks, cfg: EngineConfig = DEFAULT):
     return assign_dense_ids_hash(all_urls, "url", cfg.num_parts, id_col="vid")
 
 
-def resolve_edges(outlinks, vertices, cfg: EngineConfig = DEFAULT):
-    """(src_url, dst_url) x vertices -> deduped (src:int64, dst:int64)."""
+def resolve_edges(outlinks, vertices, cfg: EngineConfig = DEFAULT,
+                  weighted: bool = False):
+    """(src_url, dst_url) x vertices -> deduped (src:int64, dst:int64).
+
+    weighted=True keeps anchor MULTIPLICITY instead of dropping it:
+    output (src, dst, w:int64) where w = number of occurrences of the
+    (src_url, dst_url) pair — the natural edge weight for weighted
+    PageRank (a page linked 5 times from one source gets 5x that
+    source's out-mass share).  Same shuffle count: the count happens
+    inside the join-2 bucket task where duplicates are co-located."""
     v = vertices.select_columns(["url", "vid"])
     str_t = pa.string()
     ol_schema = pa.schema([pa.field("src_url", str_t),
@@ -119,13 +127,20 @@ def resolve_edges(outlinks, vertices, cfg: EngineConfig = DEFAULT):
 
         from ..ops._util import cast_like
 
-        out = (pl.from_arrow(t.select(["vid", "src"]))
-               .rename({"vid": "dst"})
-               .unique(subset=["src", "dst"])
-               .sort(["src", "dst"])
-               .select(["src", "dst"]))
-        want = pa.schema([pa.field("src", pa.int64()),
-                          pa.field("dst", pa.int64())])
+        pairs = pl.from_arrow(t.select(["vid", "src"])).rename({"vid": "dst"})
+        if weighted:
+            out = (pairs.group_by(["src", "dst"]).len(name="w")
+                   .sort(["src", "dst"])
+                   .select(["src", "dst", "w"]))
+            want = pa.schema([pa.field("src", pa.int64()),
+                              pa.field("dst", pa.int64()),
+                              pa.field("w", pa.int64())])
+        else:
+            out = (pairs.unique(subset=["src", "dst"])
+                   .sort(["src", "dst"])
+                   .select(["src", "dst"]))
+            want = pa.schema([pa.field("src", pa.int64()),
+                              pa.field("dst", pa.int64())])
         return cast_like(out.to_arrow(), want)
 
     return hash_join(j1, v, on="dst_url", right_on="url",
@@ -208,6 +223,18 @@ def build_graph(pages_path: str, workdir: str,
     os.replace(meta_path + ".tmp", meta_path)
     return GraphLayers(workdir, layers["extracted"], layers["vertices"],
                        layers["edges"], meta)
+
+
+def weighted_edges(g: GraphLayers, cfg: EngineConfig = DEFAULT):
+    """Anchor-multiplicity weighted edge table (src, dst, w:int64),
+    derived LAZILY from the materialized extracted + vertices layers —
+    not a stored layer: the weighted consumer (pagerank weight_col)
+    caches its own CSR shards, so this resolve executes only on a cold
+    shard build and is skipped entirely once {workdir}/csr_w exists."""
+    outlinks = outlinks_from_extracted(
+        read_layer(g.extracted, columns=["url", "links"], cfg=cfg))
+    return resolve_edges(outlinks, read_layer(g.vertices, cfg=cfg), cfg,
+                         weighted=True)
 
 
 def symmetrize(edges, cfg: EngineConfig = DEFAULT, drop_self_loops: bool = False,

@@ -48,24 +48,36 @@ SHARD_SCHEMA = pa.schema([
 
 
 def _shard_table(p: int, lo: int, hi: int, src: np.ndarray, dst: np.ndarray,
-                 offsets: np.ndarray) -> pa.Table:
+                 offsets: np.ndarray,
+                 w: Optional[np.ndarray] = None) -> pa.Table:
     order = np.lexsort((dst, src))
     src = src[order]
     dst = dst[order]
+    if w is not None:
+        if (np.asarray(w) <= 0).any():
+            raise ValueError("edge weights must be > 0")
+        w = np.asarray(w, dtype=np.float64)[order]
     if src.size:
         # exact (src, dst) dedup INSIDE the shard: all copies of a pair
         # land in the same shard group, so this enforces the simple-graph
         # invariant without any upstream global distinct — callers may
-        # feed symmetrize(distinct=False) output (saves a 2E shuffle)
+        # feed symmetrize(distinct=False) output (saves a 2E shuffle).
+        # In WEIGHTED mode duplicate pairs SUM their weights
+        # (multiplicity folds into the weight).
         keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+        if w is not None:
+            grp = np.cumsum(keep) - 1
+            w = np.bincount(grp, weights=w, minlength=int(keep.sum()))
         src, dst = src[keep], dst[keep]
+    elif w is not None:
+        w = np.empty(0, dtype=np.float64)
     size = hi - lo
     counts = np.bincount((src - lo).astype(np.int64), minlength=size)
     indptr = np.zeros(size + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
     udsts, uinv = np.unique(dst, return_inverse=True)
     udst_part = owner_of(udsts, offsets)
-    return pa.table({
+    cols = {
         "part": pa.array([p], type=pa.int32()),
         "vid_lo": pa.array([lo], type=pa.int64()),
         "vid_hi": pa.array([hi], type=pa.int64()),
@@ -75,13 +87,18 @@ def _shard_table(p: int, lo: int, hi: int, src: np.ndarray, dst: np.ndarray,
         "udsts": pa.array([udsts], type=pa.large_list(pa.int64())),
         "uinv": pa.array([uinv.astype(np.int64)], type=pa.large_list(pa.int64())),
         "udst_part": pa.array([udst_part], type=pa.large_list(pa.int32())),
-    })
+    }
+    if w is not None:
+        cols["weights"] = pa.array([w], type=pa.large_list(pa.float64()))
+    return pa.table(cols)
 
 
 def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
                      force: bool = False,
-                     lineage: Optional[Dict] = None) -> List[Dict]:
-    """edges(src,dst) -> one CSR shard parquet per partition + descriptors.
+                     lineage: Optional[Dict] = None,
+                     weight_col: Optional[str] = None) -> List[Dict]:
+    """edges(src,dst[,weight]) -> one CSR shard parquet per partition +
+    descriptors.
 
     Returns the descriptor list [{part, path, vid_lo, vid_hi, n_edges}].
     Partitions with no out-edges get an empty shard (their vertices are
@@ -89,8 +106,12 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
 
     SIMPLE-GRAPH CONTRACT: duplicate (src, dst) rows are dropped inside
     each shard (the engine's edge tables are exact-deduped per the north
-    rule; this also lets symmetrize(dedup=False) skip its shuffle).  Do
-    NOT feed multigraphs expecting multiplicity-as-weight semantics.
+    rule; this also lets symmetrize(dedup=False) skip its shuffle).
+    With `weight_col` set (WEIGHTED mode), duplicate pairs instead SUM
+    their weights — multigraph multiplicity folds into the weight; the
+    shard files gain a `weights` column aligned with `indices`, and the
+    done-marker stamp includes the weight column so weighted and
+    unweighted builds never adopt each other's shards.
 
     `lineage` (edge-set provenance: self-loop flag, vertex count, ...) is
     stored in the done-marker; a marker written under a DIFFERENT lineage
@@ -101,6 +122,8 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
     num_parts = len(offsets) - 1
     stamp = {"lineage": lineage or {}, "num_parts": num_parts,
              "n": int(offsets[-1])}
+    if weight_col is not None:
+        stamp["weight_col"] = weight_col
     done = os.path.join(out_dir, "_SHARDS_DONE")
     if os.path.exists(done) and not force:
         try:
@@ -118,6 +141,13 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
     off = offsets
 
     def add_part(b: pa.Table) -> pa.Table:
+        if weight_col is not None:
+            # validate HERE, not in the group task: the shard build runs
+            # with retry_exceptions=True (transient-I/O robustness), so a
+            # deterministic input error raised there would retry forever
+            wv = b.column(weight_col).to_numpy()
+            if (wv <= 0).any() or np.isnan(wv.astype(np.float64)).any():
+                raise ValueError("edge weights must be > 0")
         part = owner_of(b.column("src").to_numpy(), off)
         return b.append_column("part", pa.array(part, type=pa.int32()))
 
@@ -125,7 +155,9 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
         p = int(g.column("part")[0].as_py())
         src = g.column("src").to_numpy()
         dst = g.column("dst").to_numpy()
-        t = _shard_table(p, int(off[p]), int(off[p + 1]), src, dst, off)
+        w = (g.column(weight_col).to_numpy().astype(np.float64)
+             if weight_col is not None else None)
+        t = _shard_table(p, int(off[p]), int(off[p + 1]), src, dst, off, w)
         path = os.path.join(out_dir, f"shard-{p:05d}.parquet")
         tmp = f"{path}.tmp{os.getpid()}"
         pq.write_table(t, tmp)
@@ -148,7 +180,9 @@ def build_csr_shards(edges, offsets: np.ndarray, out_dir: str,
         if p not in present:
             t = _shard_table(p, int(off[p]), int(off[p + 1]),
                              np.empty(0, dtype=np.int64),
-                             np.empty(0, dtype=np.int64), off)
+                             np.empty(0, dtype=np.int64), off,
+                             np.empty(0, dtype=np.float64)
+                             if weight_col is not None else None)
             path = os.path.join(out_dir, f"shard-{p:05d}.parquet")
             pq.write_table(t, path)
     with open(done, "w") as f:
@@ -190,6 +224,16 @@ def load_shard(path: str) -> Dict:
             "udst_part": np.asarray(row["udst_part"].values),
         }
         s["outdeg"] = np.diff(s["indptr"])
+        if "weights" in t.column_names:
+            w = np.asarray(row["weights"].values, dtype=np.float64)
+            s["weights"] = w
+            # per-source total out-weight, aligned with the local vid
+            # range (the weighted analogue of outdeg; outdeg==0 <=>
+            # wout==0 since the build enforces w > 0)
+            size = len(s["outdeg"])
+            s["wout"] = np.bincount(
+                np.repeat(np.arange(size), s["outdeg"]), weights=w,
+                minlength=size)
         _PROCESS_CACHE[path] = s
     return s
 

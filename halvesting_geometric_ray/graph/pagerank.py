@@ -142,9 +142,19 @@ class RankShardActor:
             if s["indices"].size == 0:
                 continue
             outdeg = s["outdeg"]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                src_r = np.where(outdeg > 0, self.r[p] / np.maximum(outdeg, 1), 0.0)
-            per_edge = np.repeat(src_r, outdeg)
+            w = s.get("weights")
+            if w is None:
+                src_r = np.where(outdeg > 0,
+                                 self.r[p] / np.maximum(outdeg, 1), 0.0)
+                per_edge = np.repeat(src_r, outdeg)
+            else:
+                # WEIGHTED scatter: edge (u, v, w) carries
+                # r_u * w / wout_u — out-mass split proportional to
+                # edge weight instead of uniformly over out-neighbors
+                src_r = np.where(outdeg > 0,
+                                 self.r[p] / np.where(s["wout"] > 0,
+                                                      s["wout"], 1.0), 0.0)
+                per_edge = np.repeat(src_r, outdeg) * w
             sums = np.bincount(s["uinv"], weights=per_edge,
                                minlength=len(s["udsts"]))[s["route_order"]]
             b = s["route_bounds"]
@@ -249,7 +259,8 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
              shards_dir: Optional[str] = None,
              num_actors: int = 0,
              checkpoint_interval: int = 1,
-             seeds: Optional[np.ndarray] = None) -> Tuple["rd.Dataset", Dict]:
+             seeds: Optional[np.ndarray] = None,
+             weight_col: Optional[str] = None) -> Tuple["rd.Dataset", Dict]:
     """Run PageRank over the edge table.  Returns (ranks_ds, info):
     ranks_ds has columns (part, vid, rank); info carries per-iteration
     metrics (l1, dangling mass, wall) and resume provenance.
@@ -257,7 +268,14 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
     `seeds`: vid array -> PERSONALIZED PageRank (teleport + dangling
     mass go uniformly to the seed set instead of all vertices); the
     checkpoint lineage includes a seed fingerprint so classic and
-    personalized runs never adopt each other's state."""
+    personalized runs never adopt each other's state.
+
+    `weight_col`: edges column of POSITIVE edge weights -> WEIGHTED
+    PageRank (out-mass split w_uv / sum_x w_ux instead of 1/outdeg;
+    duplicate (src, dst) pairs sum their weights in the shard build, so
+    anchor multiplicity can be fed directly).  Weighted runs use their
+    own default shard dir ({workdir}/csr_w) and a distinct lineage so
+    they never share the unweighted CSR cache."""
     from .csr import build_csr_shards
 
     d = cfg.damping if damping is None else damping
@@ -278,8 +296,14 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
     # Same lineage stamp as hits() — both consume the directed CSR, so
     # alternating pagerank/hits on one workdir reuses one shard cache
     # instead of rebuilding it every run (ADVICE r2).
-    descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr",
-                             lineage={"kind": "directed"})
+    if weight_col is None:
+        descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr",
+                                 lineage={"kind": "directed"})
+    else:
+        descs = build_csr_shards(edges, offsets,
+                                 shards_dir or f"{workdir}/csr_w",
+                                 lineage={"kind": "directed-weighted"},
+                                 weight_col=weight_col)
     paths = {dd["part"]: dd["path"] for dd in descs}
 
     seed_fp = None
@@ -293,10 +317,11 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
                 f"max={seeds[-1]}")
         seed_fp = [int(seeds.size), int(seeds.min()), int(seeds.max()),
                    int(seeds.sum() % (1 << 61))]
-    ckpt = IterativeCheckpoint(
-        workdir, job,
-        lineage or {"algo": "pagerank", "n": N, "parts": num_parts,
-                    "d": d, "tol": tol, "seeds": seed_fp})
+    default_lineage = {"algo": "pagerank", "n": N, "parts": num_parts,
+                       "d": d, "tol": tol, "seeds": seed_fp}
+    if weight_col is not None:
+        default_lineage["weight_col"] = weight_col
+    ckpt = IterativeCheckpoint(workdir, job, lineage or default_lineage)
 
     def ranks_ds(k: int):
         return (rd.read_parquet(ckpt.state_files(k))

@@ -380,6 +380,28 @@ def q_personalized_pagerank(sf_dir: str):
                              zero_copy_batch=True)
 
 
+@_q("q_pagerank_weighted")
+def q_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank: edge weight = anchor multiplicity (how many
+    times src_url links dst_url) from the weighted resolution join —
+    out-mass split w_uv / sum w_ux.  NumPy-oracle exact in
+    tests/test_pagerank.py; multiplicity parity vs SQL count in
+    tests/test_graph_build.py."""
+    from .graph.build import weighted_edges
+    from .graph.pagerank import pagerank
+
+    g = graph_for(sf_dir)
+    ranks, _ = pagerank(weighted_edges(g), g.offsets, g.workdir,
+                        job="pagerank_w", weight_col="w")
+
+    def quant(b: pa.Table) -> pa.Table:
+        r = np.round(b.column("rank").to_numpy(), 9)
+        return pa.table({"vid": b.column("vid"), "rank": pa.array(r)})
+
+    return ranks.map_batches(quant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 @_q("q_hits")
 def q_hits(sf_dir: str):
     """HITS hubs/authorities (graph/hits.py) — power iteration on the

@@ -30,6 +30,36 @@ def pagerank_oracle(n: int, src: np.ndarray, dst: np.ndarray,
     return r, iters
 
 
+def pagerank_weighted_oracle(n: int, src: np.ndarray, dst: np.ndarray,
+                             w: np.ndarray, d: float = 0.85,
+                             tol: float = 1e-6, max_iters: int = 200):
+    """Weighted PageRank: out-mass split w_uv / sum_x w_ux.  Duplicate
+    (src, dst) pairs are summed first (the engine's shard-build
+    semantics)."""
+    import pandas as pd
+
+    agg = (pd.DataFrame({"src": src, "dst": dst, "w": w})
+           .groupby(["src", "dst"], as_index=False)["w"].sum())
+    src = agg["src"].to_numpy()
+    dst = agg["dst"].to_numpy()
+    w = agg["w"].to_numpy(dtype=np.float64)
+    wout = np.bincount(src, weights=w, minlength=n)
+    outdeg = np.bincount(src, minlength=n)
+    r = np.full(n, 1.0 / n)
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        dm = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] * w / wout[src])
+        new = (1.0 - d) / n + d * (contrib + dm / n)
+        l1 = np.abs(new - r).sum()
+        r = new
+        if l1 < tol:
+            break
+    return r, iters
+
+
 def components_oracle(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Exact min-vid component labels over the UNDIRECTED closure."""
     parent = np.arange(n)

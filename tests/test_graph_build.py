@@ -90,3 +90,35 @@ def test_empty_and_degenerate_inputs(tmp_path):
     got = ranks.to_pandas()
     assert len(got) == 10
     assert abs(got["rank"].sum() - 1.0) < 1e-9  # pure dangling graph
+
+
+def test_weighted_edges_match_anchor_multiplicity(tiny_graph):
+    """weighted_edges (src, dst, w) mapped back to urls must equal the
+    authored anchors' per-pair occurrence counts (DuckDB oracle), and
+    its pair set must equal the deduped edges layer."""
+    import duckdb
+
+    from halvesting_geometric_ray.fixtures import ensure_anchors_parquet
+    from halvesting_geometric_ray.graph.build import weighted_edges
+
+    we = weighted_edges(tiny_graph).to_pandas()
+    v = rd.read_parquet(tiny_graph.vertices).to_pandas()[["url", "vid"]]
+    got = (we.merge(v.rename(columns={"vid": "src", "url": "src_url"}), on="src")
+             .merge(v.rename(columns={"vid": "dst", "url": "dst_url"}), on="dst")
+           [["src_url", "dst_url", "w"]]
+           .sort_values(["src_url", "dst_url"]).reset_index(drop=True))
+    anchors = ensure_anchors_parquet(100, 42)
+    exp = duckdb.sql(
+        f"SELECT src_url, dst_url, count(*) AS w "
+        f"FROM read_parquet('{anchors}') GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    assert len(got) == len(exp)
+    assert (got.src_url.to_numpy() == exp.src_url.to_numpy()).all()
+    assert (got.dst_url.to_numpy() == exp.dst_url.to_numpy()).all()
+    assert (got.w.to_numpy() == exp.w.to_numpy()).all()
+    assert got.w.max() >= 2  # the fixture authors duplicate anchors
+    # pair set == deduped edges layer
+    e = rd.read_parquet(tiny_graph.edges).to_pandas()
+    a = set(zip(we.src, we.dst))
+    b = set(zip(e.src, e.dst))
+    assert a == b

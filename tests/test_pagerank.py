@@ -191,3 +191,97 @@ def test_personalized_seeds_out_of_range_rejected(tiny_graph, tmp_path):
     with pytest.raises(ValueError, match="seed vids"):
         pagerank(edges, tiny_graph.offsets, str(tmp_path / "ppr_bad2"),
                  seeds=np.array([-1, 0], dtype=np.int64))
+
+
+# ---------------- weighted PageRank ----------------
+
+def _weighted_edges_ds(g, mult=False):
+    """Deterministic synthetic weights over the fixture graph's edges.
+    mult=True additionally DUPLICATES every third edge row (multigraph
+    input) — the engine must fold multiplicity into the weight."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    src, dst = _edges_np(g)
+    w = ((src * 31 + dst * 17) % 5 + 1).astype(np.float64)
+    df = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    if mult:
+        df = pd.concat([df, df.iloc[::3]], ignore_index=True)
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)), df
+
+
+def test_pagerank_weighted_matches_oracle(tiny_graph, tmp_path):
+    from .oracle import pagerank_weighted_oracle
+
+    n = tiny_graph.num_vertices
+    ds, df = _weighted_edges_ds(tiny_graph)
+    exp, exp_iters = pagerank_weighted_oracle(
+        n, df.src.to_numpy(), df.dst.to_numpy(), df.w.to_numpy())
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    ranks, info = pagerank(ds, tiny_graph.offsets, str(tmp_path / "wpr"),
+                           job="wpr", weight_col="w")
+    got = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert info["converged"]
+    assert info["num_iters"] == exp_iters
+    assert np.allclose(got, exp, rtol=0, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_multigraph_folds_multiplicity(tiny_graph, tmp_path):
+    """Duplicate (src, dst) rows must SUM their weights — equivalent to
+    feeding the pre-aggregated weighted table."""
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    ds_m, df_m = _weighted_edges_ds(tiny_graph, mult=True)
+    agg = df_m.groupby(["src", "dst"], as_index=False)["w"].sum()
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds_a = rd.from_arrow(pa.Table.from_pandas(agg, preserve_index=False))
+    r_m, _ = pagerank(ds_m, tiny_graph.offsets, str(tmp_path / "m"),
+                      job="wpr", weight_col="w")
+    r_a, _ = pagerank(ds_a, tiny_graph.offsets, str(tmp_path / "a"),
+                      job="wpr", weight_col="w")
+    a = r_m.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = r_a.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_pagerank_uniform_weights_equal_unweighted(tiny_graph, tmp_path):
+    """Constant weights reduce to classic PageRank."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    src, dst = _edges_np(tiny_graph)
+    df = pd.DataFrame({"src": src, "dst": dst,
+                       "w": np.full(len(src), 3.0)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    r_w, _ = pagerank(ds, tiny_graph.offsets, str(tmp_path / "w"),
+                      job="wpr", weight_col="w")
+    r_u, _ = _run(tiny_graph, str(tmp_path / "u"))
+    a = r_w.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = r_u.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.allclose(a, b, rtol=0, atol=1e-9)
+
+
+def test_pagerank_weighted_rejects_nonpositive(tiny_graph, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+
+    src, dst = _edges_np(tiny_graph)
+    w = np.ones(len(src))
+    w[0] = 0.0
+    df = pd.DataFrame({"src": src, "dst": dst, "w": w})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    with pytest.raises(Exception, match="weights must be > 0"):
+        pagerank(ds, tiny_graph.offsets, str(tmp_path / "bad"),
+                 job="wpr", weight_col="w")
