@@ -59,6 +59,9 @@ def main(argv=None) -> int:
             sp.add_argument("--tol", type=float, default=None)
             sp.add_argument("--max-iters", type=int, default=None)
             sp.add_argument("--checkpoint-interval", type=int, default=1)
+            sp.add_argument("--weighted", action="store_true",
+                            help="anchor-multiplicity edge weights "
+                                 "(weighted_edges -> weight_col='w')")
         if name == "labelprop":
             sp.add_argument("--rounds", type=int, default=5)
 
@@ -105,11 +108,17 @@ def main(argv=None) -> int:
             from .graph.pagerank import pagerank
 
             kw = {}
+            pr_edges = edges
             if args.cmd == "pagerank":
                 kw = {"damping": args.damping, "tol": args.tol,
                       "max_iters": args.max_iters,
                       "checkpoint_interval": args.checkpoint_interval}
-            _, info = pagerank(edges, g.offsets, args.workdir, cfg, **kw)
+                if args.weighted:
+                    from .graph.build import weighted_edges
+
+                    pr_edges = weighted_edges(g, cfg)
+                    kw.update(weight_col="w", job="pagerank_w")
+            _, info = pagerank(pr_edges, g.offsets, args.workdir, cfg, **kw)
             out["pagerank"] = {k: v for k, v in info.items() if k != "iters"}
         if args.cmd in ("cc", "all"):
             from .graph.components import connected_components
