@@ -74,3 +74,20 @@ def scatter_refs_matrix(actors, num_actors: int, method: str = "scatter", args=(
 def transpose_refs(refs: List[List]) -> List[List]:
     a = len(refs)
     return [[refs[i][j] for i in range(a)] for j in range(len(refs[0]))]
+
+
+def drain_refs(*refs, timeout: float = 10.0) -> None:
+    """Best-effort consume trailing scalar-reduce task refs BEFORE
+    killing the actor pool.  With pipelined rounds the driver breaks out
+    of the loop with one overshoot round's reduce task (_dm_reduce /
+    _sum_scalars) still in flight; killing the actors while its actor
+    inputs are pending fails that task, and a failed ref nobody gets is
+    logged as 'Unhandled error' noise at every converged run.  The
+    reduces are sub-ms scalar sums over an already-running round, so
+    waiting for them costs at most one round's tail."""
+    for r in refs:
+        if isinstance(r, ray.ObjectRef):
+            try:
+                ray.get(r, timeout=timeout)
+            except Exception:
+                pass

@@ -47,7 +47,8 @@ import ray.data as rd
 
 from ..config import DEFAULT, EngineConfig
 from .csr import load_shard
-from .engine import part_to_actor_map, plan_actors, scatter_refs_matrix, transpose_refs
+from .engine import (drain_refs, part_to_actor_map, plan_actors,
+                     scatter_refs_matrix, transpose_refs)
 
 
 @ray.remote(num_cpus=0)
@@ -304,9 +305,10 @@ def hits(edges, offsets: np.ndarray, cfg: EngineConfig = DEFAULT, *,
     ray.get([a.set_incoming_vids.remote([sent[i][j] for i in range(A)])
              for j, a in enumerate(actors)])
     info: Dict = {"iters": []}
+    asq_ref = None
+    hsq_ref = 1.0  # initial h is exactly unit-L2
     try:
         inbox = transpose_refs(scatter_refs_matrix(actors, A))
-        hsq_ref = 1.0  # initial h is exactly unit-L2
         pending: Dict[int, List] = {}
         hsq_by_round: Dict[int, float] = {}
         converged = False
@@ -355,6 +357,7 @@ def hits(edges, offsets: np.ndarray, cfg: EngineConfig = DEFAULT, *,
              for p in owned[i]}, hsq_final, overshoot)
             for i, a in enumerate(actors)])
     finally:
+        drain_refs(hsq_ref, asq_ref)  # overshoot reduces: consume, then kill
         for a in actors:
             ray.kill(a)
 

@@ -50,7 +50,8 @@ import ray.data as rd
 from ..config import DEFAULT, EngineConfig
 from ..state.checkpoint import IterativeCheckpoint
 from .csr import load_shard
-from .engine import part_to_actor_map, plan_actors, scatter_refs_matrix, transpose_refs
+from .engine import (drain_refs, part_to_actor_map, plan_actors,
+                     scatter_refs_matrix, transpose_refs)
 
 
 @ray.remote(num_cpus=0)
@@ -343,6 +344,7 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
                                     seed_ref)
               for i in range(A)]
     final_k = k0 or 0
+    dm_ref = None
     try:
         if k0 is not None:
             ray.get([a.load_state.remote(
@@ -413,6 +415,7 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
             last = info["iters"][-1] if info["iters"] else {"iter": final_k}
             ckpt.commit_iter(final_k, last, list(range(num_parts)))
     finally:
+        drain_refs(dm_ref)  # overshoot-round reduce: consume, then kill
         for a in actors:
             ray.kill(a)
 
