@@ -960,3 +960,41 @@ def q_knn_cosine_ivf(sf_dir: str):
                        columns=["vec_id", "embedding"],
                        filters=[("vec_id", "<", 10)])
     return knn_cosine_ivf(emb, qt, k=5)
+
+
+# ---- C4-style cross-document line dedup --------------------------------
+
+_LINE_DEDUP_SQL = """
+WITH exploded AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents
+),
+nonempty AS (SELECT * FROM exploded WHERE trim(line) <> ''),
+firsts AS (SELECT doc_id, line, min(pos) AS pos
+           FROM nonempty GROUP BY doc_id, line),
+winners AS (SELECT line, min(doc_id) AS win FROM firsts GROUP BY line),
+kept AS (SELECT f.doc_id, f.line, f.pos FROM firsts f
+         JOIN winners w ON f.line = w.line AND f.doc_id = w.win)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+FROM kept GROUP BY doc_id
+"""
+
+
+@_q("q_line_dedup", _LINE_DEDUP_SQL)
+def q_line_dedup(sf_dir: str):
+    """C4-style cross-document line dedup (ops/dedup.py::line_dedup):
+    each distinct non-blank line survives only at its first in-document
+    occurrence in the min-id document.  The sf documents are single-line
+    and globally unique, so here the op degenerates to identity — the
+    REAL multi-line/boilerplate semantics are certified against the same
+    DuckDB oracle on a crafted corpus in tests/test_text_dedup.py.
+
+    NOTE deliberately registered LAST: it is the 51st SQL-oracled query,
+    one past the driver's 50-entry recorded window — the curated window
+    contents stay identical (see __ray_entry__ ordering)."""
+    from .ops.dedup import line_dedup
+
+    return line_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                      id_col="doc_id", text_col="text")

@@ -357,3 +357,89 @@ def test_cosine_pairs_duplicated_vec_id_no_self_pairs():
             (int(min(ids[x], ids[y])), int(max(ids[x], ids[y])))
             for x in range(20) for y in range(x + 1, 20)
             if ids[x] != ids[y]}
+
+
+# ---------------- C4-style line dedup ----------------
+
+def _boiler_corpus(n=200, seed=3):
+    """Docs with heavy shared boilerplate: a global header/footer on
+    most docs, per-group shared paragraphs, unique middles, in-doc
+    repeats, blank lines, and some all-boilerplate / empty docs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        lines = []
+        if i % 7 != 3:
+            lines.append("SITE NAVIGATION home about contact")
+        lines.append(f"unique middle {i} " + " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"], 5)))
+        if i % 2 == 0:
+            lines.append(f"group banner {i % 5}")
+        if i % 4 == 0:
+            lines.append(lines[-1])  # in-doc repeat
+        lines.append("")  # blank
+        if i % 6 != 1:
+            lines.append("copyright 2026 example inc")
+        if i % 31 == 0:
+            lines = ["SITE NAVIGATION home about contact"]  # all-boiler
+        if i % 53 == 0:
+            lines = [""]  # effectively empty
+        rows.append({"doc_id": i, "text": "\n".join(lines)})
+    return pd.DataFrame(rows)
+
+
+def test_line_dedup_matches_duckdb_oracle():
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.dedup import line_dedup
+
+    df = _boiler_corpus()
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+           .repartition(9)  # lines of one doc stay in one row/batch
+    got = (line_dedup(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute("""
+WITH exploded AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents),
+nonempty AS (SELECT * FROM exploded WHERE trim(line) <> ''),
+firsts AS (SELECT doc_id, line, min(pos) AS pos
+           FROM nonempty GROUP BY doc_id, line),
+winners AS (SELECT line, min(doc_id) AS win FROM firsts GROUP BY line),
+kept AS (SELECT f.doc_id, f.line, f.pos FROM firsts f
+         JOIN winners w ON f.line = w.line AND f.doc_id = w.win)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+FROM kept GROUP BY doc_id ORDER BY doc_id""").df()
+    assert len(got) == len(exp)
+    assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert (got.text_dedup.to_numpy() == exp.text_dedup.to_numpy()).all()
+    # boilerplate actually collapsed: the nav line survives exactly once
+    joined = "\n".join(got.text_dedup)
+    assert joined.count("SITE NAVIGATION") == 1
+    assert joined.count("copyright 2026") == 1
+
+
+def test_line_dedup_partitioning_invariant():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.dedup import line_dedup
+
+    df = _boiler_corpus(n=120, seed=11)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    outs = []
+    for nb in (1, 4, 13):
+        ds = rd.from_arrow(t).repartition(nb)
+        outs.append(line_dedup(ds).to_pandas()
+                    .sort_values("doc_id").reset_index(drop=True))
+    for o in outs[1:]:
+        assert (o.doc_id.to_numpy() == outs[0].doc_id.to_numpy()).all()
+        assert (o.text_dedup.to_numpy() == outs[0].text_dedup.to_numpy()).all()
