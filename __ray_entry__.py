@@ -50,7 +50,8 @@ def entry() -> Any:
 # q_knn_cosine_lsh/_ivf by pytest recall tests + the exact q_knn_cosine).
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",
-    "q_minhash_lsh", "q_kcore", "q_label_propagation", "q_simhash_pairs",
+    "q_minhash_lsh", "q_kcore", "q_diameter", "q_label_propagation",
+    "q_simhash_pairs",
     "q_edge_splits", "q_negative_samples", "q_hll_distinct",
     "q_token_percentiles_sketch", "q_decontaminate_bloom",
     "q_adamic_adar", "q_url_canonical",

@@ -185,3 +185,56 @@ def bfs(sym_edges, offsets: np.ndarray, workdir: str,
     info["num_iters"] = len(info["iters"])
     info["reached"] = int(sum(t.num_rows for t in tables))
     return rd.from_arrow(tables), info
+
+
+def double_sweep_diameter(sym_edges, offsets: np.ndarray, workdir: str,
+                          cfg: EngineConfig = DEFAULT, *,
+                          start: int = 0, sweeps: int = 2,
+                          shards_dir: Optional[str] = None) -> Dict:
+    """Double-sweep diameter LOWER BOUND of the component containing
+    ``start`` (classic BFS heuristic: eccentricity from the farthest
+    vertex of the previous sweep; exact on trees, empirically tight on
+    web-ish graphs).  Deterministic: the next sweep's source is the
+    MIN-VID vertex among those at maximum distance.
+
+    Each sweep is one frontier BFS over the shared csr_sym shard cache;
+    the per-sweep argmax is a per-batch partial (vid, dist) peak reduced
+    over <= num_blocks rows on the driver — the distance table itself is
+    never materialized.
+
+    Returns {"diameter_lb", "sweeps": [{source, ecc_lb, peak_vid,
+    reached}, ...]}.
+    """
+    import pyarrow as pa
+
+    src = int(start)
+    lb = 0
+    out: Dict = {"sweeps": []}
+    for _ in range(max(1, sweeps)):
+        dist_ds, binfo = bfs(sym_edges, offsets, workdir,
+                             np.array([src], dtype=np.int64), cfg,
+                             shards_dir=shards_dir)
+
+        def peak(b: pa.Table) -> pa.Table:
+            d = b.column("dist").to_numpy()
+            if len(d) == 0:
+                return pa.table({"vid": pa.array([], type=pa.int64()),
+                                 "dist": pa.array([], type=pa.int64())})
+            m = int(d.max())
+            v = b.column("vid").to_numpy()[d == m]
+            return pa.table({"vid": pa.array([int(v.min())], type=pa.int64()),
+                             "dist": pa.array([m], type=pa.int64())})
+
+        peaks = dist_ds.map_batches(peak, batch_format="pyarrow",
+                                    zero_copy_batch=True).to_pandas()
+        ecc = int(peaks["dist"].max())
+        peak_vid = int(peaks.loc[peaks["dist"] == ecc, "vid"].min())
+        out["sweeps"].append({"source": src, "ecc_lb": ecc,
+                              "peak_vid": peak_vid,
+                              "reached": binfo["reached"]})
+        lb = max(lb, ecc)
+        if peak_vid == src and ecc == 0:
+            break  # isolated vertex
+        src = peak_vid
+    out["diameter_lb"] = lb
+    return out

@@ -590,6 +590,27 @@ def q_common_neighbors(sf_dir: str):
     return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_diameter")
+def q_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound of vid 0's component over the
+    symmetrized link graph (graph/bfs.py::double_sweep_diameter) —
+    exact-replication NumPy oracle in tests/test_bfs.py (same
+    deterministic min-vid tie-break), plus an all-pairs exact-diameter
+    sandwich bound."""
+    from .graph.bfs import double_sweep_diameter
+
+    g = graph_for(sf_dir)
+    r = double_sweep_diameter(symmetrize(read_layer(g.edges), dedup=False),
+                              g.offsets, g.workdir, start=0)
+    return pd.DataFrame({
+        "diameter_lb": pd.Series([r["diameter_lb"]], dtype="int64"),
+        "n_sweeps": pd.Series([len(r["sweeps"])], dtype="int64"),
+        "final_peak_vid": pd.Series([r["sweeps"][-1]["peak_vid"]],
+                                    dtype="int64"),
+        "component_size": pd.Series([r["sweeps"][-1]["reached"]],
+                                    dtype="int64")})
+
+
 @_q("q_bfs_hops")
 def q_bfs_hops(sf_dir: str):
     """BFS hop distances (graph/bfs.py) from the lexicographic-min-url

@@ -73,3 +73,63 @@ def test_bfs_source_validation(tiny_graph, tmp_path):
     with pytest.raises(ValueError):
         bfs(_sym(tiny_graph), tiny_graph.offsets, str(tmp_path / "v"),
             np.array([tiny_graph.num_vertices]))
+
+
+# ---------------- double-sweep diameter ----------------
+
+def _double_sweep_oracle(n, src, dst, start, sweeps=2):
+    """Exact replication of double_sweep_diameter's semantics."""
+    s = int(start)
+    lb = 0
+    trace = []
+    for _ in range(sweeps):
+        dist = bfs_oracle(n, src, dst, [s])
+        reach = dist >= 0
+        ecc = int(dist[reach].max())
+        peak = int(np.flatnonzero(reach & (dist == ecc)).min())
+        trace.append((s, ecc, peak, int(reach.sum())))
+        lb = max(lb, ecc)
+        if peak == s and ecc == 0:
+            break
+        s = peak
+    return lb, trace
+
+
+def test_double_sweep_diameter_matches_oracle(tiny_graph, tmp_path):
+    from halvesting_geometric_ray.graph.bfs import double_sweep_diameter
+
+    es = rd.read_parquet(tiny_graph.edges).to_pandas()
+    src, dst = es.src.to_numpy(), es.dst.to_numpy()
+    n = tiny_graph.num_vertices
+    got = double_sweep_diameter(
+        symmetrize(rd.read_parquet(tiny_graph.edges), dedup=False),
+        tiny_graph.offsets, str(tmp_path / "dsw"), start=0)
+    lb, trace = _double_sweep_oracle(n, src, dst, 0)
+    assert got["diameter_lb"] == lb
+    assert [(s["source"], s["ecc_lb"], s["peak_vid"], s["reached"])
+            for s in got["sweeps"]] == trace
+
+    # sandwich: ecc(start) <= lb <= exact diameter of start's component
+    d0 = bfs_oracle(n, src, dst, [0])
+    comp = np.flatnonzero(d0 >= 0)
+    exact_diam = 0
+    for v in comp:
+        dv = bfs_oracle(n, src, dst, [v])
+        exact_diam = max(exact_diam, int(dv[dv >= 0].max()))
+    assert int(d0.max()) <= lb <= exact_diam
+
+
+def test_double_sweep_isolated_vertex(tmp_path):
+    """A source with no edges: lb 0, single early-stopped sweep."""
+    import pyarrow as pa
+
+    from halvesting_geometric_ray.graph.bfs import double_sweep_diameter
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2], type=pa.int64()),
+        "dst": pa.array([2, 3], type=pa.int64())}))
+    offsets = np.array([0, 4], dtype=np.int64)
+    r = double_sweep_diameter(symmetrize(edges, dedup=False), offsets,
+                              str(tmp_path / "iso"), start=0)
+    assert r["diameter_lb"] == 0
+    assert len(r["sweeps"]) == 1 and r["sweeps"][0]["reached"] == 1
