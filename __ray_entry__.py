@@ -48,6 +48,14 @@ def entry() -> Any:
 # certified elsewhere (q_simhash by q_simhash_pairs, the sf-scaled
 # q_components/q_triangles by the gate-certified *_urls versions,
 # q_knn_cosine_lsh/_ivf by pytest recall tests + the exact q_knn_cosine).
+# Oracled queries demoted to the overflow position when the oracled set
+# exceeds the driver's ~50-entry recording window: there are 51 oracled
+# queries, so exactly one lands outside.  q_union_keys's semantics
+# (union + subset-key dedup, U1/D2) are also certified by q_vertex_urls
+# (green r01+r02) — demoting it lets the newer q_line_dedup oracle be
+# recorded instead.
+_ORACLED_TAIL = ["q_union_keys"]
+
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",
     "q_minhash_lsh", "q_kcore", "q_diameter", "q_label_propagation",
@@ -79,7 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     oracled = set(_oracle_sql(ensure=False))
     out: dict[str, Callable[[str], Any]] = {}
     for k in merged:  # 1) every SQL-oracled query, module order
-        if k in oracled:
+        if k in oracled and k not in _ORACLED_TAIL:
+            out[k] = merged[k]
+    for k in _ORACLED_TAIL:  # 1b) demoted oracled (window overflow)
+        if k in merged:
             out[k] = merged[k]
     for k in _ROWS_ONLY_PRIORITY:  # 2) rows-only, curated order
         if k in merged and k not in out:
