@@ -815,6 +815,31 @@ def q_url_canonical(sf_dir: str):
     return canonicalize_urls(read_layer(g.vertices, columns=["url"]))
 
 
+@_q("q_anf")
+def q_anf(sf_dir: str):
+    """HyperBall (graph/anf.py): approximate neighborhood function +
+    harmonic/closeness centralities over the directed link graph via
+    per-vertex HLL counters — the 10^12-page centrality algorithm
+    (Boldi & Vigna 2013).  Reuses PageRank's directed CSR shard cache.
+    Rows-only at the gate (sketch estimates are not SQL-expressible);
+    exact-BFS-oracle error bounds + bitwise partitioning-independence
+    in tests/test_anf.py."""
+    from .graph.anf import anf
+
+    g = graph_for(sf_dir)
+    ds, _ = anf(read_layer(g.edges), g.offsets, g.workdir, p_bits=8)
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": b.column("vid"),
+            "reach_est": pa.array(np.round(b.column("reach_est").to_numpy(), 6)),
+            "harmonic": pa.array(np.round(b.column("harmonic").to_numpy(), 6)),
+            "closeness": pa.array(np.round(b.column("closeness").to_numpy(), 9)),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_kcore")
 def q_kcore(sf_dir: str):
     """2-core membership of the link graph (graph/kcore.py) — degree
