@@ -840,6 +840,21 @@ def q_anf(sf_dir: str):
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_random_walks")
+def q_random_walks(sf_dir: str):
+    """DeepWalk-style random-walk corpus over the directed link graph
+    (graph/walks.py) — stateless hash-draw steps, so the walk set is
+    bitwise deterministic and partitioning/actor-layout independent.
+    Rows-only at the gate; path-validity, layout-independence,
+    uniformity and restart oracles in tests/test_walks.py."""
+    from .graph.walks import random_walks
+
+    g = graph_for(sf_dir)
+    ds, _ = random_walks(read_layer(g.edges), g.offsets, g.workdir,
+                         walk_len=8, seed=13)
+    return ds
+
+
 @_q("q_kcore")
 def q_kcore(sf_dir: str):
     """2-core membership of the link graph (graph/kcore.py) — degree
