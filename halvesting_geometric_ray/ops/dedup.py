@@ -139,3 +139,168 @@ def line_dedup(docs, id_col: str = "doc_id", text_col: str = "text",
     return (pre_shuffle(won).groupby(_PART_COL)
             .map_groups(rebuild, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def _flat_tokens(ids, texts):
+    """Whitespace-tokenize a batch: returns (doc_row per token, token
+    strings as a polars Series, tokens-per-doc lengths)."""
+    import numpy as np
+    import polars as pl
+
+    s = pl.Series("t", texts).str.extract_all(r"\S+")
+    lens = s.list.len().fill_null(0).to_numpy().astype(np.int64)
+    flat = s.explode().drop_nulls()
+    rowidx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+    return rowidx, flat, lens
+
+
+def _gram_hashes(tok_hash, doc_row, n: int):
+    """Polynomial n-gram hashes over the flattened token-hash array;
+    windows crossing document boundaries are dropped.  Returns
+    (gram:int64 view, window start flat index, valid mask over starts)."""
+    import numpy as np
+
+    T = tok_hash.size
+    if T < n:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    with np.errstate(over="ignore"):
+        B = np.uint64(0x100000001B3)
+        powers = np.empty(n, dtype=np.uint64)
+        powers[n - 1] = 1
+        for j in range(n - 2, -1, -1):
+            powers[j] = powers[j + 1] * B
+        W = np.lib.stride_tricks.sliding_window_view(
+            tok_hash.astype(np.uint64), n)
+        gram = (W * powers).sum(axis=1).view(np.int64)
+    valid = doc_row[: T - n + 1] == doc_row[n - 1:]
+    starts = np.flatnonzero(valid)
+    return gram[starts], starts
+
+
+def span_dedup(docs, n: int = 5, min_count: int = 2,
+               id_col: str = "doc_id", text_col: str = "text",
+               num_parts: int = 16, hash_seed: int = 42):
+    """Duplicate n-gram SPAN dedup — the scalable variant of exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"; RefinedWeb/MassiveText use the
+    same shape): any whitespace n-gram occurring >= ``min_count`` times
+    corpus-wide is removed from every document EXCEPT its one keeper
+    occurrence — the globally-first (min doc id, then min position) —
+    so exactly one copy of each duplicated span survives.
+
+    Exact semantics certified by the pytest oracle
+    (tests/test_text_dedup.py): coverage is the UNION of all hot
+    non-keeper windows [i, i+n); a keeper's tokens can still fall to an
+    OVERLAPPING hot occurrence.  Output text re-joins kept tokens with
+    single spaces (whitespace-canonical).  Token identity is a 64-bit
+    stable hash; gram identity a 64-bit polynomial over token hashes —
+    collisions are ~2^-64 per pair and would only ever remove a
+    non-duplicated span (conservative direction for training data).
+
+    Scale shape:
+    1. count pass — per-batch VECTORIZED grams (sliding window over the
+       flattened token-hash array, document-boundary windows masked)
+       combined per batch (one row per distinct gram per batch), then
+       one key-partitioned grouped aggregate {count: sum, keeper: min};
+    2. the hot set (count >= min_count) is collected and broadcast via
+       ``ray.put`` as two sorted arrays — at web scale boilerplate
+       n-grams are a tiny fraction of distinct n-grams; if the hot set
+       outgrows a broadcast, swap in ops/sketch.bloom_build (documented
+       fallback, false-positives remove a few extra spans);
+    3. mask pass — searchsorted membership per window, coverage via a
+       diff/cumsum over the flat token array, per-document string
+       rebuild in polars (Rust list.join).
+
+    Returns (id_col, text_dedup, kept_tokens, removed_tokens) — one row
+    per input document (fully-removed documents keep an empty string).
+    """
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import ray
+
+    from .agg import grouped_aggregate
+
+    KEY_POS_BITS = 32
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        if ids.size and (ids.min() < 0 or ids.max() >= (1 << 62 - KEY_POS_BITS)):
+            raise ValueError("doc ids must fit the keeper key encoding")
+        rowidx, flat, lens = _flat_tokens(ids, b.column(text_col))
+        th = stable_hash64(flat.to_arrow(), seed=hash_seed)
+        gram, starts = _gram_hashes(th, rowidx, n)
+        empty = pa.table({"gram": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "keeper": pa.array([], type=pa.int64())})
+        if gram.size == 0:
+            return empty
+        # position of each window start within its document
+        doc_start = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = starts - doc_start[rowidx[starts]]
+        if pos.size and int(pos.max()) >= (1 << KEY_POS_BITS):
+            raise ValueError("document too long for keeper key encoding")
+        keeper = (ids[rowidx[starts]] << KEY_POS_BITS) | pos
+        df = (pl.DataFrame({"gram": gram, "keeper": keeper})
+              .group_by("gram")
+              .agg(cnt=pl.len().cast(pl.Int64), keeper=pl.col("keeper").min()))
+        return df.select(["gram", "cnt", "keeper"]).to_arrow().cast(empty.schema)
+
+    partials = docs.map_batches(gram_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    hot_tbl = (grouped_aggregate(partials, ["gram"],
+                                 {"cnt": ("sum", "cnt"),
+                                  "keeper": ("min", "keeper")},
+                                 num_parts=num_parts)
+               .map_batches(lambda t: t.filter(
+                   pa.compute.greater_equal(t["cnt"], min_count)),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    hot_pdf = hot_tbl.to_pandas()
+    if len(hot_pdf) == 0:  # empty datasets can drop their schema
+        hg = np.empty(0, dtype=np.int64)
+        hk = np.empty(0, dtype=np.int64)
+    else:
+        hg = hot_pdf["gram"].to_numpy()
+        hk = hot_pdf["keeper"].to_numpy()
+    order = np.argsort(hg, kind="stable")
+    hot_ref = ray.put((hg[order], hk[order]))
+
+    def mask(b: pa.Table) -> pa.Table:
+        hot_gram, hot_keeper = ray.get(hot_ref)
+        ids = b.column(id_col).to_numpy()
+        rowidx, flat, lens = _flat_tokens(ids, b.column(text_col))
+        th = stable_hash64(flat.to_arrow(), seed=hash_seed)
+        gram, starts = _gram_hashes(th, rowidx, n)
+        T = th.size
+        covered = np.zeros(T + 1, dtype=np.int64)
+        if gram.size and hot_gram.size:
+            j = np.searchsorted(hot_gram, gram)
+            j_cl = np.minimum(j, hot_gram.size - 1)
+            is_hot = hot_gram[j_cl] == gram
+            doc_start = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            pos = starts - doc_start[rowidx[starts]]
+            key = (ids[rowidx[starts]] << KEY_POS_BITS) | pos
+            remove = is_hot & (hot_keeper[j_cl] != key)
+            s = starts[remove]
+            np.add.at(covered, s, 1)
+            np.add.at(covered, s + n, -1)
+        cov = np.cumsum(covered[:-1]) > 0
+        kept_mask = ~cov
+        kept_per_doc = np.bincount(rowidx[kept_mask], minlength=len(ids)) \
+            if T else np.zeros(len(ids), dtype=np.int64)
+        rebuilt = (pl.DataFrame({"__row": rowidx[kept_mask],
+                                 "__tok": flat.filter(
+                                     pl.Series(kept_mask))})
+                   .group_by("__row", maintain_order=False)
+                   .agg(pl.col("__tok").str.join(" ").alias("text_dedup")))
+        texts = np.full(len(ids), "", dtype=object)
+        texts[rebuilt["__row"].to_numpy()] = rebuilt["text_dedup"].to_numpy()
+        return pa.table({
+            id_col: b.column(id_col),
+            "text_dedup": pa.array(texts, type=pa.string()),
+            "kept_tokens": pa.array(kept_per_doc.astype(np.int64)),
+            "removed_tokens": pa.array((lens - kept_per_doc).astype(np.int64)),
+        })
+
+    return docs.map_batches(mask, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -358,6 +358,19 @@ def q_fingerprint(sf_dir: str):
         FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_span_dedup")
+def q_span_dedup(sf_dir: str):
+    """Duplicate n-gram span dedup (ops/dedup.py::span_dedup) — the
+    scalable exact-substring dedup of Lee et al. 2022: every 5-gram
+    occurring >= 2 times corpus-wide is removed everywhere but its
+    globally-first keeper occurrence.  Rows-only at the gate (two-pass
+    hash pipeline); exact pure-Python oracle + partitioning invariance
+    in tests/test_span_dedup.py."""
+    from .ops.dedup import span_dedup
+
+    return span_dedup(_docs(sf_dir, ["doc_id", "text"]), n=5, min_count=2)
+
+
 # ---- exact dedup -------------------------------------------------------
 
 @_q("q_dedup_exact",
@@ -991,9 +1004,8 @@ def q_line_dedup(sf_dir: str):
     REAL multi-line/boilerplate semantics are certified against the same
     DuckDB oracle on a crafted corpus in tests/test_text_dedup.py.
 
-    NOTE deliberately registered LAST: it is the 51st SQL-oracled query,
-    one past the driver's 50-entry recorded window — the curated window
-    contents stay identical (see __ray_entry__ ordering)."""
+    Recorded INSIDE the driver's 50-entry gate window (q_union_keys is
+    the demoted 51st oracled entry — see __ray_entry__._ORACLED_TAIL)."""
     from .ops.dedup import line_dedup
 
     return line_dedup(_docs(sf_dir, ["doc_id", "text"]),
