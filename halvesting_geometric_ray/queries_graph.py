@@ -840,6 +840,21 @@ def q_anf(sf_dir: str):
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_bowtie")
+def q_bowtie(sf_dir: str):
+    """Broder bow-tie census of the directed link graph
+    (graph/bowtie.py): SCC/IN/OUT/TENDRIL/DISC per vertex from three
+    frontier-BFS fixpoints + one flag-bit grouped merge — exact, no
+    O(N) driver state.  Rows-only at the gate; exact NumPy reachability
+    oracle + crafted-structure tests in tests/test_bowtie.py."""
+    from .graph.bowtie import bowtie
+
+    g = graph_for(sf_dir)
+    ds, _ = bowtie(read_layer(g.edges), g.offsets,
+                   os.path.join(g.workdir, "bowtie"))
+    return ds
+
+
 @_q("q_random_walks")
 def q_random_walks(sf_dir: str):
     """DeepWalk-style random-walk corpus over the directed link graph
