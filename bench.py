@@ -89,12 +89,27 @@ def run_bench() -> dict:
                         shards_dir=f"{wd}/csr", max_iters=25)
     t_hits = time.time() - t4
 
+    from halvesting_geometric_ray.graph.anf import anf
+
+    t5 = time.time()
+    _, anf_info = anf(edges, g.offsets, wd, shards_dir=f"{wd}/csr")
+    t_anf = time.time() - t5
+
+    from halvesting_geometric_ray.graph.walks import random_walks
+
+    t6 = time.time()
+    _, walk_info = random_walks(edges, g.offsets, wd, walk_len=8, seed=13,
+                                shards_dir=f"{wd}/csr")
+    t_walks = time.time() - t6
+
     queries: dict = {
         "graph_build": round(t_build, 3),
         "pagerank": round(t_pr, 3),
         "connected_components": round(t_cc, 3),
         "triangles": round(t_tri, 3),
         "hits_25_iters": round(t_hits, 3),
+        "anf_hyperball": round(t_anf, 3),
+        "random_walks_len8": round(t_walks, 3),
     }
 
     # sample of conformance queries over the sf tables
@@ -112,7 +127,7 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_text as QT
 
     for name in ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
-                 "q_dedup_exact"]:
+                 "q_dedup_exact", "q_span_dedup"]:
         t = time.time()
         res = QT.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):

@@ -1,0 +1,116 @@
+"""Sequence packing — the concat-and-chunk batching step of LLM
+training-data pipelines (GPT-2/LLaMA style): documents are concatenated
+in a deterministic order and split into fixed-length training sequences;
+the operator emits the PACKING MANIFEST mapping each document to the
+sequences (and in-sequence offsets) its tokens land in.
+
+Data-engine framing: the actual token tensors are produced downstream by
+the trainer's loader; what the distributed engine must provide is the
+deterministic assignment — which is pure integer arithmetic over token
+counts and therefore exactly testable (DuckDB window-function oracle in
+tests/test_pack.py).
+
+Scale shape: one grouped exchange.  Documents are hash-assigned to
+``num_bins`` independent packing streams (``bin = hash(doc_id) %
+num_bins`` — bins are the unit of trainer-shard parallelism), each bin
+packs its own documents ordered by doc_id with a running token cumsum,
+and tokens at global bin position p land in sequence ``p // seq_len``.
+A document may span several sequences (chunking is intentional — no
+padding, no document loss); the LAST partial sequence of each bin is
+emitted with ``n_tok < seq_len`` and flagged ``partial=True`` so
+callers can drop or pad it.
+
+Determinism: given (num_bins, seq_len, hash_seed) the manifest is a
+pure function of the (doc_id, n_tokens) multiset — independent of
+partitioning, actor layout, and execution order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+from ..ops._util import pre_shuffle
+
+_PART = "__part"
+
+
+def pack_sequences(docs, seq_len: int, *, num_bins: int = 16,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   hash_seed: int = 42):
+    """Pack whitespace token counts of ``docs`` into fixed ``seq_len``
+    sequences per hash bin.  Returns one row per (document, sequence)
+    intersection: (bin, seq_id, doc_id, doc_tok_start, seq_tok_start,
+    n_tok, partial) — seq_id is bin-local, doc_tok_start is the offset
+    of the chunk inside the document, seq_tok_start inside the sequence.
+    Zero-token documents are absent from the manifest (nothing to pack).
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    if num_bins < 1:
+        raise ValueError("num_bins must be >= 1")
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        n = (df[text_col].str.extract_all(r"\S+").list.len()
+             .fill_null(0).cast(pl.Int64))
+        t = pa.table({id_col: b.column(id_col).cast(pa.int64()),
+                      "n_tokens": pa.Array.from_pandas(n.to_pandas())})
+        h = stable_hash64(t.column(id_col), seed=hash_seed)
+        return t.append_column(_PART, pa.array(h % num_bins,
+                                               type=pa.int32()))
+
+    def pack_bin(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "bin": pa.array([], type=pa.int32()),
+            "seq_id": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "doc_tok_start": pa.array([], type=pa.int64()),
+            "seq_tok_start": pa.array([], type=pa.int64()),
+            "n_tok": pa.array([], type=pa.int64()),
+            "partial": pa.array([], type=pa.bool_()),
+        })
+        if g.num_rows == 0:
+            return empty
+        bin_id = int(g.column(_PART)[0].as_py())
+        ids = g.column(id_col).to_numpy()
+        n = g.column("n_tokens").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        keep = n > 0
+        ids, n = ids[keep], n[keep]
+        if ids.size == 0:
+            return empty
+        end = np.cumsum(n)
+        start = end - n
+        total = int(end[-1])
+        # chunk row per (doc, crossed sequence boundary): doc d spans
+        # sequences floor(start/L) .. floor((end-1)/L)
+        s0 = start // seq_len
+        s1 = (end - 1) // seq_len
+        reps = (s1 - s0 + 1).astype(np.int64)
+        doc_idx = np.repeat(np.arange(ids.size), reps)
+        # sequence index of each chunk
+        offs = np.concatenate([[0], np.cumsum(reps)])[:-1]
+        seq = s0[doc_idx] + (np.arange(doc_idx.size) - offs[doc_idx])
+        cs = np.maximum(start[doc_idx], seq * seq_len)          # chunk start
+        ce = np.minimum(end[doc_idx], (seq + 1) * seq_len)      # chunk end
+        return pa.table({
+            "bin": pa.array(np.full(doc_idx.size, bin_id, dtype=np.int32)),
+            "seq_id": pa.array(seq.astype(np.int64)),
+            id_col: pa.array(ids[doc_idx].astype(np.int64)),
+            "doc_tok_start": pa.array((cs - start[doc_idx]).astype(np.int64)),
+            "seq_tok_start": pa.array((cs - seq * seq_len).astype(np.int64)),
+            "n_tok": pa.array((ce - cs).astype(np.int64)),
+            "partial": pa.array((seq == (total - 1) // seq_len) &
+                                (total % seq_len != 0)),
+        })
+
+    counted = docs.map_batches(count_tokens, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return (pre_shuffle(counted).groupby(_PART)
+            .map_groups(pack_bin, batch_format="pyarrow",
+                        retry_exceptions=True))

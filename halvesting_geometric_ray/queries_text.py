@@ -358,6 +358,20 @@ def q_fingerprint(sf_dir: str):
         FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_pack_sequences")
+def q_pack_sequences(sf_dir: str):
+    """Sequence-packing manifest (functions/pack.py::pack_sequences):
+    GPT-style concat-and-chunk assignment of document tokens to
+    fixed-length training sequences, one grouped exchange, bitwise
+    deterministic per (num_bins, seq_len, hash_seed).  Rows-only at the
+    gate; DuckDB window-function oracle + tiling/span invariants in
+    tests/test_pack.py."""
+    from .functions.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), 128,
+                          num_bins=4)
+
+
 @_q("q_span_dedup")
 def q_span_dedup(sf_dir: str):
     """Duplicate n-gram span dedup (ops/dedup.py::span_dedup) — the

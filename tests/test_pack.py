@@ -1,0 +1,141 @@
+"""Sequence packing manifest vs a DuckDB window-function oracle and
+invariant checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.functions.hashing import stable_hash64
+from halvesting_geometric_ray.functions.pack import pack_sequences
+
+SEQ = 16
+
+
+def _docs(texts):
+    return pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+
+
+def _run(pdf, seq_len=SEQ, num_bins=4, **kw):
+    ds = rd.from_pandas(pdf)
+    got = (pack_sequences(ds, seq_len, num_bins=num_bins, **kw)
+           .to_pandas()
+           .sort_values(["bin", "seq_id", "doc_id", "doc_tok_start"])
+           .reset_index(drop=True))
+    return got
+
+
+def duck_oracle(pdf, seq_len, num_bins, bins):
+    """Same semantics in SQL: per-bin ordered cumsum, one row per
+    (doc, sequence) via generate_series over the crossed sequences."""
+    base = pd.DataFrame({
+        "doc_id": pdf.doc_id,
+        "n_tokens": pdf.text.str.split().str.len().fillna(0).astype(int),
+        "bin": bins,
+    })
+    con = duckdb.connect()
+    con.register("docs", base)
+    return con.execute(f"""
+        WITH c AS (
+          SELECT bin, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY bin ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS e
+          FROM docs WHERE n_tokens > 0),
+        t AS (SELECT bin, max(e) AS total FROM c GROUP BY bin),
+        x AS (
+          SELECT c.bin, c.doc_id, (c.e - c.n_tokens) AS s, c.e, t.total,
+                 unnest(generate_series(
+                     CAST((c.e - c.n_tokens) // {seq_len} AS BIGINT),
+                     CAST((c.e - 1) // {seq_len} AS BIGINT))) AS seq
+          FROM c JOIN t ON c.bin = t.bin)
+        SELECT CAST(bin AS INT) AS bin, seq AS seq_id, doc_id,
+               greatest(s, seq * {seq_len}) - s AS doc_tok_start,
+               greatest(s, seq * {seq_len}) - seq * {seq_len} AS seq_tok_start,
+               least(e, (seq + 1) * {seq_len}) - greatest(s, seq * {seq_len})
+                   AS n_tok,
+               (seq = (total - 1) // {seq_len} AND total % {seq_len} <> 0)
+                   AS partial
+        FROM x
+        ORDER BY bin, seq_id, doc_id, doc_tok_start
+    """).fetchdf()
+
+
+def _check_vs_oracle(pdf, seq_len=SEQ, num_bins=4):
+    got = _run(pdf, seq_len, num_bins)
+    h = stable_hash64(pd.array(pdf.doc_id, dtype="int64").to_numpy(),
+                      seed=42)
+    exp = duck_oracle(pdf, seq_len, num_bins, h % num_bins)
+    exp = exp.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"bin": "int64", "partial": "bool"}),
+        exp.astype({"bin": "int64", "partial": "bool"}),
+        check_dtype=False)
+    return got
+
+
+def test_pack_matches_duckdb_oracle():
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"t{j}" for j in range(rng.integers(0, 60)))
+             for _ in range(120)]
+    _check_vs_oracle(_docs(texts))
+
+
+def test_pack_invariants():
+    rng = np.random.default_rng(8)
+    texts = [" ".join("x" * 1 for _ in range(rng.integers(1, 40)))
+             for _ in range(80)]
+    pdf = _docs(texts)
+    got = _check_vs_oracle(pdf)
+    # every doc's tokens fully assigned, in order, exactly once
+    ntok = pdf.text.str.split().str.len().fillna(0).astype(int)
+    per_doc = got.groupby("doc_id").n_tok.sum()
+    for d, nt in ntok.items():
+        if nt > 0:
+            assert per_doc[d] == nt
+    # every sequence holds exactly seq_len tokens unless flagged partial
+    seqs = got.groupby(["bin", "seq_id"]).agg(tot=("n_tok", "sum"),
+                                              part=("partial", "any"))
+    assert ((seqs.tot == SEQ) | seqs.part).all()
+    # at most one partial sequence per bin, and it's the last
+    for b, grp in got.groupby("bin"):
+        p = grp[grp.partial]
+        if len(p):
+            assert p.seq_id.nunique() == 1
+            assert p.seq_id.max() == grp.seq_id.max()
+    # in-sequence offsets tile each sequence without overlap
+    for (b, s), grp in got.groupby(["bin", "seq_id"]):
+        grp = grp.sort_values("seq_tok_start")
+        pos = 0
+        for _, r in grp.iterrows():
+            assert r.seq_tok_start == pos
+            pos += r.n_tok
+
+
+def test_pack_partitioning_invariant():
+    texts = [" ".join(f"w{i}_{j}" for j in range(i % 23)) for i in range(90)]
+    pdf = _docs(texts)
+    a = _run(pdf, num_bins=3)
+    b_ds = rd.from_pandas(pdf).repartition(7)
+    b = (pack_sequences(b_ds, SEQ, num_bins=3).to_pandas()
+         .sort_values(["bin", "seq_id", "doc_id", "doc_tok_start"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_long_doc_spans_sequences():
+    pdf = _docs([" ".join(f"a{j}" for j in range(SEQ * 3 + 5))])
+    got = _run(pdf, num_bins=1)
+    assert len(got) == 4
+    assert got.n_tok.sum() == SEQ * 3 + 5
+    assert (got.seq_id.to_numpy() == np.arange(4)).all()
+    assert got.partial.tolist() == [False, False, False, True]
+
+
+def test_pack_validation():
+    ds = rd.from_pandas(_docs(["a b"]))
+    with pytest.raises(ValueError):
+        pack_sequences(ds, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(ds, 4, num_bins=0)
