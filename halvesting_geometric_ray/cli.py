@@ -51,9 +51,20 @@ def main(argv=None) -> int:
     sp.add_argument("--pages", required=True)
     common(sp)
 
-    for name in ("pagerank", "cc", "labelprop", "triangles", "hits"):
+    for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
+                 "anf", "walks", "bowtie"):
         sp = sub.add_parser(name)
         common(sp)
+        if name == "anf":
+            sp.add_argument("--p-bits", type=int, default=7)
+            sp.add_argument("--seed", type=int, default=42)
+        if name == "walks":
+            sp.add_argument("--walk-len", type=int, default=10)
+            sp.add_argument("--seed", type=int, default=42)
+            sp.add_argument("--restart-prob", type=float, default=0.0)
+            sp.add_argument("--walks-per-vertex", type=int, default=1)
+        if name == "bowtie":
+            sp.add_argument("--pivot", type=int, default=None)
         if name == "pagerank":
             sp.add_argument("--damping", type=float, default=None)
             sp.add_argument("--tol", type=float, default=None)
@@ -143,6 +154,36 @@ def main(argv=None) -> int:
             ds.write_parquet(os.path.join(args.workdir, "hits_scores"))
             out["hits"] = {"num_iters": info["num_iters"],
                            "converged": info["converged"]}
+        if args.cmd == "anf":
+            from .graph.anf import anf
+            import os
+
+            ds, info = anf(edges, g.offsets, args.workdir, cfg,
+                           p_bits=args.p_bits, seed=args.seed)
+            ds.write_parquet(os.path.join(args.workdir, "anf"))
+            out["anf"] = {"num_rounds": info["num_rounds"],
+                          "nf": info["nf"]}
+        if args.cmd == "walks":
+            from .graph.walks import random_walks
+            import os
+
+            ds, info = random_walks(
+                edges, g.offsets, args.workdir, cfg,
+                walk_len=args.walk_len, seed=args.seed,
+                restart_prob=args.restart_prob,
+                walks_per_vertex=args.walks_per_vertex)
+            ds.write_parquet(os.path.join(args.workdir, "walks"))
+            out["walks"] = {"n_walks": info["n_walks"],
+                            "n_visits": info["n_visits"]}
+        if args.cmd == "bowtie":
+            from .graph.bowtie import bowtie
+            import os
+
+            ds, info = bowtie(edges, g.offsets,
+                              os.path.join(args.workdir, "bowtie"), cfg,
+                              pivot=args.pivot)
+            ds.write_parquet(os.path.join(args.workdir, "bowtie_cls"))
+            out["bowtie"] = info
         if args.cmd in ("triangles", "all"):
             from .graph.triangles import triangles_edges
 
