@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     common(sp)
 
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
-                 "anf", "walks", "bowtie"):
+                 "anf", "walks", "bowtie", "betweenness"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -65,6 +65,12 @@ def main(argv=None) -> int:
             sp.add_argument("--walks-per-vertex", type=int, default=1)
         if name == "bowtie":
             sp.add_argument("--pivot", type=int, default=None)
+        if name == "betweenness":
+            sp.add_argument("--n-samples", type=int, default=None,
+                            help="sampled Brandes-Pich estimate; "
+                                 "default = exact (all sources)")
+            sp.add_argument("--seed", type=int, default=42)
+            sp.add_argument("--batch-k", type=int, default=32)
         if name == "pagerank":
             sp.add_argument("--damping", type=float, default=None)
             sp.add_argument("--tol", type=float, default=None)
@@ -184,6 +190,16 @@ def main(argv=None) -> int:
                               pivot=args.pivot)
             ds.write_parquet(os.path.join(args.workdir, "bowtie_cls"))
             out["bowtie"] = info
+        if args.cmd == "betweenness":
+            from .graph.betweenness import betweenness
+            import os
+
+            ds, info = betweenness(edges, g.offsets, args.workdir, cfg,
+                                   n_samples=args.n_samples,
+                                   seed=args.seed, batch_k=args.batch_k)
+            ds.write_parquet(os.path.join(args.workdir, "betweenness"))
+            out["betweenness"] = {"n_sources": info["n_sources"],
+                                  "scale": info["scale"]}
         if args.cmd in ("triangles", "all"):
             from .graph.triangles import triangles_edges
 

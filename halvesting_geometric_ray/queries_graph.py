@@ -840,6 +840,30 @@ def q_anf(sf_dir: str):
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_betweenness")
+def q_betweenness(sf_dir: str):
+    """Sampled betweenness centrality (graph/betweenness.py — Brandes
+    forward sigma sweep + backward dependency sweep on the shard-actor
+    engine, 64 deterministic hash-sampled sources, N/K scaling).
+    Rows-only at the gate; the EXACT mode is pinned allclose-1e-9
+    against a pure-Python Brandes oracle in tests/test_betweenness.py."""
+    from .graph.betweenness import betweenness
+
+    g = graph_for(sf_dir)
+    ds, _ = betweenness(read_layer(g.edges), g.offsets,
+                        os.path.join(g.workdir, "btw"), n_samples=64,
+                        seed=7)
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": b.column("vid"),
+            "betweenness": pa.array(
+                np.round(b.column("betweenness").to_numpy(), 9))})
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 @_q("q_bowtie")
 def q_bowtie(sf_dir: str):
     """Broder bow-tie census of the directed link graph
