@@ -37,6 +37,7 @@ volume on throughput-critical runs.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -52,6 +53,43 @@ from ..state.checkpoint import IterativeCheckpoint
 from .csr import load_shard
 from .engine import (drain_refs, part_to_actor_map, plan_actors,
                      scatter_refs_matrix, transpose_refs)
+
+
+def _write_ranks_by_part(ranks, offsets: np.ndarray, out_dir: str):
+    """Split a (vid, rank) Dataset/Table into one parquet per owning
+    partition (atomic rename).  Returns {part: path} for the parts that
+    received rows; parts with no rows keep the caller's default init."""
+    import os
+
+    from ..ops._util import pre_shuffle
+    from ..ops.ids import owner_of
+
+    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(ranks, pa.Table):
+        ranks = rd.from_arrow(ranks)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        vid = b.column("vid").to_numpy()
+        part = owner_of(vid, np.asarray(offsets))
+        return pa.table({"vid": b.column("vid").cast(pa.int64()),
+                         "rank": b.column("rank").cast(pa.float64()),
+                         "__wpart": pa.array(part.astype(np.int32))})
+
+    def write_part(g: pa.Table) -> pa.Table:
+        pt = int(g.column("__wpart")[0].as_py())
+        path = os.path.join(out_dir, f"part{pt}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(g.drop_columns(["__wpart"]), tmp)
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([pt], type=pa.int32()),
+                         "path": pa.array([path])})
+
+    prepped = ranks.select_columns(["vid", "rank"]).map_batches(
+        add_part, batch_format="pyarrow", zero_copy_batch=True)
+    rows = (pre_shuffle(prepped).groupby("__wpart")
+            .map_groups(write_part, batch_format="pyarrow",
+                        retry_exceptions=True).to_pandas())
+    return {int(r.part): r.path for r in rows.itertuples()}
 
 
 @ray.remote(num_cpus=0)
@@ -109,15 +147,30 @@ class RankShardActor:
             self.r[p] = r0.copy()
         self.r_prev: Dict[int, np.ndarray] = dict(self.r)
 
-    def load_state(self, files: Dict[int, str]) -> bool:
+    def load_state(self, files: Dict[int, str],
+                   fill: float = 0.0) -> bool:
+        """Adopt per-part (vid, rank) parquet.  fill=0 is checkpoint
+        resume (every vid present); a WARM START from an older/smaller
+        graph's ranks passes fill=1/N so vids absent from the file
+        (e.g. vertices added by extend_graph) start at the uniform mass
+        instead of zero — the fixpoint is init-independent, warm init
+        only buys iterations."""
         for p, path in files.items():
             t = pq.read_table(path, columns=["vid", "rank"])
             vid = t.column("vid").to_numpy()
             rank = t.column("rank").to_numpy()
             lo = self.shards[p]["vid_lo"]
-            r = np.zeros_like(self.r[p])
+            r = np.full_like(self.r[p], fill)
             r[vid - lo] = rank
             self.r[p] = r
+        return True
+
+    def rank_sum(self) -> float:
+        return float(sum(self.r[p].sum() for p in self.owned))
+
+    def scale_ranks(self, f: float) -> bool:
+        for p in self.owned:
+            self.r[p] *= f
         return True
 
     def dangling(self) -> float:
@@ -261,7 +314,8 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
              num_actors: int = 0,
              checkpoint_interval: int = 1,
              seeds: Optional[np.ndarray] = None,
-             weight_col: Optional[str] = None) -> Tuple["rd.Dataset", Dict]:
+             weight_col: Optional[str] = None,
+             warm_ranks=None) -> Tuple["rd.Dataset", Dict]:
     """Run PageRank over the edge table.  Returns (ranks_ds, info):
     ranks_ds has columns (part, vid, rank); info carries per-iteration
     metrics (l1, dangling mass, wall) and resume provenance.
@@ -270,6 +324,13 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
     mass go uniformly to the seed set instead of all vertices); the
     checkpoint lineage includes a seed fingerprint so classic and
     personalized runs never adopt each other's state.
+
+    `warm_ranks`: Dataset/Table with (vid, rank) -> WARM START: the
+    iteration begins from those ranks instead of uniform (vids absent
+    from it start at 1/N), converging to the same fixpoint in fewer
+    rounds — the incremental-update path after graph.incremental.
+    extend_graph (old vids keep their converged rank).  Ignored when a
+    resumable checkpoint exists for this job (resume wins).
 
     `weight_col`: edges column of POSITIVE edge weights -> WEIGHTED
     PageRank (out-mass split w_uv / sum_x w_ux instead of 1/outdeg;
@@ -352,6 +413,22 @@ def pagerank(edges, offsets: np.ndarray, workdir: str,
                 for i, a in enumerate(actors)])
             start = k0 + 1
         else:
+            if warm_ranks is not None:
+                wfiles = _write_ranks_by_part(
+                    warm_ranks, offsets,
+                    os.path.join(workdir, f"{job}_warm"))
+                ray.get([a.load_state.remote(
+                    {p: wfiles[p] for p in owned[i] if p in wfiles},
+                    1.0 / N) for i, a in enumerate(actors)])
+                # normalize the warm init to total mass exactly 1 —
+                # excess mass decays only as d^k, so an unnormalized
+                # start converges to ranks whose sum is off by
+                # ~tol * excess
+                total = sum(ray.get([a.rank_sum.remote() for a in actors]))
+                if total > 0:
+                    ray.get([a.scale_ranks.remote(1.0 / total)
+                             for a in actors])
+                info["warm_start"] = True
             start = 1
         dm_ref = ray.put(sum(ray.get([a.dangling.remote() for a in actors])))
         inbox = transpose_refs(scatter_refs_matrix(actors, A))

@@ -74,9 +74,10 @@ def assign_dense_ids_hash(ds, key: str, num_parts: int,
         return c.rename({"len": "n"}).to_arrow()
 
     parts_pdf = ranked.map_batches(counts, batch_format="pyarrow").to_pandas()
-    by_part = parts_pdf.groupby(PART_COL)["n"].sum()
     sizes = np.zeros(num_parts, dtype=np.int64)
-    sizes[by_part.index.to_numpy()] = by_part.to_numpy()
+    if len(parts_pdf):  # empty input: zero sizes (offsets all-zero)
+        by_part = parts_pdf.groupby(PART_COL)["n"].sum()
+        sizes[by_part.index.to_numpy()] = by_part.to_numpy()
     offsets = np.zeros(num_parts + 1, dtype=np.int64)
     np.cumsum(sizes, out=offsets[1:])
 
