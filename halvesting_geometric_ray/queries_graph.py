@@ -840,6 +840,35 @@ def q_anf(sf_dir: str):
     return ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_host_graph")
+def q_host_graph(sf_dir: str):
+    """Host-graph contraction (graph/hostgraph.py): one vertex per
+    host, n_links = url-level link multiplicity — two bucketed joins +
+    one grouped sum.  Rows-only at the gate; exact DuckDB contraction
+    oracle + weighted-PageRank composition in tests/test_hostgraph.py.
+    Returned as host-name pairs (partitioning-independent)."""
+    from .graph.hostgraph import host_graph
+
+    g = graph_for(sf_dir)
+    hv, he, _ = host_graph(read_layer(g.vertices), read_layer(g.edges))
+    hv_pdf = hv.to_pandas()
+    m = dict(zip(hv_pdf.hid, hv_pdf.host))
+
+    def named(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        return pa.table({
+            "src_host": pa.array(pd.Series(
+                b.column("src_h").to_numpy()).map(m), type=pa.string()),
+            "dst_host": pa.array(pd.Series(
+                b.column("dst_h").to_numpy()).map(m), type=pa.string()),
+            "n_links": b.column("n_links"),
+        })
+
+    return he.map_batches(named, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 @_q("q_betweenness")
 def q_betweenness(sf_dir: str):
     """Sampled betweenness centrality (graph/betweenness.py — Brandes
