@@ -154,3 +154,46 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
                      "n_tokens": pa.array(t),
                      "top_tok_n": pa.array(top),
                      "top_ratio_pct": pa.array(pct)})
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text", *,
+                         nfc: bool = True, lowercase: bool = True,
+                         strip_accents: bool = False,
+                         strip_control: bool = True,
+                         collapse_ws: bool = True) -> pa.Table:
+    """Unicode text normalization — the canonicalizer applied before
+    hashing/dedup/tokenization in web-corpus pipelines (NFC so visually
+    identical strings hash identically; optional casefold, accent
+    strip, control removal, whitespace collapse).
+
+    Entirely polars Rust kernels (str.normalize / replace_all with
+    Unicode classes) — no Python per-row work.  NOTE pyarrow 16's
+    ``utf8_normalize(form="NFC")`` does NOT compose (e + U+0301 stays
+    decomposed — verified), so the NFC steps go through polars.  Exact
+    semantics are pinned against a pure-Python unicodedata oracle in
+    tests/test_normalize.py; strip_accents = NFD -> drop \\p{Mn} -> NFC
+    (the standard diacritic fold).  Output column: ``text_norm``.
+    """
+    import polars as pl
+
+    s = pl.from_arrow(batch.column(text_col))
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    if strip_control:
+        # Cc/Cf except \t \n \r (kept for collapse_ws to treat)
+        s = s.str.replace_all(
+            r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x80-\x9F]|\p{Cf}", "")
+    if nfc or strip_accents:
+        s = s.str.normalize("NFC")
+    if strip_accents:
+        s = (s.str.normalize("NFD").str.replace_all(r"\p{Mn}", "")
+             .str.normalize("NFC"))
+    if lowercase:
+        s = s.str.to_lowercase()
+    if collapse_ws:
+        s = s.str.replace_all(r"\s+", " ").str.strip_chars()
+    cols = {n: batch.column(n) for n in batch.column_names
+            if n != text_col}
+    cols[text_col] = batch.column(text_col)
+    cols["text_norm"] = s.to_arrow().cast(pa.string())
+    return pa.table(cols)

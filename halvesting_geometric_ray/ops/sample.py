@@ -78,3 +78,46 @@ def stratified_sample(ds, strata, key, n_per_stratum: int, seed: int = 17,
                         descending=False, tie_break=keys,
                         num_parts=num_parts, rank_col="__rnk")
     return out.drop_columns([_SCORE, "__rnk"])
+
+
+def mixture_resample(ds, group_col: str, key, rates, seed: int = 17,
+                     default_rate: float = 0.0):
+    """Domain-mixture resampling — keep each row of group g with
+    probability ``rates[g]`` (a Bernoulli hash-threshold per row): the
+    training-data reweighting step that turns a raw crawl distribution
+    into a target domain mixture (e.g. {'en': 1.0, 'web': 0.3,
+    'forum': 0.05}).
+
+    ONE stateless ``map_batches`` — no shuffle, no driver state; the
+    decision is ``hash(key, seed) < rate * 2^63``, so the kept set is
+    deterministic, partitioning-independent, and NESTED across rates
+    (rate 0.1's sample is a subset of rate 0.3's with the same seed —
+    lets mixtures be retuned without resampling churn).  Same
+    key-uniqueness contract as seeded_sample.  Groups missing from
+    ``rates`` use ``default_rate`` (0 = drop).
+
+    Rates above 1.0 are capped at keep-all (upsampling needs row
+    duplication — out of scope; emit the row count and repeat at the
+    loader instead).
+    """
+    from ..functions.hashing import stable_hash_pair64
+
+    keys = [key] if isinstance(key, str) else list(key)
+    smix = np.int64(
+        ((seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF) >> 1)
+    max_score = float(1 << 63)
+    rate_map = {k: min(max(float(v), 0.0), 1.0) for k, v in rates.items()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = np.asarray(stable_hash64(b.column(keys[0])))
+        for k in keys[1:]:
+            h = np.asarray(stable_hash_pair64(pa.array(h), b.column(k)))
+        s = np.bitwise_xor(h, smix).astype(np.float64)
+        # scores are uniform over [0, 2^63) (top bit cleared upstream)
+        r = (pd.Series(b.column(group_col).to_pandas())
+             .map(rate_map).fillna(default_rate).to_numpy(dtype=np.float64))
+        return b.filter(pa.array(s < r * max_score))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -358,6 +358,34 @@ def q_fingerprint(sf_dir: str):
         FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_normalize_text")
+def q_normalize_text(sf_dir: str):
+    """Unicode text normalization (functions/text.py::
+    normalize_text_batch): NFC + casefold + control strip + whitespace
+    collapse — the canonical pre-dedup normalizer.  Rows-only at the
+    gate; exact unicodedata oracle + idempotence in
+    tests/test_normalize.py."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.normalize_text_batch, batch_format="pyarrow",
+        zero_copy_batch=True).select_columns(["doc_id", "text_norm"])
+
+
+@_q("q_mixture_resample")
+def q_mixture_resample(sf_dir: str):
+    """Domain-mixture resampling (ops/sample.py::mixture_resample):
+    per-group Bernoulli hash-threshold keep — deterministic,
+    partitioning-independent, NESTED across rates, zero shuffles.
+    Rows-only at the gate; rate/nesting/determinism properties in
+    tests/test_normalize.py."""
+    from .ops.sample import mixture_resample
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25}
+    return mixture_resample(docs, "lang", "doc_id", rates, seed=11,
+                            default_rate=0.1
+                            ).select_columns(["doc_id", "lang"])
+
+
 @_q("q_pack_sequences")
 def q_pack_sequences(sf_dir: str):
     """Sequence-packing manifest (functions/pack.py::pack_sequences):
