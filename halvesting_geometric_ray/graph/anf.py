@@ -129,6 +129,25 @@ def hll_estimate(R: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
     return est
 
 
+def effective_diameter(nf, q: float = 0.9) -> float:
+    """Effective diameter from a neighborhood function (HyperBall's
+    standard distance metric, Boldi & Vigna 2013): the interpolated
+    smallest t with ``N(t) >= q * N(max)``.  Pass ``anf(...)[1]["nf"]``."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    nf = list(nf)
+    if not nf:
+        raise ValueError("empty neighborhood function")
+    target = q * nf[-1]
+    for t, v in enumerate(nf):
+        if v >= target:
+            if t == 0:
+                return 0.0
+            lo = nf[t - 1]
+            return t - 1 + (target - lo) / (v - lo) if v > lo else float(t)
+    return float(len(nf) - 1)
+
+
 @ray.remote(num_cpus=0)
 class BallShardActor:
     def __init__(self, actor_idx: int, owned: List[int], paths: Dict[int, str],

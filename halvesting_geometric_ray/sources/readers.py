@@ -69,3 +69,23 @@ def write_single_tsv(ds, path: str, sep: str = "\t",
             n += len(b)
     os.replace(tmp, path)
     return n
+
+
+def write_partitioned_parquet(ds, path: str, partition_cols: List[str],
+                              compression: str = "zstd", **kw):
+    """K1 resumable-output variant: hive-partitioned parquet (one
+    directory per partition value) — a failed run's consumer can list
+    finished partition dirs and skip them, and downstream reads prune
+    by partition predicate without touching data files.  Keep the
+    partition column low-cardinality (shard id, date, lang, key-range
+    bucket), never a raw key.  Thin wrapper over Ray's native
+    ``write_parquet(partition_cols=...)``."""
+    return ds.write_parquet(path, partition_cols=partition_cols,
+                            compression=compression, **kw)
+
+
+def read_partitioned_parquet(path: str,
+                             columns: Optional[List[str]] = None, **kw):
+    """Read a hive-partitioned layout back (partition columns are
+    reconstructed from directory names)."""
+    return rd.read_parquet(path, columns=columns, **kw)

@@ -164,3 +164,26 @@ def test_anf_rejects_bad_pbits(tiny_graph, tmp_path):
     with pytest.raises(ValueError):
         anf(rd.read_parquet(tiny_graph.edges), tiny_graph.offsets,
             str(tmp_path / "bad"), p_bits=3)
+
+
+def test_effective_diameter():
+    from halvesting_geometric_ray.graph.anf import effective_diameter
+
+    # path-graph-like nf: N(t) grows linearly
+    nf = [10, 20, 30, 40, 50]
+    assert effective_diameter(nf, q=1.0) == 4.0
+    assert effective_diameter(nf, q=0.5) == pytest.approx(1.5)
+    assert effective_diameter([7.0]) == 0.0
+    with pytest.raises(ValueError):
+        effective_diameter(nf, q=0.0)
+    with pytest.raises(ValueError):
+        effective_diameter([])
+
+
+def test_effective_diameter_on_real_nf(tiny_graph, tmp_path):
+    from halvesting_geometric_ray.graph.anf import anf, effective_diameter
+
+    _, info = anf(rd.read_parquet(tiny_graph.edges), tiny_graph.offsets,
+                  str(tmp_path / "ed"), p_bits=8)
+    ed = effective_diameter(info["nf"], 0.9)
+    assert 0 < ed <= info["num_rounds"]

@@ -141,3 +141,28 @@ def test_csr_lineage_stamp_forces_rebuild(tmp_path):
     t = pq.read_table(os.path.join(d, "shard-00001.parquet"))
     # vertex 2's self-loop is gone from its shard
     assert 2 not in np.asarray(t.column("indices")[0].values).tolist()
+
+
+def test_partitioned_parquet_roundtrip(tmp_path):
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.sources.readers import (
+        read_partitioned_parquet, write_partitioned_parquet)
+
+    df = pd.DataFrame({"lang": ["en", "de", "en", "fr"],
+                       "doc_id": [1, 2, 3, 4],
+                       "x": [1.0, 2.0, 3.0, 4.0]})
+    out = str(tmp_path / "psink")
+    write_partitioned_parquet(rd.from_pandas(df), out, ["lang"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en", "lang=fr"]
+    back = (read_partitioned_parquet(out).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert back.doc_id.tolist() == [1, 2, 3, 4]
+    assert set(back.columns) == {"lang", "doc_id", "x"}
+    # partition pruning path: read one partition dir directly
+    en = read_partitioned_parquet(os.path.join(out, "lang=en")).to_pandas()
+    assert sorted(en.doc_id) == [1, 3]
