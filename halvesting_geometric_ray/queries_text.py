@@ -358,6 +358,31 @@ def q_fingerprint(sf_dir: str):
         FT.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_lm_score")
+def q_lm_score(sf_dir: str):
+    """Unigram-LM cross-entropy quality scores (functions/lm.py) — the
+    KenLM-perplexity-filter analogue: smoothed top-V unigram model from
+    one grouped count pass, broadcast once, stateless scoring pass.
+    Rows-only at the gate (float log-probs); exact-to-1e-12 pure-Python
+    oracle + partitioning invariance in tests/test_lm.py."""
+    from .functions.lm import lm_scores, unigram_model
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ref, _ = unigram_model(docs, vocab_size=4096)
+    out = lm_scores(docs, ref)
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens"),
+            "oov_tokens": b.column("oov_tokens"),
+            "cross_entropy": pa.array(
+                np.round(b.column("cross_entropy").to_numpy(), 9))})
+
+    return out.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_normalize_text")
 def q_normalize_text(sf_dir: str):
     """Unicode text normalization (functions/text.py::

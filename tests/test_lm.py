@@ -1,0 +1,104 @@
+"""Unigram-LM cross-entropy scoring vs a pure-Python oracle."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.functions.lm import lm_scores, unigram_model
+
+
+def oracle_scores(texts, vocab_size, alpha):
+    counts = Counter()
+    for t in texts:
+        counts.update(t.split())
+    T = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = dict(top)
+    V = len(vocab)
+    denom = T + alpha * (V + 1)
+    out = []
+    for t in texts:
+        toks = t.split()
+        if not toks:
+            out.append((0, 0, 0.0))
+            continue
+        lp = 0.0
+        oov = 0
+        for w in toks:
+            if w in vocab:
+                lp += math.log((vocab[w] + alpha) / denom)
+            else:
+                oov += 1
+                lp += math.log(alpha / denom)
+        out.append((len(toks), oov, -lp / len(toks)))
+    return out
+
+
+def _run(texts, vocab_size=6, alpha=0.5, repartition=None):
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                        "text": texts})
+    ds = rd.from_pandas(pdf)
+    if repartition:
+        ds = ds.repartition(repartition)
+    ref, info = unigram_model(ds, vocab_size=vocab_size, alpha=alpha)
+    got = (lm_scores(ds, ref).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    return got, info
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "the the the the",
+    "zebra quokka axolotl",
+    "",
+    "cat dog cat dog cat",
+]
+
+
+def test_lm_matches_oracle():
+    got, info = _run(TEXTS)
+    exp = oracle_scores(TEXTS, 6, 0.5)
+    for i, (n, oov, ce) in enumerate(exp):
+        assert got.n_tokens[i] == n
+        assert got.oov_tokens[i] == oov
+        assert got.cross_entropy[i] == pytest.approx(ce, rel=1e-12)
+    assert info["vocab_size"] == 6
+    assert info["total_tokens"] == sum(len(t.split()) for t in TEXTS)
+
+
+def test_lm_quality_ordering():
+    """Common-word documents score lower cross-entropy than rare-word
+    ones — the filtering property the operator exists for."""
+    got, _ = _run(TEXTS, vocab_size=6)
+    # doc 2 is all 'the' (most common) -> lowest CE among non-empty
+    ces = got[got.n_tokens > 0].set_index("doc_id").cross_entropy
+    assert ces.idxmin() == 2
+    # doc 3 is all-OOV rare words -> highest CE
+    assert ces.idxmax() == 3
+    # top-6 vocab includes 'axolotl' via the (count desc, token asc)
+    # tie-break, so exactly 2 of doc 3's rare words are OOV
+    assert got.oov_tokens[3] == 2
+
+
+def test_lm_partitioning_invariant():
+    a, _ = _run(TEXTS, vocab_size=4)
+    b, _ = _run(TEXTS, vocab_size=4, repartition=5)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lm_full_vocab_and_validation():
+    got, info = _run(TEXTS, vocab_size=10000, alpha=1.0)
+    exp = oracle_scores(TEXTS, 10000, 1.0)
+    for i, (n, oov, ce) in enumerate(exp):
+        assert got.cross_entropy[i] == pytest.approx(ce, rel=1e-12)
+        assert got.oov_tokens[i] == 0 or got.n_tokens[i] == 0 or oov > 0
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        unigram_model(ds, vocab_size=0)
+    with pytest.raises(ValueError):
+        unigram_model(ds, alpha=0.0)
