@@ -49,12 +49,13 @@ def entry() -> Any:
 # q_components/q_triangles by the gate-certified *_urls versions,
 # q_knn_cosine_lsh/_ivf by pytest recall tests + the exact q_knn_cosine).
 # Oracled queries demoted to the overflow position when the oracled set
-# exceeds the driver's ~50-entry recording window: there are 51 oracled
-# queries, so exactly one lands outside.  q_union_keys's semantics
+# exceeds the driver's ~50-entry recording window: there are 53 oracled
+# queries, so exactly three land outside.  q_union_keys's semantics
 # (union + subset-key dedup, U1/D2) are also certified by q_vertex_urls
-# (green r01+r02) — demoting it lets the newer q_line_dedup oracle be
-# recorded instead.
-_ORACLED_TAIL = ["q_union_keys"]
+# (green r01+r02); q_lead_lag/q_row_number carry exact DuckDB-parity
+# pytest oracles (tests/test_window.py) on top of their registered SQL.
+_ORACLED_TAIL = ["q_union_keys", "q_lead_lag", "q_row_number",
+                 "q_running_total"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",

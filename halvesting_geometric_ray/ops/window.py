@@ -1,0 +1,170 @@
+"""Partitioned window functions — lead/lag/row_number over
+(PARTITION BY k ORDER BY o) windows.
+
+The reference is pure batch with no window operators; these complete
+the relational surface next to the existing tumbling/sliding/session
+windows (queries_relational.py) and grouped top-k (ops/topk.py, the
+rank-with-cutoff special case).
+
+Scale shape: ONE key-partitioned exchange — partition keys hash into
+``num_parts`` groups (all rows of a window key co-locate; different
+keys share a group harmlessly), then polars computes the window inside
+each group with Rust ``shift().over()`` / ``int_range().over()``
+kernels.  Results are deterministic iff (order_by + tie_break) totally
+orders each window — same contract as ops/topk.grouped_top_k.
+
+Skew note: one window key's rows all land in one group task (inherent
+to window semantics); a pathological hot key (one user with 10^9
+events) needs range-splitting ON order_by with boundary stitching —
+out of scope, raise the issue at the caller (same guidance as the
+reference-era sessionize operator).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from ._util import cast_like, pre_shuffle
+from ..functions.hashing import stable_hash64, stable_hash_pair64
+
+_PART = "__wpart"
+
+
+def _add_part(b: pa.Table, keys: List[str], num_parts: int) -> pa.Table:
+    # parquet-read tables carry b'pandas' schema metadata that this
+    # pyarrow version can't hash — Ray's sort-reduce schema dedup then
+    # warns "Failed to hash the schemas" on every merge; strip it.
+    b = b.replace_schema_metadata(None)
+    if len(keys) == 1:
+        h = stable_hash64(b.column(keys[0]))
+    else:
+        h = stable_hash_pair64(b.column(keys[0]), b.column(keys[1]))
+        for k in keys[2:]:
+            h = stable_hash_pair64(pa.array(h), b.column(k))
+    return b.append_column(_PART, pa.array(h % num_parts, type=pa.int32()))
+
+
+def lead_lag(ds, partition_by, order_by, shifts: Dict[str, int],
+             tie_break: Optional[List[str]] = None, num_parts: int = 16):
+    """SQL ``lead/lag(col, n) OVER (PARTITION BY ... ORDER BY ...)``.
+
+    ``shifts``: {output_name: (col, n)} with n > 0 = lag (previous
+    rows), n < 0 = lead.  Appends one column per entry (null at window
+    edges).  ``tie_break`` extends order_by to a total order.
+    """
+    import polars as pl
+
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+    sort_keys = okeys + list(tie_break or [])
+
+    for name, (col, n) in shifts.items():
+        if not isinstance(n, int) or n == 0:
+            raise ValueError(f"shift for {name} must be a non-zero int")
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .sort(pkeys + sort_keys, maintain_order=True))
+        df = df.with_columns([
+            pl.col(col).shift(n).over(pkeys).alias(name)
+            for name, (col, n) in shifts.items()])
+        want = g.schema.remove(g.schema.get_field_index(_PART))
+        for name, (col, n) in shifts.items():
+            want = want.append(pa.field(name, g.schema.field(col).type))
+        return cast_like(df.to_arrow(), want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))
+
+
+def row_number(ds, partition_by, order_by, descending: bool = False,
+               tie_break: Optional[List[str]] = None,
+               out_col: str = "rn", num_parts: int = 16,
+               method: str = "row_number"):
+    """SQL ``row_number() / rank() / dense_rank() OVER (PARTITION BY ...
+    ORDER BY ...)`` (1-based; pick with ``method``).  row_number needs a
+    tie_break for determinism; rank/dense_rank are tie-stable without
+    one.  For rank-with-cutoff use ops/topk.grouped_top_k (bounded
+    exchange)."""
+    import polars as pl
+
+    if method not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unknown window method {method!r}")
+
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+    ties = list(tie_break or [])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .sort(pkeys + okeys + ties,
+                    descending=[False] * len(pkeys)
+                    + [descending] * len(okeys) + [False] * len(ties),
+                    maintain_order=True))
+        if method == "row_number":
+            expr = pl.int_range(pl.len()).over(pkeys) + 1
+        else:
+            # rank the struct of order columns (ties = equal order key,
+            # regardless of tie_break sorting)
+            key = pl.struct([pl.col(c) for c in okeys])
+            meth = "min" if method == "rank" else "dense"
+            expr = key.rank(meth, descending=descending).over(pkeys)
+        df = df.with_columns(expr.cast(pl.Int64).alias(out_col))
+        want = g.schema.remove(g.schema.get_field_index(_PART)).append(
+            pa.field(out_col, pa.int64()))
+        return cast_like(df.to_arrow(), want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))
+
+
+def cumulative(ds, partition_by, order_by, aggs: Dict[str, tuple],
+               tie_break: Optional[List[str]] = None, num_parts: int = 16):
+    """Running window aggregates — SQL ``sum/min/max/count(col) OVER
+    (PARTITION BY k ORDER BY o ROWS UNBOUNDED PRECEDING)``.
+
+    ``aggs``: {output_name: (col, fn)} with fn in {"sum", "min", "max",
+    "count", "mean"}.  Same one-exchange scale shape as lead_lag.
+    """
+    import polars as pl
+
+    fns = {"sum": lambda c: c.cum_sum(), "min": lambda c: c.cum_min(),
+           "max": lambda c: c.cum_max(),
+           "count": lambda c: c.cum_count().cast(pl.Int64),
+           "mean": lambda c: c.cum_sum() / c.cum_count()}
+    for name, (col, fn) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"unknown cumulative fn {fn!r} for {name}")
+
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+    sort_keys = okeys + list(tie_break or [])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .sort(pkeys + sort_keys, maintain_order=True))
+        df = df.with_columns([
+            fns[fn](pl.col(col)).over(pkeys).alias(name)
+            for name, (col, fn) in aggs.items()])
+        out = df.to_arrow()
+        want = g.schema.remove(g.schema.get_field_index(_PART))
+        for name, (col, fn) in aggs.items():
+            want = want.append(pa.field(name, out.schema.field(name).type))
+        return cast_like(out, want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

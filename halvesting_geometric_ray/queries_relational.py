@@ -354,6 +354,76 @@ def q_tumbling_window(sf_dir: str):
     return _to_cents(out, ["value_cents"])
 
 
+@_q("q_lead_lag",
+    "SELECT event_id, user_id, "
+    "lag(event_id, 1) OVER w AS prev_event, "
+    "lead(event_id, 1) OVER w AS next_event "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)")
+def q_lead_lag(sf_dir: str):
+    """lead/lag window functions (ops/window.py::lead_lag): previous and
+    next event per user by time — one key-partitioned exchange, polars
+    Rust shift().over() inside each group.  SQL-oracled (registered in
+    the demoted _ORACLED_TAIL: the 50-slot recorded window is full);
+    exact DuckDB parity also pinned in tests/test_window.py."""
+    from .ops.window import lead_lag
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = lead_lag(ds, "user_id", "ts",
+                   {"prev_event": ("event_id", 1),
+                    "next_event": ("event_id", -1)},
+                   tie_break=["event_id"])
+    return out.select_columns(["event_id", "user_id", "prev_event",
+                               "next_event"])
+
+
+@_q("q_row_number",
+    "SELECT event_id, user_id, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY value DESC, event_id) AS rn FROM events")
+def q_row_number(sf_dir: str):
+    """row_number() window (ops/window.py::row_number): per-user rank of
+    events by value.  SQL-oracled via the demoted _ORACLED_TAIL; exact
+    DuckDB parity pinned in tests/test_window.py."""
+    from .ops.window import row_number
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = row_number(ds, "user_id", "value", descending=True,
+                     tie_break=["event_id"])
+    return out.select_columns(["event_id", "user_id", "rn"])
+
+
+@_q("q_running_total",
+    "WITH c AS (SELECT event_id, user_id, ts, value, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, user_id, "
+    "sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS run_cents, "
+    "rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS val_rank "
+    "FROM c")
+def q_running_total(sf_dir: str):
+    """Running-sum + rank windows (ops/window.py::cumulative /
+    row_number(method='rank')): per-user running value total by time
+    (integer cents — float summation order differs between engines,
+    ints hash exactly) and per-user value rank.  SQL-oracled via the
+    demoted _ORACLED_TAIL; exact DuckDB parity pinned in
+    tests/test_window.py."""
+    from .ops.window import cumulative, row_number
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        return b.append_column("cents", pa.array(v))
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    run = cumulative(ds, "user_id", "ts", {"run_cents": ("cents", "sum")},
+                     tie_break=["event_id"])
+    out = row_number(run, "user_id", "value", descending=True,
+                     out_col="val_rank", method="rank")
+    return out.select_columns(["event_id", "user_id", "run_cents",
+                               "val_rank"])
+
+
 @_q("q_sliding_window",
     "WITH g AS (SELECT user_id, value, "
     "CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) AS q FROM events), "

@@ -1,0 +1,122 @@
+"""lead/lag/row_number window operators vs exact DuckDB oracles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.ops.window import lead_lag, row_number
+
+
+def _events(n=500, seed=4):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user": rng.integers(0, 40, n).astype(np.int64),
+        "ts": rng.permutation(n).astype(np.int64),  # unique -> total order
+        "amount": rng.integers(1, 100, n).astype(np.int64),
+    })
+
+
+def _duck(pdf, sql):
+    con = duckdb.connect()
+    con.register("e", pdf)
+    return con.execute(sql).fetchdf()
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return (df.sort_values(list(df.columns)).reset_index(drop=True)
+            .astype("float64"))
+
+
+def test_lead_lag_matches_duckdb():
+    pdf = _events()
+    got = lead_lag(rd.from_pandas(pdf).repartition(5), "user", "ts",
+                   {"prev_amount": ("amount", 1),
+                    "next_amount": ("amount", -1),
+                    "prev2_ts": ("ts", 2)}).to_pandas()
+    exp = _duck(pdf, """
+        SELECT user, ts, amount,
+               lag(amount, 1) OVER w AS prev_amount,
+               lead(amount, 1) OVER w AS next_amount,
+               lag(ts, 2) OVER w AS prev2_ts
+        FROM e WINDOW w AS (PARTITION BY user ORDER BY ts)""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_row_number_matches_duckdb():
+    pdf = _events()
+    got = row_number(rd.from_pandas(pdf).repartition(3), "user", "amount",
+                     descending=True, tie_break=["ts"]).to_pandas()
+    exp = _duck(pdf, """
+        SELECT user, ts, amount,
+               row_number() OVER (PARTITION BY user
+                                  ORDER BY amount DESC, ts) AS rn
+        FROM e""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_lead_lag_multi_key_partition():
+    pdf = _events()
+    pdf["day"] = (pdf.ts % 7).astype(np.int64)
+    got = lead_lag(rd.from_pandas(pdf), ["user", "day"], "ts",
+                   {"prev": ("amount", 1)}).to_pandas()
+    exp = _duck(pdf, """
+        SELECT user, ts, amount, day,
+               lag(amount, 1) OVER (PARTITION BY user, day ORDER BY ts)
+                   AS prev
+        FROM e""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_window_validation():
+    ds = rd.from_pandas(_events(20))
+    with pytest.raises(ValueError):
+        lead_lag(ds, "user", "ts", {"x": ("amount", 0)})
+
+
+def test_rank_dense_rank_match_duckdb():
+    pdf = _events()
+    for meth, fn in [("rank", "rank()"), ("dense_rank", "dense_rank()")]:
+        got = row_number(rd.from_pandas(pdf).repartition(4), "user",
+                         "amount", descending=True, tie_break=["ts"],
+                         out_col="r", method=meth).to_pandas()
+        exp = _duck(pdf, f"""
+            SELECT user, ts, amount,
+                   {fn} OVER (PARTITION BY user ORDER BY amount DESC) AS r
+            FROM e""")
+        pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                      check_dtype=False)
+
+
+def test_cumulative_matches_duckdb():
+    from halvesting_geometric_ray.ops.window import cumulative
+
+    pdf = _events()
+    got = cumulative(rd.from_pandas(pdf).repartition(4), "user", "ts",
+                     {"run_sum": ("amount", "sum"),
+                      "run_max": ("amount", "max"),
+                      "run_cnt": ("amount", "count")}).to_pandas()
+    exp = _duck(pdf, """
+        SELECT user, ts, amount,
+               sum(amount) OVER w AS run_sum,
+               max(amount) OVER w AS run_max,
+               count(amount) OVER w AS run_cnt
+        FROM e WINDOW w AS (PARTITION BY user ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING)""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_cumulative_validation():
+    from halvesting_geometric_ray.ops.window import cumulative
+
+    ds = rd.from_pandas(_events(20))
+    with pytest.raises(ValueError):
+        cumulative(ds, "user", "ts", {"x": ("amount", "median")})
+    with pytest.raises(ValueError):
+        row_number(ds, "user", "ts", method="ntile")
