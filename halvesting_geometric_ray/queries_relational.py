@@ -424,6 +424,48 @@ def q_running_total(sf_dir: str):
                                "val_rank"])
 
 
+@_q("q_pivot_events",
+    "SELECT user_id, "
+    "count(CASE WHEN event_type='click' THEN 1 END) AS n_click, "
+    "count(CASE WHEN event_type='error' THEN 1 END) AS n_error, "
+    "count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase, "
+    "count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup, "
+    "count(CASE WHEN event_type='view' THEN 1 END) AS n_view "
+    "FROM events GROUP BY user_id")
+def q_pivot_events(sf_dir: str):
+    """Pivot (ops/pivot.py): one count column per event type per user —
+    conditional aggregation, batch-level combiner + one grouped merge.
+    SQL-oracled via the demoted _ORACLED_TAIL; exact DuckDB parity also
+    pinned in tests/test_pivot.py."""
+    from .ops.pivot import pivot
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot(ds, "user_id", "event_type", prefix="n_",
+                 values=["click", "error", "purchase", "signup", "view"])
+
+
+@_q("q_unpivot_doc_langs",
+    "WITH w AS (SELECT source, "
+    "count(CASE WHEN lang='en' THEN 1 END) AS en, "
+    "count(CASE WHEN lang='fr' THEN 1 END) AS fr, "
+    "count(CASE WHEN lang='de' THEN 1 END) AS de "
+    "FROM documents GROUP BY source) "
+    "SELECT source, 'en' AS lang, en AS n_docs FROM w "
+    "UNION ALL SELECT source, 'fr', fr FROM w "
+    "UNION ALL SELECT source, 'de', de FROM w")
+def q_unpivot_doc_langs(sf_dir: str):
+    """Pivot then melt back (ops/pivot.py::unpivot, the zero-shuffle
+    per-batch melt): per-source doc counts for three languages in long
+    form.  SQL-oracled via the demoted _ORACLED_TAIL; parity pinned in
+    tests/test_pivot.py."""
+    from .ops.pivot import pivot, unpivot
+
+    ds = _t(sf_dir, "documents", columns=["source", "lang"])
+    wide = pivot(ds, "source", "lang", values=["en", "fr", "de"])
+    return unpivot(wide, ["source"], ["en", "fr", "de"],
+                   var_name="lang", value_name="n_docs")
+
+
 @_q("q_sliding_window",
     "WITH g AS (SELECT user_id, value, "
     "CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) AS q FROM events), "
