@@ -55,7 +55,8 @@ def entry() -> Any:
 # (green r01+r02); q_lead_lag/q_row_number carry exact DuckDB-parity
 # pytest oracles (tests/test_window.py) on top of their registered SQL.
 _ORACLED_TAIL = ["q_union_keys", "q_lead_lag", "q_row_number",
-                 "q_running_total", "q_pivot_events", "q_unpivot_doc_langs"]
+                 "q_running_total", "q_pivot_events", "q_unpivot_doc_langs",
+                 "q_tfidf"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",

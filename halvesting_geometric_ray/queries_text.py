@@ -1077,3 +1077,37 @@ def q_line_dedup(sf_dir: str):
 
     return line_dedup(_docs(sf_dir, ["doc_id", "text"]),
                       id_col="doc_id", text_col="text")
+
+
+# ---- TF-IDF (functions/tfidf.py) ---------------------------------------
+
+@_q("q_tfidf",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents) "
+    "SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' "
+    "GROUP BY doc_id, term")
+def q_tfidf(sf_dir: str):
+    """Term-frequency table (functions/tfidf.py::term_doc_stats): exact
+    per-batch tokenize + per-doc term counts, zero exchanges (one row =
+    one complete document).  Integer-exact, SQL-oracled via the demoted
+    _ORACLED_TAIL; DuckDB parity also pinned in tests/test_tfidf.py."""
+    from .functions.tfidf import term_doc_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tf, _ = term_doc_stats(docs)
+    return tf
+
+
+@_q("q_tfidf_topk")
+def q_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 salient terms by tf*ln(N/df) (functions/tfidf.py::
+    tfidf_topk): df broadcast once, scoring is a stateless vectorized
+    pass with per-doc top-k inside the batch.  Rows-only (float scores
+    order-fragile across engines); exact pure-Python oracle + ties +
+    partitioning invariance in tests/test_tfidf.py."""
+    from .functions.tfidf import tfidf_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return tfidf_topk(docs, k=3)
