@@ -124,6 +124,11 @@ def hash_join(left, right, on, right_on=None,
 
         return fn
 
+    # validate HERE, not inside per_bucket — map_groups runs with
+    # retry_exceptions=True, so a deterministic error in the group task
+    # would retry until the session times out
+    if join_type not in ("inner", "left", "semi", "anti", "full"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
     if salt > 1 and join_type not in ("inner", "semi", "anti"):
         raise ValueError("salt>1 requires inner/semi/anti join")
     if salt > 1 and bucket_post is not None:
@@ -145,8 +150,10 @@ def hash_join(left, right, on, right_on=None,
         df = pl.from_arrow(g.drop_columns([_BUCKET]))
         lhs = df.filter(pl.col(_SIDE) == 0).select(keys + l_payload)
         rhs = df.filter(pl.col(_SIDE) == 1).select(keys + r_payload)
-        how = {"inner": "inner", "left": "left", "semi": "semi", "anti": "anti"}[join_type]
-        j = lhs.join(rhs, on=keys, how=how)
+        how = {"inner": "inner", "left": "left", "semi": "semi",
+               "anti": "anti", "full": "full"}[join_type]
+        j = lhs.join(rhs, on=keys, how=how, coalesce=True) \
+            if how == "full" else lhs.join(rhs, on=keys, how=how)
         out = cast_like(j.to_arrow(), out_schema)
         # bucket_post runs on the complete merged bucket (all rows of each
         # key co-located) — the hook for exactly-once per-key work like a

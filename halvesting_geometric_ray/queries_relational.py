@@ -424,6 +424,56 @@ def q_running_total(sf_dir: str):
                                "val_rank"])
 
 
+@_q("q_left_join",
+    "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+    "LEFT JOIN orders o ON c.c_custkey = o.o_custkey")
+def q_left_join(sf_dir: str):
+    """Left outer bucketed join (ops/join.py::hash_join
+    join_type='left'): every customer with their orders, null orderkey
+    for order-less customers.  SQL-oracled via the demoted
+    _ORACLED_TAIL; parity also pinned in tests/test_outer_join.py."""
+    from .ops.join import hash_join
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    return hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                     join_type="left", left_cols=[],
+                     right_cols=["o_orderkey"])
+
+
+@_q("q_full_join",
+    "WITH e AS (SELECT user_id, count(*) AS n_events FROM events "
+    "GROUP BY user_id) "
+    "SELECT COALESCE(e.user_id, c.c_custkey) AS user_id, e.n_events, "
+    "CAST(c.c_nationkey AS BIGINT) AS c_nationkey "
+    "FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey")
+def q_full_join(sf_dir: str):
+    """Full outer bucketed join (ops/join.py::hash_join
+    join_type='full', coalesced key): per-user event counts against the
+    customer dimension — rows survive from BOTH unmatched sides.
+    SQL-oracled via the demoted _ORACLED_TAIL; parity also pinned in
+    tests/test_outer_join.py."""
+    import pyarrow as _pa
+
+    from .ops.agg import grouped_aggregate
+    from .ops.join import hash_join
+
+    ev = grouped_aggregate(
+        _t(sf_dir, "events", columns=["user_id"]).map_batches(
+            lambda b: b.append_column(
+                "one", _pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], {"n_events": ("sum", "one")})
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return hash_join(
+        ev, cust, on="user_id", right_on="c_custkey", join_type="full",
+        left_cols=["n_events"], right_cols=["c_nationkey"],
+        left_schema=_pa.schema([("user_id", _pa.int64()),
+                                ("n_events", _pa.int64())]),
+        right_schema=_pa.schema([("c_custkey", _pa.int64()),
+                                 ("c_nationkey", _pa.int64())]))
+
+
 @_q("q_pivot_events",
     "SELECT user_id, "
     "count(CASE WHEN event_type='click' THEN 1 END) AS n_click, "
