@@ -424,6 +424,33 @@ def q_running_total(sf_dir: str):
                                "val_rank"])
 
 
+@_q("q_distinct_users_per_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+    "FROM events GROUP BY event_type")
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT ...) (ops/distinct.py): per-batch
+    local dedup combiner, one key-partitioned exchange, polars n_unique
+    per partition.  SQL-oracled via the demoted _ORACLED_TAIL; DuckDB
+    parity also pinned in tests/test_distinct.py."""
+    from .ops.distinct import grouped_count_distinct
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id")
+
+
+@_q("q_distinct_users_per_type_hll")
+def q_distinct_users_per_type_hll(sf_dir: str):
+    """Per-group HyperLogLog distinct count (ops/distinct.py): one
+    register row per (group, batch), grouped max-merge — constant bytes
+    per group regardless of value cardinality (the 100-TB path where
+    exact must exchange every distinct pair).  Rows-only; error bound +
+    partitioning invariance in tests/test_distinct.py."""
+    from .ops.distinct import grouped_count_distinct_hll
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct_hll(ds, "event_type", "user_id", p=12)
+
+
 @_q("q_left_join",
     "SELECT c.c_custkey, o.o_orderkey FROM customer c "
     "LEFT JOIN orders o ON c.c_custkey = o.o_custkey")

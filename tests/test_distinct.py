@@ -1,0 +1,81 @@
+"""Grouped count-distinct: exact vs DuckDB; HLL vs error bound."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.ops.distinct import (
+    grouped_count_distinct, grouped_count_distinct_hll)
+
+
+def _df(n=5000, seed=21, groups=8, card=700):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "g": rng.integers(0, groups, n).astype(np.int64),
+        "tag": rng.choice(["x", "y"], n),
+        "v": rng.integers(0, card, n).astype(np.int64),
+    })
+
+
+def _norm(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if not pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_exact_matches_duckdb():
+    pdf = _df()
+    got = grouped_count_distinct(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(6),
+        "g", "v").to_pandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        "SELECT g, count(DISTINCT v) AS n_distinct FROM t GROUP BY g"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_exact_multi_key():
+    pdf = _df()
+    got = grouped_count_distinct(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(4),
+        ["g", "tag"], "v").to_pandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(
+        "SELECT g, tag, count(DISTINCT v) AS n_distinct FROM t "
+        "GROUP BY g, tag").fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_hll_within_error_bound():
+    pdf = _df(n=20000, groups=5, card=3000)
+    got = grouped_count_distinct_hll(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(7),
+        "g", "v", p=12).to_pandas().set_index("g").n_distinct
+    truth = pdf.groupby("g").v.nunique()
+    rel = 1.04 / np.sqrt(2 ** 12)
+    for g in truth.index:
+        err = abs(got[g] - truth[g]) / truth[g]
+        assert err < 5 * rel, (g, got[g], truth[g], err)
+
+
+def test_hll_partitioning_invariance():
+    pdf = _df(n=3000)
+    a = grouped_count_distinct_hll(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(1),
+        "g", "v", p=11).to_pandas()
+    b = grouped_count_distinct_hll(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(11),
+        "g", "v", p=11).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
