@@ -126,3 +126,82 @@ def tfidf_topk(docs, k: int = 3, id_col: str = "doc_id",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def bm25_scores(docs, query_terms, k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """BM25 relevance of every document against one query (Robertson/
+    Sparck Jones probabilistic idf: ln((N-df+0.5)/(df+0.5) + 1)).
+
+    Returns (doc_id, score), score > 0 only for docs sharing a term
+    with the query.  Same scale shape as tfidf_topk: df + avgdl come
+    from term_doc_stats' one vocab-bounded exchange plus one grouped
+    doc-length pass; the query-term idf table (len(query_terms) floats)
+    broadcasts once; scoring is a stateless vectorized pass over docs
+    batches with no further exchange.
+    """
+    q = sorted(set(t for t in query_terms if t))
+    if not q:
+        raise ValueError("query_terms must contain non-empty terms")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError("k1 >= 0 and 0 <= b <= 1 required")
+
+    n = docs.count()
+    tf, df = term_doc_stats(docs, id_col, text_col)
+
+    # df for query terms + average doc length (sum tf / n), both from
+    # the tf/df datasets (vocab-bounded / single scalar)
+    parts = [t for t in map(ray.get, df.to_arrow_refs()) if t.num_rows > 0]
+    dfa = pa.concat_tables(parts) if parts else None
+    dmap = {}
+    if dfa is not None:
+        terms = dfa.column("term").to_numpy(zero_copy_only=False)
+        counts = dfa.column("df").to_numpy(zero_copy_only=False)
+        dmap = dict(zip(terms.tolist(), counts.tolist()))
+    total_tokens = sum(
+        r["s"] for r in tf.map_batches(
+            lambda t: pa.table({"s": pa.array(
+                [int(t.column("tf").to_numpy().sum()) if t.num_rows else 0],
+                type=pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True).take_all())
+    avgdl = float(total_tokens) / max(n, 1)
+
+    qterms = np.array(q)
+    dfv = np.array([dmap.get(t, 0) for t in q], dtype=np.float64)
+    idf = np.log((n - dfv + 0.5) / (dfv + 0.5) + 1.0)
+    ref = ray.put((qterms, idf))
+
+    def score(bt: pa.Table) -> pa.Table:
+        tfb = _tf_batch(bt, id_col, text_col)
+        ids = bt.column(id_col).cast(pa.int64())
+        if tfb.num_rows == 0:
+            return pa.table({"doc_id": ids, "score": pa.array(
+                np.zeros(bt.num_rows), type=pa.float64())})
+        qt, iv = ray.get(ref)
+        doc = tfb.column("doc_id").to_numpy()
+        term = tfb.column("term").to_numpy(zero_copy_only=False)
+        tfv = tfb.column("tf").to_numpy().astype(np.float64)
+        # doc lengths for THIS batch (complete docs per row)
+        uids, inv = np.unique(doc, return_inverse=True)
+        dl = np.bincount(inv, weights=tfv)
+        pos = np.searchsorted(qt, term)
+        pos_ok = (pos < len(qt))
+        hit = np.zeros(len(term), dtype=bool)
+        hit[pos_ok] = qt[pos[pos_ok]] == term[pos_ok]
+        denom = tfv + k1 * (1.0 - b + b * dl[inv] / avgdl)
+        contrib = np.where(hit, iv[np.minimum(pos, len(qt) - 1)]
+                           * tfv * (k1 + 1.0) / denom, 0.0)
+        per_doc = np.zeros(len(uids))
+        np.add.at(per_doc, inv, contrib)
+        # map back to every batch row (docs with no terms score 0)
+        idv = ids.to_numpy()
+        p2 = np.searchsorted(uids, idv)
+        ok = (p2 < len(uids))
+        ok[ok] &= uids[p2[ok]] == idv[ok]
+        out = np.zeros(len(idv))
+        out[ok] = per_doc[p2[ok]]
+        return pa.table({"doc_id": ids,
+                         "score": pa.array(out, type=pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -1111,3 +1111,17 @@ def q_tfidf_topk(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return tfidf_topk(docs, k=3)
+
+
+@_q("q_bm25")
+def q_bm25(sf_dir: str):
+    """BM25 relevance of every document against a fixed keyword query
+    (functions/tfidf.py::bm25_scores): df/avgdl from one vocab-bounded
+    exchange, query idf broadcast once, stateless vectorized scoring.
+    Rows-only (float scores); exact pure-Python oracle in
+    tests/test_tfidf.py."""
+    from .functions.tfidf import bm25_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bm25_scores(docs, ["table", "query", "data"])

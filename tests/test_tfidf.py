@@ -101,3 +101,52 @@ def test_topk_partitioning_invariance():
 def test_topk_validation():
     with pytest.raises(ValueError):
         tfidf_topk(rd.from_pandas(_docs(5)), k=0)
+
+
+def _py_bm25(pdf, q, k1=1.2, b=0.75):
+    n = len(pdf)
+    tf, dfc, dls = {}, {}, {}
+    for _, r in pdf.iterrows():
+        counts = {}
+        for w in r.text.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+        tf[r.doc_id] = counts
+        dls[r.doc_id] = sum(counts.values())
+        for w in counts:
+            dfc[w] = dfc.get(w, 0) + 1
+    avgdl = sum(dls.values()) / n
+    out = {}
+    for d, counts in tf.items():
+        s = 0.0
+        for w in set(q):
+            c = counts.get(w, 0)
+            if c:
+                idf = math.log((n - dfc.get(w, 0) + 0.5)
+                               / (dfc.get(w, 0) + 0.5) + 1)
+                s += idf * c * (k1 + 1) / (c + k1 * (1 - b + b * dls[d] / avgdl))
+        out[d] = s
+    return out
+
+
+def test_bm25_matches_python_oracle():
+    from halvesting_geometric_ray.functions.tfidf import bm25_scores
+
+    pdf = _docs(80, seed=17)
+    q = ["alpha", "zeta", "notinvocab"]
+    got = (bm25_scores(rd.from_pandas(pdf).repartition(5), q)
+           .to_pandas().set_index("doc_id").score)
+    exp = _py_bm25(pdf, q)
+    assert len(got) == len(pdf)
+    for d, s in exp.items():
+        assert abs(got[d] - s) < 1e-9, (d, got[d], s)
+
+
+def test_bm25_validation():
+    from halvesting_geometric_ray.functions.tfidf import bm25_scores
+
+    ds = rd.from_pandas(_docs(5))
+    with pytest.raises(ValueError):
+        bm25_scores(ds, [])
+    with pytest.raises(ValueError):
+        bm25_scores(ds, ["alpha"], b=1.5)
