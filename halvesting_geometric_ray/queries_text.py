@@ -1125,3 +1125,17 @@ def q_bm25(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return bm25_scores(docs, ["table", "query", "data"])
+
+
+@_q("q_bucketize_length")
+def q_bucketize_length(sf_dir: str):
+    """Equi-depth length bins (ops/bucketize.py): KLL boundaries (no
+    global sort) + stateless searchsorted assignment — the
+    discretization step before stratified mixing.  Rows-only
+    (approximate boundaries); mass-balance/monotonicity/null tests in
+    tests/test_bucketize.py."""
+    from .ops.bucketize import bucketize
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return bucketize(docs, "n_chars", n_buckets=8)
