@@ -449,3 +449,34 @@ def bloom_anti_filter(ds, col: str, bits: np.ndarray, num_hashes: int = 5):
         return b.filter(pa.array(keep))
 
     return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def key_skew_report(ds, col: str, k: int = 10, capacity: int = 4096,
+                    p: int = 14, merge_parts: int = 8) -> dict:
+    """Pre-shuffle skew diagnostic for a prospective join/groupby key:
+    one pass over the data funding three mergeable sketches (row count
+    via the MG error row is NOT reliable, so count rides its own sum),
+    returning
+
+      {"n_rows", "n_distinct_est", "avg_rows_per_key",
+       "hot": pa.Table(col, count_min, count_max, share_min)}
+
+    ``share_min`` = count_min / n_rows.  Rule of thumb used across this
+    repo: a key with share >> 1/num_parts needs `salt` in hash_join or
+    the orientation/star-cap treatment (SURVEY 7.4).  Cost: the MG/HLL
+    tree reduces — communication independent of key cardinality."""
+    import pyarrow.compute as _pc
+
+    hot = heavy_hitters(ds, col, k=k, capacity=capacity,
+                        merge_parts=merge_parts)
+    n_distinct = hll_count_distinct(ds, col, p=p)
+    n_rows = ds.count()
+    share = _pc.divide(
+        _pc.cast(hot.column("count_min"), pa.float64()),
+        pa.scalar(float(max(n_rows, 1))))
+    return {
+        "n_rows": int(n_rows),
+        "n_distinct_est": int(n_distinct),
+        "avg_rows_per_key": float(n_rows) / max(n_distinct, 1),
+        "hot": hot.append_column("share_min", share),
+    }

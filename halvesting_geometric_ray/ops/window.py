@@ -128,6 +128,47 @@ def row_number(ds, partition_by, order_by, descending: bool = False,
                         retry_exceptions=True))
 
 
+def ntile(ds, partition_by, order_by, n: int,
+          tie_break: Optional[List[str]] = None, out_col: str = "tile",
+          descending: bool = False, num_parts: int = 16):
+    """SQL ``ntile(n) OVER (PARTITION BY ... ORDER BY ...)`` (1-based):
+    rows of each window split into n rank bands, larger bands first —
+    same one-exchange shape as row_number."""
+    import polars as pl
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+    ties = list(tie_break or [])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .sort(pkeys + okeys + ties,
+                    descending=[False] * len(pkeys)
+                    + [descending] * len(okeys) + [False] * len(ties),
+                    maintain_order=True))
+        # SQL ntile: first (cnt % n) tiles get ceil(cnt/n) rows
+        rn = pl.int_range(pl.len()).over(pkeys)
+        cnt = pl.len().over(pkeys)
+        base, rem = cnt // n, cnt % n
+        big = rem * (base + 1)
+        tile = pl.when(rn < big).then(rn // (base + 1)) \
+            .otherwise(rem + (rn - big) // pl.max_horizontal(base, 1)) + 1
+        df = df.with_columns(tile.cast(pl.Int64).alias(out_col))
+        want = g.schema.remove(g.schema.get_field_index(_PART)).append(
+            pa.field(out_col, pa.int64()))
+        return cast_like(df.to_arrow(), want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))
+
+
 def cumulative(ds, partition_by, order_by, aggs: Dict[str, tuple],
                tie_break: Optional[List[str]] = None, num_parts: int = 16):
     """Running window aggregates — SQL ``sum/min/max/count(col) OVER

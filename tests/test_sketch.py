@@ -239,3 +239,27 @@ def test_bloom_nulls_probe_absent():
     col = pa.array(["a", None, "zz"])
     got = bloom_might_contain(bits, col)
     assert got[0] and not got[1] and not got[2]
+
+
+def test_key_skew_report_flags_hot_key():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.sketch import key_skew_report
+
+    rng = np.random.default_rng(41)
+    # one hub key holding ~40% of rows over a long uniform tail
+    keys = np.concatenate([
+        np.full(4000, 7, dtype=np.int64),
+        rng.integers(100, 3100, 6000).astype(np.int64)])
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"k": rng.permutation(keys)}))).repartition(6)
+    rep = key_skew_report(ds, "k", k=5, capacity=8192, p=12)
+    assert rep["n_rows"] == 10000
+    truth_distinct = len(np.unique(keys))
+    assert abs(rep["n_distinct_est"] - truth_distinct) / truth_distinct < 0.1
+    hot = rep["hot"].to_pandas()
+    assert hot.iloc[0].k == 7
+    assert 0.35 < hot.iloc[0].share_min <= 0.45

@@ -120,3 +120,25 @@ def test_cumulative_validation():
         cumulative(ds, "user", "ts", {"x": ("amount", "median")})
     with pytest.raises(ValueError):
         row_number(ds, "user", "ts", method="ntile")
+
+
+def test_ntile_matches_duckdb():
+    from halvesting_geometric_ray.ops.window import ntile
+
+    pdf = _events(350)
+    for n in (1, 3, 4, 7):
+        got = ntile(rd.from_pandas(pdf).repartition(4), "user", "ts",
+                    n).to_pandas()
+        exp = _duck(pdf, f"""
+            SELECT user, ts, amount,
+                   ntile({n}) OVER (PARTITION BY user ORDER BY ts) AS tile
+            FROM e""")
+        pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                      check_dtype=False)
+
+
+def test_ntile_validation():
+    from halvesting_geometric_ray.ops.window import ntile
+
+    with pytest.raises(ValueError):
+        ntile(rd.from_pandas(_events(10)), "user", "ts", 0)
