@@ -1139,3 +1139,35 @@ def q_bucketize_length(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     return bucketize(docs, "n_chars", n_buckets=8)
+
+
+@_q("q_hash_features")
+def q_hash_features(sf_dir: str):
+    """Hashing-trick n-gram features (functions/features.py): fixed-dim
+    signed L2-normalized vectors, stateless per-batch kernel, zero
+    exchanges.  Rows-only; pure-Python oracle + geometry + partitioning
+    invariance in tests/test_features.py."""
+    from .functions.features import hash_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return hash_features(docs, dim=128)
+
+
+@_q("q_text_neardup_ann")
+def q_text_neardup_ann(sf_dir: str):
+    """Composed text->vector->ANN near-dup: hashed n-gram features
+    (functions/features.py) feed the hyperplane-bucketed cosine pair
+    path (functions/similarity.py::cosine_pairs_lsh) — the end-to-end
+    embedding-free near-dup pipeline at web scale.  Rows-only;
+    components oracle-tested individually."""
+    from .functions.features import hash_features
+    from .functions.similarity import cosine_pairs_lsh
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    feats = hash_features(docs, dim=128).map_batches(
+        lambda b: pa.table({"vec_id": b.column("doc_id"),
+                            "embedding": b.column("features")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return cosine_pairs_lsh(feats, 0.8, n_planes=4, n_tables=8)
