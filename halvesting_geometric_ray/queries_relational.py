@@ -424,6 +424,38 @@ def q_running_total(sf_dir: str):
                                "val_rank"])
 
 
+@_q("q_profile_orders",
+    "SELECT count(*) AS n_rows, "
+    "count(o_totalprice) AS o_totalprice__n, "
+    "min(o_totalprice) AS o_totalprice__min, "
+    "max(o_totalprice) AS o_totalprice__max, "
+    "count(o_orderdate) AS o_orderdate__n, "
+    "min(o_orderdate) AS o_orderdate__min, "
+    "max(o_orderdate) AS o_orderdate__max FROM orders")
+def q_profile_orders(sf_dir: str):
+    """One-pass dataset profile (ops/profile.py): row count + per-column
+    null counts and min/max — one constant-size partial row per block,
+    single merge task (exchange independent of data volume).  Min/max
+    are comparison-only so the floats hash exactly.  SQL-oracled via the
+    demoted _ORACLED_TAIL; parity also pinned in tests/test_distinct.py."""
+    from .ops.profile import profile
+
+    ds = _t(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+    return profile(ds, ["o_totalprice", "o_orderdate"])
+
+
+@_q("q_skew_hot_users")
+def q_skew_hot_users(sf_dir: str):
+    """Pre-shuffle key-skew diagnostic (ops/sketch.py::key_skew_report):
+    Misra-Gries hot keys with share bounds over the events user_id key.
+    Rows-only (returns the hot-key table); share-bound test in
+    tests/test_sketch.py."""
+    from .ops.sketch import key_skew_report
+
+    ds = _t(sf_dir, "events", columns=["user_id"])
+    return key_skew_report(ds, "user_id", k=10)["hot"]
+
+
 @_q("q_distinct_users_per_type",
     "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
     "FROM events GROUP BY event_type")

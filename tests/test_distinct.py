@@ -79,3 +79,31 @@ def test_hll_partitioning_invariance():
         rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(11),
         "g", "v", p=11).to_pandas()
     pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+def test_profile_matches_duckdb():
+    from halvesting_geometric_ray.ops.profile import profile
+
+    pdf = _df(4000)
+    pdf.loc[pdf.sample(frac=0.1, random_state=1).index, "tag"] = None
+    got = profile(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(7),
+        ["v", "tag"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute("""
+        SELECT count(*) AS n_rows,
+               count(v) AS v__n, min(v) AS v__min, max(v) AS v__max,
+               count(tag) AS tag__n, min(tag) AS tag__min,
+               max(tag) AS tag__max
+        FROM t""").fetchdf()
+    assert len(got) == 1
+    for c in exp.columns:
+        assert got[c][0] == exp[c][0], (c, got[c][0], exp[c][0])
+
+
+def test_profile_validation():
+    from halvesting_geometric_ray.ops.profile import profile
+
+    with pytest.raises(ValueError):
+        profile(rd.from_arrow(pa.Table.from_pandas(_df(10))), [])
