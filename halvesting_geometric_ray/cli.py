@@ -86,6 +86,18 @@ def main(argv=None) -> int:
     sp.add_argument("--pages", required=True)
     common(sp)
 
+    sp = sub.add_parser("curate", help="corpus curation: normalize -> "
+                        "filter -> pii scrub -> exact dedup [-> neardup] "
+                        "-> hive-partitioned parquet")
+    sp.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--langs", default=None,
+                    help="comma-separated predicted-language allowlist")
+    sp.add_argument("--neardup", action="store_true")
+    sp.add_argument("--stats", action="store_true")
+    common(sp)
+
     args = p.parse_args(argv)
     ray = _session()
     try:
@@ -113,6 +125,16 @@ def main(argv=None) -> int:
                                layers["vertices"], layers["edges"], meta)
 
         out = {}
+        if args.cmd == "curate":
+            from .pipelines.curation import curate_corpus
+
+            ds = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+            _, info = curate_corpus(
+                ds, langs=args.langs.split(",") if args.langs else None,
+                neardup=args.neardup, workdir=args.workdir,
+                out_path=args.out, collect_stats=args.stats)
+            print(json.dumps(info))
+            return 0
         if args.cmd in ("build", "all"):
             g = build_graph(args.pages, args.workdir, cfg)
             out["build"] = g.meta

@@ -1,0 +1,168 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+Chains the engine's text operators into the canonical web-corpus
+cleanup a reference user would otherwise hand-wire:
+
+  normalize -> language/quality filter -> PII scrub
+            -> exact dedup (winner = min doc id)
+            -> near-dup dedup (trigram-Jaccard pairs -> connected
+               components -> keep cluster representative)
+            -> optional hive-partitioned parquet sink
+
+Every stage is one of the individually-oracled operators (see
+COVERAGE.md); this module only composes them, so the pipeline inherits
+their scale shapes: stateless batch kernels for the map stages, one
+key-partitioned exchange for exact dedup, and the inverted-index +
+shard-actor CC machinery for near-dup.  Nothing materializes the corpus
+on the driver; with ``collect_stats=False`` (default) the whole thing
+is a single streaming plan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import (langid_batch, normalize_text_batch,
+                              pii_scrub_batch, quality_batch)
+from ..ops.dedup import keep_min_by
+from ..ops.join import hash_join
+
+
+def curate_corpus(docs, *, langs: Optional[List[str]] = None,
+                  quality: bool = True, pii: bool = True,
+                  exact_dedup: bool = True, neardup: bool = False,
+                  workdir: Optional[str] = None,
+                  out_path: Optional[str] = None,
+                  collect_stats: bool = False):
+    """Run the curation chain over a (doc_id, text) dataset.
+
+    Returns (dataset, info): dataset has (doc_id, text, pred_lang);
+    info records the enabled stages and, with ``collect_stats``,
+    per-stage surviving row counts (stats mode materializes each stage
+    — a diagnostic run, not the production path).
+
+    ``neardup=True`` needs ``workdir`` (CC checkpoints) and doc_ids
+    dense-ish (vertex space = max id + 1; run ops.ids first for sparse
+    corpora).
+    """
+    if neardup and not workdir:
+        raise ValueError("neardup=True requires a workdir")
+
+    info: dict = {"stages": [], "counts": {}}
+
+    def note(name, ds):
+        info["stages"].append(name)
+        if collect_stats:
+            ds = ds.materialize()
+            info["counts"][name] = ds.count()
+        return ds
+
+    # 1. normalize (NFC + casefold + control strip + ws collapse)
+    def norm(b: pa.Table) -> pa.Table:
+        out = normalize_text_batch(b)
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "text": out.column("text_norm")})
+
+    ds = note("normalize", docs.map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True))
+
+    # 2. fused language + quality gate (one pass, two cheap kernels)
+    if langs or quality:
+        langset = set(langs or [])
+
+        def gate(b: pa.Table) -> pa.Table:
+            keep = np.ones(b.num_rows, dtype=bool)
+            lid = langid_batch(b)
+            pred = lid.column("pred_lang")
+            if langset:
+                keep &= np.isin(
+                    pred.to_numpy(zero_copy_only=False), list(langset))
+            if quality:
+                q = quality_batch(b)
+                keep &= q.column("keep").to_numpy(zero_copy_only=False)
+            t = b.append_column("pred_lang", pred)
+            return t.filter(pa.array(keep))
+
+        ds = note("filter", ds.map_batches(
+            gate, batch_format="pyarrow", zero_copy_batch=True))
+    else:
+        ds = ds.map_batches(
+            lambda b: b.append_column(
+                "pred_lang", pa.array(["?"] * b.num_rows,
+                                      type=pa.string())),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    # 3. PII scrub (placeholders replace emails/phones)
+    if pii:
+        def scrub(b: pa.Table) -> pa.Table:
+            out = pii_scrub_batch(b)
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "text": out.column("clean_text"),
+                             "pred_lang": b.column("pred_lang")})
+
+        ds = note("pii_scrub", ds.map_batches(
+            scrub, batch_format="pyarrow", zero_copy_batch=True))
+
+    # 4. exact dedup: winner = min doc_id per normalized-text hash
+    if exact_dedup:
+        def add_h(b: pa.Table) -> pa.Table:
+            return b.append_column("__h", pa.array(
+                np.asarray(stable_hash64(b.column("text"))),
+                type=pa.int64()))
+
+        ds = keep_min_by(ds.map_batches(add_h, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         "__h", "doc_id")
+        ds = note("exact_dedup", ds.drop_columns(["__h"]))
+
+    # 5. near-dup dedup: Jaccard pairs -> CC -> keep representative
+    if neardup:
+        from ..fixtures import even_offsets
+        from ..graph.components import connected_components
+        from ..queries_text import neardup_jaccard_pairs
+
+        base = ds.materialize()  # pairs + survivor join both read it
+        pairs = neardup_jaccard_pairs(base)
+
+        def sym(b: pa.Table) -> pa.Table:
+            a = b.column("doc_a").to_numpy()
+            bb = b.column("doc_b").to_numpy()
+            return pa.table({"src": pa.array(np.concatenate([a, bb])),
+                             "dst": pa.array(np.concatenate([bb, a]))})
+
+        edges = pairs.map_batches(sym, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        n = int(base.max("doc_id") or 0) + 1
+        num_parts = min(16, max(1, n // 64))
+        wd = os.path.join(workdir, "curate_cc")
+        shutil.rmtree(wd, ignore_errors=True)  # lineage does not
+        # fingerprint edge content; never adopt a stale checkpoint
+        labels, _ = connected_components(edges, even_offsets(n, num_parts),
+                                         wd, job="curate_cc")
+        reps = labels.map_batches(
+            lambda b: pa.table({"keep_id": b.column("vid")}).filter(
+                pc.equal(b.column("vid"), b.column("label"))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ds = hash_join(
+            base, reps, on="doc_id", right_on="keep_id",
+            join_type="semi",
+            left_schema=pa.schema([("doc_id", pa.int64()),
+                                   ("text", pa.string()),
+                                   ("pred_lang", pa.string())]),
+            right_schema=pa.schema([("keep_id", pa.int64())]))
+        ds = note("neardup_dedup", ds)
+
+    if out_path:
+        from ..sources.readers import write_partitioned_parquet
+
+        write_partitioned_parquet(ds, out_path,
+                                  partition_cols=["pred_lang"])
+        info["out_path"] = out_path
+    return ds, info

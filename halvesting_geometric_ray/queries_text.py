@@ -491,7 +491,13 @@ WHERE 2 * i.c >= (sa.n + sb.n - i.c)
 @_q("q_neardup_jaccard", _NEARDUP_SQL)
 def q_neardup_jaccard(sf_dir: str):
     """Token-trigram Jaccard >= 0.5 pairs via inverted-index join."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    return neardup_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def neardup_jaccard_pairs(ds):
+    """Token-trigram Jaccard >= 0.5 pairs via inverted-index join over
+    any (doc_id, text) dataset — the reusable core behind
+    q_neardup_jaccard and pipelines/curation.py's near-dup stage."""
 
     def grams(b: pa.Table) -> pa.Table:
         """(doc_id, gram:int64) distinct pairs — grams carried as 63-bit
@@ -1171,3 +1177,21 @@ def q_text_neardup_ann(sf_dir: str):
                             "embedding": b.column("features")}),
         batch_format="pyarrow", zero_copy_batch=True)
     return cosine_pairs_lsh(feats, 0.8, n_planes=4, n_tables=8)
+
+
+@_q("q_curate_corpus")
+def q_curate_corpus(sf_dir: str):
+    """Composed end-to-end curation pipeline (pipelines/curation.py):
+    normalize -> quality gate -> PII scrub -> exact dedup -> trigram-
+    Jaccard near-dup clustering, each stage an individually-oracled
+    operator.  Rows-only; stage-exact crafted-corpus tests in
+    tests/test_curation.py."""
+    import tempfile
+
+    from .pipelines.curation import curate_corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    wd = tempfile.mkdtemp(prefix="hgr_curate_")
+    out, _ = curate_corpus(docs, neardup=True, workdir=wd)
+    return out
