@@ -127,7 +127,8 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_text as QT
 
     for name in ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
-                 "q_dedup_exact", "q_span_dedup"]:
+                 "q_dedup_exact", "q_span_dedup", "q_tfidf",
+                 "q_curate_corpus"]:
         t = time.time()
         res = QT.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
