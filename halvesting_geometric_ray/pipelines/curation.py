@@ -27,6 +27,7 @@ from typing import List, Optional
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ..functions.hashing import stable_hash64
 from ..functions.text import (langid_batch, normalize_text_batch,
@@ -122,41 +123,80 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
                          "__h", "doc_id")
         ds = note("exact_dedup", ds.drop_columns(["__h"]))
 
-    # 5. near-dup dedup: Jaccard pairs -> CC -> keep representative
+    # 5. near-dup dedup: Jaccard pairs -> clusters -> keep representative.
+    # The pair set is normally FAR smaller than the corpus, so the
+    # default path union-finds the pairs on the driver and broadcasts
+    # the (small) drop set as an anti semi-join — the corpus itself
+    # keeps streaming.  Only past ``pair_cap`` pairs (boilerplate-heavy
+    # corpora) does the shard-actor CC engine pay for itself.
     if neardup:
-        from ..fixtures import even_offsets
-        from ..graph.components import connected_components
         from ..queries_text import neardup_jaccard_pairs
 
-        base = ds.materialize()  # pairs + survivor join both read it
-        pairs = neardup_jaccard_pairs(base)
+        base = ds.materialize()  # pairs + survivor filter both read it
+        pairs = neardup_jaccard_pairs(base).materialize()
+        pair_cap = 1_000_000
 
-        def sym(b: pa.Table) -> pa.Table:
-            a = b.column("doc_a").to_numpy()
-            bb = b.column("doc_b").to_numpy()
-            return pa.table({"src": pa.array(np.concatenate([a, bb])),
-                             "dst": pa.array(np.concatenate([bb, a]))})
+        if pairs.count() <= pair_cap:
+            tbl = pa.concat_tables(
+                [t for t in map(ray.get, pairs.to_arrow_refs())
+                 if t.num_rows]) if pairs.count() else None
+            drop = np.array([], dtype=np.int64)
+            if tbl is not None:
+                a = tbl.column("doc_a").to_numpy()
+                b2 = tbl.column("doc_b").to_numpy()
+                ids = np.unique(np.concatenate([a, b2]))
+                parent = np.arange(len(ids))
+                ia = np.searchsorted(ids, a)
+                ib = np.searchsorted(ids, b2)
 
-        edges = pairs.map_batches(sym, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-        n = int(base.max("doc_id") or 0) + 1
-        num_parts = min(16, max(1, n // 64))
-        wd = os.path.join(workdir, "curate_cc")
-        shutil.rmtree(wd, ignore_errors=True)  # lineage does not
-        # fingerprint edge content; never adopt a stale checkpoint
-        labels, _ = connected_components(edges, even_offsets(n, num_parts),
-                                         wd, job="curate_cc")
-        reps = labels.map_batches(
-            lambda b: pa.table({"keep_id": b.column("vid")}).filter(
-                pc.equal(b.column("vid"), b.column("label"))),
-            batch_format="pyarrow", zero_copy_batch=True)
-        ds = hash_join(
-            base, reps, on="doc_id", right_on="keep_id",
-            join_type="semi",
-            left_schema=pa.schema([("doc_id", pa.int64()),
-                                   ("text", pa.string()),
-                                   ("pred_lang", pa.string())]),
-            right_schema=pa.schema([("keep_id", pa.int64())]))
+                def find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for x, y in zip(ia, ib):
+                    rx, ry = find(x), find(y)
+                    if rx != ry:  # min-id root = min doc id (ids sorted)
+                        parent[max(rx, ry)] = min(rx, ry)
+                roots = np.array([find(i) for i in range(len(ids))])
+                drop = ids[roots != np.arange(len(ids))]
+            from ..ops.join import broadcast_semi
+
+            ds = broadcast_semi(base, "doc_id",
+                                pa.table({"doc_id": pa.array(
+                                    drop, type=pa.int64())}),
+                                "doc_id", anti=True)
+        else:
+            from ..fixtures import even_offsets
+            from ..graph.components import connected_components
+
+            def sym(b: pa.Table) -> pa.Table:
+                a = b.column("doc_a").to_numpy()
+                bb = b.column("doc_b").to_numpy()
+                return pa.table({"src": pa.array(np.concatenate([a, bb])),
+                                 "dst": pa.array(np.concatenate([bb, a]))})
+
+            edges = pairs.map_batches(sym, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+            n = int(base.max("doc_id") or 0) + 1
+            num_parts = min(16, max(1, n // 64))
+            wd = os.path.join(workdir, "curate_cc")
+            shutil.rmtree(wd, ignore_errors=True)  # lineage does not
+            # fingerprint edge content; never adopt a stale checkpoint
+            labels, _ = connected_components(
+                edges, even_offsets(n, num_parts), wd, job="curate_cc")
+            reps = labels.map_batches(
+                lambda b: pa.table({"keep_id": b.column("vid")}).filter(
+                    pc.equal(b.column("vid"), b.column("label"))),
+                batch_format="pyarrow", zero_copy_batch=True)
+            ds = hash_join(
+                base, reps, on="doc_id", right_on="keep_id",
+                join_type="semi",
+                left_schema=pa.schema([("doc_id", pa.int64()),
+                                       ("text", pa.string()),
+                                       ("pred_lang", pa.string())]),
+                right_schema=pa.schema([("keep_id", pa.int64())]))
         ds = note("neardup_dedup", ds)
 
     if out_path:
