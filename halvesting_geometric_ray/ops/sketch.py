@@ -480,3 +480,109 @@ def key_skew_report(ds, col: str, k: int = 10, capacity: int = 4096,
         "avg_rows_per_key": float(n_rows) / max(n_distinct, 1),
         "hot": hot.append_column("share_min", share),
     }
+
+
+def grouped_quantile_sketch(ds, keys, col: str, qs, k: int = 256,
+                            num_parts: int = 16):
+    """Per-group approximate quantiles via mergeable KLL sketches —
+    ``SELECT keys, quantile(col, q)... GROUP BY keys`` without sorting
+    any group.
+
+    Each batch emits one serialized sketch (level, value) row-set per
+    group it sees (combiner: rows per group bounded by ~k*log2(n/k),
+    not group size); ONE key-partitioned exchange then merges each
+    group's sketches and answers the quantiles.  Output: one row per
+    group with a ``p{100q}`` float column per requested quantile.
+    Same error/partitioning caveats as quantile_sketch.
+    """
+    import polars as pl
+
+    from ..functions.hashing import stable_hash64, stable_hash_pair64
+
+    kk = [keys] if isinstance(keys, str) else list(keys)
+    qlist = [float(q) for q in qs]
+    if not qlist or any(not 0 < q < 1 for q in qlist):
+        raise ValueError("qs must be within (0, 1)")
+    names = [f"p{round(100 * q)}" for q in qlist]
+    if len(set(names)) != len(names):
+        raise ValueError("quantile labels collide; space qs further apart")
+
+    def _khash(t: pa.Table) -> np.ndarray:
+        if len(kk) == 1:
+            return np.asarray(stable_hash64(t.column(kk[0])))
+        h = stable_hash_pair64(t.column(kk[0]), t.column(kk[1]))
+        for c in kk[2:]:
+            h = stable_hash_pair64(pa.array(h), t.column(c))
+        return np.asarray(h)
+
+    part_f = pa.field("__qs_part", pa.int32())
+
+    def partial(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [b.schema.field(c) for c in kk]
+            + [pa.field("__lv", pa.list_(pa.int32())),
+               pa.field("__va", pa.list_(pa.float64())),
+               pa.field("__n", pa.int64()), part_f])
+        if b.num_rows == 0:
+            return schema.empty_table()
+        df = pl.from_arrow(b.select(kk + [col]))
+        groups = df.group_by(kk).agg(pl.col(col).alias("__vals"))
+        gt = groups.to_arrow()
+        lvs, vas, ns = [], [], []
+        for row in gt.column("__vals"):
+            sk = _KLL(k)
+            sk.add(np.asarray(row.values, dtype=np.float64))
+            lv, va = sk.rows()
+            lvs.append(lv)
+            vas.append(va)
+            ns.append(sk.n)
+        kb = gt.select(kk)
+        ph = (_khash(kb) % num_parts).astype(np.int32)
+        return pa.table({**{c: kb.column(c) for c in kk},
+                         "__lv": pa.array(lvs, type=pa.list_(pa.int32())),
+                         "__va": pa.array(vas,
+                                          type=pa.list_(pa.float64())),
+                         "__n": pa.array(ns, type=pa.int64()),
+                         "__qs_part": pa.array(ph)}).cast(schema)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [g.schema.field(c) for c in kk]
+            + [pa.field("n", pa.int64())]
+            + [pa.field(nm, pa.float64()) for nm in names])
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        gh = _khash(g)
+        order = np.argsort(gh, kind="stable")
+        gs = gh[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.r_[starts[1:], len(gs)]
+        lv_col, va_col, n_col = (g.column("__lv"), g.column("__va"),
+                                 g.column("__n"))
+        rows, counts, quants = [], [], []
+        for s, e in zip(starts, ends):
+            sk = _KLL(k)
+            tot = 0
+            for i in order[s:e]:
+                i = int(i)
+                sk.add_weighted(np.asarray(va_col[i].values),
+                                np.asarray(lv_col[i].values))
+                tot += int(n_col[i].as_py())
+            rows.append(int(order[s]))
+            counts.append(tot)
+            quants.append(sk.quantiles(qlist))
+        kb = g.select(kk).take(pa.array(rows, type=pa.int64()))
+        qarr = np.asarray(quants)
+        cols = {**{c: kb.column(c) for c in kk},
+                "n": pa.array(counts, type=pa.int64())}
+        for j, nm in enumerate(names):
+            cols[nm] = pa.array(qarr[:, j], type=pa.float64())
+        return pa.table(cols).cast(out_schema)
+
+    from ._util import pre_shuffle
+
+    prepped = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby("__qs_part")
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -1195,3 +1195,19 @@ def q_curate_corpus(sf_dir: str):
     wd = tempfile.mkdtemp(prefix="hgr_curate_")
     out, _ = curate_corpus(docs, neardup=True, workdir=wd)
     return out
+
+
+@_q("q_group_quantiles")
+def q_group_quantiles(sf_dir: str):
+    """Per-language doc-length quantiles via mergeable per-group KLL
+    sketches (ops/sketch.py::grouped_quantile_sketch) — no group ever
+    sorts; one key-partitioned exchange of bounded sketch rows.
+    Rows-only (approximate by design); 2%-rank-error bound pinned in
+    tests/test_sketch.py.  The exact integer-histogram path
+    (q_token_percentiles_by_lang) remains the certified variant."""
+    from .ops.sketch import grouped_quantile_sketch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return grouped_quantile_sketch(docs, "lang", "n_chars",
+                                   [0.25, 0.5, 0.9])

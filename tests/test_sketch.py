@@ -263,3 +263,46 @@ def test_key_skew_report_flags_hot_key():
     hot = rep["hot"].to_pandas()
     assert hot.iloc[0].k == 7
     assert 0.35 < hot.iloc[0].share_min <= 0.45
+
+
+def test_grouped_quantiles_within_rank_error():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 6, 60000).astype(np.int64),
+        "x": rng.lognormal(1.0, 0.8, 60000)})
+    got = (grouped_quantile_sketch(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(9),
+        "g", "x", [0.25, 0.5, 0.9], k=256).to_pandas()
+        .set_index("g").sort_index())
+    for g, sub in pdf.groupby("g"):
+        xs = np.sort(sub.x.to_numpy())
+        n = len(xs)
+        assert got.loc[g, "n"] == n
+        for q, nm in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
+            v = got.loc[g, nm]
+            # rank of the returned value must be within 2% of target
+            rank = np.searchsorted(xs, v) / n
+            assert abs(rank - q) < 0.02, (g, nm, rank)
+
+
+def test_grouped_quantiles_validation():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.sketch import grouped_quantile_sketch
+
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"g": [1], "x": [1.0]})))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        grouped_quantile_sketch(ds, "g", "x", [0.0, 0.5])
+    with _pytest.raises(ValueError):
+        grouped_quantile_sketch(ds, "g", "x", [0.501, 0.502])
