@@ -89,3 +89,38 @@ def read_partitioned_parquet(path: str,
     """Read a hive-partitioned layout back (partition columns are
     reconstructed from directory names)."""
     return rd.read_parquet(path, columns=columns, **kw)
+
+
+def compact_parquet(in_path: str, out_path: str,
+                    target_mb: int = 128,
+                    columns: Optional[List[str]] = None,
+                    compression: str = "zstd") -> dict:
+    """Rewrite a many-small-files parquet layer into ~target_mb files —
+    the standard compaction pass after a high-parallelism write (the
+    small-files problem: a 10^5-file layer costs a metadata round-trip
+    per file on every downstream read).
+
+    Block count is computed from the ON-DISK byte size (compressed), so
+    output files land near target_mb compressed; the rewrite streams
+    (read -> repartition -> write), never materializing the layer in
+    one place.  Returns {"files_in", "bytes_in", "files_out"}.
+    """
+    import os
+
+    import ray.data as rd
+
+    files = []
+    for root, _dirs, names in os.walk(in_path):
+        files.extend(os.path.join(root, n) for n in names
+                     if n.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {in_path}")
+    bytes_in = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, round(bytes_in / (target_mb * (1 << 20))))
+    ds = rd.read_parquet(in_path, columns=columns)
+    ds.repartition(n_out).write_parquet(out_path,
+                                        compression=compression)
+    n_files_out = sum(1 for n in os.listdir(out_path)
+                      if n.endswith(".parquet"))
+    return {"files_in": len(files), "bytes_in": int(bytes_in),
+            "files_out": n_files_out}

@@ -166,3 +166,39 @@ def test_partitioned_parquet_roundtrip(tmp_path):
     # partition pruning path: read one partition dir directly
     en = read_partitioned_parquet(os.path.join(out, "lang=en")).to_pandas()
     assert sorted(en.doc_id) == [1, 3]
+
+
+def test_compact_parquet_coalesces_small_files(tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.sources.readers import compact_parquet
+
+    src = str(tmp_path / "many")
+    pdf = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                        "v": np.arange(5000, dtype=np.float64)})
+    # write deliberately fragmented (many tiny files)
+    rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(40) \
+        .write_parquet(src)
+    assert sum(1 for n in os.listdir(src) if n.endswith(".parquet")) >= 30
+
+    out = str(tmp_path / "compact")
+    info = compact_parquet(src, out, target_mb=128)
+    assert info["files_in"] >= 30
+    assert info["files_out"] <= 2
+    back = rd.read_parquet(out).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, pdf)
+
+
+def test_compact_parquet_validation(tmp_path):
+    import pytest as _pytest
+
+    from halvesting_geometric_ray.sources.readers import compact_parquet
+
+    with _pytest.raises(ValueError):
+        compact_parquet(str(tmp_path / "nope"), str(tmp_path / "out"))
