@@ -936,3 +936,18 @@ def q_kcore(sf_dir: str):
     ds, _ = k_core(symmetrize(read_layer(g.edges), dedup=False),
                    g.offsets, 2, g.workdir)
     return ds.select_columns(["vid", "in_kcore", "core_degree"])
+
+
+@_q("q_incoming_anchors")
+def q_incoming_anchors(sf_dir: str):
+    """Per-target incoming anchor-text aggregate
+    (functions/anchors.py): link count, distinct anchor phrasings and
+    the dominant phrases per target url — the search/LLM-dataset page
+    descriptor.  Rows-only; exact crafted-corpus + partitioning-
+    invariance oracles in tests/test_anchors.py."""
+    from .functions.anchors import anchor_edges, incoming_anchors
+    from .fixtures import ensure_pages_parquet
+
+    pages = rd.read_parquet(ensure_pages_parquet(_scale_for(sf_dir), 123),
+                            columns=["url", "html"])
+    return incoming_anchors(anchor_edges(pages))
