@@ -121,3 +121,49 @@ def mixture_resample(ds, group_col: str, key, rates, seed: int = 17,
         return b.filter(pa.array(s < r * max_score))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(ds, key, weight_col: str, n: int, seed: int = 17):
+    """Weighted sample WITHOUT replacement of n rows, inclusion odds
+    proportional to ``weight_col`` (Efraimidis-Spirakis A-ES: rank by
+    u^(1/w) with u a deterministic hash uniform -> equivalently keep the
+    n smallest -ln(u)/w exponential keys).
+
+    Same determinism contract and scale shape as seeded_sample: hash
+    uniforms derive from (key, seed) so the draw is partitioning-
+    invariant; each batch locally prunes to its n best, then one bounded
+    sort+limit picks the global winners.  Rows with weight <= 0 or null
+    are never sampled."""
+    from ..functions.hashing import stable_hash_pair64
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    keys = [key] if isinstance(key, str) else list(key)
+    smix = np.int64(
+        ((seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF) >> 1)
+
+    def score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = np.asarray(stable_hash64(b.column(keys[0])))
+        for k in keys[1:]:
+            h = np.asarray(stable_hash_pair64(pa.array(h), b.column(k)))
+        h = np.bitwise_xor(h, smix)
+        # uniform in (0, 1): 53 mantissa bits of the 63-bit hash
+        u = ((h.astype(np.uint64) >> np.uint64(10)).astype(np.float64)
+             + 1.0) / float(1 << 53)
+        w = pc.cast(b.column(weight_col), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e = -np.log(u) / w
+        e[~(w > 0)] = np.inf  # null/zero/negative weight: never sampled
+        t = b.append_column(_SCORE, pa.array(e, type=pa.float64()))
+        if t.num_rows > n:
+            order = np.argsort(e, kind="stable")[:n]
+            t = t.take(pa.array(np.sort(order)))
+        return t.filter(pc.less(t.column(_SCORE), np.inf))
+
+    out = (ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .sort(_SCORE).limit(n))
+    return out.drop_columns([_SCORE])

@@ -1211,3 +1211,17 @@ def q_group_quantiles(sf_dir: str):
                            columns=["lang", "n_chars"])
     return grouped_quantile_sketch(docs, "lang", "n_chars",
                                    [0.25, 0.5, 0.9])
+
+
+@_q("q_weighted_sample")
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted deterministic corpus sample (ops/sample.py::
+    weighted_sample, Efraimidis-Spirakis exponential keys from hash
+    uniforms): inclusion odds proportional to n_chars, bitwise
+    partitioning-invariant.  Rows-only; proportionality + invariance
+    tests in tests/test_sample.py."""
+    from .ops.sample import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", 100, seed=7)

@@ -54,3 +54,41 @@ def test_sample_keeps_payload_columns():
     out = seeded_sample(rd.from_pandas(df), "k", 10).to_pandas()
     assert list(out.columns) == ["k", "v"]
     assert (out.v == out.k * 3).all()
+
+
+def test_weighted_sample_proportional_and_invariant():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.sample import weighted_sample
+
+    pdf = pd.DataFrame({
+        "id": np.arange(400, dtype=np.int64),
+        "w": np.where(np.arange(400) < 40, 20.0, 1.0)})  # 10% heavy
+    ds = rd.from_arrow(pa.Table.from_pandas(pdf))
+
+    # partitioning invariance (same seed -> identical draw)
+    a = weighted_sample(ds.repartition(1), "id", "w", 50,
+                        seed=3).to_pandas().sort_values("id")
+    b = weighted_sample(ds.repartition(9), "id", "w", 50,
+                        seed=3).to_pandas().sort_values("id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) == 50
+
+    # heavy items (weight 20x, 10% of rows) dominate across seeds
+    heavy_frac = np.mean([
+        (weighted_sample(ds, "id", "w", 50, seed=s)
+         .to_pandas().id < 40).mean()
+        for s in range(8)])
+    assert heavy_frac > 0.5  # uniform would give 0.10
+
+    # zero/negative weights never sampled
+    pdf2 = pdf.copy()
+    pdf2.loc[pdf2.id >= 10, "w"] = 0.0
+    got = weighted_sample(
+        rd.from_arrow(pa.Table.from_pandas(pdf2)), "id", "w", 50,
+        seed=1).to_pandas()
+    assert (got.id < 10).all() and len(got) == 10
