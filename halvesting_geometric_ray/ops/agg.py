@@ -74,3 +74,83 @@ def grouped_aggregate(ds, keys: List[str],
     return (pre_shuffle(prepped).groupby(_PART)
             .map_groups(final, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def rollup_aggregate(ds, keys: List[str],
+                     aggs: Dict[str, Tuple[str, Optional[str]]],
+                     num_parts: int = 16):
+    """SQL ``GROUP BY ROLLUP(keys...)``: the aggregate at every key
+    PREFIX — (k1, k2, ..., kn), (k1, ..., k(n-1)), ..., (k1), () — with
+    nulls in the rolled-up columns.
+
+    Scale shape: the finest level runs the normal two-level
+    grouped_aggregate over the DATA once; every coarser level
+    re-aggregates the PREVIOUS level's (group-cardinality-sized) output
+    — sum/min/max/count re-aggregate losslessly (count partials re-sum,
+    matching _PARTIAL_FINAL), so the raw data is read exactly once.
+    """
+    if not keys:
+        raise ValueError("rollup needs at least one key")
+    for name, (op, _col) in aggs.items():
+        if op not in _PARTIAL_FINAL:
+            raise ValueError(f"unsupported rollup op {op!r} for {name}")
+
+    levels = []
+    finest = grouped_aggregate(ds, keys, aggs, num_parts=num_parts)
+    levels.append(finest)
+    # coarser levels: re-aggregate the previous level's output, with
+    # count partials re-summed (the standard partial/final split)
+    reagg = {name: (_PARTIAL_FINAL[op][1], name)
+             for name, (op, _c) in aggs.items()}
+    prev = finest
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        if sub:
+            lvl = grouped_aggregate(prev, sub, reagg, num_parts=num_parts)
+        else:
+            import polars as pl
+
+            def total(b: pa.Table, _names=tuple(reagg)) -> pa.Table:
+                df = pl.from_arrow(b)
+                exprs = []
+                for name in _names:
+                    fop = reagg[name][0]
+                    e = pl.col(name)
+                    exprs.append({"sum": e.sum(), "min": e.min(),
+                                  "max": e.max()}[fop].alias(name))
+                return df.select(exprs).to_arrow().cast(
+                    pa.schema([b.schema.field(n) for n in _names]))
+
+            lvl = prev.repartition(1).map_batches(
+                total, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+        levels.append(lvl)
+        prev = lvl
+
+    # align schemas: missing key columns become typed nulls
+    finest_schema = None
+
+    def pad(level_keys):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = b.column(k)
+                else:
+                    cols[k] = pa.nulls(b.num_rows,
+                                       type=finest_schema.field(k).type)
+            for name in aggs:
+                cols[name] = b.column(name)
+            return pa.table(cols)
+        return fn
+
+    # key types come from the INPUT schema (metadata-only for parquet
+    # reads); probing finest.schema() would execute part of the plan
+    in_schema = ds.schema().base_schema
+    finest_schema = pa.schema([in_schema.field(k) for k in keys])
+    out = levels[0]
+    for i, lvl in enumerate(levels[1:]):
+        lk = keys[:len(keys) - 1 - i]
+        out = out.union(lvl.map_batches(pad(lk), batch_format="pyarrow",
+                                        zero_copy_batch=True))
+    return out

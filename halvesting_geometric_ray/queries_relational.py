@@ -424,6 +424,34 @@ def q_running_total(sf_dir: str):
                                "val_rank"])
 
 
+@_q("q_rollup_events",
+    "WITH c AS (SELECT event_type, user_id, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_type, user_id, count(*) AS n_events, "
+    "sum(cents) AS cents_sum FROM c "
+    "GROUP BY ROLLUP(event_type, user_id)")
+def q_rollup_events(sf_dir: str):
+    """GROUP BY ROLLUP (ops/agg.py::rollup_aggregate): the aggregate at
+    every key prefix — raw data read once, coarser levels re-aggregate
+    the previous level's group-sized output.  Integer cents so sums
+    hash exactly.  SQL-oracled via the demoted _ORACLED_TAIL; DuckDB
+    ROLLUP parity also pinned in tests/test_distinct.py."""
+    from .ops.agg import rollup_aggregate
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "user_id": b.column("user_id"),
+                         "cents": pa.array(v)})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return rollup_aggregate(ds, ["event_type", "user_id"],
+                            {"n_events": ("count", None),
+                             "cents_sum": ("sum", "cents")})
+
+
 @_q("q_profile_orders",
     "SELECT count(*) AS n_rows, "
     "count(o_totalprice) AS o_totalprice__n, "

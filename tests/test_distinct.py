@@ -107,3 +107,29 @@ def test_profile_validation():
 
     with pytest.raises(ValueError):
         profile(rd.from_arrow(pa.Table.from_pandas(_df(10))), [])
+
+
+def test_rollup_matches_duckdb():
+    from halvesting_geometric_ray.ops.agg import rollup_aggregate
+
+    pdf = _df(3000)
+    got = rollup_aggregate(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(5),
+        ["g", "tag"],
+        {"n": ("count", None), "v_sum": ("sum", "v"),
+         "v_max": ("max", "v")}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute("""
+        SELECT g, tag, count(*) AS n, sum(v) AS v_sum, max(v) AS v_max
+        FROM t GROUP BY ROLLUP(g, tag)""").fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_rollup_validation():
+    from halvesting_geometric_ray.ops.agg import rollup_aggregate
+
+    ds = rd.from_arrow(pa.Table.from_pandas(_df(10)))
+    with pytest.raises(ValueError):
+        rollup_aggregate(ds, [], {"n": ("count", None)})
