@@ -424,6 +424,23 @@ def q_running_total(sf_dir: str):
                                "val_rank"])
 
 
+@_q("q_json_props",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+    "AS k FROM events")
+def q_json_props(sf_dir: str):
+    """JSON field extraction (ops/strings.py::json_field): pull the
+    numeric 'k' field out of the props JSON column — stateless polars
+    json_path_match kernel, zero exchanges.  SQL-oracled via the
+    demoted _ORACLED_TAIL; malformed-JSON and regex variants pinned in
+    tests/test_strings.py."""
+    from .ops.strings import json_field
+
+    ds = _t(sf_dir, "events", columns=["event_id", "props"])
+    out = json_field(ds, "props", "$.k", out_col="k",
+                     out_type=pa.int64())
+    return out.select_columns(["event_id", "k"])
+
+
 @_q("q_rollup_events",
     "WITH c AS (SELECT event_type, user_id, "
     "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
