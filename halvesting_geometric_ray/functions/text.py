@@ -65,9 +65,12 @@ def langid_batch(batch: pa.Table) -> pa.Table:
                      "pred_lang": pa.array(list(pred), type=pa.string())})
 
 
-def quality_batch(batch: pa.Table) -> pa.Table:
+def quality_batch(batch: pa.Table, min_tokens: int = 20,
+                  max_tokens: int = 400, min_ttr: int = 30) -> pa.Table:
     """(doc_id, n_chars, n_tokens, ttr_pct, keep) — length + type-token
-    ratio gates, integers/bool only."""
+    ratio gates, integers/bool only.  Defaults match the SQL-oracled
+    q_quality thresholds; callers tune them per corpus (the curation
+    pipeline exposes them as quality_gates)."""
     import polars as pl
 
     df = pl.from_arrow(batch.select(["doc_id", "text"]))
@@ -80,7 +83,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     t = stats["n_tokens"].to_numpy()
     u = stats["n_uniq"].to_numpy()
     ttr = np.floor(100.0 * u / np.maximum(t, 1)).astype(np.int64)
-    keep = (t >= 20) & (t <= 400) & (ttr >= 30)
+    keep = (t >= min_tokens) & (t <= max_tokens) & (ttr >= min_ttr)
     return pa.table({
         "doc_id": stats["doc_id"].to_numpy(),
         "n_chars": stats["n_chars"].to_numpy(),

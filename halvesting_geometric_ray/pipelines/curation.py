@@ -37,7 +37,9 @@ from ..ops.join import hash_join
 
 
 def curate_corpus(docs, *, langs: Optional[List[str]] = None,
-                  quality: bool = True, pii: bool = True,
+                  quality: bool = True,
+                  quality_gates: tuple = (20, 400, 30),
+                  pii: bool = True,
                   exact_dedup: bool = True, neardup: bool = False,
                   workdir: Optional[str] = None,
                   out_path: Optional[str] = None,
@@ -86,7 +88,7 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
                 keep &= np.isin(
                     pred.to_numpy(zero_copy_only=False), list(langset))
             if quality:
-                q = quality_batch(b)
+                q = quality_batch(b, *quality_gates)
                 keep &= q.column("keep").to_numpy(zero_copy_only=False)
             t = b.append_column("pred_lang", pred)
             return t.filter(pa.array(keep))
