@@ -335,3 +335,55 @@ def keep_min_by(ds, key_cols: List[str], order_col: str,
     return (pre_shuffle(prepped).groupby(_PART_COL)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def subset_dup_losers(ds, key_cols, order_col: str, num_parts: int = 16):
+    """The LOSER ids of a deterministic-winner subset dedup: for every
+    distinct `key_cols` value, each row's `order_col` EXCEPT the
+    minimum.  Project to (keys, order_col) before calling — only those
+    columns move, so deduping a corpus never ships the payload (pair
+    with a broadcast anti semi-join on the loser set; see
+    pipelines/curation.py).
+
+    Combiner insight: a row that is not even its BATCH's minimum for
+    its key is already a global loser — it is emitted locally and never
+    shuffled; only per-batch winners (≈ distinct keys per batch rows)
+    enter the exchange, where the global minimum wins and the rest
+    drain as losers."""
+    import polars as pl
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = keys + [order_col]
+
+    out_schema = pa.schema([pa.field(order_col, pa.int64())])
+
+    def local(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(cols))
+        win = (df.sort(cols).unique(subset=keys, keep="first",
+                                    maintain_order=True)
+               .with_columns(pl.lit(False).alias("__loser")))
+        lose = df.join(win.select(keys + [order_col]), on=cols,
+                       how="anti").with_columns(
+            pl.lit(True).alias("__loser"))
+        t = pl.concat([win, lose]).to_arrow()
+        t = cast_like(t, pa.schema(
+            [b.schema.field(c) for c in cols]
+            + [pa.field("__loser", pa.bool_())]))
+        return _add_key_part(t, keys, num_parts)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns([_PART_COL]))
+        sure = df.filter(pl.col("__loser")).select([order_col])
+        cand = df.filter(~pl.col("__loser"))
+        lose2 = (cand.sort(cols)
+                 .with_columns((pl.int_range(pl.len()).over(keys) > 0)
+                               .alias("__l"))
+                 .filter(pl.col("__l")).select([order_col]))
+        out = pl.concat([sure, lose2]).to_arrow()
+        return cast_like(out, out_schema)
+
+    prepped = ds.map_batches(local, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART_COL)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -59,3 +59,19 @@ def test_curate_write_roundtrip(tmp_path):
 def test_curate_validation():
     with pytest.raises(ValueError):
         curate_corpus(_corpus(), neardup=True, workdir=None)
+
+
+def test_subset_dup_losers_oracle():
+    import pandas as pd
+
+    from halvesting_geometric_ray.ops.dedup import subset_dup_losers
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "h": rng.integers(0, 50, 800).astype(np.int64),
+        "id": rng.permutation(800).astype(np.int64)})
+    got = sorted(subset_dup_losers(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(7),
+        "h", "id").to_pandas().id)
+    exp = sorted(pdf[pdf.id != pdf.groupby("h").id.transform("min")].id)
+    assert got == exp
