@@ -41,6 +41,7 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
                   quality_gates: tuple = (20, 400, 30),
                   pii: bool = True,
                   exact_dedup: bool = True, neardup: bool = False,
+                  pair_cap: int = 1_000_000,
                   workdir: Optional[str] = None,
                   out_path: Optional[str] = None,
                   collect_stats: bool = False):
@@ -51,9 +52,11 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
     per-stage surviving row counts (stats mode materializes each stage
     — a diagnostic run, not the production path).
 
-    ``neardup=True`` needs ``workdir`` (CC checkpoints) and doc_ids
-    dense-ish (vertex space = max id + 1; run ops.ids first for sparse
-    corpora).
+    ``neardup=True`` needs ``workdir`` (CC checkpoints).  Below
+    ``pair_cap`` near-dup pairs the clusters collapse via a driver
+    union-find over just the pairs (works with ANY int64 doc ids);
+    past it the shard-actor CC engine runs, which needs dense-ish ids
+    (vertex space = max id + 1; run ops.ids first for sparse corpora).
     """
     if neardup and not workdir:
         raise ValueError("neardup=True requires a workdir")
@@ -161,7 +164,6 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
 
         base = ds.materialize()  # pairs + survivor filter both read it
         pairs = neardup_jaccard_pairs(base).materialize()
-        pair_cap = 1_000_000
 
         if pairs.count() <= pair_cap:
             tbl = pa.concat_tables(

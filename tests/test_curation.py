@@ -75,3 +75,13 @@ def test_subset_dup_losers_oracle():
         "h", "id").to_pandas().id)
     exp = sorted(pdf[pdf.id != pdf.groupby("h").id.transform("min")].id)
     assert got == exp
+
+
+def test_curate_cc_fallback_path(tmp_path):
+    # pair_cap=0 forces the shard-actor CC path; same survivors
+    out, info = curate_corpus(
+        _corpus(), neardup=True, workdir=str(tmp_path), pair_cap=0,
+        collect_stats=True)
+    df = out.to_pandas()
+    assert sorted(df.doc_id) == [0, 4, 5]
+    assert info["counts"]["neardup_dedup"] == 3
