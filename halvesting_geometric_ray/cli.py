@@ -86,6 +86,12 @@ def main(argv=None) -> int:
     sp.add_argument("--pages", required=True)
     common(sp)
 
+    sp = sub.add_parser("profile", help="one-pass dataset profile: "
+                        "row count + per-column nulls/min/max")
+    sp.add_argument("--table", required=True, help="parquet path")
+    sp.add_argument("--cols", required=True,
+                    help="comma-separated column names")
+
     sp = sub.add_parser("curate", help="corpus curation: normalize -> "
                         "filter -> pii scrub -> exact dedup [-> neardup] "
                         "-> hive-partitioned parquet")
@@ -105,6 +111,16 @@ def main(argv=None) -> int:
 
         from .config import DEFAULT, EngineConfig, config_from_file
         from .graph.build import build_graph, symmetrize
+
+        if args.cmd == "profile":  # no --workdir/--config args
+            from .ops.profile import profile
+
+            ds = rd.read_parquet(args.table)
+            res = profile(ds, args.cols.split(",")).take_all()[0]
+            print(json.dumps({k: (str(v) if not isinstance(
+                v, (int, float, type(None))) else v)
+                for k, v in res.items()}))
+            return 0
 
         if args.config:
             over = {"num_parts": args.num_parts} if args.num_parts else {}
