@@ -424,6 +424,52 @@ def q_running_total(sf_dir: str):
                                "val_rank"])
 
 
+@_q("q_range_join",
+    "SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate BETWEEN o.o_orderdate "
+    "AND o.o_orderdate + INTERVAL 60 DAY")
+def q_range_join(sf_dir: str):
+    """Range join (ops/range_join.py): lineitems shipped inside their
+    order's 60-day window — equi-key bucketed exchange, interval
+    predicate applied inside each bucket task (zero extra exchanges).
+    SQL-oracled via the demoted _ORACLED_TAIL; boundary-closedness
+    variants pinned in tests/test_range_join.py."""
+    from datetime import timedelta
+
+    from .ops.range_join import range_join
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def win(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        end = pc.add(b.column("o_orderdate"), timedelta(days=60))
+        return b.append_column("o_end", end)
+
+    orders = orders.map_batches(win, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = range_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_ts="l_shipdate", right_start="o_orderdate",
+        right_end="o_end",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_linenumber", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_end", pa.timestamp("us"))]))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_linenumber": b.column("l_linenumber"),
+                         "o_orderkey": b.column("l_orderkey")})
+
+    return out.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_json_props",
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
     "AS k FROM events")
