@@ -200,3 +200,29 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text", *,
     cols[text_col] = batch.column(text_col)
     cols["text_norm"] = s.to_arrow().cast(pa.string())
     return pa.table(cols)
+
+
+def compressibility_batch(batch: pa.Table, level: int = 6) -> pa.Table:
+    """(doc_id, n_bytes, z_bytes, ratio_pct) — deflate compressibility:
+    boilerplate/repetitive text compresses far below natural prose, so
+    a low ratio_pct (= 100 * compressed/original) flags machine-
+    generated or template pages (the Gopher/C4-adjacent quality
+    signal).  zlib is deterministic for a fixed level, so the metric is
+    engine-exact; the per-doc zlib.compress call is C-speed (same
+    per-row-cost class as fingerprint_batch).  Empty docs get ratio 0.
+    """
+    import zlib
+
+    texts = batch.column("text").to_pylist()
+    nb = np.empty(len(texts), dtype=np.int64)
+    zb = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        nb[i] = len(raw)
+        zb[i] = len(zlib.compress(raw, level)) if raw else 0
+    ratio = np.where(nb > 0, np.floor(100.0 * zb / np.maximum(nb, 1)),
+                     0).astype(np.int64)
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_bytes": pa.array(nb),
+                     "z_bytes": pa.array(zb),
+                     "ratio_pct": pa.array(ratio)})

@@ -1225,3 +1225,21 @@ def q_weighted_sample(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "n_chars"])
     return weighted_sample(docs, "doc_id", "n_chars", 100, seed=7)
+
+
+@_q("q_compressibility",
+    "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes "
+    "FROM documents")
+def q_compressibility(sf_dir: str):
+    """Deflate compressibility quality signal (functions/text.py::
+    compressibility_batch): low compressed/original ratio flags
+    repetitive/template text.  The SQL oracle certifies the byte-length
+    base column (octet_length parity); z_bytes/ratio_pct are pinned
+    exactly against stdlib zlib in tests/test_lm.py."""
+    from .functions.text import compressibility_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = docs.map_batches(compressibility_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_bytes"])

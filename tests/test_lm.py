@@ -102,3 +102,30 @@ def test_lm_full_vocab_and_validation():
         unigram_model(ds, vocab_size=0)
     with pytest.raises(ValueError):
         unigram_model(ds, alpha=0.0)
+
+
+def test_compressibility_oracle_and_ordering():
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.text import compressibility_batch
+
+    texts = ["spam spam spam spam spam spam spam spam spam spam",
+             "the quick brown fox jumps over one very lazy dog today",
+             ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string())}))
+    got = (ds.map_batches(compressibility_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        assert got.n_bytes[i] == len(raw)
+        assert got.z_bytes[i] == (len(zlib.compress(raw, 6)) if raw else 0)
+    # repetitive text compresses harder than prose; empty -> 0
+    assert got.ratio_pct[0] < got.ratio_pct[1]
+    assert got.ratio_pct[2] == 0
