@@ -300,3 +300,72 @@ def degree_assortativity(edges, cfg: EngineConfig = DEFAULT) -> dict:
     den = m * sxx - sx * sx
     r = float(num) / float(den) if den != 0 else 0.0
     return {"m": m, "sx": sx, "sxy": sxy, "sxx": sxx, "assortativity": r}
+
+
+def modularity(edges, labels, cfg: EngineConfig = DEFAULT):
+    """Newman modularity Q of a community labeling over an UNDIRECTED
+    canonical edge list (each edge once): Q = sum_c [e_c/m -
+    (d_c/2m)^2] with e_c intra-community edges, d_c community degree
+    sum, m total edges.  The quality score for label_propagation's
+    output (community detection without a fitness metric is
+    unfalsifiable).
+
+    Scale shape — the host-graph contraction pattern: two bucketed
+    hash_joins attach endpoint labels to every edge (labels is
+    |V|-sized, never broadcast), then ONE batch-level combiner emits
+    per-label partial (intra-edge, degree) counts and a label-grouped
+    sum reduces to the (tiny) per-community table; Q folds on the
+    driver.  Returns (Q, per_community dataset (label, e_in, deg)).
+    """
+    i64 = pa.int64()
+    la = labels.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "l_src": b.column("label")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    lb = labels.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "l_dst": b.column("label")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(edges, la, on="src", right_on="vid",
+                   num_parts=cfg.num_parts,
+                   left_schema=pa.schema([("src", i64), ("dst", i64)]),
+                   right_schema=pa.schema([("vid", i64), ("l_src", i64)]))
+    j2 = hash_join(j1, lb, on="dst", right_on="vid",
+                   num_parts=cfg.num_parts,
+                   left_schema=pa.schema([("dst", i64), ("src", i64),
+                                          ("l_src", i64)]),
+                   right_schema=pa.schema([("vid", i64), ("l_dst", i64)]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ls = b.column("l_src").to_numpy()
+        ld = b.column("l_dst").to_numpy()
+        both = np.concatenate([ls, ld])
+        ulab, inv = np.unique(both, return_inverse=True)
+        deg = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        intra = np.zeros(len(ulab), dtype=np.int64)
+        eq = ls == ld
+        if eq.any():
+            pos = np.searchsorted(ulab, ls[eq])
+            np.add.at(intra, pos, 1)
+        return pa.table({"label": pa.array(ulab),
+                         "e_in": pa.array(intra),
+                         "deg": pa.array(deg)})
+
+    per_label = grouped_aggregate(
+        j2.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["label"], {"e_in": ("sum", "e_in"), "deg": ("sum", "deg")},
+        num_parts=cfg.num_parts)
+
+    import ray as _ray
+
+    tbls = [t for t in map(_ray.get, per_label.to_arrow_refs())
+            if t.num_rows]
+    if not tbls:
+        return 0.0, per_label
+    t = pa.concat_tables(tbls)
+    e_in = t.column("e_in").to_numpy().astype(np.float64)
+    deg = t.column("deg").to_numpy().astype(np.float64)
+    m = float(deg.sum()) / 2.0  # every edge contributes 2 endpoints
+    q = float(np.sum(e_in / m - (deg / (2.0 * m)) ** 2))
+    return q, per_label

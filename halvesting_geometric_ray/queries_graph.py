@@ -951,3 +951,30 @@ def q_incoming_anchors(sf_dir: str):
     pages = rd.read_parquet(ensure_pages_parquet(_scale_for(sf_dir), 123),
                             columns=["url", "html"])
     return incoming_anchors(anchor_edges(pages))
+
+
+@_q("q_modularity")
+def q_modularity(sf_dir: str):
+    """Newman modularity of the label-propagation communities
+    (graph/metrics.py::modularity): two bucketed joins attach endpoint
+    labels (never a |V| broadcast), one combiner + label-grouped sum.
+    Returns the per-community (label, e_in, deg) table with Q attached
+    as a constant column.  Rows-only; exact bridge-graph oracle in
+    tests/test_metrics.py."""
+    import pyarrow.compute as _pc
+
+    from .graph.labelprop import label_propagation
+    from .graph.metrics import modularity
+    from .graph.triangles import canonical_undirected
+
+    g = graph_for(sf_dir)
+    labels, _ = label_propagation(
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
+        g.offsets, g.workdir, rounds=5)
+    canon = canonical_undirected(read_layer(g.edges))
+    q, per = modularity(canon, labels.select_columns(["vid", "label"]))
+    qx = int(round(q * 10**9))
+    return per.map_batches(
+        lambda b: b.append_column(
+            "q_x1e9", pa.array([qx] * b.num_rows, type=pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -145,3 +145,47 @@ def test_adamic_adar_matches_bruteforce():
         g = got_map[k]
         assert g[0] == cn
         assert abs(g[1] - aa) < 1e-9 and abs(g[2] - ra) < 1e-9, k
+
+
+def test_modularity_exact_oracle():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.metrics import modularity
+
+    # two triangles joined by one bridge edge: known-good communities
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    labels = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+    def py_modularity(edges, labels):
+        m = len(edges)
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        comms = set(labels.values())
+        q = 0.0
+        for c in comms:
+            e_in = sum(1 for a, b in edges
+                       if labels[a] == c and labels[b] == c)
+            d_c = sum(d for v, d in deg.items() if labels[v] == c)
+            q += e_in / m - (d_c / (2 * m)) ** 2
+        return q
+
+    eds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], type=pa.int64()),
+        "dst": pa.array([b for _, b in edges], type=pa.int64())}))
+    lds = rd.from_arrow(pa.table({
+        "vid": pa.array(sorted(labels), type=pa.int64()),
+        "label": pa.array([labels[v] for v in sorted(labels)],
+                          type=pa.int64())}))
+    q, per = modularity(eds.repartition(3), lds.repartition(2))
+    assert abs(q - py_modularity(edges, labels)) < 1e-12
+    # good communities beat a degenerate all-one labeling
+    l1 = rd.from_arrow(pa.table({
+        "vid": pa.array(sorted(labels), type=pa.int64()),
+        "label": pa.array([0] * 6, type=pa.int64())}))
+    q1, _ = modularity(eds, l1)
+    assert q > q1
+    assert abs(q1) < 1e-12  # single community: Q = 0 by definition
