@@ -470,6 +470,53 @@ def q_range_join(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_except_keys",
+    "SELECT DISTINCT o_custkey AS k FROM orders "
+    "EXCEPT SELECT DISTINCT user_id AS k FROM events")
+def q_except_keys(sf_dir: str):
+    """Set difference (EXCEPT): distinct order custkeys that never
+    appear as event users — distinct + anti semi-join over the bucketed
+    hash_join (both sides big; no broadcast).  SQL-oracled via the
+    demoted _ORACLED_TAIL."""
+    from .ops.dedup import distinct
+    from .ops.join import hash_join
+
+    o = distinct(_t(sf_dir, "orders", columns=["o_custkey"])
+                 .map_batches(lambda b: b.rename_columns(["k"]),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True), ["k"])
+    e = distinct(_t(sf_dir, "events", columns=["user_id"])
+                 .map_batches(lambda b: b.rename_columns(["k"]),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True), ["k"])
+    kschema = pa.schema([("k", pa.int64())])
+    return hash_join(o, e, on="k", join_type="anti",
+                     left_schema=kschema, right_schema=kschema)
+
+
+@_q("q_intersect_keys",
+    "SELECT DISTINCT o_custkey AS k FROM orders "
+    "INTERSECT SELECT DISTINCT user_id AS k FROM events")
+def q_intersect_keys(sf_dir: str):
+    """Set intersection (INTERSECT): custkeys that are also event
+    users — distinct + semi join, same big-big bucketed shape.
+    SQL-oracled via the demoted _ORACLED_TAIL."""
+    from .ops.dedup import distinct
+    from .ops.join import hash_join
+
+    o = distinct(_t(sf_dir, "orders", columns=["o_custkey"])
+                 .map_batches(lambda b: b.rename_columns(["k"]),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True), ["k"])
+    e = distinct(_t(sf_dir, "events", columns=["user_id"])
+                 .map_batches(lambda b: b.rename_columns(["k"]),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True), ["k"])
+    kschema = pa.schema([("k", pa.int64())])
+    return hash_join(o, e, on="k", join_type="semi",
+                     left_schema=kschema, right_schema=kschema)
+
+
 @_q("q_json_props",
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
     "AS k FROM events")
