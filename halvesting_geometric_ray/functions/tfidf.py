@@ -24,8 +24,6 @@ hash_join of tf against df on term — same df build, different attach.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pyarrow as pa
 import ray

@@ -77,8 +77,6 @@ def grouped_count_distinct_hll(ds, keys, col: str, p: int = 12,
         raise ValueError("p >= 11 required")
     kk = [keys] if isinstance(keys, str) else list(keys)
 
-    empty = None
-
     def partial(b: pa.Table) -> pa.Table:
         # groups are identified by their stable 64-bit key hash inside
         # the kernel (same accepted-collision model as ops/ids.py hash
