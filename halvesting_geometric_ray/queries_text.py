@@ -1243,3 +1243,19 @@ def q_compressibility(sf_dir: str):
     out = docs.map_batches(compressibility_batch, batch_format="pyarrow",
                            zero_copy_batch=True)
     return out.select_columns(["doc_id", "n_bytes"])
+
+
+@_q("q_encode_corpus")
+def q_encode_corpus(sf_dir: str):
+    """Vocabulary build + corpus encoding (functions/encode.py): a
+    deterministic frequency vocab (one combiner-first count exchange +
+    per-block top-V pruning), broadcast once, then a zero-exchange
+    vectorized encode to int32 id lists (OOV -> unk) — the tokenize
+    step between curation and sequence packing.  Rows-only; exact
+    Python vocab/encode oracles in tests/test_encode.py."""
+    from .functions.encode import build_vocab, encode_docs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    _, ref = build_vocab(docs, vocab_size=4096)
+    return encode_docs(docs, ref)
