@@ -1278,7 +1278,22 @@ def q_training_data_path(sf_dir: str):
     curated, _ = curate_corpus(docs, neardup=False)
     curated = curated.materialize()  # vocab + encode + pack all read it
     _, ref = build_vocab(curated, vocab_size=4096)
-    enc = encode_docs(curated, ref)
-    # the manifest packs token counts; ids are carried by enc for the
-    # downstream loader (manifest rows reference doc_id + offsets)
-    return pack_sequences(curated, seq_len=512)
+    # encode executes and its totals cross-check the packing manifest
+    # (ids are what a downstream loader reads; the manifest references
+    # doc_id + offsets into them)
+    enc = encode_docs(curated, ref).materialize()
+    manifest = pack_sequences(curated, seq_len=512).materialize()
+    import pyarrow.compute as _pc
+
+    n_enc = sum(r["s"] for r in enc.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(_pc.sum(b.column("n_tokens")).as_py() or 0)])}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all())
+    n_man = sum(r["s"] for r in manifest.map_batches(
+        lambda b: pa.table({"s": pa.array(
+            [int(_pc.sum(b.column("n_tok")).as_py() or 0)])}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all())
+    if n_enc != n_man:
+        raise AssertionError(
+            f"encode/manifest token totals diverge: {n_enc} != {n_man}")
+    return manifest
