@@ -114,3 +114,87 @@ def pack_sequences(docs, seq_len: int, *, num_bins: int = 16,
     return (pre_shuffle(counted).groupby(_PART)
             .map_groups(pack_bin, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def materialize_sequences(manifest, enc, num_parts: int = 16):
+    """Assemble the actual training sequences: join the packing
+    manifest (pack_sequences) with the encoded corpus (functions/
+    encode.py::encode_docs) and emit one row per sequence —
+    (bin, seq_id, ids list<int32>, n_tok, partial).
+
+    Scale shape: ONE bucketed join on doc_id ships each document's ids
+    to its manifest chunks, then ONE (bin, seq_id)-keyed exchange
+    co-locates a sequence's chunks; assembly is a vectorized gather
+    (repeat/cumsum index arithmetic over the flattened id values — no
+    per-token Python).  Full sequences have exactly seq_len ids; the
+    final partial of each bin keeps its true length with
+    partial=True (callers pad or drop).
+    """
+    import pyarrow.compute as pc
+
+    from ..ops.join import hash_join
+    from ..functions.hashing import stable_hash_pair64
+
+    i64 = pa.int64()
+    j = hash_join(
+        manifest, enc.select_columns(["doc_id", "ids"]), on="doc_id",
+        num_parts=num_parts,
+        left_schema=pa.schema([("doc_id", i64), ("bin", pa.int32()),
+                               ("seq_id", i64), ("doc_tok_start", i64),
+                               ("seq_tok_start", i64), ("n_tok", i64),
+                               ("partial", pa.bool_())]),
+        right_schema=pa.schema([("doc_id", i64),
+                                ("ids", pa.list_(pa.int32()))]))
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = stable_hash_pair64(b.column("bin").cast(i64),
+                               b.column("seq_id"))
+        return b.append_column(
+            _PART, pa.array(np.asarray(h) % num_parts, type=pa.int32()))
+
+    out_schema = pa.schema([
+        ("bin", pa.int32()), ("seq_id", i64),
+        ("ids", pa.list_(pa.int32())), ("n_tok", i64),
+        ("partial", pa.bool_())])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.sort_by([("bin", "ascending"), ("seq_id", "ascending"),
+                       ("seq_tok_start", "ascending")])
+        ids_col = g.column("ids").combine_chunks()
+        flat = np.asarray(ids_col.values)
+        doc_off = np.asarray(ids_col.offsets)[:-1].astype(np.int64)
+        dts = g.column("doc_tok_start").to_numpy()
+        ntk = g.column("n_tok").to_numpy()
+        # gather indices: for chunk c, doc_off[c]+dts[c] .. +ntk[c]
+        starts = doc_off + dts
+        total = int(ntk.sum())
+        base = np.repeat(starts - np.r_[0, np.cumsum(ntk)[:-1]], ntk)
+        idx = base + np.arange(total)
+        toks = flat[idx]
+        # split by sequence: chunk -> (bin, seq) run boundaries
+        bins = g.column("bin").to_numpy()
+        seqs = g.column("seq_id").to_numpy()
+        new_seq = np.r_[True, (bins[1:] != bins[:-1])
+                        | (seqs[1:] != seqs[:-1])]
+        first = np.flatnonzero(new_seq)
+        seq_len_tok = np.add.reduceat(ntk, first)
+        offs = pa.array(np.r_[0, np.cumsum(seq_len_tok)]
+                        .astype(np.int32))
+        partial = np.maximum.reduceat(
+            g.column("partial").to_numpy().astype(np.int8), first) > 0
+        return pa.table({
+            "bin": pa.array(bins[first], type=pa.int32()),
+            "seq_id": pa.array(seqs[first]),
+            "ids": pa.ListArray.from_arrays(
+                offs, pa.array(toks, type=pa.int32())),
+            "n_tok": pa.array(seq_len_tok.astype(np.int64)),
+            "partial": pa.array(partial),
+        }).cast(out_schema)
+
+    tagged = j.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return (pre_shuffle(tagged).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -1265,10 +1265,11 @@ def q_encode_corpus(sf_dir: str):
 def q_training_data_path(sf_dir: str):
     """The COMPLETE training-data path in one pipeline: curation chain
     (normalize -> quality gate -> PII scrub -> exact dedup) -> frequency
-    vocab + int32 encoding -> fixed-length packing manifest — every
+    vocab + int32 encoding -> packing manifest -> MATERIALIZED training
+    sequences (one row per fixed-length int32 id sequence) — every
     stage an individually-oracled operator (tests/test_curation.py,
-    test_encode.py, test_pack.py).  Returns the packing manifest rows.
-    Rows-only composition."""
+    test_encode.py, test_pack.py incl. the exact sequence-replay
+    oracle).  Rows-only composition."""
     from .functions.encode import build_vocab, encode_docs
     from .functions.pack import pack_sequences
     from .pipelines.curation import curate_corpus
@@ -1289,11 +1290,16 @@ def q_training_data_path(sf_dir: str):
         lambda b: pa.table({"s": pa.array(
             [int(_pc.sum(b.column("n_tokens")).as_py() or 0)])}),
         batch_format="pyarrow", zero_copy_batch=True).take_all())
-    n_man = sum(r["s"] for r in manifest.map_batches(
+    from .functions.pack import materialize_sequences
+
+    seqs = materialize_sequences(manifest, enc).materialize()
+    n_seq = sum(r["s"] for r in seqs.map_batches(
         lambda b: pa.table({"s": pa.array(
             [int(_pc.sum(b.column("n_tok")).as_py() or 0)])}),
         batch_format="pyarrow", zero_copy_batch=True).take_all())
-    if n_enc != n_man:
+    if n_enc != n_seq:
         raise AssertionError(
-            f"encode/manifest token totals diverge: {n_enc} != {n_man}")
-    return manifest
+            f"encode/sequence token totals diverge: {n_enc} != {n_seq}")
+    return seqs.drop_columns(["ids"])  # gate-friendly scalar columns;
+    # the ids payload is what a loader consumes (exactness pinned by
+    # the replay oracle in tests/test_pack.py)

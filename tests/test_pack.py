@@ -139,3 +139,46 @@ def test_pack_validation():
         pack_sequences(ds, 0)
     with pytest.raises(ValueError):
         pack_sequences(ds, 4, num_bins=0)
+
+
+def test_materialize_sequences_exact():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.encode import (
+        build_vocab, encode_docs)
+    from halvesting_geometric_ray.functions.pack import (
+        materialize_sequences, pack_sequences)
+
+    rng = np.random.default_rng(8)
+    words = ["w%d" % i for i in range(30)]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 25)))
+             for _ in range(80)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+        "text": pa.array(texts, type=pa.string())}))
+    _, ref = build_vocab(docs, vocab_size=100)
+    enc = encode_docs(docs, ref).materialize()
+    L = 16
+    manifest = pack_sequences(docs, seq_len=L, num_bins=4)
+    out = (materialize_sequences(manifest, enc).to_pandas()
+           .sort_values(["bin", "seq_id"]).reset_index(drop=True))
+
+    # oracle: replay the pack per bin in doc_id order from enc ids
+    ids_by_doc = {int(r.doc_id): list(r.ids)
+                  for r in enc.to_pandas().itertuples()}
+    from halvesting_geometric_ray.functions.hashing import stable_hash64
+    bins = np.asarray(stable_hash64(
+        pa.array(np.arange(80, dtype=np.int64)), seed=42)) % 4
+    for b in range(4):
+        stream = []
+        for d in sorted(np.flatnonzero(bins == b)):
+            stream.extend(ids_by_doc[int(d)])
+        got_b = out[out.bin == b]
+        exp_seqs = [stream[i:i + L] for i in range(0, len(stream), L)]
+        assert len(got_b) == len(exp_seqs)
+        for row, exp in zip(got_b.itertuples(), exp_seqs):
+            assert list(row.ids) == exp
+            assert row.n_tok == len(exp)
+            assert row.partial == (len(exp) < L)
