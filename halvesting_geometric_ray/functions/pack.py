@@ -116,7 +116,9 @@ def pack_sequences(docs, seq_len: int, *, num_bins: int = 16,
                         retry_exceptions=True))
 
 
-def materialize_sequences(manifest, enc, num_parts: int = 16):
+def materialize_sequences(manifest, enc, num_parts: int = 16,
+                          pad_id: int | None = None,
+                          seq_len: int | None = None):
     """Assemble the actual training sequences: join the packing
     manifest (pack_sequences) with the encoded corpus (functions/
     encode.py::encode_docs) and emit one row per sequence —
@@ -128,8 +130,11 @@ def materialize_sequences(manifest, enc, num_parts: int = 16):
     (repeat/cumsum index arithmetic over the flattened id values — no
     per-token Python).  Full sequences have exactly seq_len ids; the
     final partial of each bin keeps its true length with
-    partial=True (callers pad or drop).
+    partial=True — or pads to ``seq_len`` with ``pad_id`` when given
+    (n_tok still reports the REAL token count).
     """
+    if (pad_id is None) != (seq_len is None):
+        raise ValueError("pad_id and seq_len go together")
     import pyarrow.compute as pc
 
     from ..ops.join import hash_join
@@ -184,6 +189,23 @@ def materialize_sequences(manifest, enc, num_parts: int = 16):
                         .astype(np.int32))
         partial = np.maximum.reduceat(
             g.column("partial").to_numpy().astype(np.int8), first) > 0
+        if pad_id is not None:
+            need = seq_len - seq_len_tok
+            if (need < 0).any():
+                raise AssertionError("sequence longer than seq_len")
+            if need.any():
+                # rebuild the flat token array with pad runs appended
+                pieces = []
+                pos = np.r_[0, np.cumsum(seq_len_tok)]
+                for i in range(len(first)):
+                    pieces.append(toks[pos[i]:pos[i + 1]])
+                    if need[i]:
+                        pieces.append(np.full(need[i], pad_id,
+                                              dtype=np.int32))
+                toks = np.concatenate(pieces)
+                offs = pa.array(
+                    np.r_[0, np.cumsum(np.full(len(first), seq_len))]
+                    .astype(np.int32))
         return pa.table({
             "bin": pa.array(bins[first], type=pa.int32()),
             "seq_id": pa.array(seqs[first]),

@@ -182,3 +182,31 @@ def test_materialize_sequences_exact():
             assert list(row.ids) == exp
             assert row.n_tok == len(exp)
             assert row.partial == (len(exp) < L)
+
+
+def test_materialize_sequences_padding():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.encode import (
+        build_vocab, encode_docs)
+    from halvesting_geometric_ray.functions.pack import (
+        materialize_sequences, pack_sequences)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+        "text": pa.array(["a b c", "d e", "f", "g h i j", "k"],
+                         type=pa.string())}))
+    _, ref = build_vocab(docs, vocab_size=20)
+    enc = encode_docs(docs, ref).materialize()
+    man = pack_sequences(docs, seq_len=4, num_bins=2)
+    out = materialize_sequences(man, enc, pad_id=-1, seq_len=4).to_pandas()
+    for r in out.itertuples():
+        assert len(r.ids) == 4
+        ids = list(r.ids)
+        assert ids[:r.n_tok].count(-1) == 0
+        assert all(x == -1 for x in ids[r.n_tok:])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        materialize_sequences(man, enc, pad_id=-1)
