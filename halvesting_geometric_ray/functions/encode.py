@@ -115,3 +115,28 @@ def encode_docs(docs, ref, id_col: str = "doc_id",
 
     return docs.map_batches(encode, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def decode_docs(enc, vocab_table: pa.Table, unk_token: str = "<unk>",
+                out_col: str = "text"):
+    """Inverse of encode_docs for inspection: id lists -> token strings
+    joined by spaces (unk_id -> ``unk_token``).  The vocab table is
+    small by construction — broadcast once."""
+    import ray as _ray
+
+    toks = vocab_table.column("token").to_pylist()
+    ref = _ray.put(np.array(toks + [unk_token], dtype=object))
+
+    def fn(b: pa.Table) -> pa.Table:
+        vocab = _ray.get(ref)
+        ids_col = b.column("ids").combine_chunks()
+        flat = np.asarray(ids_col.values)
+        words = vocab[np.minimum(flat, len(vocab) - 1)]
+        offs = np.asarray(ids_col.offsets)
+        texts = [" ".join(words[offs[i]:offs[i + 1]])
+                 for i in range(len(offs) - 1)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         out_col: pa.array(texts, type=pa.string())})
+
+    return enc.map_batches(fn, batch_format="pyarrow",
+                           zero_copy_batch=True)

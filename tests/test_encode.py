@@ -59,3 +59,17 @@ def test_vocab_validation():
     ds, _ = _docs()
     with pytest.raises(ValueError):
         build_vocab(ds, vocab_size=0)
+
+
+def test_decode_roundtrip():
+    from halvesting_geometric_ray.functions.encode import decode_docs
+
+    ds, texts = _docs()
+    vocab, ref = build_vocab(ds, vocab_size=2)  # a, b in vocab
+    enc = encode_docs(ds, ref)
+    got = (decode_docs(enc, vocab).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, s in enumerate(texts):
+        exp = " ".join(t if t in ("a", "b") else "<unk>"
+                       for t in s.split() if t)
+        assert got.text[i] == exp, (i, s)
