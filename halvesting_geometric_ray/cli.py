@@ -92,6 +92,13 @@ def main(argv=None) -> int:
     sp.add_argument("--cols", required=True,
                     help="comma-separated column names")
 
+    sp = sub.add_parser("encode", help="build a frequency vocab and "
+                        "encode (doc_id, text) parquet to int32 id lists")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--out", required=True,
+                    help="output dir (ids/ + vocab.parquet)")
+    sp.add_argument("--vocab-size", type=int, default=65536)
+
     sp = sub.add_parser("curate", help="corpus curation: normalize -> "
                         "filter -> pii scrub -> exact dedup [-> neardup] "
                         "-> hive-partitioned parquet")
@@ -112,6 +119,24 @@ def main(argv=None) -> int:
         from .config import DEFAULT, EngineConfig, config_from_file
         from .graph.build import build_graph, symmetrize
 
+        if args.cmd == "encode":  # no --workdir/--config args
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            from .functions.encode import build_vocab, encode_docs
+
+            docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+            vocab, ref = build_vocab(docs, vocab_size=args.vocab_size)
+            _os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(vocab, _os.path.join(args.out,
+                                                 "vocab.parquet"))
+            enc = encode_docs(docs, ref)
+            enc.write_parquet(_os.path.join(args.out, "ids"),
+                              compression="zstd")
+            print(json.dumps({"vocab_size": vocab.num_rows,
+                              "out": args.out}))
+            return 0
         if args.cmd == "profile":  # no --workdir/--config args
             from .ops.profile import profile
 
