@@ -99,6 +99,16 @@ def main(argv=None) -> int:
                     help="output dir (ids/ + vocab.parquet)")
     sp.add_argument("--vocab-size", type=int, default=65536)
 
+    sp = sub.add_parser("pack", help="pack encoded docs into fixed-"
+                        "length training sequences (manifest + ids)")
+    sp.add_argument("--docs", required=True,
+                    help="(doc_id, text) parquet — token counts")
+    sp.add_argument("--enc", required=True,
+                    help="encode output dir (ids/ layer)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--seq-len", type=int, default=2048)
+    sp.add_argument("--pad-id", type=int, default=None)
+
     sp = sub.add_parser("curate", help="corpus curation: normalize -> "
                         "filter -> pii scrub -> exact dedup [-> neardup] "
                         "-> hive-partitioned parquet")
@@ -135,6 +145,26 @@ def main(argv=None) -> int:
             enc.write_parquet(_os.path.join(args.out, "ids"),
                               compression="zstd")
             print(json.dumps({"vocab_size": vocab.num_rows,
+                              "out": args.out}))
+            return 0
+        if args.cmd == "pack":  # no --workdir/--config args
+            import os as _os
+
+            from .functions.pack import (materialize_sequences,
+                                         pack_sequences)
+
+            docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+            enc = rd.read_parquet(_os.path.join(args.enc, "ids"))
+            manifest = pack_sequences(docs, seq_len=args.seq_len)
+            seqs = materialize_sequences(
+                manifest, enc,
+                pad_id=args.pad_id,
+                seq_len=args.seq_len if args.pad_id is not None else None)
+            seqs.write_parquet(_os.path.join(args.out, "sequences"),
+                               compression="zstd")
+            n = rd.read_parquet(
+                _os.path.join(args.out, "sequences")).count()
+            print(json.dumps({"sequences": int(n), "seq_len": args.seq_len,
                               "out": args.out}))
             return 0
         if args.cmd == "profile":  # no --workdir/--config args
