@@ -1,0 +1,62 @@
+"""CLI subcommand coverage: profile, encode, pack, curate (in-process
+— cli._session() adopts the pytest session's Ray)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from halvesting_geometric_ray.cli import main
+
+
+def _docs_parquet(tmp_path, n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    words = ["tok%d" % i for i in range(40)]
+    texts = [" ".join(rng.choice(words, 25, replace=False))
+             for _ in range(n)]
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                        "text": texts})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf), p)
+    return p, pdf
+
+
+def test_cli_profile(tmp_path, capsys):
+    p, pdf = _docs_parquet(tmp_path)
+    assert main(["profile", "--table", p, "--cols", "doc_id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_rows"] == len(pdf)
+    assert out["doc_id__min"] == 0 and out["doc_id__max"] == len(pdf) - 1
+
+
+def test_cli_encode_pack_roundtrip(tmp_path, capsys):
+    p, pdf = _docs_parquet(tmp_path)
+    enc_dir = str(tmp_path / "enc")
+    assert main(["encode", "--docs", p, "--out", enc_dir,
+                 "--vocab-size", "50"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["vocab_size"] == 40  # full vocab fits
+    ids = rd.read_parquet(os.path.join(enc_dir, "ids")).to_pandas()
+    assert ids.n_tokens.sum() == 25 * len(pdf)
+
+    pack_dir = str(tmp_path / "packed")
+    assert main(["pack", "--docs", p, "--enc", enc_dir, "--out",
+                 pack_dir, "--seq-len", "64", "--pad-id", "0"]) == 0
+    seqs = rd.read_parquet(os.path.join(pack_dir, "sequences")).to_pandas()
+    assert (seqs.ids.apply(len) == 64).all()
+    assert seqs.n_tok.sum() == 25 * len(pdf)
+
+
+def test_cli_curate(tmp_path, capsys):
+    p, pdf = _docs_parquet(tmp_path)
+    out_dir = str(tmp_path / "curated")
+    assert main(["curate", "--docs", p, "--out", out_dir,
+                 "--workdir", str(tmp_path / "wd"), "--stats"]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["counts"]["normalize"] == len(pdf)
+    assert info["counts"]["exact_dedup"] == len(pdf)  # all distinct
+    assert os.path.isdir(out_dir)
