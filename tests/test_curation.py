@@ -85,3 +85,23 @@ def test_curate_cc_fallback_path(tmp_path):
     df = out.to_pandas()
     assert sorted(df.doc_id) == [0, 4, 5]
     assert info["counts"]["neardup_dedup"] == 3
+
+
+def test_keep_min_by_oracle():
+    import pandas as pd
+
+    from halvesting_geometric_ray.ops.dedup import keep_min_by
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "h": rng.integers(0, 40, 600).astype(np.int64),
+        "id": rng.permutation(600).astype(np.int64),
+        "payload": rng.integers(0, 10**6, 600).astype(np.int64)})
+    got = (keep_min_by(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(6),
+        "h", "id").to_pandas().sort_values("id").reset_index(drop=True))
+    exp = (pdf[pdf.id == pdf.groupby("h").id.transform("min")]
+           .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["h", "id", "payload"]], exp[["h", "id", "payload"]],
+        check_dtype=False)
