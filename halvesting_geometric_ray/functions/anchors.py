@@ -87,7 +87,8 @@ def anchor_edges(pages):
                              zero_copy_batch=True)
 
 
-def incoming_anchors(edges, top_k: int = 3):
+def incoming_anchors(edges, top_k: int = 3,
+                     num_parts: int = 16):
     """Per-target aggregate over (src, dst, anchor) edges:
     (dst, n_links, n_anchors, top_anchors) with top_anchors the top-k
     anchor strings by count (ties: anchor asc) joined by ' | '.
@@ -108,7 +109,7 @@ def incoming_anchors(edges, top_k: int = 3):
         t = df.to_arrow().cast(pa.schema([
             pa.field("dst", pa.string()), pa.field("anchor", pa.string()),
             pa.field("c", pa.int64())]))
-        h = np.asarray(stable_hash64(t.column("dst"))) % 16
+        h = np.asarray(stable_hash64(t.column("dst"))) % num_parts
         return t.append_column("__p", pa.array(h.astype(np.int32)))
 
     def per_part(g: pa.Table) -> pa.Table:
