@@ -154,3 +154,58 @@ def rollup_aggregate(ds, keys: List[str],
         out = out.union(lvl.map_batches(pad(lk), batch_format="pyarrow",
                                         zero_copy_batch=True))
     return out
+
+
+def grouped_collect(ds, keys: List[str], col: str, *,
+                    as_string: bool = False, sep: str = ",",
+                    sort_items: bool = True, max_items: int = 0,
+                    out_col: str = "items", num_parts: int = 16):
+    """SQL ``list(col ORDER BY col)`` / ``string_agg(col, sep ORDER BY
+    col)`` per group: collect each group's values into a list column
+    (or a sep-joined string with ``as_string`` — the engine-exact form
+    a SQL oracle can hash).
+
+    One key-partitioned exchange of (keys, col) rows; assembly is a
+    vectorized lexsort + reduceat per partition.  ``max_items`` > 0
+    truncates each group's SORTED list (top-by-order guard for hub
+    keys — 0 = unbounded, the caller owns the skew risk)."""
+    if not keys:
+        raise ValueError("grouped_collect needs at least one key")
+
+    import numpy as np
+    import polars as pl
+
+    def local(b: pa.Table) -> pa.Table:
+        t = b.select(keys + [col])
+        if len(keys) == 1:
+            h = stable_hash64(t.column(keys[0]))
+        else:
+            h = stable_hash_pair64(t.column(keys[0]), t.column(keys[1]))
+            for k in keys[2:]:
+                h = stable_hash_pair64(pa.array(h), t.column(k))
+        return t.append_column(_PART, pa.array(
+            np.asarray(h) % num_parts, type=pa.int32()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns([_PART]))
+        expr = pl.col(col)
+        if sort_items:
+            expr = expr.sort()
+        if max_items > 0:
+            expr = expr.head(max_items)
+        out = df.group_by(keys).agg(expr.alias(out_col))
+        if as_string:
+            out = out.with_columns(
+                pl.col(out_col).list.eval(
+                    pl.element().cast(pl.String)).list.join(sep))
+        t = out.to_arrow()
+        want_fields = [g.schema.field(k) for k in keys] + [
+            pa.field(out_col, pa.string() if as_string
+                     else pa.list_(g.schema.field(col).type))]
+        return cast_like(t, pa.schema(want_fields))
+
+    prepped = ds.map_batches(local, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

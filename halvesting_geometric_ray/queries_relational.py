@@ -517,6 +517,21 @@ def q_intersect_keys(sf_dir: str):
                      left_schema=kschema, right_schema=kschema)
 
 
+@_q("q_collect_events",
+    "SELECT user_id, string_agg(event_id, ',' ORDER BY event_id) "
+    "AS items FROM events GROUP BY user_id")
+def q_collect_events(sf_dir: str):
+    """Grouped collect (ops/agg.py::grouped_collect): each user's
+    sorted event ids as one joined string (string_agg/collect_list) —
+    one key-partitioned exchange.  SQL-oracled via the demoted
+    _ORACLED_TAIL; list mode + truncation cap pinned in
+    tests/test_distinct.py."""
+    from .ops.agg import grouped_collect
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id"])
+    return grouped_collect(ds, ["user_id"], "event_id", as_string=True)
+
+
 @_q("q_json_props",
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
     "AS k FROM events")

@@ -133,3 +133,31 @@ def test_rollup_validation():
     ds = rd.from_arrow(pa.Table.from_pandas(_df(10)))
     with pytest.raises(ValueError):
         rollup_aggregate(ds, [], {"n": ("count", None)})
+
+
+def test_grouped_collect_matches_duckdb():
+    from halvesting_geometric_ray.ops.agg import grouped_collect
+
+    pdf = _df(1500)
+    got = grouped_collect(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(6),
+        ["g"], "v", as_string=True).to_pandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute("""
+        SELECT g, string_agg(v, ',' ORDER BY v) AS items
+        FROM t GROUP BY g""").fetchdf()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_grouped_collect_list_and_cap():
+    from halvesting_geometric_ray.ops.agg import grouped_collect
+
+    pdf = _df(400)
+    got = (grouped_collect(
+        rd.from_arrow(pa.Table.from_pandas(pdf)).repartition(3),
+        ["g"], "v", max_items=5).to_pandas().set_index("g"))
+    for g, sub in pdf.groupby("g"):
+        exp = sorted(sub.v)[:5]
+        assert list(got.loc[g, "items"]) == exp
