@@ -63,7 +63,8 @@ _ORACLED_TAIL = ["q_union_keys", "q_lead_lag", "q_row_number",
                  "q_distinct_users_per_type", "q_profile_orders",
                  "q_rollup_events", "q_json_props", "q_range_join",
                  "q_compressibility", "q_except_keys", "q_intersect_keys",
-                 "q_collect_events"]
+                 "q_collect_events", "q_stats_lineitem", "q_percent_rank",
+                 "q_cube_events"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",

@@ -30,3 +30,25 @@ def pre_shuffle(ds, num_blocks: int = None):
     from ..config import DEFAULT
 
     return ds.repartition(num_blocks or DEFAULT.shuffle_blocks)
+
+
+def arrow_schema_of(ds) -> pa.Schema:
+    """Best-effort Arrow schema WITHOUT executing the plan.  Parquet
+    reads expose a true pa.Schema from file metadata; pandas-backed
+    datasets (rd.from_pandas, common in tests) expose a
+    PandasBlockSchema whose numpy dtypes we map across (object ->
+    utf8, the pandas string convention)."""
+    import numpy as np
+
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return sch
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+        elif t == np.dtype("O"):
+            fields.append(pa.field(n, pa.string()))
+        else:
+            fields.append(pa.field(n, pa.from_numpy_dtype(t)))
+    return pa.schema(fields)

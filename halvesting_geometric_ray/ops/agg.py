@@ -96,7 +96,12 @@ def rollup_aggregate(ds, keys: List[str],
             raise ValueError(f"unsupported rollup op {op!r} for {name}")
 
     levels = []
-    finest = grouped_aggregate(ds, keys, aggs, num_parts=num_parts)
+    # materialize: the union below would otherwise RE-EXECUTE the full
+    # raw-data lineage once per level (Ray Data shares no common
+    # subplans); the finest level is group-cardinality-sized, so
+    # pinning it in the object store is safe at any data scale
+    finest = grouped_aggregate(ds, keys, aggs,
+                               num_parts=num_parts).materialize()
     levels.append(finest)
     # coarser levels: re-aggregate the previous level's output, with
     # count partials re-summed (the standard partial/final split)
@@ -209,3 +214,103 @@ def grouped_collect(ds, keys: List[str], col: str, *,
     return (pre_shuffle(prepped).groupby(_PART)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def grouping_sets_aggregate(ds, keys: List[str], sets: List[List[str]],
+                            aggs: Dict[str, Tuple[str, Optional[str]]],
+                            num_parts: int = 16):
+    """SQL ``GROUP BY GROUPING SETS / CUBE``: the aggregate at each
+    requested key subset, with nulls in the absent key columns.
+
+    Same lossless re-aggregation plan as rollup_aggregate: the full key
+    set runs the two-level grouped_aggregate over the DATA once; every
+    requested subset re-aggregates that group-cardinality-sized output
+    (sum/min/max re-apply, count partials re-SUM), so the raw data is
+    read exactly once no matter how many sets are requested.  CUBE(k...)
+    is ``sets=[all subsets]`` (see cube_aggregate below).
+
+    Scale shape: cost = one data pass + len(sets) aggregations over
+    tables of at most num_groups rows — at web scale the subsets are
+    effectively free next to the data pass."""
+    if not keys:
+        raise ValueError("grouping sets need at least one key")
+    seen = set()
+    norm_sets = []
+    for s in sets:
+        s = list(s)
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+        key = tuple(sorted(s))
+        if key in seen:
+            raise ValueError(f"duplicate grouping set {s}")
+        seen.add(key)
+        norm_sets.append(s)
+    for name, (op, _col) in aggs.items():
+        if op not in _PARTIAL_FINAL:
+            raise ValueError(f"unsupported grouping-sets op {op!r} for {name}")
+
+    # materialized for the same reason as rollup_aggregate: every
+    # requested set's union branch would re-read the raw data otherwise
+    finest = grouped_aggregate(ds, keys, aggs,
+                               num_parts=num_parts).materialize()
+    reagg = {name: (_PARTIAL_FINAL[op][1], name)
+             for name, (op, _c) in aggs.items()}
+
+    from ._util import arrow_schema_of
+
+    in_schema = arrow_schema_of(ds)
+    key_schema = pa.schema([in_schema.field(k) for k in keys])
+
+    def pad(level_keys):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in level_keys:
+                    cols[k] = b.column(k)
+                else:
+                    cols[k] = pa.nulls(b.num_rows,
+                                       type=key_schema.field(k).type)
+            for name in aggs:
+                cols[name] = b.column(name)
+            return pa.table(cols)
+        return fn
+
+    import polars as pl
+
+    def total(b: pa.Table, _names=tuple(reagg)) -> pa.Table:
+        df = pl.from_arrow(b)
+        exprs = []
+        for name in _names:
+            fop = reagg[name][0]
+            e = pl.col(name)
+            exprs.append({"sum": e.sum(), "min": e.min(),
+                          "max": e.max()}[fop].alias(name))
+        return df.select(exprs).to_arrow().cast(
+            pa.schema([b.schema.field(n) for n in _names]))
+
+    out = None
+    for s in norm_sets:
+        if set(s) == set(keys):
+            lvl = finest
+        elif s:
+            lvl = grouped_aggregate(finest, s, reagg, num_parts=num_parts)
+        else:
+            lvl = finest.repartition(1).map_batches(
+                total, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True)
+        padded = lvl.map_batches(pad(s), batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        out = padded if out is None else out.union(padded)
+    return out
+
+
+def cube_aggregate(ds, keys: List[str],
+                   aggs: Dict[str, Tuple[str, Optional[str]]],
+                   num_parts: int = 16):
+    """SQL ``GROUP BY CUBE(keys...)``: all 2^len(keys) grouping sets."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, sets, aggs,
+                                   num_parts=num_parts)

@@ -209,3 +209,65 @@ def cumulative(ds, partition_by, order_by, aggs: Dict[str, tuple],
     return (pre_shuffle(prepped).groupby(_PART)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def relative_rank(ds, partition_by, order_by,
+                  method="percent_rank",
+                  out_col: Optional[str] = None, descending: bool = False,
+                  num_parts: int = 16):
+    """SQL ``percent_rank() / cume_dist() OVER (PARTITION BY ... ORDER
+    BY ...)``.  ``method`` is either one function name (output column
+    ``out_col or method``) or a {out_col: method} dict computing several
+    relative ranks in ONE exchange.
+
+    percent_rank = (rank_min - 1) / (window_rows - 1)  (0.0 for a
+    single-row window, the Postgres/DuckDB convention); cume_dist =
+    rank_max / window_rows.  Both are ratios of small ints computed in
+    float64, so they hash-match any engine evaluating the same formula
+    — no rounding discipline needed (unlike the moment aggregates).
+    Tie rows receive identical values by construction, so no tie_break
+    is required for determinism.  Same one-exchange scale shape as
+    row_number above."""
+    import polars as pl
+
+    if isinstance(method, str):
+        outs = {out_col or method: method}
+    else:  # {out_col: method} — both functions in ONE exchange
+        outs = dict(method)
+    for m in outs.values():
+        if m not in ("percent_rank", "cume_dist"):
+            raise ValueError(f"unknown relative rank method {m!r}")
+
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .sort(pkeys + okeys,
+                    descending=[False] * len(pkeys)
+                    + [descending] * len(okeys), maintain_order=True))
+        key = pl.struct([pl.col(c) for c in okeys])
+        n = pl.len().over(pkeys).cast(pl.Float64)
+        exprs = []
+        for name, m in outs.items():
+            if m == "percent_rank":
+                r = key.rank("min", descending=descending).over(pkeys) \
+                       .cast(pl.Float64)
+                e = pl.when(n > 1).then((r - 1.0) / (n - 1.0)).otherwise(0.0)
+            else:
+                r = key.rank("max", descending=descending).over(pkeys) \
+                       .cast(pl.Float64)
+                e = r / n
+            exprs.append(e.alias(name))
+        df = df.with_columns(exprs)
+        want = g.schema.remove(g.schema.get_field_index(_PART))
+        for name in outs:
+            want = want.append(pa.field(name, pa.float64()))
+        return cast_like(df.to_arrow(), want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -850,3 +850,94 @@ def q_heavy_hitters(sf_dir: str):
 
     ev = _t(sf_dir, "events", columns=["user_id"])
     return heavy_hitters(ev, "user_id", k=20, capacity=65536)
+
+
+@_q("q_stats_lineitem",
+    "SELECT l_returnflag, "
+    "round(avg(l_quantity), 6) AS mean_qty, "
+    "round(var_samp(l_quantity), 6) AS var_qty, "
+    "round(stddev_samp(l_quantity), 6) AS std_qty, "
+    "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price, "
+    "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
+    "FROM lineitem GROUP BY l_returnflag")
+def q_stats_lineitem(sf_dir: str):
+    """Grouped statistical moments (ops/stats.py::moments_aggregate):
+    VAR_SAMP / STDDEV_SAMP / COVAR_SAMP / CORR in one pass — per-batch
+    raw-moment combiner, one group-cardinality exchange, closed-form
+    finish.  Rounded on BOTH sides (6dp; covariance 2dp — its magnitude
+    is ~1e4 so 2dp is the same relative tolerance) because summation
+    order differs between engines.  SQL-oracled via the demoted
+    _ORACLED_TAIL; DuckDB parity swept by tests/test_queries_relational."""
+    from .ops.stats import moments_aggregate
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = moments_aggregate(
+        ds, ["l_returnflag"],
+        {"mean_qty": ("mean", "l_quantity"),
+         "var_qty": ("var", "l_quantity"),
+         "std_qty": ("std", "l_quantity"),
+         "covar_qty_price": ("covar", ("l_quantity", "l_extendedprice")),
+         "corr_qty_price": ("corr", ("l_quantity", "l_extendedprice"))},
+        round_to=6)
+
+    def reround(b: pa.Table) -> pa.Table:
+        v = np.round(b.column("covar_qty_price").to_numpy(zero_copy_only=False), 2)
+        i = b.column_names.index("covar_qty_price")
+        return b.set_column(i, "covar_qty_price", pa.array(v, type=pa.float64()))
+
+    return out.map_batches(reround, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@_q("q_percent_rank",
+    "SELECT event_id, user_id, "
+    "percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank, "
+    "cume_dist() OVER (PARTITION BY user_id ORDER BY value) AS cume "
+    "FROM events")
+def q_percent_rank(sf_dir: str):
+    """percent_rank() + cume_dist() windows (ops/window.py::
+    relative_rank): per-user relative position of each event by value.
+    Both are int/int float64 ratios so they hash exactly across engines
+    (no rounding needed); tie rows get identical values by construction.
+    SQL-oracled via the demoted _ORACLED_TAIL; exact DuckDB parity swept
+    by tests/test_queries_relational.py."""
+    from .ops.window import relative_rank
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = relative_rank(ds, "user_id", "value",
+                        method={"pct_rank": "percent_rank",
+                                "cume": "cume_dist"})
+    return out.select_columns(["event_id", "user_id", "pct_rank", "cume"])
+
+
+@_q("q_cube_events",
+    "WITH c AS (SELECT event_type, "
+    "CAST(user_id % 8 AS BIGINT) AS user_bucket, "
+    "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_type, user_bucket, count(*) AS n_events, "
+    "sum(cents) AS cents_sum, max(cents) AS cents_max FROM c "
+    "GROUP BY CUBE(event_type, user_bucket)")
+def q_cube_events(sf_dir: str):
+    """GROUP BY CUBE (ops/agg.py::cube_aggregate): the aggregate at all
+    four grouping sets of (event_type, user_bucket) — raw data read
+    once, every subset re-aggregates the finest level's group-sized
+    output losslessly.  Integer cents so sums hash exactly.  SQL-oracled
+    via the demoted _ORACLED_TAIL; DuckDB parity swept by
+    tests/test_queries_relational.py."""
+    from .ops.agg import cube_aggregate
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        ub = (b.column("user_id").to_numpy() % 8).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "user_bucket": pa.array(ub),
+                         "cents": pa.array(v)})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return cube_aggregate(ds, ["event_type", "user_bucket"],
+                          {"n_events": ("count", None),
+                           "cents_sum": ("sum", "cents"),
+                           "cents_max": ("max", "cents")})

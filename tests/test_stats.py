@@ -1,0 +1,142 @@
+"""moments_aggregate / relative_rank / grouping-sets edge cases vs
+DuckDB and closed-form oracles (the happy paths are swept by the
+oracle-parity tests in test_queries_relational.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.ops.agg import (cube_aggregate,
+                                              grouping_sets_aggregate)
+from halvesting_geometric_ray.ops.stats import moments_aggregate
+from halvesting_geometric_ray.ops.window import relative_rank
+
+
+def _norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _duck(pdf, sql):
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return con.execute(sql).fetchdf()
+
+
+def _rand(n=2000, seed=7, groups=13):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "g": rng.integers(0, groups, n).astype(np.int64),
+        "x": rng.normal(10.0, 3.0, n),
+        "y": rng.normal(100.0, 25.0, n) + 2.5 * rng.normal(10.0, 3.0, n),
+    })
+
+
+def test_moments_match_duckdb():
+    pdf = _rand()
+    out = moments_aggregate(
+        rd.from_pandas(pdf), ["g"],
+        {"mean_x": ("mean", "x"), "var_x": ("var", "x"),
+         "std_x": ("std", "x"), "cov_xy": ("covar", ("x", "y")),
+         "corr_xy": ("corr", ("x", "y"))},
+        round_to=8).to_pandas()
+    exp = _duck(pdf, "SELECT g, round(avg(x), 8) AS mean_x, "
+                     "round(var_samp(x), 8) AS var_x, "
+                     "round(stddev_samp(x), 8) AS std_x, "
+                     "round(covar_samp(x, y), 8) AS cov_xy, "
+                     "round(corr(x, y), 8) AS corr_xy FROM t GROUP BY g")
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_moments_singleton_group_nulls():
+    pdf = pd.DataFrame({"g": [1, 2, 2], "x": [5.0, 1.0, 3.0],
+                        "y": [2.0, 1.0, 7.0]})
+    out = moments_aggregate(
+        rd.from_pandas(pdf), ["g"],
+        {"mean_x": ("mean", "x"), "var_x": ("var", "x"),
+         "cov_xy": ("covar", ("x", "y"))}).to_pandas().set_index("g")
+    # n=1: mean defined, sample var/covar NULL (SQL semantics)
+    assert out.loc[1, "mean_x"] == 5.0
+    assert pd.isna(out.loc[1, "var_x"]) and pd.isna(out.loc[1, "cov_xy"])
+    assert out.loc[2, "var_x"] == pytest.approx(2.0)
+    assert out.loc[2, "cov_xy"] == pytest.approx(6.0)
+
+
+def test_corr_zero_variance_null():
+    pdf = pd.DataFrame({"g": [0] * 4, "x": [3.0] * 4,
+                        "y": [1.0, 2.0, 3.0, 4.0]})
+    out = moments_aggregate(rd.from_pandas(pdf), ["g"],
+                            {"c": ("corr", ("x", "y"))}).to_pandas()
+    assert pd.isna(out["c"].iloc[0])
+
+
+def test_moments_population_ddof0():
+    pdf = pd.DataFrame({"g": [0] * 5, "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = moments_aggregate(rd.from_pandas(pdf), ["g"],
+                            {"v": ("var", "x")}, ddof=0).to_pandas()
+    assert out["v"].iloc[0] == pytest.approx(2.0)  # population variance
+
+
+def test_moments_rejects_unknown_op():
+    with pytest.raises(ValueError, match="unsupported moment op"):
+        moments_aggregate(rd.from_pandas(_rand(50)), ["g"],
+                          {"m": ("median", "x")})
+
+
+def test_percent_rank_single_row_window_is_zero():
+    pdf = pd.DataFrame({"g": [1, 2, 2, 2], "v": [9.0, 1.0, 2.0, 2.0]})
+    out = relative_rank(rd.from_pandas(pdf), "g", "v",
+                        method="percent_rank").to_pandas()
+    got = out.set_index(["g", "v"])["percent_rank"]
+    assert (got.loc[[(1, 9.0)]] == 0.0).all()  # single-row window
+    assert (got.loc[[(2, 1.0)]] == 0.0).all()
+    assert (got.loc[[(2, 2.0)]] == 0.5).all()  # ties share the min rank
+
+
+def test_cume_dist_matches_duckdb():
+    pdf = _rand(800, seed=11, groups=7).rename(columns={"x": "v"})
+    out = relative_rank(rd.from_pandas(pdf[["g", "v"]]), "g", "v",
+                        method="cume_dist", out_col="cd").to_pandas()
+    exp = _duck(pdf, "SELECT g, v, cume_dist() OVER "
+                     "(PARTITION BY g ORDER BY v) AS cd FROM t")
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp[["g", "v", "cd"]]),
+                                  check_dtype=False, check_exact=True)
+
+
+def test_grouping_sets_subset_of_cube():
+    pdf = pd.DataFrame({"a": [1, 1, 2, 2], "b": ["x", "y", "x", "y"],
+                        "v": [10, 20, 30, 40]})
+    out = grouping_sets_aggregate(
+        rd.from_pandas(pdf), ["a", "b"], [["a"], []],
+        {"s": ("sum", "v")}).to_pandas()
+    # keys=(a, b) but no requested set contains b -> b is typed NULL
+    # padding in every output row (the SQL shape keeps the column)
+    exp = _duck(pdf, "SELECT a, CAST(NULL AS VARCHAR) AS b, sum(v) AS s "
+                     "FROM t GROUP BY GROUPING SETS ((a), ())")
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_cube_three_keys_matches_duckdb():
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"a": rng.integers(0, 3, 300).astype(np.int64),
+                        "b": rng.integers(0, 4, 300).astype(np.int64),
+                        "c": rng.integers(0, 2, 300).astype(np.int64),
+                        "v": rng.integers(1, 50, 300).astype(np.int64)})
+    out = cube_aggregate(rd.from_pandas(pdf), ["a", "b", "c"],
+                         {"n": ("count", None), "s": ("sum", "v"),
+                          "mx": ("max", "v")}).to_pandas()
+    exp = _duck(pdf, "SELECT a, b, c, count(*) AS n, sum(v) AS s, "
+                     "max(v) AS mx FROM t GROUP BY CUBE(a, b, c)")
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_grouping_sets_validation():
+    ds = rd.from_pandas(pd.DataFrame({"a": [1], "b": [2], "v": [3]}))
+    with pytest.raises(ValueError, match="not a subset"):
+        grouping_sets_aggregate(ds, ["a"], [["b"]], {"s": ("sum", "v")})
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_aggregate(ds, ["a", "b"], [["a"], ["a"]],
+                                {"s": ("sum", "v")})
