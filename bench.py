@@ -102,6 +102,13 @@ def run_bench() -> dict:
                                 shards_dir=f"{wd}/csr")
     t_walks = time.time() - t6
 
+    from halvesting_geometric_ray.graph.scc import (
+        strongly_connected_components)
+
+    t7 = time.time()
+    _, scc_info = strongly_connected_components(edges, g.offsets, wd)
+    t_scc = time.time() - t7
+
     queries: dict = {
         "graph_build": round(t_build, 3),
         "pagerank": round(t_pr, 3),
@@ -110,6 +117,7 @@ def run_bench() -> dict:
         "hits_25_iters": round(t_hits, 3),
         "anf_hyperball": round(t_anf, 3),
         "random_walks_len8": round(t_walks, 3),
+        "scc": round(t_scc, 3),
     }
 
     # sample of conformance queries over the sf tables
@@ -148,6 +156,7 @@ def run_bench() -> dict:
         "n_edges": g.meta["num_edges"],
         "cc_iters": cc_info["num_iters"],
         "n_triangles": int(n_tri),
+        "n_sccs": int(scc_info["n_sccs"]),
         "pagerank_iters": iters,
         "pagerank_converged": info["converged"],
         "edges_per_sec_per_iter": round(eps_iter, 1),

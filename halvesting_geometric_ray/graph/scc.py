@@ -377,9 +377,11 @@ def strongly_connected_components(
     num_parts = len(offsets) - 1
     max_outer = max_outer if max_outer is not None else cfg.max_iters
 
+    # forward CSR = the directed shards pagerank/hits build: same dir +
+    # same lineage stamp so the cache is shared, not defeated
     fdescs = build_csr_shards(edges, offsets,
-                              fwd_shards_dir or f"{workdir}/csr_scc_fwd",
-                              lineage={"kind": "scc_fwd"})
+                              fwd_shards_dir or f"{workdir}/csr",
+                              lineage={"kind": "directed"})
     bdescs = build_csr_shards(_swap(edges), offsets,
                               bwd_shards_dir or f"{workdir}/csr_scc_bwd",
                               lineage={"kind": "scc_bwd"})
@@ -492,3 +494,61 @@ def strongly_connected_components(
         [pa.field("part", pa.int32()), pa.field("vid", pa.int64()),
          pa.field("scc", pa.int64())]).empty_table()]
     return rd.from_arrow(tables), info
+
+
+def condensation(edges, labels, cfg: EngineConfig = DEFAULT):
+    """Weighted condensation of a directed graph: contract every SCC to
+    one vertex (its label from ``strongly_connected_components``) and
+    keep inter-SCC edges with their multiplicity.  The result is a DAG
+    — the macro-structure a bow-tie census summarizes, kept exact.
+
+    Scale shape (the host-graph contraction / modularity pattern): two
+    bucketed hash joins attach endpoint labels (labels is |V|-sized,
+    never broadcast), a per-batch pair combiner pre-counts, and one
+    grouped sum reduces to the condensed edge list.  Returns
+    ds(src_scc, dst_scc, n_edges) over the DISTINCT input edge set.
+    """
+    from ..ops.agg import grouped_aggregate
+    from ..ops.join import hash_join
+
+    i64 = pa.int64()
+    la = labels.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "l_src": b.column("scc")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    lb = labels.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "l_dst": b.column("scc")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(edges, la, on="src", right_on="vid",
+                   num_parts=cfg.num_parts,
+                   left_schema=pa.schema([("src", i64), ("dst", i64)]),
+                   right_schema=pa.schema([("vid", i64), ("l_src", i64)]))
+    j2 = hash_join(j1, lb, on="dst", right_on="vid",
+                   num_parts=cfg.num_parts,
+                   left_schema=pa.schema([("dst", i64), ("src", i64),
+                                          ("l_src", i64)]),
+                   right_schema=pa.schema([("vid", i64), ("l_dst", i64)]))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ls = b.column("l_src").to_numpy()
+        ld = b.column("l_dst").to_numpy()
+        keep = ls != ld
+        ls, ld = ls[keep], ld[keep]
+        if ls.size == 0:
+            return pa.schema([("src_scc", i64), ("dst_scc", i64),
+                              ("n_edges", i64)]).empty_table()
+        order = np.lexsort((ld, ls))
+        ls, ld = ls[order], ld[order]
+        new = np.ones(ls.size, dtype=bool)
+        new[1:] = (ls[1:] != ls[:-1]) | (ld[1:] != ld[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, ls.size))
+        return pa.table({"src_scc": pa.array(ls[starts]),
+                         "dst_scc": pa.array(ld[starts]),
+                         "n_edges": pa.array(cnt.astype(np.int64))})
+
+    return grouped_aggregate(
+        j2.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["src_scc", "dst_scc"], {"n_edges": ("sum", "n_edges")},
+        num_parts=cfg.num_parts)

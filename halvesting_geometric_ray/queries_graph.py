@@ -151,6 +151,22 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"SELECT sz AS size, count(*) AS n_sccs FROM "
             f"(SELECT rep, count(*) AS sz FROM scc GROUP BY rep) "
             f"GROUP BY sz",
+        # condensation DAG certification at the url level: inter-SCC
+        # edges with multiplicity over the distinct directed edge set,
+        # endpoints named by their SCC's min-url representative
+        "q_condensation_urls":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT DISTINCT src_url AS a, dst_url AS b FROM {A}), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, e.b AS reach FROM walk w "
+            f"JOIN e ON e.a = w.reach), "
+            f"scc AS (SELECT f.v, min(f.reach) AS rep FROM walk f "
+            f"JOIN walk b ON b.v = f.reach AND b.reach = f.v GROUP BY f.v) "
+            f"SELECT s1.rep AS src_scc_url, s2.rep AS dst_scc_url, "
+            f"count(*) AS n_edges FROM e "
+            f"JOIN scc s1 ON s1.v = e.a JOIN scc s2 ON s2.v = e.b "
+            f"WHERE s1.rep <> s2.rep GROUP BY 1, 2",
         # per-VERTEX triangle certification: triple self-join over the
         # distinct canonical (lexicographic min/max) anchor pairs — the
         # undirected edge SET is vid-order-independent, so counts match
@@ -571,6 +587,57 @@ def q_scc_size_distribution(sf_dir: str):
                               {"size": ("count", None)})
     return grouped_aggregate(sizes.select_columns(["size"]), ["size"],
                              {"n_sccs": ("count", None)})
+
+
+@_q("q_condensation_urls")
+def q_condensation_urls(sf_dir: str):
+    """Condensation DAG at the url level: inter-SCC edges with
+    multiplicity, endpoints named by the SCC's min-url representative
+    (graph/scc.py::condensation — two bucketed label joins + pair
+    combiner + grouped sum; never broadcasts the label table).
+    Gate-pinned; oracle = directed closure + mutual-reachability rep."""
+    from .graph.scc import condensation, strongly_connected_components
+    from .ops.agg import grouped_aggregate
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    labels, _ = strongly_connected_components(
+        read_layer(g.edges), g.offsets, g.workdir)
+    lab = labels.select_columns(["vid", "scc"])
+    cond = condensation(read_layer(g.edges), lab)
+
+    # scc label -> representative url (= min url over the component)
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    i64 = pa.int64()
+    lab_schema = pa.schema([("vid", i64), ("scc", i64)])
+    v_schema = pa.schema([("url", pa.string()), ("vid", i64)])
+    withurl = hash_join(lab, v, on="vid", right_on="vid",
+                        num_parts=DEFAULT.num_parts,
+                        left_schema=lab_schema, right_schema=v_schema)
+    rep = grouped_aggregate(withurl.select_columns(["scc", "url"]),
+                            ["scc"], {"rep": ("min", "url")}).materialize()
+
+    cond_schema = pa.schema([("src_scc", i64), ("dst_scc", i64),
+                             ("n_edges", i64)])
+    rep_schema = pa.schema([("scc", i64), ("rep", pa.string())])
+    j1 = hash_join(cond, rep, on="src_scc", right_on="scc",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=cond_schema, right_schema=rep_schema)
+    j1 = j1.map_batches(
+        lambda b: pa.table({"dst_scc": b.column("dst_scc"),
+                            "n_edges": b.column("n_edges"),
+                            "src_scc_url": b.column("rep")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([("dst_scc", i64), ("n_edges", i64),
+                           ("src_scc_url", pa.string())])
+    j2 = hash_join(j1, rep, on="dst_scc", right_on="scc",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=j1_schema, right_schema=rep_schema)
+    return j2.map_batches(
+        lambda b: pa.table({"src_scc_url": b.column("src_scc_url"),
+                            "dst_scc_url": b.column("rep"),
+                            "n_edges": b.column("n_edges")}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 @_q("q_triangles_urls")

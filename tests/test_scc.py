@@ -127,6 +127,37 @@ def test_scc_partitioning_and_actor_independent(tmp_path):
         assert (got.scc.to_numpy() == exp).all(), (parts, actors)
 
 
+def test_condensation_matches_oracle(tmp_path):
+    from halvesting_geometric_ray.graph.scc import condensation
+
+    rng = np.random.default_rng(7)
+    n = 100
+    m = rng.random((n, n)) < 0.06
+    src, dst = np.nonzero(m)
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": src.astype(np.int64), "dst": dst.astype(np.int64)}))
+    offsets = np.array([0, 40, n], dtype=np.int64)
+    labels, _ = strongly_connected_components(edges, offsets,
+                                              str(tmp_path / "cond"))
+    got = condensation(edges, labels.select_columns(["vid", "scc"])) \
+        .to_pandas().sort_values(["src_scc", "dst_scc"]).reset_index(drop=True)
+
+    lab = tarjan_max_labels(n, src, dst)
+    df = pd.DataFrame({"a": lab[src], "b": lab[dst]})
+    exp = (df[df.a != df.b].groupby(["a", "b"]).size()
+           .reset_index(name="n_edges")
+           .rename(columns={"a": "src_scc", "b": "dst_scc"})
+           .sort_values(["src_scc", "dst_scc"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the condensation is a DAG: SCC of it is all singletons
+    ids = np.unique(np.concatenate([got.src_scc, got.dst_scc]))
+    remap = {v: i for i, v in enumerate(ids)}
+    cl = tarjan_max_labels(len(ids),
+                           got.src_scc.map(remap).to_numpy(),
+                           got.dst_scc.map(remap).to_numpy())
+    assert len(np.unique(cl)) == len(ids)
+
+
 def test_scc_two_cliques_one_bridge(tmp_path):
     # two complete digraphs (each one SCC) joined by a one-way bridge
     k = 8
