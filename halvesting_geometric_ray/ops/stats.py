@@ -151,3 +151,82 @@ def moments_aggregate(ds, keys: List[str],
     return (pre_shuffle(prepped).groupby(_PART)
             .map_groups(final, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def grouped_quantile_exact(ds, keys: List[str], col: str,
+                           qs: List[float], out_cols: List[str] = None,
+                           num_parts: int = 16):
+    """EXACT per-group continuous quantiles — SQL ``quantile_cont(col,
+    q)`` / ``median(col)`` semantics: linear interpolation at rank
+    q*(n-1) over the sorted group (DuckDB's interpolate form
+    ``lo + frac*(hi - lo)``, hash-exact against it on float64).
+
+    One key-partitioned exchange of (keys, col) rows; per-bucket
+    assembly is a vectorized sort + segmented gather-interpolate (no
+    per-group loop).  NULLs in ``col`` are dropped (SQL aggregate
+    semantics); groups whose values are all NULL are omitted.
+
+    Scale shape: exact quantiles are not mergeable, so this ships the
+    RAW column through the exchange — the certification / small-group
+    path.  For bounded-memory approximation over hub keys use
+    ops/sketch.py::grouped_quantile_sketch (KLL); same API, rank error
+    <1% at k=256.
+    """
+    if not keys:
+        raise ValueError("grouped_quantile_exact needs at least one key")
+    qs = [float(q) for q in qs]
+    if not qs or any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError(f"quantiles must lie in [0, 1]: {qs}")
+    out_cols = out_cols or [f"q{q}" for q in qs]
+    if len(out_cols) != len(qs):
+        raise ValueError("out_cols must align with qs")
+
+    import polars as pl
+
+    def local(b: pa.Table) -> pa.Table:
+        t = b.select(keys + [col])
+        if len(keys) == 1:
+            h = stable_hash64(t.column(keys[0]))
+        else:
+            h = stable_hash_pair64(t.column(keys[0]), t.column(keys[1]))
+            for k in keys[2:]:
+                h = stable_hash_pair64(pa.array(h), t.column(k))
+        return t.append_column(_PART, pa.array(
+            np.asarray(h) % num_parts, type=pa.int32()))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        want = pa.schema([g.schema.field(k) for k in keys] +
+                         [pa.field(c, pa.float64()) for c in out_cols])
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .drop_nulls(subset=[col]).sort(keys + [col]))
+        if df.height == 0:
+            return want.empty_table()
+        neq = df.select(pl.any_horizontal(
+            [pl.col(k).ne_missing(pl.col(k).shift(1)) for k in keys])
+            .alias("__b")).to_numpy().ravel().astype(bool)
+        neq[0] = True
+        starts = np.flatnonzero(neq)
+        v = df[col].to_numpy().astype(np.float64)
+        length = np.diff(np.append(starts, v.size))
+        cols = dict(zip(keys, df.select(keys).to_arrow()
+                        .take(starts).columns))
+        for q, name in zip(qs, out_cols):
+            # DuckDB's Interpolator form, reproduced bit-for-bit:
+            # RN = q*(n-1); integer rank -> the element itself, else
+            # lo*(CRN-RN) + hi*(RN-FRN)
+            rel = q * (length - 1)
+            frn = np.floor(rel)
+            crn = np.ceil(rel)
+            vlo = v[starts + frn.astype(np.int64)]
+            vhi = v[starts + crn.astype(np.int64)]
+            cols[name] = pa.array(
+                np.where(frn == crn, vlo,
+                         vlo * (crn - rel) + vhi * (rel - frn)),
+                type=pa.float64())
+        return cast_like(pa.table(cols), want)
+
+    prepped = ds.map_batches(local, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -890,6 +890,27 @@ def q_stats_lineitem(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_quantiles_prices",
+    "SELECT l_returnflag, "
+    "quantile_cont(l_extendedprice, 0.25) AS p25, "
+    "median(l_extendedprice) AS median_price, "
+    "quantile_cont(l_extendedprice, 0.75) AS p75 "
+    "FROM lineitem GROUP BY l_returnflag")
+def q_quantiles_prices(sf_dir: str):
+    """EXACT grouped quantiles (ops/stats.py::grouped_quantile_exact):
+    quantile_cont / median semantics, hash-exact vs DuckDB (linear
+    interpolation ``lo + frac*(hi-lo)`` on float64 — the two engines
+    compute the identical two-element expression, no summation-order
+    drift).  The certification twin of the KLL sketch path
+    (q_group_quantiles).  SQL-oracled via the demoted _ORACLED_TAIL."""
+    from .ops.stats import grouped_quantile_exact
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantile_exact(ds, ["l_returnflag"], "l_extendedprice",
+                                  [0.25, 0.5, 0.75],
+                                  ["p25", "median_price", "p75"])
+
+
 @_q("q_percent_rank",
     "SELECT event_id, user_id, "
     "percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank, "

@@ -140,3 +140,72 @@ def test_grouping_sets_validation():
     with pytest.raises(ValueError, match="duplicate"):
         grouping_sets_aggregate(ds, ["a", "b"], [["a"], ["a"]],
                                 {"s": ("sum", "v")})
+
+
+class TestGroupedQuantileExact:
+    def _run(self, df, keys, col, qs, names, **kw):
+        import ray.data as rd
+
+        from halvesting_geometric_ray.ops.stats import grouped_quantile_exact
+
+        out = grouped_quantile_exact(rd.from_pandas(df), keys, col, qs,
+                                     names, **kw)
+        return out.to_pandas().sort_values(keys).reset_index(drop=True)
+
+    def test_matches_numpy_exactly(self):
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 7, 5000),
+            "v": rng.normal(100.0, 42.0, 5000)})
+        got = self._run(df, ["k"], "v", [0.25, 0.5, 0.9],
+                        ["p25", "p50", "p90"], num_parts=5)
+        for _, row in got.iterrows():
+            v = np.sort(df.loc[df.k == row.k, "v"].to_numpy())
+            for q, name in [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]:
+                rel = q * (len(v) - 1)
+                frn, crn = np.floor(rel), np.ceil(rel)
+                if frn == crn:
+                    exp = v[int(frn)]
+                else:
+                    exp = v[int(frn)] * (crn - rel) + v[int(crn)] * (rel - frn)
+                assert row[name] == exp, (row.k, q)
+
+    def test_duckdb_hash_exact(self):
+        import duckdb
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 999),
+            "v": rng.lognormal(3.0, 1.0, 999)})
+        got = self._run(df, ["k"], "v", [0.5, 0.123], ["med", "q123"],
+                        num_parts=3)
+        exp = (duckdb.connect().execute(
+            "SELECT k, median(v) AS med, quantile_cont(v, 0.123) AS q123 "
+            "FROM df GROUP BY k ORDER BY k").fetchdf())
+        pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+    def test_nulls_dropped_and_multikey(self):
+        df = pd.DataFrame({
+            "a": ["x", "x", "x", "y", "y", "y"],
+            "b": [1, 1, 1, 2, 2, 2],
+            "v": [1.0, None, 3.0, None, None, 8.0]})
+        got = self._run(df, ["a", "b"], "v", [0.5], ["med"])
+        assert got.med.tolist() == [2.0, 8.0]  # nulls dropped pre-rank
+        # all-null group vanishes
+        df2 = pd.DataFrame({"a": ["z", "w"], "b": [0, 0],
+                            "v": [None, 5.0]})
+        got2 = self._run(df2, ["a", "b"], "v", [0.5], ["med"])
+        assert got2.a.tolist() == ["w"]
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from halvesting_geometric_ray.ops.stats import grouped_quantile_exact
+
+        ds = rd.from_pandas(pd.DataFrame({"k": [1], "v": [1.0]}))
+        with pytest.raises(ValueError):
+            grouped_quantile_exact(ds, [], "v", [0.5])
+        with pytest.raises(ValueError):
+            grouped_quantile_exact(ds, ["k"], "v", [1.5])
+        with pytest.raises(ValueError):
+            grouped_quantile_exact(ds, ["k"], "v", [0.5], ["a", "b"])
