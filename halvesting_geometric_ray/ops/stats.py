@@ -158,8 +158,8 @@ def grouped_quantile_exact(ds, keys: List[str], col: str,
                            num_parts: int = 16):
     """EXACT per-group continuous quantiles — SQL ``quantile_cont(col,
     q)`` / ``median(col)`` semantics: linear interpolation at rank
-    q*(n-1) over the sorted group (DuckDB's interpolate form
-    ``lo + frac*(hi - lo)``, hash-exact against it on float64).
+    q*(n-1) over the sorted group (DuckDB's Interpolator form
+    ``lo*(CRN-RN) + hi*(RN-FRN)``, hash-exact against it on float64).
 
     One key-partitioned exchange of (keys, col) rows; per-bucket
     assembly is a vectorized sort + segmented gather-interpolate (no
@@ -230,3 +230,37 @@ def grouped_quantile_exact(ds, keys: List[str], col: str,
     return (pre_shuffle(prepped).groupby(_PART)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def grouped_mode(ds, keys: List[str], col: str, *, out_col: str = "mode",
+                 with_count: bool = False, num_parts: int = 16):
+    """Deterministic per-group MODE: the most frequent value of ``col``,
+    ties broken by the SMALLEST value — a total order, so the result is
+    partitioning-independent and SQL-expressible (row_number() OVER
+    (ORDER BY count DESC, value ASC) = 1), unlike engines' unspecified
+    native mode() tie behavior.
+
+    Pure composition of existing exchanges: a two-level (keys, col)
+    count (combiner shrinks the exchange to distinct pairs) followed by
+    the grouped top-1 over the count table — cost scales with distinct
+    (key, value) pairs, never row count.  NULL values count like any
+    other group key per GROUP BY semantics; callers wanting SQL
+    aggregate NULL-dropping should filter first."""
+    from .agg import grouped_aggregate
+    from .topk import grouped_top_k
+
+    counts = grouped_aggregate(ds, keys + [col],
+                               {"__cnt": ("count", None)},
+                               num_parts=num_parts)
+    top = grouped_top_k(counts, keys, "__cnt", 1, descending=True,
+                        tie_break=[col], num_parts=num_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {k: b.column(k) for k in keys}
+        cols[out_col] = b.column(col)
+        if with_count:
+            cols["n"] = b.column("__cnt")
+        return pa.table(cols)
+
+    return top.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

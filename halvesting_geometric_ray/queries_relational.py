@@ -911,6 +911,26 @@ def q_quantiles_prices(sf_dir: str):
                                   ["p25", "median_price", "p75"])
 
 
+@_q("q_mode_event_type",
+    "SELECT user_id, event_type AS mode_type, c AS n FROM ("
+    "SELECT user_id, event_type, count(*) AS c, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY count(*) DESC, event_type ASC) AS rn "
+    "FROM events GROUP BY user_id, event_type) WHERE rn = 1")
+def q_mode_event_type(sf_dir: str):
+    """Deterministic grouped MODE (ops/stats.py::grouped_mode): each
+    user's most frequent event type, ties to the smallest value — a
+    total order, so it is exactly SQL-reproducible (row_number OVER
+    count DESC, value ASC), unlike native mode()'s unspecified ties.
+    Two group-cardinality exchanges, never row-sized.  SQL-oracled via
+    the demoted _ORACLED_TAIL."""
+    from .ops.stats import grouped_mode
+
+    ds = _t(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ds, ["user_id"], "event_type",
+                        out_col="mode_type", with_count=True)
+
+
 @_q("q_percent_rank",
     "SELECT event_id, user_id, "
     "percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank, "
