@@ -69,7 +69,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_compressibility", "q_except_keys", "q_intersect_keys",
                  "q_collect_events", "q_stats_lineitem", "q_percent_rank",
                  "q_cube_events", "q_condensation_urls",
-                 "q_quantiles_prices", "q_mode_event_type"]
+                 "q_quantiles_prices", "q_mode_event_type",
+                 "q_toposort_urls"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",

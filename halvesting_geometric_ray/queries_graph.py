@@ -167,6 +167,25 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"count(*) AS n_edges FROM e "
             f"JOIN scc s1 ON s1.v = e.a JOIN scc s2 ON s2.v = e.b "
             f"WHERE s1.rep <> s2.rep GROUP BY 1, 2",
+        # condensation topological levels: longest path from any source
+        # over the SCC DAG (recursive closure rows are (v, d) pairs —
+        # UNION dedups, so the walk is bounded by V * depth, not paths)
+        "q_toposort_urls":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT DISTINCT src_url AS a, dst_url AS b FROM {A}), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, e.b AS reach FROM walk w "
+            f"JOIN e ON e.a = w.reach), "
+            f"scc AS (SELECT f.v, min(f.reach) AS rep FROM walk f "
+            f"JOIN walk b ON b.v = f.reach AND b.reach = f.v GROUP BY f.v), "
+            f"cond AS (SELECT DISTINCT s1.rep AS a, s2.rep AS b FROM e "
+            f"JOIN scc s1 ON s1.v = e.a JOIN scc s2 ON s2.v = e.b "
+            f"WHERE s1.rep <> s2.rep), "
+            f"lp AS (SELECT rep AS v, CAST(0 AS BIGINT) AS d FROM "
+            f"(SELECT DISTINCT rep FROM scc) "
+            f"UNION SELECT c.b, l.d + 1 FROM lp l JOIN cond c ON c.a = l.v) "
+            f"SELECT v AS scc_url, max(d) AS level FROM lp GROUP BY v",
         # per-VERTEX triangle certification: triple self-join over the
         # distinct canonical (lexicographic min/max) anchor pairs — the
         # undirected edge SET is vid-order-independent, so counts match
@@ -637,6 +656,55 @@ def q_condensation_urls(sf_dir: str):
         lambda b: pa.table({"src_scc_url": b.column("src_scc_url"),
                             "dst_scc_url": b.column("rep"),
                             "n_edges": b.column("n_edges")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_toposort_urls")
+def q_toposort_urls(sf_dir: str):
+    """Macro-structure schedule of the link graph: SCC decomposition ->
+    condensation DAG -> topological levels (graph/toposort.py), each
+    SCC named by its min-url representative.  level(c) = longest
+    dependency chain feeding c — the crawl/recompute ordering of the
+    page graph.  Gate-pinned; oracle = recursive longest path over the
+    closure-derived condensation."""
+    from .graph.scc import condensation, strongly_connected_components
+    from .graph.toposort import topological_levels
+    from .ops.agg import grouped_aggregate
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    labels, _ = strongly_connected_components(
+        read_layer(g.edges), g.offsets, g.workdir)
+    lab = labels.select_columns(["vid", "scc"])
+    cond = condensation(read_layer(g.edges), lab)
+    lv, _ = topological_levels(
+        cond.map_batches(
+            lambda b: pa.table({"src": b.column("src_scc"),
+                                "dst": b.column("dst_scc")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        g.offsets, g.workdir, lineage={"kind": "cond"},
+        shards_dir=f"{g.workdir}/csr_cond")
+
+    # scc label -> representative url, then attach the label's level
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    i64 = pa.int64()
+    withurl = hash_join(lab, v, on="vid", right_on="vid",
+                        num_parts=DEFAULT.num_parts,
+                        left_schema=pa.schema([("vid", i64), ("scc", i64)]),
+                        right_schema=pa.schema([("url", pa.string()),
+                                                ("vid", i64)]))
+    rep = grouped_aggregate(withurl.select_columns(["scc", "url"]),
+                            ["scc"], {"scc_url": ("min", "url")})
+    out = hash_join(rep, lv.select_columns(["vid", "level"]),
+                    on="scc", right_on="vid",
+                    num_parts=DEFAULT.num_parts,
+                    left_schema=pa.schema([("scc", i64),
+                                           ("scc_url", pa.string())]),
+                    right_schema=pa.schema([("vid", i64),
+                                            ("level", i64)]))
+    return out.map_batches(
+        lambda b: pa.table({"scc_url": b.column("scc_url"),
+                            "level": b.column("level")}),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
