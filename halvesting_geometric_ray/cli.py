@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     common(sp)
 
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
-                 "anf", "walks", "bowtie", "betweenness"):
+                 "anf", "walks", "bowtie", "betweenness", "scc"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -283,6 +283,30 @@ def main(argv=None) -> int:
                               pivot=args.pivot)
             ds.write_parquet(os.path.join(args.workdir, "bowtie_cls"))
             out["bowtie"] = info
+        if args.cmd == "scc":
+            from .graph.scc import condensation, strongly_connected_components
+            from .graph.toposort import topological_levels
+            import os
+
+            labels, info = strongly_connected_components(
+                edges, g.offsets, args.workdir, cfg)
+            labels = labels.materialize()  # feeds the write + condensation
+            labels.write_parquet(os.path.join(args.workdir, "scc"))
+            lab = labels.select_columns(["vid", "scc"])
+            cond = condensation(edges, lab, cfg).materialize()
+            cond.write_parquet(os.path.join(args.workdir, "condensation"))
+            lv, linfo = topological_levels(
+                cond.map_batches(
+                    lambda b: b.select(["src_scc", "dst_scc"])
+                    .rename_columns(["src", "dst"]),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                g.offsets, args.workdir, cfg,
+                lineage={"kind": "cond"},
+                shards_dir=os.path.join(args.workdir, "csr_cond"))
+            lv.write_parquet(os.path.join(args.workdir, "scc_levels"))
+            out["scc"] = {"n_sccs": info["n_sccs"],
+                          "num_outer": info["num_outer"],
+                          "dag_depth": linfo["depth"]}
         if args.cmd == "betweenness":
             from .graph.betweenness import betweenness
             import os

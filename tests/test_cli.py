@@ -60,3 +60,19 @@ def test_cli_curate(tmp_path, capsys):
     assert info["counts"]["normalize"] == len(pdf)
     assert info["counts"]["exact_dedup"] == len(pdf)  # all distinct
     assert os.path.isdir(out_dir)
+
+
+def test_cli_scc(tmp_path, capsys, tiny_pages_dir):
+    wd = str(tmp_path / "wd")
+    assert main(["build", "--pages", tiny_pages_dir, "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["scc", "--workdir", wd]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["scc"]["n_sccs"] >= 1
+    labels = rd.read_parquet(os.path.join(wd, "scc")).to_pandas()
+    levels = rd.read_parquet(os.path.join(wd, "scc_levels")).to_pandas()
+    assert labels.vid.is_unique and levels.vid.is_unique
+    # canonical invariant: every scc label is the max vid of its group
+    gmax = labels.groupby("scc").vid.max()
+    assert (gmax.index == gmax.values).all()
+    assert out["scc"]["dag_depth"] >= 0
