@@ -264,3 +264,42 @@ def grouped_mode(ds, keys: List[str], col: str, *, out_col: str = "mode",
 
     return top.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def winsorize(ds, keys: List[str], col: str, lo_q: float = 0.05,
+              hi_q: float = 0.95, *, out_col: str = None,
+              num_parts: int = 16):
+    """Per-group quantile clipping (winsorization) — the curation guard
+    for heavy-tailed document statistics: clip ``col`` to its group's
+    exact [lo_q, hi_q] quantile band so outliers (boilerplate megapages,
+    truncated stubs) stop dominating downstream means/mixtures.
+
+    Returns the input rows with ``out_col`` (default ``{col}_w``)
+    appended: float64 ``min(max(col, lo), hi)`` — the same two-branch
+    arithmetic as SQL ``least(greatest(...))``, so results hash-exact
+    against an engine oracle.
+
+    Scale shape: the quantile table is group-cardinality-sized
+    (grouped_quantile_exact), attached with ONE bucketed hash join; the
+    clip is a vectorized batch kernel.  The raw data is read twice
+    (quantile pass + clip pass) — at 100 TB fuse the first pass onto the
+    KLL sketch variant if a <1%-rank-error band is acceptable."""
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1: {lo_q}, {hi_q}")
+    from .join import hash_join
+
+    out_col = out_col or f"{col}_w"
+    q = grouped_quantile_exact(ds, keys, col, [lo_q, hi_q],
+                               ["__lo", "__hi"], num_parts=num_parts)
+    joined = hash_join(ds, q, on=keys, num_parts=num_parts)
+
+    def clip(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = b.column("__lo").to_numpy(zero_copy_only=False)
+        hi = b.column("__hi").to_numpy(zero_copy_only=False)
+        return (b.drop_columns(["__lo", "__hi"])
+                .append_column(out_col, pa.array(
+                    np.minimum(np.maximum(v, lo), hi), type=pa.float64())))
+
+    return joined.map_batches(clip, batch_format="pyarrow",
+                              zero_copy_batch=True)

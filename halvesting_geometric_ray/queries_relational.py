@@ -931,6 +931,29 @@ def q_mode_event_type(sf_dir: str):
                         out_col="mode_type", with_count=True)
 
 
+@_q("q_winsorize_doclen",
+    "WITH q AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, "
+    "quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY lang) "
+    "SELECT d.doc_id, d.lang, "
+    "least(greatest(CAST(d.n_chars AS DOUBLE), q.lo), q.hi) AS n_chars_w "
+    "FROM documents d JOIN q ON q.lang = d.lang")
+def q_winsorize_doclen(sf_dir: str):
+    """Per-language winsorization of document length
+    (ops/stats.py::winsorize): clip n_chars to the language's exact
+    [p5, p95] band — the heavy-tail curation guard.  min/max clip is
+    the same two-branch arithmetic as least(greatest(...)), so it
+    hash-matches DuckDB without rounding.  SQL-oracled via the demoted
+    _ORACLED_TAIL."""
+    from .ops.stats import winsorize
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = winsorize(ds, ["lang"], "n_chars", 0.05, 0.95,
+                    out_col="n_chars_w")
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "n_chars_w"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_percent_rank",
     "SELECT event_id, user_id, "
     "percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank, "

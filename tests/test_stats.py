@@ -5,6 +5,7 @@ oracle-parity tests in test_queries_relational.py)."""
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -209,3 +210,33 @@ class TestGroupedQuantileExact:
             grouped_quantile_exact(ds, ["k"], "v", [1.5])
         with pytest.raises(ValueError):
             grouped_quantile_exact(ds, ["k"], "v", [0.5], ["a", "b"])
+
+
+def test_grouped_mode_and_winsorize():
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.stats import grouped_mode, winsorize
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 4,
+                  "v": ["x", "x", "y", "y", "z", "q", "q", "p", "p"]})
+    got = (grouped_mode(rd.from_arrow(t), ["k"], "v", with_count=True)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # 'a': x and y tie at 2 -> smaller value x; 'b': p/q tie -> p
+    assert got["mode"].tolist() == ["x", "p"]
+    assert got.n.tolist() == [2, 2]
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(50, 30, 400)
+    tw = pa.table({"g": np.repeat(["u", "w"], 200), "x": vals})
+    w = (winsorize(rd.from_arrow(tw), ["g"], "x", 0.1, 0.9)
+         .to_pandas())
+    for g in ("u", "w"):
+        sub = vals[:200] if g == "u" else vals[200:]
+        lo, hi = np.quantile(sub, [0.1, 0.9])
+        ws = w.loc[w.g == g, "x_w"]
+        assert np.isclose(ws.min(), lo) and np.isclose(ws.max(), hi)
+        assert ((ws >= lo - 1e-12) & (ws <= hi + 1e-12)).all()
+        inner = w.loc[w.g == g].query("@lo < x < @hi")
+        assert (inner.x_w == inner.x).all()  # untouched interior
+    with pytest.raises(ValueError):
+        winsorize(rd.from_arrow(tw), ["g"], "x", 0.9, 0.1)
