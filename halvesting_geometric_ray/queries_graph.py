@@ -1159,6 +1159,21 @@ def q_kcore(sf_dir: str):
     return ds.select_columns(["vid", "in_kcore", "core_degree"])
 
 
+@_q("q_ktruss")
+def q_ktruss(sf_dir: str):
+    """3-truss edge set of the link graph (graph/truss.py) — iterated
+    triangle-support peeling; the edge-cohesion sharpening of the
+    k-core clean-set filter.  Rows-only at the gate (iterative peeling
+    is not ANSI-SQL-expressible, same argument as q_kcore); exact
+    single-process peeling oracle + layout invariance in
+    tests/test_truss.py."""
+    from .graph.truss import k_truss
+
+    g = graph_for(sf_dir)
+    ds, _ = k_truss(read_layer(g.edges), 3)
+    return ds
+
+
 @_q("q_incoming_anchors")
 def q_incoming_anchors(sf_dir: str):
     """Per-target incoming anchor-text aggregate
