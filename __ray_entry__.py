@@ -78,7 +78,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_simhash_pairs",
     "q_edge_splits", "q_negative_samples", "q_hll_distinct",
     "q_token_percentiles_sketch", "q_decontaminate_bloom", "q_span_dedup",
-    "q_pack_sequences", "q_normalize_text", "q_mixture_resample",
+    "q_pack_sequences", "q_bpe_train", "q_normalize_text",
+    "q_mixture_resample",
     "q_lm_score",
     "q_adamic_adar", "q_anf", "q_random_walks", "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_url_canonical",

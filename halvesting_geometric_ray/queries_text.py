@@ -425,6 +425,33 @@ def q_pack_sequences(sf_dir: str):
                           num_bins=4)
 
 
+@_q("q_bpe_train")
+def q_bpe_train(sf_dir: str):
+    """Byte-level BPE tokenizer training + corpus application
+    (functions/bpe.py): 24 merges learned over the documents table
+    (per-round pair-count combiner, driver holds one candidate per
+    block), then one streaming encode pass.  Returns per-doc byte vs
+    BPE-token counts — the compression the learned subwords buy.
+    Rows-only at the gate (iterative argmax training is not
+    SQL-expressible); exact Sennrich-reference + partitioning-
+    invariance oracles in tests/test_bpe.py."""
+    import pyarrow.compute as pc
+
+    from .functions.bpe import apply_bpe, train_bpe
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges, _ = train_bpe(docs, 24)
+    enc = apply_bpe(docs, merges)
+
+    def counts(b: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(b.column("syms"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_syms": pc.cast(lens, pa.int64())})
+
+    return enc.map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_span_dedup")
 def q_span_dedup(sf_dir: str):
     """Duplicate n-gram span dedup (ops/dedup.py::span_dedup) — the
