@@ -1174,6 +1174,23 @@ def q_ktruss(sf_dir: str):
     return ds
 
 
+@_q("q_coreness")
+def q_coreness(sf_dir: str):
+    """Full core decomposition of the link graph
+    (graph/coreness.py): per-vertex core numbers via distributed
+    h-index iteration — the complete degeneracy profile where q_kcore
+    answers one k.  Rows-only at the gate (iterative fixpoint); exact
+    Batagelj peeling oracle + k-core cross-consistency in
+    tests/test_coreness.py."""
+    from .graph.coreness import coreness
+
+    g = graph_for(sf_dir)
+    ds, _ = coreness(
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
+        g.offsets, g.workdir)
+    return ds.select_columns(["vid", "coreness"])
+
+
 @_q("q_incoming_anchors")
 def q_incoming_anchors(sf_dir: str):
     """Per-target incoming anchor-text aggregate
