@@ -1,0 +1,144 @@
+"""Distributed k-means (Lloyd) over an embedding column.
+
+The clustering primitive the embedding suite was missing: IVF's coarse
+quantizer (functions/similarity.py::ivf_centroids) trains on a driver
+sample; this runs FULL-corpus Lloyd rounds — the shape that holds when
+the corpus no longer fits a sample and cluster balance matters
+(semantic dedup shards, topic bucketing, mixture construction).
+
+Round shape: centroids are a tiny (k x d) model shipped once per round
+inside the batch closure; each batch assigns vectors with one matmul
+(argmin ||x-c||^2 = argmin(|c|^2 - 2 x.c), vectorized) and emits k
+PARTIAL rows (vector sum, count, inertia) — so a round's exchange is
+k x num_blocks fixed-width rows, independent of corpus size, reduced on
+the driver (tree-reduce it past ~10^5 blocks, the HLL-merge argument).
+
+Determinism: initial centroids are the k vectors with the SMALLEST
+stable hash of their id — a per-batch partial top-k + driver merge, so
+init is block-layout independent (no .limit() order dependence).
+Float summation order across blocks varies with layout; centroids are
+deterministic to ~1e-12 and assignments are integer-stable (ties broken
+by lowest centroid index).  tests/test_clustering.py pins a numpy
+reference with identical init.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import stable_hash64
+
+
+def _mat(b: pa.Table, id_col: str, col: str) -> Tuple[np.ndarray,
+                                                      np.ndarray]:
+    ids = b.column(id_col).to_numpy()
+    emb = b.column(col)
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = np.asarray(emb.values, dtype=np.float64)
+    return ids, flat.reshape(len(ids), -1)
+
+
+def _hash_init(ds, k: int, id_col: str, col: str, seed: int) -> np.ndarray:
+    """k init vectors = rows with the smallest stable id hash (layout-
+    independent).  Per-batch partial top-k, driver merge."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids, m = _mat(b, id_col, col)
+        h = stable_hash64(b.column(id_col), seed=seed)
+        take = np.argsort(h, kind="stable")[:k]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(m[take].ravel(), type=pa.float64()), m.shape[1])
+        return pa.table({"h": pa.array(h[take]), "v": arr})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    order = np.argsort(parts["h"].to_numpy(), kind="stable")[:k]
+    return np.stack([np.asarray(parts["v"].iloc[i], dtype=np.float64)
+                     for i in order])
+
+
+def kmeans(embeddings, k: int, *, col: str = "embedding",
+           id_col: str = "vec_id", max_iters: int = 20,
+           tol: float = 1e-6, seed: int = 13
+           ) -> Tuple[np.ndarray, Dict]:
+    """Lloyd k-means; returns (centroids (k, d) float64, info) with
+    info["iters"] = per-round {shift, inertia}.  Empty clusters keep
+    their previous centroid.  Assign the corpus with kmeans_assign."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cent = _hash_init(embeddings, k, id_col, col, seed)
+    k_eff = len(cent)
+    if k_eff < k:
+        raise ValueError(f"corpus has only {k_eff} rows for k={k}")
+    info: Dict = {"k": k, "iters": []}
+    for it in range(max_iters):
+        c = cent  # bind for the closure (ships with the task)
+        cc = 0.5 * (c * c).sum(axis=1)
+
+        def partial(b: pa.Table, c=c, cc=cc) -> pa.Table:
+            _, m = _mat(b, id_col, col)
+            scores = cc[None, :] - m @ c.T  # argmin distance
+            assign = scores.argmin(axis=1)
+            d = m.shape[1]
+            sums = np.zeros((len(c), d), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            # inertia partial: sum ||x||^2 + 2*score at argmin
+            x2 = (m * m).sum(axis=1)
+            inert = x2 + 2.0 * scores[np.arange(len(m)), assign]
+            inert_c = np.zeros(len(c), dtype=np.float64)
+            np.add.at(inert_c, assign, inert)
+            arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.ravel(), type=pa.float64()), d)
+            return pa.table({"cid": pa.array(np.arange(len(c),
+                                                       dtype=np.int64)),
+                             "s": arr, "n": pa.array(cnt),
+                             "inertia": pa.array(inert_c)})
+
+        parts = embeddings.map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()
+        d = cent.shape[1]
+        sums = np.zeros((k_eff, d), dtype=np.float64)
+        cnts = np.zeros(k_eff, dtype=np.int64)
+        # deterministic reduce order: by (cid, then stable row order)
+        for cid, grp in parts.groupby("cid", sort=True):
+            sums[cid] = np.stack([np.asarray(v) for v in grp["s"]]).sum(
+                axis=0)
+            cnts[cid] = grp["n"].sum()
+        inertia = float(parts["inertia"].sum())
+        new = cent.copy()
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz][:, None]
+        shift = float(np.sqrt(((new - cent) ** 2).sum(axis=1)).max())
+        cent = new
+        info["iters"].append({"iter": it, "shift": shift,
+                              "inertia": inertia})
+        if shift <= tol:
+            break
+    info["num_iters"] = len(info["iters"])
+    info["converged"] = bool(info["iters"] and
+                             info["iters"][-1]["shift"] <= tol)
+    return cent, info
+
+
+def kmeans_assign(embeddings, centroids: np.ndarray, *,
+                  col: str = "embedding", id_col: str = "vec_id",
+                  out_col: str = "cluster"):
+    """One streaming pass: nearest-centroid id per row (ties -> lowest
+    centroid index).  Returns ds(id_col, out_col)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cc = 0.5 * (c * c).sum(axis=1)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids, m = _mat(b, id_col, col)
+        a = (cc[None, :] - m @ c.T).argmin(axis=1)
+        return pa.table({id_col: b.column(id_col),
+                         out_col: pa.array(a.astype(np.int64))})
+
+    return embeddings.map_batches(assign, batch_format="pyarrow",
+                                  zero_copy_batch=True)

@@ -948,6 +948,22 @@ def q_knn_cosine_lsh(sf_dir: str):
     return knn_cosine_lsh(emb, qt, k=5)
 
 
+@_q("q_kmeans")
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table
+    (functions/clustering.py): full-corpus rounds with a k x blocks
+    partial exchange, layout-independent hash init, then one streaming
+    assignment pass.  Returns (vec_id, cluster).  Rows-only at the gate
+    (iterative float fixpoint); numpy-reference + layout-invariance
+    oracles in tests/test_clustering.py."""
+    from .functions.clustering import kmeans, kmeans_assign
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cent, _ = kmeans(emb, 8, max_iters=12, seed=13)
+    return kmeans_assign(emb, cent)
+
+
 @_q("q_embed_neardup",
     "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
     "JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -1,0 +1,75 @@
+"""Distributed k-means vs a numpy Lloyd reference with identical init."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.functions.clustering import (kmeans,
+                                                           kmeans_assign)
+from halvesting_geometric_ray.functions.hashing import stable_hash64
+
+
+def _emb_table(n, d, seed, centers=4):
+    rng = np.random.default_rng(seed)
+    mu = rng.normal(0, 10, (centers, d))
+    x = mu[rng.integers(0, centers, n)] + rng.normal(0, 1, (n, d))
+    ids = np.arange(n, dtype=np.int64)
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float64()), d)
+    return pa.table({"vec_id": pa.array(ids), "embedding": arr}), x
+
+
+def ref_kmeans(x, ids, k, iters, seed):
+    h = stable_hash64(ids, seed=seed)
+    cent = x[np.argsort(h, kind="stable")[:k]].astype(np.float64).copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            sel = x[assign == c]
+            if len(sel):
+                new[c] = sel.mean(axis=0)
+        shift = np.sqrt(((new - cent) ** 2).sum(axis=1)).max()
+        cent = new
+        if shift <= 1e-6:
+            break
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return cent, d2.argmin(axis=1)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_matches_reference(blocks):
+    t, x = _emb_table(600, 8, seed=0)
+    ds = rd.from_arrow(t).repartition(blocks)
+    cent, info = kmeans(ds, 4, max_iters=15, seed=13)
+    exp_cent, exp_assign = ref_kmeans(x, np.arange(600), 4, 15, 13)
+    assert np.allclose(cent, exp_cent, atol=1e-9)
+    got = (kmeans_assign(ds, cent).to_pandas()
+           .sort_values("vec_id").cluster.to_numpy())
+    assert (got == exp_assign).all()
+    assert info["converged"]
+    # inertia is monotone non-increasing across Lloyd rounds
+    inert = [r["inertia"] for r in info["iters"]]
+    assert all(a >= b - 1e-6 for a, b in zip(inert, inert[1:]))
+
+
+def test_layout_independent_init_and_result():
+    t, _ = _emb_table(400, 6, seed=2)
+    base, _ = kmeans(rd.from_arrow(t), 5, max_iters=10, seed=7)
+    for blocks in (3, 8):
+        c, _ = kmeans(rd.from_arrow(t).repartition(blocks), 5,
+                      max_iters=10, seed=7)
+        assert np.allclose(c, base, atol=1e-9), blocks
+
+
+def test_validation_and_small_corpus():
+    t, _ = _emb_table(3, 4, seed=1)
+    with pytest.raises(ValueError, match="only 3 rows"):
+        kmeans(rd.from_arrow(t), 10)
+    with pytest.raises(ValueError):
+        kmeans(rd.from_arrow(t), 0)
+    cent, _ = kmeans(rd.from_arrow(t), 3)
+    assert cent.shape == (3, 4)
