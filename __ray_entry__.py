@@ -85,8 +85,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_adamic_adar", "q_anf", "q_random_walks", "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",
-    "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_embed_neardup_lsh",
-    "q_kmeans",
+    "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
+    "q_embed_neardup_lsh", "q_kmeans",
     "q_component_sizes", "q_graph_vertices", "q_graph_edges",
     "q_pagerank_top20", "q_binary_decode", "q_simhash",
 ]

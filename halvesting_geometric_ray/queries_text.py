@@ -948,6 +948,24 @@ def q_knn_cosine_lsh(sf_dir: str):
     return knn_cosine_lsh(emb, qt, k=5)
 
 
+@_q("q_knn_cosine_pq")
+def q_knn_cosine_pq(sf_dir: str):
+    """Product-quantized ANN (functions/quantization.py): codebooks
+    trained on a seeded sample, corpus encoded to m uint8 codes in one
+    streaming pass, search via per-query ADC lookup tables over the
+    CODES (the memory-compression scale path of the knn family).
+    Rows-only; ADC ranking parity + recall oracles in
+    tests/test_quantization.py."""
+    from .functions.quantization import knn_cosine_pq
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)])
+    return knn_cosine_pq(emb, qt, k=5, m=8, n_codes=32)
+
+
 @_q("q_kmeans")
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table
