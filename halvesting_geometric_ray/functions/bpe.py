@@ -42,10 +42,18 @@ _BASE = 256  # byte alphabet; merge r mints symbol _BASE + r
 
 
 def _flatten(b: pa.Table, col: str) -> Tuple[np.ndarray, np.ndarray]:
-    """list<int32> column -> (values, offsets int64)."""
+    """list<int32> column -> (values, offsets int64), normalized so
+    offsets[0] == 0 even for a sliced block (a slice's raw offsets are
+    absolute into the unsliced child buffer)."""
     c = b.column(col).combine_chunks()
-    return (np.asarray(c.values, dtype=np.int32),
-            np.asarray(c.offsets, dtype=np.int64))
+    offs = np.asarray(c.offsets, dtype=np.int64)
+    vals = np.asarray(c.values, dtype=np.int32)
+    if len(offs) and offs[0] != 0:
+        vals = vals[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+    else:
+        vals = vals[:offs[-1]] if len(offs) else vals
+    return vals, offs
 
 
 def _text_to_syms(b: pa.Table, text_col: str) -> Tuple[np.ndarray,

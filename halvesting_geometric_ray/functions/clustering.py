@@ -38,7 +38,9 @@ def _mat(b: pa.Table, id_col: str, col: str) -> Tuple[np.ndarray,
     emb = b.column(col)
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
-    flat = np.asarray(emb.values, dtype=np.float64)
+    # .flatten() (unlike .values) respects a sliced block's offset —
+    # shuffled map_groups tasks hand us slices; embeddings are non-null
+    flat = np.asarray(emb.flatten(), dtype=np.float64)
     return ids, flat.reshape(len(ids), -1)
 
 
@@ -142,3 +144,69 @@ def kmeans_assign(embeddings, centroids: np.ndarray, *,
 
     return embeddings.map_batches(assign, batch_format="pyarrow",
                                   zero_copy_batch=True)
+
+
+def semantic_dedup(embeddings, *, k: int = 64, threshold: float = 0.9,
+                   col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 13, max_iters: int = 10,
+                   cluster_cap: int = 8192, num_parts: int = 16):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means clusters as
+    the blocking structure, then cosine near-duplicate groups WITHIN
+    each cluster, keeping the lowest id of every group.
+
+    Returns ds(vec_id, keeper): keeper == vec_id for survivors; filter
+    `vec_id != keeper` for the drop list.  Exact within a cluster
+    (all-pairs + local union-find over >= threshold edges); pairs whose
+    members land in different clusters are missed by design — that is
+    the recall/cost dial every blocking dedup trades on (same contract
+    as the MinHash-LSH banding path).
+
+    Skew guard: clusters larger than ``cluster_cap`` compare every
+    member against the cap lowest-id members only (the LSH hot-bucket
+    star-cap precedent) — bounded O(s * cap) instead of O(s^2).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold in (0, 1]: {threshold}")
+    cent, _ = kmeans(embeddings, k, col=col, id_col=id_col,
+                     max_iters=max_iters, seed=seed)
+    assigned = kmeans_assign(embeddings, cent, col=col, id_col=id_col)
+    from ..ops.join import hash_join
+
+    withc = hash_join(embeddings, assigned, on=id_col, right_on=id_col,
+                      num_parts=num_parts)
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        ids, m = _mat(g, id_col, col)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        m = m / n
+        s = len(ids)
+        parent = np.arange(s)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        heads = min(s, cluster_cap)
+        sims = m @ m[:heads].T  # (s, heads); full all-pairs when small
+        ii, jj = np.nonzero(sims >= threshold)
+        for i, j in zip(ii, jj):
+            if i == j:
+                continue
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(s)])
+        return pa.table({id_col: pa.array(ids),
+                         "keeper": pa.array(ids[roots])})
+
+    from ..ops._util import pre_shuffle
+
+    return (pre_shuffle(withc).groupby("cluster")
+            .map_groups(per_cluster, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -122,7 +122,7 @@ def knn_cosine_pq(embeddings, query_table: pa.Table, k: int = 5, *,
         code_col = b.column("code")
         if isinstance(code_col, pa.ChunkedArray):
             code_col = code_col.combine_chunks()
-        codes_np = np.asarray(code_col.values, dtype=np.uint8) \
+        codes_np = np.asarray(code_col.flatten(), dtype=np.uint8) \
             .reshape(len(ids), -1)
         out_q, out_n, out_s = [], [], []
         for qj, qid in enumerate(qi):

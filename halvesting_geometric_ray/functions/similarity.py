@@ -26,7 +26,9 @@ def _mat(batch: pa.Table, col: str) -> Tuple[np.ndarray, np.ndarray]:
     emb = batch.column(col)
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
-    flat = np.asarray(emb.values, dtype=np.float64)
+    # .flatten() (unlike .values) respects a sliced block's offset —
+    # shuffled map_groups tasks hand us slices; embeddings are non-null
+    flat = np.asarray(emb.flatten(), dtype=np.float64)
     dim = len(emb[0])
     return ids, flat.reshape(len(ids), dim)
 

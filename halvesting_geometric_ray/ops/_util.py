@@ -52,3 +52,18 @@ def arrow_schema_of(ds) -> pa.Schema:
         else:
             fields.append(pa.field(n, pa.from_numpy_dtype(t)))
     return pa.schema(fields)
+
+
+def compact_fsl(t: pa.Table) -> pa.Table:
+    """Compact a table containing fixed_size_list columns before handing
+    it to polars: a zero-copy SLICE of a fixed_size_list block (which is
+    exactly what a map_groups task receives from a sorted shuffle) trips
+    a polars from_arrow bug ("validity mask length must be equal to the
+    number of values divided by size") — and with retry_exceptions=True
+    the group task would retry forever.  ``take`` materializes fresh
+    offset-free arrays; no-op for tables without fixed_size_list."""
+    if not any(pa.types.is_fixed_size_list(f.type) for f in t.schema):
+        return t
+    import numpy as np
+
+    return t.combine_chunks().take(np.arange(t.num_rows))

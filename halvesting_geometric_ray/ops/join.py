@@ -147,7 +147,9 @@ def hash_join(left, right, on, right_on=None,
     def per_bucket(g: pa.Table) -> pa.Table:
         import polars as pl
 
-        df = pl.from_arrow(g.drop_columns([_BUCKET]))
+        from ._util import compact_fsl
+
+        df = pl.from_arrow(compact_fsl(g.drop_columns([_BUCKET])))
         lhs = df.filter(pl.col(_SIDE) == 0).select(keys + l_payload)
         rhs = df.filter(pl.col(_SIDE) == 1).select(keys + r_payload)
         how = {"inner": "inner", "left": "left", "semi": "semi",

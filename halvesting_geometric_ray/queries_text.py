@@ -966,6 +966,19 @@ def q_knn_cosine_pq(sf_dir: str):
     return knn_cosine_pq(emb, qt, k=5, m=8, n_codes=32)
 
 
+@_q("q_semantic_dedup")
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table
+    (functions/clustering.py::semantic_dedup): k-means blocking +
+    within-cluster cosine dup groups, keeper = lowest id.  Rows-only;
+    planted-duplicate exactness in tests/test_clustering.py."""
+    from .functions.clustering import semantic_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, k=16, threshold=0.95, max_iters=8)
+
+
 @_q("q_kmeans")
 def q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table

@@ -73,3 +73,52 @@ def test_validation_and_small_corpus():
         kmeans(rd.from_arrow(t), 0)
     cent, _ = kmeans(rd.from_arrow(t), 3)
     assert cent.shape == (3, 4)
+
+
+def test_semantic_dedup_planted_groups():
+    from halvesting_geometric_ray.functions.clustering import semantic_dedup
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(0, 1, (50, 8))
+    # plant exact-duplicate groups: ids 100+i duplicate vector i%10
+    dup_of = {100 + i: i % 10 for i in range(30)}
+    x = np.concatenate([base, base[[i % 10 for i in range(30)]]])
+    ids = np.concatenate([np.arange(50), np.arange(100, 130)])
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float64()), 8)
+    ds = rd.from_arrow(pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                                 "embedding": arr}))
+    got = (semantic_dedup(ds, k=6, threshold=0.999999)
+           .to_pandas().set_index("vec_id").keeper)
+    # every planted duplicate resolves to its original (the min id)
+    for dup, orig in dup_of.items():
+        assert got[dup] == orig, (dup, orig, got[dup])
+    # originals keep themselves; distinct originals never merge
+    for i in range(50):
+        assert got[i] == i
+    # survivors = the 50 originals
+    assert (got[got.index == got.values].index < 50).all()
+    assert (got.index == got.values).sum() == 50
+
+
+def test_hash_join_fixed_size_list_regression():
+    """Sliced fixed_size_list blocks used to crash polars inside
+    hash_join's bucket task (retry-forever hang); compact_fsl guards
+    it.  num_parts >> rows forces sliced/empty buckets."""
+    from halvesting_geometric_ray.ops.join import hash_join
+
+    x = np.random.default_rng(4).normal(0, 1, (25, 8))
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float64()), 8)
+    ds = rd.from_arrow(pa.table(
+        {"vec_id": pa.array(np.arange(25, dtype=np.int64)),
+         "embedding": arr}))
+    right = rd.from_arrow(pa.table(
+        {"vec_id": pa.array(np.arange(25, dtype=np.int64)),
+         "cluster": pa.array((np.arange(25) % 3).astype(np.int64))}))
+    out = hash_join(ds, right, on="vec_id", right_on="vec_id",
+                    num_parts=16).to_pandas().sort_values("vec_id")
+    assert len(out) == 25
+    assert (out.cluster.to_numpy() == np.arange(25) % 3).all()
+    got = np.stack([np.asarray(v) for v in out.embedding])
+    assert np.allclose(got, x)
