@@ -136,7 +136,8 @@ def run_bench() -> dict:
 
     for name in ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
                  "q_dedup_exact", "q_span_dedup", "q_tfidf",
-                 "q_curate_corpus"]:
+                 "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
+                 "q_knn_cosine_pq"]:
         t = time.time()
         res = QT.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):

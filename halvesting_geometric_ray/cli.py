@@ -109,6 +109,15 @@ def main(argv=None) -> int:
     sp.add_argument("--seq-len", type=int, default=2048)
     sp.add_argument("--pad-id", type=int, default=None)
 
+    sp = sub.add_parser("semdedup", help="SemDeDup: k-means blocking + "
+                        "within-cluster cosine dup groups over an "
+                        "embeddings parquet; writes (vec_id, keeper)")
+    sp.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--k", type=int, default=64)
+    sp.add_argument("--threshold", type=float, default=0.9)
+
     sp = sub.add_parser("curate", help="corpus curation: normalize -> "
                         "filter -> pii scrub -> exact dedup [-> neardup] "
                         "-> hive-partitioned parquet")
@@ -175,6 +184,25 @@ def main(argv=None) -> int:
             print(json.dumps({k: (str(v) if not isinstance(
                 v, (int, float, type(None))) else v)
                 for k, v in res.items()}))
+            return 0
+
+        if args.cmd == "semdedup":  # no --workdir/--config args
+            import pyarrow.compute as pc
+
+            from .functions.clustering import semantic_dedup
+
+            emb = rd.read_parquet(args.embeddings,
+                                  columns=["vec_id", "embedding"])
+            res = semantic_dedup(emb, k=args.k,
+                                 threshold=args.threshold).materialize()
+            res.write_parquet(args.out)
+            n = res.count()
+            survivors = res.map_batches(
+                lambda b: {"n": [int(pc.sum(pc.equal(
+                    b.column("vec_id"), b.column("keeper"))).as_py() or 0)]},
+                batch_format="pyarrow").sum("n")
+            print(json.dumps({"rows": int(n), "survivors": int(survivors),
+                              "dropped": int(n - survivors)}))
             return 0
 
         if args.config:

@@ -76,3 +76,23 @@ def test_cli_scc(tmp_path, capsys, tiny_pages_dir):
     gmax = labels.groupby("scc").vid.max()
     assert (gmax.index == gmax.values).all()
     assert out["scc"]["dag_depth"] >= 0
+
+
+def test_cli_semdedup(tmp_path, capsys):
+    rng = np.random.default_rng(6)
+    base = rng.normal(0, 1, (30, 8))
+    x = np.concatenate([base, base[:10]])
+    ids = np.concatenate([np.arange(30), np.arange(100, 110)])
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float64()), 8)
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                             "embedding": arr}), p)
+    out_dir = str(tmp_path / "sd")
+    assert main(["semdedup", "--embeddings", p, "--out", out_dir,
+                 "--k", "4", "--threshold", "0.999999"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {"rows": 40, "survivors": 30, "dropped": 10}
+    back = rd.read_parquet(out_dir).to_pandas().set_index("vec_id").keeper
+    for i in range(10):
+        assert back[100 + i] == i
