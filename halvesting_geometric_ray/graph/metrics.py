@@ -369,3 +369,56 @@ def modularity(edges, labels, cfg: EngineConfig = DEFAULT):
     m = float(deg.sum()) / 2.0  # every edge contributes 2 endpoints
     q = float(np.sum(e_in / m - (deg / (2.0 * m)) ** 2))
     return q, per_label
+
+
+def edge_cut_report(edges, offsets, num_actors: int = 0) -> dict:
+    """Partitioning diagnostic for the CSR layout: what fraction of
+    edges crosses partition boundaries (each crossing edge is one
+    exchange message every iterative round), plus per-partition edge /
+    out-degree balance — the numbers that decide whether a different
+    ``offsets`` split or a num_parts change is worth it before a long
+    PageRank/CC campaign.
+
+    One streaming pass: per-batch searchsorted part assignment +
+    bincount partials, driver sums <= num_blocks tiny rows.  Returns
+    {n_edges, n_cut, cut_fraction, parts: [{part, src_edges,
+    dst_edges}], max_part_share, imbalance} where imbalance =
+    max_part_edges / mean_part_edges (1.0 = perfectly even).
+    """
+    off = np.asarray(offsets, dtype=np.int64)
+    num_parts = len(off) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        ps = np.searchsorted(off, s, side="right") - 1
+        pd_ = np.searchsorted(off, d, side="right") - 1
+        return pa.table({
+            "part": pa.array(np.arange(num_parts, dtype=np.int64)),
+            "src_edges": pa.array(np.bincount(ps, minlength=num_parts)
+                                  .astype(np.int64)),
+            "dst_edges": pa.array(np.bincount(pd_, minlength=num_parts)
+                                  .astype(np.int64)),
+            "cut": pa.array(np.full(num_parts, int((ps != pd_).sum()) if
+                                    num_parts else 0, dtype=np.int64)),
+        })
+
+    pdf = edges.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    agg = pdf.groupby("part", sort=True)[["src_edges", "dst_edges"]].sum()
+    # "cut" repeats the per-batch total on every part row: sum one row
+    # per batch = total over batches
+    n_cut = int(pdf.groupby("part")["cut"].sum().iloc[0]) if len(pdf) else 0
+    n_edges = int(agg["src_edges"].sum())
+    src = agg["src_edges"].to_numpy()
+    mean = src.mean() if num_parts else 0.0
+    return {
+        "n_edges": n_edges,
+        "n_cut": n_cut,
+        "cut_fraction": (n_cut / n_edges) if n_edges else 0.0,
+        "parts": [{"part": int(p), "src_edges": int(r.src_edges),
+                   "dst_edges": int(r.dst_edges)}
+                  for p, r in agg.iterrows()],
+        "max_part_share": float(src.max() / n_edges) if n_edges else 0.0,
+        "imbalance": float(src.max() / mean) if mean > 0 else 1.0,
+    }

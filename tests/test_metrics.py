@@ -189,3 +189,25 @@ def test_modularity_exact_oracle():
     q1, _ = modularity(eds, l1)
     assert q > q1
     assert abs(q1) < 1e-12  # single community: Q = 0 by definition
+
+
+def test_edge_cut_report():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.metrics import edge_cut_report
+
+    # parts: [0,4) and [4,8).  2 cross edges, 4 intra
+    src = np.array([0, 1, 2, 4, 3, 5], dtype=np.int64)
+    dst = np.array([1, 2, 3, 5, 4, 1], dtype=np.int64)
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    rep = edge_cut_report(edges, np.array([0, 4, 8]))
+    assert rep["n_edges"] == 6 and rep["n_cut"] == 2
+    assert rep["cut_fraction"] == 2 / 6
+    assert rep["parts"][0]["src_edges"] == 4  # srcs 0,1,2,3
+    assert rep["parts"][1]["src_edges"] == 2
+    assert rep["imbalance"] == 4 / 3
+    # multi-block layout gives identical totals
+    rep2 = edge_cut_report(edges.repartition(3), np.array([0, 4, 8]))
+    assert rep2 == rep
