@@ -54,3 +54,44 @@ def stable_hash_pair64(a, b, seed: int = 42) -> np.ndarray:
 def blake2b64(data: bytes) -> int:
     """Scalar fallback/reference hash (used in tests to sanity-check)."""
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big") & _MASK63
+
+
+def dataset_fingerprint(ds, cols, seed: int = 42) -> dict:
+    """Order-insensitive content checksum of a dataset projection — the
+    reproducibility-audit primitive: two runs (any partitioning, any
+    row order) produce identical fingerprints iff they produced the
+    same multiset of rows.
+
+    Per batch: one stable row hash (column hashes chained pairwise),
+    reduced by commutative (count, sum mod 2^64, xor) partials; the
+    driver folds <= num_blocks tiny dicts.  Returns {rows, sum64, xor64,
+    hex} where hex digests the triple for logging."""
+    import pyarrow as pa
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("dataset_fingerprint needs at least one column")
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b.column(cols[0]), seed=seed)
+        for c in cols[1:]:
+            h = stable_hash_pair64(pa.array(h), b.column(c), seed=seed)
+        hu = h.astype(np.uint64)
+        return pa.table({
+            "rows": pa.array([b.num_rows], type=pa.int64()),
+            "sum64": pa.array([int(hu.sum(dtype=np.uint64))],
+                              type=pa.uint64()),
+            "xor64": pa.array([int(np.bitwise_xor.reduce(hu))
+                               if len(hu) else 0], type=pa.uint64()),
+        })
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    rows = int(pdf["rows"].sum())
+    s = int(np.uint64(pdf["sum64"].to_numpy(dtype=np.uint64).sum(
+        dtype=np.uint64))) if len(pdf) else 0
+    x = int(np.bitwise_xor.reduce(pdf["xor64"].to_numpy(
+        dtype=np.uint64))) if len(pdf) else 0
+    hexd = hashlib.blake2b(
+        f"{rows}:{s}:{x}".encode(), digest_size=16).hexdigest()
+    return {"rows": rows, "sum64": s, "xor64": x, "hex": hexd}

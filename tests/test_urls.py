@@ -39,3 +39,28 @@ def test_canonicalize_dataset_partitioned():
             got.url.str.replace("HTTP://Host", "http://host", regex=False)
             .str.replace(":80", "", regex=False)
             .str.replace(r"#f$", "", regex=True)).all()
+
+
+def test_dataset_fingerprint_order_and_layout_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.hashing import (
+        dataset_fingerprint)
+
+    df = pd.DataFrame({"a": np.arange(100, dtype=np.int64),
+                       "b": [f"s{i % 7}" for i in range(100)]})
+    f1 = dataset_fingerprint(rd.from_pandas(df), ["a", "b"])
+    shuf = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    f2 = dataset_fingerprint(rd.from_pandas(shuf).repartition(7),
+                             ["a", "b"])
+    assert f1 == f2 and f1["rows"] == 100
+    # any single-row change breaks it
+    df2 = df.copy()
+    df2.loc[42, "b"] = "tampered"
+    f3 = dataset_fingerprint(rd.from_pandas(df2), ["a", "b"])
+    assert f3 != f1
+    # column projection matters
+    fa = dataset_fingerprint(rd.from_pandas(df), ["a"])
+    assert fa != f1
