@@ -438,3 +438,38 @@ def ensure_heavy_pages_parquet(n: int, seed: int = 777, paras_per_page: int = 60
     with open(done, "w") as f:
         f.write("ok")
     return d
+
+
+def ensure_embeddings_parquet(n_vecs: int, dim: int = 64, seed: int = 7,
+                              files: int = 32, centers: int = 256) -> str:
+    """Synthetic embeddings table (vec_id:int64, embedding
+    fixed_size_list<double>[dim]) — clustered Gaussians so ANN/k-means
+    ladder runs exercise realistic structure.  Cached like the edge
+    fixture."""
+    d = os.path.join(FIXTURE_ROOT, f"emb_n{n_vecs}_d{dim}_seed{seed}")
+    done = os.path.join(d, "_SUCCESS")
+    if os.path.exists(done):
+        return d
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    mu = rng.normal(0.0, 4.0, (centers, dim))
+    per = n_vecs // files
+    for f_i in range(files):
+        n = per if f_i < files - 1 else n_vecs - per * (files - 1)
+        lo = f_i * per
+        x = (mu[rng.integers(0, centers, n)] +
+             rng.normal(0.0, 1.0, (n, dim)))
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(x.ravel(), type=pa.float64()), dim)
+        t = pa.table({"vec_id": pa.array(np.arange(lo, lo + n,
+                                                   dtype=np.int64)),
+                      "embedding": arr})
+        pq.write_table(t, os.path.join(tmp, f"part-{f_i:05d}.parquet"))
+    if os.path.exists(d):
+        import shutil
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
