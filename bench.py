@@ -109,6 +109,14 @@ def run_bench() -> dict:
     _, scc_info = strongly_connected_components(edges, g.offsets, wd)
     t_scc = time.time() - t7
 
+    from halvesting_geometric_ray.graph.coreness import coreness
+
+    t8 = time.time()
+    _, core_info = coreness(
+        symmetrize(edges, drop_self_loops=True, dedup=False),
+        g.offsets, wd)
+    t_core = time.time() - t8
+
     queries: dict = {
         "graph_build": round(t_build, 3),
         "pagerank": round(t_pr, 3),
@@ -118,6 +126,7 @@ def run_bench() -> dict:
         "anf_hyperball": round(t_anf, 3),
         "random_walks_len8": round(t_walks, 3),
         "scc": round(t_scc, 3),
+        "coreness": round(t_core, 3),
     }
 
     # sample of conformance queries over the sf tables
