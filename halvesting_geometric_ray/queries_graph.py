@@ -1174,6 +1174,34 @@ def q_ktruss(sf_dir: str):
     return ds
 
 
+@_q("q_sssp")
+def q_sssp(sf_dir: str):
+    """Weighted shortest-path distances from vertex 0 over the
+    anchor-multiplicity-weighted link graph (graph/sssp.py: frontier-
+    restricted Bellman-Ford min-relaxation on the weighted CSR shards;
+    weight = 1/multiplicity so heavily-cited links are 'closer').
+    Rows-only at the gate (iterative float fixpoint); heapq Dijkstra
+    oracle + layout invariance in tests/test_sssp.py."""
+    import pyarrow.compute as pc
+
+    from .graph.build import weighted_edges
+    from .graph.sssp import sssp
+
+    g = graph_for(sf_dir)
+    we = weighted_edges(g)
+
+    def invw(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                         "w": pa.array(1.0 / w)})
+
+    ds, _ = sssp(we.map_batches(invw, batch_format="pyarrow",
+                                zero_copy_batch=True),
+                 g.offsets, g.workdir, np.array([0], dtype=np.int64),
+                 shards_dir=os.path.join(g.workdir, "csr_w_inv"))
+    return ds.select_columns(["vid", "dist"])
+
+
 @_q("q_coreness")
 def q_coreness(sf_dir: str):
     """Full core decomposition of the link graph
