@@ -422,3 +422,35 @@ def edge_cut_report(edges, offsets, num_actors: int = 0) -> dict:
         "max_part_share": float(src.max() / n_edges) if n_edges else 0.0,
         "imbalance": float(src.max() / mean) if mean > 0 else 1.0,
     }
+
+
+def powerlaw_alpha(edges, dmin: int = 1, round_to: int = 6,
+                   cfg: EngineConfig = DEFAULT):
+    """Continuous-MLE power-law exponent of the undirected degree
+    distribution (Clauset, Shalizi & Newman 2009, eq. 3.1):
+    alpha = 1 + n / sum(ln(deg / dmin)) over vertices with deg >= dmin
+    — the one-number heavy-tail summary of a web crawl.
+
+    One grouped degree exchange, then a per-block (n, sum-ln) partial
+    folded on the driver; returns a single-row pyarrow table
+    (n, alpha), rounded (float summation order differs between
+    engines — same discipline as the moments oracle)."""
+    und = canonical_undirected(edges, cfg)
+    deg = _degrees_canonical(und)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("deg").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        d = d[d >= dmin]
+        return pa.table({"n": pa.array([int(d.size)], type=pa.int64()),
+                         "s": pa.array([float(np.log(d / dmin).sum())],
+                                       type=pa.float64())})
+
+    pdf = deg.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    n = int(pdf["n"].sum())
+    s = float(pdf["s"].sum())
+    alpha = 1.0 + n / s if s > 0 else float("nan")
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "alpha": pa.array([round(alpha, round_to)],
+                                       type=pa.float64())})

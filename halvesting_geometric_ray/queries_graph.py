@@ -186,6 +186,14 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"(SELECT DISTINCT rep FROM scc) "
             f"UNION SELECT c.b, l.d + 1 FROM lp l JOIN cond c ON c.a = l.v) "
             f"SELECT v AS scc_url, max(d) AS level FROM lp GROUP BY v",
+        # heavy-tail exponent: continuous-MLE alpha over the canonical
+        # undirected degree table (Clauset-Shalizi-Newman eq. 3.1);
+        # rounded 6dp both sides (summation-order discipline)
+        "q_powerlaw":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), deg AS ({_DEG_BODY}) "
+            f"SELECT count(*) AS n, "
+            f"round(1 + count(*) / sum(ln(CAST(deg AS DOUBLE))), 6) "
+            f"AS alpha FROM deg WHERE deg >= 1",
         # per-VERTEX triangle certification: triple self-join over the
         # distinct canonical (lexicographic min/max) anchor pairs — the
         # undirected edge SET is vid-order-independent, so counts match
@@ -1200,6 +1208,18 @@ def q_sssp(sf_dir: str):
                  g.offsets, g.workdir, np.array([0], dtype=np.int64),
                  shards_dir=os.path.join(g.workdir, "csr_w_inv"))
     return ds.select_columns(["vid", "dist"])
+
+
+@_q("q_powerlaw")
+def q_powerlaw(sf_dir: str):
+    """Heavy-tail exponent of the link-graph degree distribution
+    (graph/metrics.py::powerlaw_alpha, CSN continuous MLE) — gate-
+    pinned, SQL-certified at 6dp (summation-order rounding
+    discipline)."""
+    from .graph.metrics import powerlaw_alpha
+
+    g = gate_graph()
+    return powerlaw_alpha(read_layer(g.edges))
 
 
 @_q("q_coreness")
