@@ -1222,6 +1222,22 @@ def q_powerlaw(sf_dir: str):
     return powerlaw_alpha(read_layer(g.edges))
 
 
+@_q("q_mis")
+def q_mis(sf_dir: str):
+    """Maximal independent set of the link graph (graph/mis.py, Luby)
+    — distributed symmetry breaking for conflict-free per-page job
+    scheduling.  Deterministic in (edge set, seed).  Rows-only;
+    sequential-replay + independence/maximality oracles in
+    tests/test_mis.py."""
+    from .graph.mis import maximal_independent_set
+
+    g = graph_for(sf_dir)
+    ds, _ = maximal_independent_set(
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
+        g.offsets, g.workdir)
+    return ds.select_columns(["vid", "in_mis"])
+
+
 @_q("q_coreness")
 def q_coreness(sf_dir: str):
     """Full core decomposition of the link graph
