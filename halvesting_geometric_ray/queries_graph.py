@@ -1238,6 +1238,22 @@ def q_mis(sf_dir: str):
     return ds.select_columns(["vid", "in_mis"])
 
 
+@_q("q_coloring")
+def q_coloring(sf_dir: str):
+    """Jones-Plassmann greedy coloring of the link graph
+    (graph/coloring.py): conflict groups for mutate-every-page-once
+    scheduling; color 0 is an MIS.  Deterministic in (edge set, seed).
+    Rows-only; sequential-replay + validity/greedy-tightness oracles in
+    tests/test_coloring.py."""
+    from .graph.coloring import greedy_coloring
+
+    g = graph_for(sf_dir)
+    ds, _ = greedy_coloring(
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
+        g.offsets, g.workdir)
+    return ds.select_columns(["vid", "color"])
+
+
 @_q("q_coreness")
 def q_coreness(sf_dir: str):
     """Full core decomposition of the link graph
