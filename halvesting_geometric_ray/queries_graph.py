@@ -1254,6 +1254,21 @@ def q_coloring(sf_dir: str):
     return ds.select_columns(["vid", "color"])
 
 
+@_q("q_densest")
+def q_densest(sf_dir: str):
+    """(2+2eps)-approximate densest subgraph of the link graph
+    (graph/densest.py, Bahmani parallel peeling) — the link-farm /
+    collusion-ring detector.  Rows-only; sequential-replay +
+    planted-clique oracles in tests/test_densest.py."""
+    from .graph.densest import densest_subgraph
+
+    g = graph_for(sf_dir)
+    ds, _ = densest_subgraph(
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
+        g.offsets, g.workdir)
+    return ds.select_columns(["vid", "removal_round", "in_densest"])
+
+
 @_q("q_coreness")
 def q_coreness(sf_dir: str):
     """Full core decomposition of the link graph
