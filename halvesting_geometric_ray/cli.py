@@ -52,7 +52,9 @@ def main(argv=None) -> int:
     common(sp)
 
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
-                 "anf", "walks", "bowtie", "betweenness", "scc"):
+                 "anf", "walks", "bowtie", "betweenness", "scc",
+                 "coreness", "ktruss", "mis", "coloring", "densest",
+                 "sssp"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -81,6 +83,18 @@ def main(argv=None) -> int:
                                  "(weighted_edges -> weight_col='w')")
         if name == "labelprop":
             sp.add_argument("--rounds", type=int, default=5)
+        if name == "ktruss":
+            sp.add_argument("--k", type=int, default=3)
+        if name in ("mis", "coloring"):
+            sp.add_argument("--seed", type=int, default=42)
+        if name == "densest":
+            sp.add_argument("--eps", type=float, default=0.1)
+        if name == "sssp":
+            sp.add_argument("--sources", default="0",
+                            help="comma-separated source vids")
+            sp.add_argument("--weighted", action="store_true",
+                            help="anchor-multiplicity 1/w edge weights "
+                                 "(default: unit weights)")
 
     sp = sub.add_parser("all", help="build + pagerank + cc + triangles")
     sp.add_argument("--pages", required=True)
@@ -335,6 +349,96 @@ def main(argv=None) -> int:
             out["scc"] = {"n_sccs": info["n_sccs"],
                           "num_outer": info["num_outer"],
                           "dag_depth": linfo["depth"]}
+        if args.cmd == "coreness":
+            from .graph.coreness import coreness
+            import os
+
+            ds, info = coreness(
+                symmetrize(edges, cfg, drop_self_loops=True, dedup=False),
+                g.offsets, args.workdir, cfg)
+            ds.write_parquet(os.path.join(args.workdir, "coreness"))
+            out["coreness"] = {"num_iters": info["num_iters"]}
+        if args.cmd == "ktruss":
+            from .graph.truss import k_truss
+            import os
+
+            ds, info = k_truss(edges, args.k, cfg)
+            ds.write_parquet(os.path.join(args.workdir,
+                                          f"truss_k{args.k}"))
+            out["ktruss"] = {"k": args.k, "n_edges": info["n_edges"],
+                             "num_rounds": info["num_rounds"]}
+        if args.cmd == "mis":
+            from .graph.mis import maximal_independent_set
+            import os
+
+            ds, info = maximal_independent_set(
+                symmetrize(edges, cfg, drop_self_loops=True, dedup=False),
+                g.offsets, args.workdir, cfg, seed=args.seed)
+            ds.write_parquet(os.path.join(args.workdir, "mis"))
+            out["mis"] = {"mis_size": info["mis_size"],
+                          "num_rounds": info["num_rounds"]}
+        if args.cmd == "coloring":
+            from .graph.coloring import greedy_coloring
+            import os
+
+            ds, info = greedy_coloring(
+                symmetrize(edges, cfg, drop_self_loops=True, dedup=False),
+                g.offsets, args.workdir, cfg, seed=args.seed)
+            ds.write_parquet(os.path.join(args.workdir, "coloring"))
+            out["coloring"] = {"n_colors": info["n_colors"],
+                               "num_rounds": info["num_rounds"]}
+        if args.cmd == "densest":
+            from .graph.densest import densest_subgraph
+            import os
+
+            ds, info = densest_subgraph(
+                symmetrize(edges, cfg, drop_self_loops=True, dedup=False),
+                g.offsets, args.workdir, cfg, eps=args.eps)
+            ds.write_parquet(os.path.join(args.workdir, "densest"))
+            out["densest"] = {"best_density": info["best_density"],
+                              "subgraph_size": info["subgraph_size"]}
+        if args.cmd == "sssp":
+            import numpy as np
+            import os
+
+            from .graph.sssp import sssp as run_sssp
+
+            srcs = np.array([int(x) for x in args.sources.split(",")],
+                            dtype=np.int64)
+            if args.weighted:
+                import pyarrow as pa
+
+                from .graph.build import weighted_edges
+
+                we = weighted_edges(g, cfg)
+
+                def invw(b):
+                    w = b.column("w").to_numpy(
+                        zero_copy_only=False).astype("float64")
+                    return pa.table({"src": b.column("src"),
+                                     "dst": b.column("dst"),
+                                     "w": pa.array(1.0 / w)})
+
+                wsrc = we.map_batches(invw, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                sd = os.path.join(args.workdir, "csr_w_inv")
+            else:
+                import pyarrow as pa
+
+                def unit(b):
+                    return pa.table({
+                        "src": b.column("src"), "dst": b.column("dst"),
+                        "w": pa.array([1.0] * b.num_rows,
+                                      type=pa.float64())})
+
+                wsrc = edges.map_batches(unit, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+                sd = os.path.join(args.workdir, "csr_w_unit")
+            ds, info = run_sssp(wsrc, g.offsets, args.workdir, srcs, cfg,
+                                shards_dir=sd)
+            ds.write_parquet(os.path.join(args.workdir, "sssp"))
+            out["sssp"] = {"num_iters": info["num_iters"],
+                           "reached": int(ds.count())}
         if args.cmd == "betweenness":
             from .graph.betweenness import betweenness
             import os

@@ -96,3 +96,26 @@ def test_cli_semdedup(tmp_path, capsys):
     back = rd.read_parquet(out_dir).to_pandas().set_index("vec_id").keeper
     for i in range(10):
         assert back[100 + i] == i
+
+
+def test_cli_graph_family(tmp_path, capsys, tiny_pages_dir):
+    """One in-process pass over the new graph subcommands sharing a
+    built workdir."""
+    wd = str(tmp_path / "wd2")
+    assert main(["build", "--pages", tiny_pages_dir, "--workdir", wd]) == 0
+    capsys.readouterr()
+    outs = {}
+    for cmd in (["coreness"], ["ktruss", "--k", "3"], ["mis"],
+                ["coloring"], ["densest"], ["sssp", "--sources", "0,1"]):
+        assert main(cmd + ["--workdir", wd]) == 0, cmd
+        outs[cmd[0]] = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])[cmd[0]]
+    assert outs["coreness"]["num_iters"] >= 1
+    assert outs["ktruss"]["n_edges"] >= 0
+    assert outs["mis"]["mis_size"] > 0
+    assert outs["coloring"]["n_colors"] >= 1
+    assert outs["densest"]["subgraph_size"] > 0
+    assert outs["sssp"]["reached"] >= 2
+    for layer in ("coreness", "truss_k3", "mis", "coloring", "densest",
+                  "sssp"):
+        assert rd.read_parquet(os.path.join(wd, layer)).count() > 0
