@@ -966,6 +966,34 @@ def q_knn_cosine_pq(sf_dir: str):
     return knn_cosine_pq(emb, qt, k=5, m=8, n_codes=32)
 
 
+@_q("q_learned_filter")
+def q_learned_filter(sf_dir: str):
+    """Train-a-filter-on-the-engine demo (functions/linear.py +
+    functions/features.py): fit a logistic head over vocabulary-free
+    hashed n-gram features to predict lang=='en', then score the whole
+    corpus in one streaming pass — the LEARNED analogue of the
+    heuristic quality gate.  Rows-only; numpy-replay + end-to-end
+    hashed-feature oracles in tests/test_linear.py."""
+    import pyarrow.compute as pc
+
+    from .functions.features import hash_features
+    from .functions.linear import logreg_predict, logreg_train
+    from .ops.join import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    feats = hash_features(docs, dim=128).materialize()
+    labels = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "label": pc.cast(pc.equal(b.column("lang"), "en"),
+                             pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    train = hash_join(feats, labels, on="doc_id", right_on="doc_id",
+                      num_parts=8)
+    w, _ = logreg_train(train, iters=40, lr=1.0, l2=1e-4)
+    return logreg_predict(feats, w, threshold=0.5)
+
+
 @_q("q_semantic_dedup")
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup over the embeddings table
