@@ -988,8 +988,10 @@ def q_learned_filter(sf_dir: str):
             "label": pc.cast(pc.equal(b.column("lang"), "en"),
                              pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
+    # materialize: every GD iteration streams the training set — the
+    # lazy join would otherwise re-execute 40 times
     train = hash_join(feats, labels, on="doc_id", right_on="doc_id",
-                      num_parts=8)
+                      num_parts=8).materialize()
     w, _ = logreg_train(train, iters=40, lr=1.0, l2=1e-4)
     return logreg_predict(feats, w, threshold=0.5)
 
