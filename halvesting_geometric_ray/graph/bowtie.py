@@ -194,3 +194,47 @@ def bowtie(edges, offsets: np.ndarray, workdir: str,
         sizes[r[0]] = int(r[1])
     info = {"pivot": int(pivot), "sizes": sizes, "n": N}
     return out, info
+
+
+def giant_scc_pivot(edges, offsets: np.ndarray, workdir: str,
+                    cfg: EngineConfig = DEFAULT) -> int:
+    """EXACT pivot for the census: the min-vid member of the LARGEST
+    strongly connected component (graph/scc.py), replacing the
+    max-out-degree heuristic when the extra SCC pass is affordable.
+    One grouped size count + per-block partial top-1 — the labels
+    never land on the driver."""
+    from ..ops.agg import grouped_aggregate
+    from .scc import strongly_connected_components
+
+    labels, _ = strongly_connected_components(edges, offsets, workdir, cfg)
+    sizes = grouped_aggregate(labels.select_columns(["scc"]), ["scc"],
+                              {"n": ("count", None)},
+                              num_parts=cfg.num_parts)
+
+    def top1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"scc": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        s = b.column("scc").to_numpy()
+        n = b.column("n").to_numpy()
+        peak = n.max()
+        sel = n == peak
+        return pa.table({"scc": pa.array([int(s[sel].min())]),
+                         "n": pa.array([int(peak)])})
+
+    cand = sizes.map_batches(top1, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    peak = cand.n.max()
+    label = int(cand.loc[cand.n == peak, "scc"].min())
+    # min vid of the winning SCC: per-block partial min over members
+    def minmem(b: pa.Table) -> pa.Table:
+        s = b.column("scc").to_numpy()
+        v = b.column("vid").to_numpy()
+        m = s == label
+        if not m.any():
+            return pa.table({"vid": pa.array([], type=pa.int64())})
+        return pa.table({"vid": pa.array([int(v[m].min())])})
+
+    mm = labels.map_batches(minmem, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    return int(mm.vid.min())

@@ -98,3 +98,19 @@ def test_bowtie_explicit_pivot_multi_part(tiny_graph, tmp_path):
 def test_bowtie_pivot_validation(tmp_path):
     with pytest.raises(ValueError):
         _run(3, [0], [1], tmp_path, "v", pivot=5)
+
+
+def test_giant_scc_pivot_exact(tmp_path):
+    from halvesting_geometric_ray.graph.bowtie import giant_scc_pivot
+
+    # big cycle {0..4} (giant SCC), small cycle {8,9}, tail 5->6->7
+    src = [0, 1, 2, 3, 4, 8, 9, 5, 6, 4]
+    dst = [1, 2, 3, 4, 0, 9, 8, 6, 7, 5]
+    edges = rd.from_pandas(pd.DataFrame({
+        "src": np.array(src, dtype=np.int64),
+        "dst": np.array(dst, dtype=np.int64)}))
+    offsets = np.array([0, 5, 10], dtype=np.int64)
+    pivot = giant_scc_pivot(edges, offsets, str(tmp_path / "gp"))
+    assert pivot == 0  # min vid of the size-5 SCC
+    ds, info = bowtie(edges, offsets, str(tmp_path / "bt"), pivot=pivot)
+    assert info["sizes"]["SCC"] == 5
