@@ -54,7 +54,7 @@ def main(argv=None) -> int:
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
-                 "sssp"):
+                 "sssp", "katz"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -95,6 +95,11 @@ def main(argv=None) -> int:
             sp.add_argument("--weighted", action="store_true",
                             help="anchor-multiplicity 1/w edge weights "
                                  "(default: unit weights)")
+        if name == "katz":
+            sp.add_argument("--alpha", type=float, default=0.05)
+            sp.add_argument("--beta", type=float, default=1.0)
+            sp.add_argument("--tol", type=float, default=1e-9)
+            sp.add_argument("--normalize", action="store_true")
 
     sp = sub.add_parser("all", help="build + pagerank + cc + triangles")
     sp.add_argument("--pages", required=True)
@@ -294,6 +299,16 @@ def main(argv=None) -> int:
 
             ds.write_parquet(os.path.join(args.workdir, "hits_scores"))
             out["hits"] = {"num_iters": info["num_iters"],
+                           "converged": info["converged"]}
+        if args.cmd == "katz":
+            from .graph.katz import katz as run_katz
+            import os
+
+            ds, info = run_katz(edges, g.offsets, args.workdir, cfg,
+                                alpha=args.alpha, beta=args.beta,
+                                tol=args.tol, normalize=args.normalize)
+            ds.write_parquet(os.path.join(args.workdir, "katz_scores"))
+            out["katz"] = {"num_iters": info["num_iters"],
                            "converged": info["converged"]}
         if args.cmd == "anf":
             from .graph.anf import anf

@@ -413,6 +413,27 @@ def q_pagerank(sf_dir: str):
     return ranks.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_katz")
+def q_katz(sf_dir: str):
+    """Katz centrality of the link graph (graph/katz.py: alpha-damped
+    path-count series on the shared directed CSR shards — the third
+    classic link-analysis score next to q_pagerank/q_hits).  Rows-only
+    at the gate (iterative float fixpoint); dense NumPy power-series
+    oracle + weighted/layout/divergence tests in tests/test_katz.py."""
+    from .graph.katz import katz
+
+    g = graph_for(sf_dir)
+    scores, _ = katz(read_layer(g.edges), g.offsets, g.workdir,
+                     alpha=0.05, tol=1e-9)
+
+    def quant(b: pa.Table) -> pa.Table:
+        r = np.round(b.column("katz").to_numpy(), 9)
+        return pa.table({"vid": b.column("vid"), "katz": pa.array(r)})
+
+    return scores.map_batches(quant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 @_q("q_pagerank_top20")
 def q_pagerank_top20(sf_dir: str):
     from .graph.pagerank import pagerank
