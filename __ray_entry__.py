@@ -77,7 +77,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_katz",
     "q_minhash_lsh", "q_kcore", "q_coreness", "q_sssp", "q_mis",
     "q_coloring", "q_densest", "q_diameter",
-    "q_label_propagation",
+    "q_label_propagation", "q_louvain",
     "q_simhash_pairs",
     "q_edge_splits", "q_negative_samples", "q_hll_distinct",
     "q_token_percentiles_sketch", "q_decontaminate_bloom", "q_span_dedup",

@@ -54,7 +54,7 @@ def main(argv=None) -> int:
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
-                 "sssp", "katz"):
+                 "sssp", "katz", "louvain"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -100,6 +100,10 @@ def main(argv=None) -> int:
             sp.add_argument("--beta", type=float, default=1.0)
             sp.add_argument("--tol", type=float, default=1e-9)
             sp.add_argument("--normalize", action="store_true")
+        if name == "louvain":
+            sp.add_argument("--resolution", type=float, default=1.0)
+            sp.add_argument("--max-levels", type=int, default=6)
+            sp.add_argument("--seed", type=int, default=42)
 
     sp = sub.add_parser("all", help="build + pagerank + cc + triangles")
     sp.add_argument("--pages", required=True)
@@ -310,6 +314,17 @@ def main(argv=None) -> int:
             ds.write_parquet(os.path.join(args.workdir, "katz_scores"))
             out["katz"] = {"num_iters": info["num_iters"],
                            "converged": info["converged"]}
+        if args.cmd == "louvain":
+            from .graph.louvain import louvain as run_louvain
+            import os
+
+            ds, info = run_louvain(edges, g.offsets, args.workdir, cfg,
+                                   resolution=args.resolution,
+                                   max_levels=args.max_levels,
+                                   seed=args.seed)
+            ds.write_parquet(os.path.join(args.workdir, "louvain"))
+            out["louvain"] = {"n_communities": info["n_communities"],
+                              "levels": info["levels"]}
         if args.cmd == "anf":
             from .graph.anf import anf
             import os

@@ -1,0 +1,582 @@
+"""Distributed Louvain community detection (multi-level modularity).
+
+The standard web-corpus community algorithm (Blondel et al. 2008),
+re-expressed as BSP rounds on the CSR shard-actor engine + pure
+Ray-Data contraction between levels:
+
+Phase 1 (local moving), synchronous sub-rounds on shard actors —
+  a vertex v evaluates moving to a neighbor community C by the
+  modularity gain comparison (all terms share the 1/m2 scale):
+
+      score(C)   = k_{v,C}     - resolution * k_v * Sigma_tot(C)    / m2
+      score(stay)= k_{v,D\\v}  - resolution * k_v * (Sigma_tot(D)-k_v)/m2
+
+  moving to the best-scoring C (ties -> smallest community id) iff it
+  beats staying by > gain_eps.  Parallel synchronous moving admits
+  limit cycles (synchronized hopping between symmetric halves of a
+  clique is period-2 under any fixed schedule), so sub-round t
+  activates a STATELESS-HASH random half of the vertices
+  (round_priority(v, t, seed) & 1 == 0 — deterministic, layout-
+  independent, different each round); phase 1 ends after 3 zero-move
+  sub-rounds.
+
+  Distributed state: community labels + k_v live with the vertex owner;
+  Sigma_tot(C) lives with the OWNER OF COMMUNITY ID C (community ids
+  are current-level vids, so ownership is the same searchsorted).  A
+  sub-round is 4 chained actor barriers:
+    1. scatter_labels: per-edge (dst, c(src), w) combined per (dst, c)
+       inside the actor (labelprop's combiner — exchange bounded by
+       distinct pairs, not E); also applies last round's Sigma_tot
+       deltas.
+    2. prep_moves: merge candidate messages; request Sigma_tot for the
+       candidate + own-community id set, routed to community owners.
+    3. answer_ctot: owners answer value arrays aligned to each request.
+    4. apply_moves: vectorized gain evaluation, label updates, and
+       (community, +-k_v) delta messages back to community owners.
+
+Phase 2 (contraction), pure Ray Data — communities become vertices:
+  assign_dense_ids_hash gives the surviving community ids a dense
+  contiguous-range id space + offsets (the CSR ownership contract),
+  two bucketed hash_joins relabel the edge endpoints, one grouped sum
+  folds parallel edges; intra-community mass becomes per-vertex
+  self-loop weight, delivered to the next level's actors as per-part
+  parquet (pagerank's _write_ranks_by_part — never a driver-side
+  broadcast), and k_v = wout + self_w keeps the invariant
+  k_C = sum of member degrees, so m2 is conserved across levels
+  (asserted in info).
+
+Determinism: all message combines sort by (vid, community) before
+order-fixed reduction; with integer-valued weights (level 0 always;
+contraction sums preserve integrality) decisions are bitwise
+independent of partitioning and actor layout (tests/test_louvain.py
+pins 1-vs-4-actor label equality and a pure-Python full replay
+oracle).
+
+Semantic anchor: the reference's community structure comes from its
+GNN embeddings (halvesting_geometric/modules/sage.py); Louvain is the
+deterministic classical counterpart, the fitness metric being
+graph/metrics.py::modularity.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT, EngineConfig
+from .csr import load_shard
+from .engine import part_to_actor_map, plan_actors, transpose_refs
+from .labelprop import _agg_pairs
+from .mis import round_priority
+
+_NEG = -np.inf
+
+
+@ray.remote(num_cpus=0)
+class LouvainShardActor:
+    """Owns partitions: CSR shards, labels c(v), degrees k_v, and
+    Sigma_tot for the community ids in its vid ranges."""
+
+    def __init__(self, actor_idx: int, owned: List[int],
+                 paths: Dict[int, str], offsets: np.ndarray,
+                 part2actor: np.ndarray, num_actors: int, seed: int,
+                 selfw_files: Optional[Dict[int, str]] = None):
+        self.owned = owned
+        self.off = offsets
+        self.p2a = part2actor
+        self.num_actors = num_actors
+        self.seed = seed
+        self.shards: Dict[int, Dict] = {}
+        self.c: Dict[int, np.ndarray] = {}
+        self.k: Dict[int, np.ndarray] = {}
+        self.ctot: Dict[int, np.ndarray] = {}
+        for p in owned:
+            s = load_shard(paths[p])
+            if "weights" not in s:
+                raise ValueError("louvain needs weighted CSR shards")
+            self.shards[p] = s
+            lo, hi = s["vid_lo"], s["vid_hi"]
+            k = s["wout"].astype(np.float64).copy()
+            if selfw_files and p in selfw_files:
+                t = pq.read_table(selfw_files[p], columns=["vid", "rank"])
+                k[t.column("vid").to_numpy() - lo] += \
+                    t.column("rank").to_numpy()
+            self.k[p] = k
+            self.c[p] = np.arange(lo, hi, dtype=np.int64)
+            # init: every vertex its own community, Sigma_tot = k_v
+            self.ctot[p] = k.copy()
+        self._cand = None
+        self._req: List[np.ndarray] = []
+
+    def k_sum(self) -> float:
+        return float(sum(self.k[p].sum() for p in self.owned))
+
+    def _route_triples(self, v, c, w):
+        dest = self.p2a[np.searchsorted(self.off, v, side="right") - 1]
+        order = np.argsort(dest, kind="stable")
+        v, c, w, dest = v[order], c[order], w[order], dest[order]
+        b = np.searchsorted(dest, np.arange(self.num_actors + 1))
+        return [(v[b[j]:b[j + 1]], c[b[j]:b[j + 1]], w[b[j]:b[j + 1]])
+                if b[j + 1] > b[j] else None
+                for j in range(self.num_actors)]
+
+    def scatter_labels(self, t: int, *ctot_deltas):
+        """Apply last sub-round's Sigma_tot deltas, then emit per-owner
+        (dst, c(src), w_sum) candidate messages — only for destinations
+        ACTIVE at sub-round t (stateless hash coin, ~half the vertices:
+        strict parity admits period-2 limit cycles of synchronized
+        community hopping inside symmetric structures — a clique's two
+        halves hop forever; randomized activation breaks every such
+        cycle with probability 1), which also halves the exchange
+        (inactive vertices are never evaluated this round)."""
+        for msg in ctot_deltas:
+            if msg is None:
+                continue
+            ids, vals = msg
+            for p in self.owned:
+                lo = self.shards[p]["vid_lo"]
+                hi = self.shards[p]["vid_hi"]
+                m = (ids >= lo) & (ids < hi)
+                if m.any():
+                    np.add.at(self.ctot[p], ids[m] - lo, vals[m])
+        vs, cs, ws = [], [], []
+        for p in self.owned:
+            s = self.shards[p]
+            if s["indices"].size == 0:
+                continue
+            act = (round_priority(s["indices"], t, self.seed)
+                   & np.uint64(1)) == 0
+            if not act.any():
+                continue
+            e_lab = np.repeat(self.c[p], s["outdeg"])
+            v, l, w = _agg_pairs(s["indices"][act], e_lab[act],
+                                 s["weights"][act])
+            vs.append(v)
+            cs.append(l)
+            ws.append(w)
+        if not vs:
+            out = [None] * self.num_actors
+        else:
+            v, l, w = _agg_pairs(np.concatenate(vs), np.concatenate(cs),
+                                 np.concatenate(ws))
+            out = self._route_triples(v, l, w)
+        return tuple(out) if self.num_actors > 1 else out[0]
+
+    def prep_moves(self, *label_msgs):
+        """Merge candidate messages; return per-owner Sigma_tot request
+        id arrays (candidate communities + own current communities)."""
+        msgs = [m for m in label_msgs if m is not None]
+        if msgs:
+            v = np.concatenate([m[0] for m in msgs])
+            l = np.concatenate([m[1] for m in msgs])
+            w = np.concatenate([m[2] for m in msgs])
+            v, l, w = _agg_pairs(v, l, w)
+        else:
+            v = np.empty(0, dtype=np.int64)
+            l = np.empty(0, dtype=np.int64)
+            w = np.empty(0, dtype=np.float64)
+        self._cand = (v, l, w)
+        need = [l]
+        for p in self.owned:
+            lo = self.shards[p]["vid_lo"]
+            hi = self.shards[p]["vid_hi"]
+            m = (v >= lo) & (v < hi)
+            if m.any():
+                need.append(self.c[p][v[m] - lo])
+        ids = np.unique(np.concatenate(need)) if need else \
+            np.empty(0, dtype=np.int64)
+        dest = self.p2a[np.searchsorted(self.off, ids, side="right") - 1] \
+            if ids.size else np.empty(0, dtype=np.int32)
+        self._req = [ids[dest == j] for j in range(self.num_actors)]
+        out = [r if r.size else None for r in self._req]
+        return tuple(out) if self.num_actors > 1 else out[0]
+
+    def answer_ctot(self, *reqs):
+        """Answer Sigma_tot for requested community ids (all owned
+        here by routing construction), aligned per requester."""
+        out = []
+        for ids in reqs:
+            if ids is None or ids.size == 0:
+                out.append(None)
+                continue
+            vals = np.empty(ids.size, dtype=np.float64)
+            for p in self.owned:
+                lo = self.shards[p]["vid_lo"]
+                hi = self.shards[p]["vid_hi"]
+                m = (ids >= lo) & (ids < hi)
+                if m.any():
+                    vals[m] = self.ctot[p][ids[m] - lo]
+            out.append(vals)
+        return tuple(out) if self.num_actors > 1 else out[0]
+
+    def apply_moves(self, t: int, resolution: float, m2: float,
+                    gain_eps: float, *answers):
+        """Evaluate gains for parity-active vertices, apply moves, emit
+        (community, +-k_v) Sigma_tot delta messages.  Returns A delta
+        msgs + n_moves."""
+        req_ids = [r for r in self._req if r.size]
+        ans_vals = [a for a in answers if a is not None]
+        if req_ids:
+            ids = np.concatenate(req_ids)
+            vals = np.concatenate(ans_vals)
+            order = np.argsort(ids, kind="stable")
+            ids_s, vals_s = ids[order], vals[order]
+        else:
+            ids_s = np.empty(0, dtype=np.int64)
+            vals_s = np.empty(0, dtype=np.float64)
+
+        def lookup(x):
+            return vals_s[np.searchsorted(ids_s, x)]
+
+        v, l, w = self._cand
+        active = (round_priority(v, t, self.seed) & np.uint64(1)) == 0 \
+            if v.size else np.empty(0, dtype=bool)
+        v, l, w = v[active], l[active], w[active]
+        n_moves = 0
+        dv_list: List[np.ndarray] = []
+        dk_list: List[np.ndarray] = []
+        if v.size:
+            kv = np.empty(v.size, dtype=np.float64)
+            cv = np.empty(v.size, dtype=np.int64)
+            for p in self.owned:
+                lo = self.shards[p]["vid_lo"]
+                hi = self.shards[p]["vid_hi"]
+                m = (v >= lo) & (v < hi)
+                if m.any():
+                    kv[m] = self.k[p][v[m] - lo]
+                    cv[m] = self.c[p][v[m] - lo]
+            ct = lookup(l)
+            intra = l == cv
+            ct_adj = np.where(intra, ct - kv, ct)
+            score = w - resolution * kv * ct_adj / m2
+            uv, inv = np.unique(v, return_inverse=True)
+            # stay score: the (v, c(v)) row if present, else the
+            # no-intra-neighbor default -res*k_v*(Sigma_tot(D)-k_v)/m2
+            stay = np.full(uv.size, _NEG)
+            stay[inv[intra]] = score[intra]
+            kv_u = np.empty(uv.size)
+            cv_u = np.empty(uv.size, dtype=np.int64)
+            kv_u[inv] = kv
+            cv_u[inv] = cv
+            miss = np.isneginf(stay)
+            if miss.any():
+                stay[miss] = -resolution * kv_u[miss] * \
+                    (lookup(cv_u[miss]) - kv_u[miss]) / m2
+            # best move candidate per vertex: max score, tie smallest C
+            mask = ~intra
+            if mask.any():
+                vm, lm, sm = v[mask], l[mask], score[mask]
+                order = np.lexsort((lm, -sm, vm))
+                vm, lm, sm = vm[order], lm[order], sm[order]
+                first = np.r_[True, vm[1:] != vm[:-1]]
+                bv, bl, bs = vm[first], lm[first], sm[first]
+                pos = np.searchsorted(uv, bv)
+                go = bs > stay[pos] + gain_eps
+                mv_v, mv_to = bv[go], bl[go]
+                mv_from = cv_u[pos[go]]
+                mv_k = kv_u[pos[go]]
+                n_moves = int(mv_v.size)
+                if n_moves:
+                    for p in self.owned:
+                        lo = self.shards[p]["vid_lo"]
+                        hi = self.shards[p]["vid_hi"]
+                        m = (mv_v >= lo) & (mv_v < hi)
+                        if m.any():
+                            self.c[p][mv_v[m] - lo] = mv_to[m]
+                    dv_list = [mv_from, mv_to]
+                    dk_list = [-mv_k, mv_k]
+        if dv_list:
+            dv = np.concatenate(dv_list)
+            dk = np.concatenate(dk_list)
+            # combine deltas per community before routing
+            ud, uinv = np.unique(dv, return_inverse=True)
+            sums = np.bincount(uinv, weights=dk, minlength=ud.size)
+            keep = sums != 0.0
+            msgs = self._route_pairs(ud[keep], sums[keep])
+        else:
+            msgs = [None] * self.num_actors
+        return (*msgs, n_moves)
+
+    def _route_pairs(self, ids: np.ndarray, vals: np.ndarray):
+        dest = self.p2a[np.searchsorted(self.off, ids, side="right") - 1]
+        order = np.argsort(dest, kind="stable")
+        ids, vals, dest = ids[order], vals[order], dest[order]
+        b = np.searchsorted(dest, np.arange(self.num_actors + 1))
+        return [(ids[b[j]:b[j + 1]], vals[b[j]:b[j + 1]])
+                if b[j + 1] > b[j] else None
+                for j in range(self.num_actors)]
+
+    def label_tables(self):
+        out = []
+        for p in self.owned:
+            s = self.shards[p]
+            lo, hi = s["vid_lo"], s["vid_hi"]
+            out.append(pa.table({
+                "vid": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "label": pa.array(self.c[p]),
+            }))
+        return out
+
+
+def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
+            cfg: EngineConfig, *, resolution: float, gain_eps: float,
+            max_subrounds: int, num_actors: int, seed: int,
+            selfw_files: Optional[Dict[int, str]] = None):
+    """One local-moving phase.  edges: weighted symmetrized directed
+    representation WITHOUT self-loops (their mass arrives via
+    selfw_files).  Returns (labels_ds, moves_total, subrounds, m2)."""
+    from .csr import build_csr_shards
+
+    num_parts = len(offsets) - 1
+    descs = build_csr_shards(
+        edges, offsets, f"{workdir}/louvain_csr_l{level}",
+        lineage={"kind": "louvain-sym-weighted", "level": level,
+                 "resolution": resolution},
+        weight_col="w")
+    paths = {dd["part"]: dd["path"] for dd in descs}
+    owned = plan_actors(num_parts, num_actors)
+    A = len(owned)
+    p2a = part_to_actor_map(owned, num_parts)
+    actors = [LouvainShardActor.remote(
+        i, owned[i], paths, np.asarray(offsets), p2a, A, seed,
+        {p: selfw_files[p] for p in owned[i] if p in selfw_files}
+        if selfw_files else None)
+        for i in range(A)]
+    try:
+        m2 = float(sum(ray.get([a.k_sum.remote() for a in actors])))
+        moves_hist: List[int] = []
+        delta_inbox = [[None] * A for _ in range(A)]
+        # edgeless graph: every vertex stays a singleton (and the gain
+        # formula's /m2 would divide by zero)
+        for t in range(max_subrounds if m2 > 0 else 0):
+            outs = [list(actors[i].scatter_labels
+                         .options(num_returns=A)
+                         .remote(t, *delta_inbox[i]))
+                    if A > 1 else
+                    [actors[i].scatter_labels.remote(t, *delta_inbox[i])]
+                    for i in range(A)]
+            label_inbox = transpose_refs(outs)
+            reqs = [list(actors[i].prep_moves
+                         .options(num_returns=A).remote(*label_inbox[i]))
+                    if A > 1 else
+                    [actors[i].prep_moves.remote(*label_inbox[i])]
+                    for i in range(A)]
+            req_inbox = transpose_refs(reqs)
+            ans = [list(actors[j].answer_ctot
+                        .options(num_returns=A).remote(*req_inbox[j]))
+                   if A > 1 else
+                   [actors[j].answer_ctot.remote(*req_inbox[j])]
+                   for j in range(A)]
+            ans_inbox = transpose_refs(ans)
+            mv = [list(actors[i].apply_moves
+                       .options(num_returns=A + 1)
+                       .remote(t, resolution, m2, gain_eps,
+                               *ans_inbox[i]))
+                  for i in range(A)]
+            n_moves = int(sum(ray.get([o[A] for o in mv])))
+            delta_inbox = transpose_refs([o[:A] for o in mv])
+            moves_hist.append(n_moves)
+            # 3 zero-move rounds: with ~1/2 hash activation a vertex
+            # that still wants to move gets a chance w.p. 7/8 in 3
+            # rounds; a stable zero-streak means best-response fixpoint
+            if len(moves_hist) >= 3 and sum(moves_hist[-3:]) == 0:
+                break
+        tables = [tt for ref in [a.label_tables.remote() for a in actors]
+                  for tt in ray.get(ref)]
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return (rd.from_arrow(tables), int(sum(moves_hist)),
+            len(moves_hist), m2)
+
+
+def _relabel(ds, col: str, cmap, cfg: EngineConfig, out_col: str = None,
+             keep: List[str] = (), schema_cols=None):
+    """hash_join ds with the (label -> cid) map on `col`; returns
+    columns keep + [out_col or col] with the new id."""
+    from ..ops.join import hash_join
+
+    i64 = pa.int64()
+    left_schema = pa.schema([(col, i64)] + [(k, schema_cols[k])
+                                            for k in keep])
+    right_schema = pa.schema([("label", i64), ("cid", i64)])
+    j = hash_join(ds, cmap, on=col, right_on="label",
+                  num_parts=cfg.num_parts,
+                  left_schema=left_schema, right_schema=right_schema)
+    oc = out_col or col
+
+    def fin(b: pa.Table) -> pa.Table:
+        cols = {k: b.column(k) for k in keep}
+        cols[oc] = b.column("cid")
+        return pa.table(cols)
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def louvain(edges, offsets: np.ndarray, workdir: str,
+            cfg: EngineConfig = DEFAULT, *,
+            resolution: float = 1.0, gain_eps: float = 1e-9,
+            max_subrounds: int = 32, max_levels: int = 6, seed: int = 42,
+            weight_col: Optional[str] = None,
+            num_actors: int = 0) -> Tuple["rd.Dataset", Dict]:
+    """Louvain communities over a DIRECTED edge table (symmetrized
+    internally; self-loops dropped at level 0).  Returns
+    (labels_ds(vid, community), info): community = smallest member vid
+    (the components.py canonicalization), info carries per-level
+    {n_vertices, n_communities, moves, subrounds, m2}.
+
+    weight_col: positive edge weights (anchor multiplicity etc.);
+    default weight 1 per directed edge after symmetrization."""
+    import pyarrow.compute as pc
+
+    from ..ops.agg import grouped_aggregate
+    from ..ops.ids import assign_dense_ids_hash
+    from ..ops.join import hash_join
+    from .pagerank import _write_ranks_by_part
+
+    i64, f64 = pa.int64(), pa.float64()
+    N = int(offsets[-1])
+    info: Dict = {"levels": []}
+    if N == 0:
+        import pandas as _pd
+
+        return rd.from_pandas(_pd.DataFrame(
+            {"vid": _pd.Series([], dtype="int64"),
+             "community": _pd.Series([], dtype="int64")})), info
+
+    # weight-preserving symmetrize (graph/build.py::symmetrize drops
+    # payload columns) + self-loop drop — the A + A^T folding with each
+    # undirected edge represented in both directions
+    def with_w(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("src"), b.column("dst")))
+        w = (b.column(weight_col).cast(pa.float64()) if weight_col
+             else pa.array(np.ones(b.num_rows, dtype=np.float64)))
+        return pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                         "w": w})
+
+    def swapped(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("dst"), "dst": b.column("src"),
+                         "w": b.column("w")})
+
+    base = edges.map_batches(with_w, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cur_edges = base.union(base.map_batches(
+        swapped, batch_format="pyarrow", zero_copy_batch=True))
+    cur_offsets = np.asarray(offsets)
+    selfw_files = None
+    cur_self = None  # (vid, rank) self-loop mass of the current level
+    full_map = None  # (ovid, cur) in ORIGINAL vid space
+    t0 = time.time()
+    for level in range(max_levels):
+        n_cur = int(cur_offsets[-1])
+        labels, moves, subrounds, m2 = _phase1(
+            cur_edges, cur_offsets, workdir, level, cfg,
+            resolution=resolution, gain_eps=gain_eps,
+            max_subrounds=max_subrounds, num_actors=num_actors,
+            seed=seed, selfw_files=selfw_files)
+        if level == 0:
+            info["m2"] = m2
+        if moves == 0:
+            info["levels"].append({
+                "n_vertices": n_cur, "n_communities": n_cur,
+                "moves": 0, "subrounds": subrounds, "m2": m2})
+            break
+        # ---- contraction (pure Ray Data) ----
+        cmap, off2 = assign_dense_ids_hash(
+            labels.select_columns(["label"]), "label", cfg.num_parts,
+            id_col="cid")
+        cmap = cmap.select_columns(["label", "cid"]).materialize()
+        K = int(off2[-1])
+        info["levels"].append({
+            "n_vertices": n_cur, "n_communities": K,
+            "moves": moves, "subrounds": subrounds, "m2": m2})
+        # labels2: (vid, cid) — current-level vertex -> new community id
+        labels2 = _relabel(labels, "label", cmap, cfg, out_col="cid",
+                           keep=["vid"],
+                           schema_cols={"vid": i64}).materialize()
+        # compose the original-space mapping
+        if full_map is None:
+            full_map = labels2.map_batches(
+                lambda b: pa.table({"ovid": b.column("vid"),
+                                    "cur": b.column("cid")}),
+                batch_format="pyarrow", zero_copy_batch=True).materialize()
+        else:
+            lmap = labels2.map_batches(
+                lambda b: pa.table({"label": b.column("vid"),
+                                    "cid": b.column("cid")}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            full_map = _relabel(full_map, "cur", lmap, cfg,
+                                out_col="cur", keep=["ovid"],
+                                schema_cols={"ovid": i64}).materialize()
+        if K == n_cur:
+            break  # no contraction: fixpoint
+        # contract edges: relabel both endpoints, fold parallel edges.
+        # The contraction input must carry the CURRENT level's self-loop
+        # mass too (as (v, v, w) rows) or k/m2 shrink level over level.
+        src_map = labels2.map_batches(
+            lambda b: pa.table({"label": b.column("vid"),
+                                "cid": b.column("cid")}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        contract_in = cur_edges
+        if cur_self is not None:
+            contract_in = contract_in.union(cur_self.map_batches(
+                lambda b: pa.table({"src": b.column("vid"),
+                                    "dst": b.column("vid"),
+                                    "w": b.column("rank")}),
+                batch_format="pyarrow", zero_copy_batch=True))
+        e1 = _relabel(contract_in, "src", src_map, cfg,
+                      keep=["dst", "w"],
+                      schema_cols={"dst": i64, "w": f64})
+        e2 = _relabel(e1, "dst", src_map, cfg, keep=["src", "w"],
+                      schema_cols={"src": i64, "w": f64})
+        cedges = grouped_aggregate(e2, ["src", "dst"],
+                                   {"w": ("sum", "w")},
+                                   num_parts=cfg.num_parts).materialize()
+        def selfmass(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("src"), b.column("dst")))
+            return pa.table({"vid": t.column("src"),
+                             "rank": t.column("w")})
+
+        def crossonly(b: pa.Table) -> pa.Table:
+            return b.filter(pc.not_equal(b.column("src"),
+                                         b.column("dst")))
+
+        cur_self = cedges.map_batches(
+            selfmass, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        selfw_files = _write_ranks_by_part(
+            cur_self, off2,
+            os.path.join(workdir, f"louvain_selfw_l{level + 1}"))
+        cur_edges = cedges.map_batches(crossonly, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+        cur_offsets = off2
+    # ---- canonicalize: community = min original vid per community ----
+    if full_map is None:  # zero moves at level 0: all singletons
+        out = rd.from_arrow(pa.table({
+            "vid": pa.array(np.arange(N, dtype=np.int64)),
+            "community": pa.array(np.arange(N, dtype=np.int64))}))
+        info["n_communities"] = N
+        info["wall_sec"] = round(time.time() - t0, 4)
+        return out, info
+    reps = grouped_aggregate(full_map, ["cur"], {"rep": ("min", "ovid")},
+                             num_parts=cfg.num_parts)
+    j = hash_join(full_map, reps, on="cur", right_on="cur",
+                  num_parts=cfg.num_parts,
+                  left_schema=pa.schema([("ovid", i64), ("cur", i64)]),
+                  right_schema=pa.schema([("cur", i64), ("rep", i64)]))
+    out = j.map_batches(
+        lambda b: pa.table({"vid": b.column("ovid"),
+                            "community": b.column("rep")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    info["n_communities"] = int(info["levels"][-1]["n_communities"]) \
+        if info["levels"] else N
+    info["wall_sec"] = round(time.time() - t0, 4)
+    return out, info

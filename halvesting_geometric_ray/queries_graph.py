@@ -981,6 +981,21 @@ def q_label_propagation(sf_dir: str):
     return labels.select_columns(["vid", "label"])
 
 
+@_q("q_louvain")
+def q_louvain(sf_dir: str):
+    """Louvain communities of the link graph (graph/louvain.py:
+    multi-level modularity — BSP local moving on shard actors +
+    Ray-Data contraction; community = min member vid).  Rows-only at
+    the gate (hash-scheduled moves); phase-1 sequential-replay oracle,
+    planted-partition recovery and layout invariance in
+    tests/test_louvain.py."""
+    from .graph.louvain import louvain
+
+    g = graph_for(sf_dir)
+    labels, _ = louvain(read_layer(g.edges), g.offsets, g.workdir)
+    return labels
+
+
 @_q("q_degree_distribution")
 def q_degree_distribution(sf_dir: str):
     """Out-degree histogram — the hub-skew diagnostic (gate-pinned)."""

@@ -1,0 +1,226 @@
+"""Louvain: pure-Python phase-1 replay oracle, planted-structure
+recovery, layout invariance, m2 conservation, modularity fitness."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.graph.louvain import _phase1, louvain
+from halvesting_geometric_ray.graph.mis import round_priority
+from halvesting_geometric_ray.config import DEFAULT
+
+
+def clique_edges(lo, hi):
+    vv = range(lo, hi)
+    return [(a, b) for a in vv for b in vv if a < b]
+
+
+def sym_arrays(pairs):
+    """Directed both-ways representation with unit weights."""
+    src = np.array([a for a, b in pairs] + [b for a, b in pairs],
+                   dtype=np.int64)
+    dst = np.array([b for a, b in pairs] + [a for a, b in pairs],
+                   dtype=np.int64)
+    return src, dst, np.ones(src.size, dtype=np.float64)
+
+
+def phase1_replay(n, src, dst, w, *, seed=42, resolution=1.0,
+                  gain_eps=1e-9, max_subrounds=32):
+    """Sequential mirror of the distributed phase 1: same hash
+    activation, same gain formula, same tie-breaks, same BSP semantics
+    (all decisions read sub-round-start state; Sigma_tot deltas apply
+    after the round)."""
+    k = np.bincount(src, weights=w, minlength=n)
+    m2 = k.sum()
+    c = np.arange(n, dtype=np.int64)
+    ctot = k.copy()
+    hist = []
+    for t in range(max_subrounds if m2 > 0 else 0):
+        act = (round_priority(dst, t, seed) & np.uint64(1)) == 0
+        cand = collections.defaultdict(float)
+        for s_, d_ in zip(src[act], dst[act]):
+            cand[(d_, c[s_])] += 1.0
+        per_v = collections.defaultdict(list)
+        for (v, C), wv in cand.items():
+            per_v[v].append((C, wv))
+        decisions = []
+        for v, lst in per_v.items():
+            kv = k[v]
+            stay = None
+            best = None
+            for C, wv in lst:
+                if C == c[v]:
+                    stay = wv - resolution * kv * (ctot[C] - kv) / m2
+                else:
+                    s = wv - resolution * kv * ctot[C] / m2
+                    if best is None or s > best[0] or \
+                            (s == best[0] and C < best[1]):
+                        best = (s, C)
+            if stay is None:
+                stay = -resolution * kv * (ctot[c[v]] - kv) / m2
+            if best is not None and best[0] > stay + gain_eps:
+                decisions.append((v, c[v], best[1]))
+        for v, old, new in decisions:
+            c[v] = new
+            ctot[old] -= k[v]
+            ctot[new] += k[v]
+        hist.append(len(decisions))
+        if len(hist) >= 3 and sum(hist[-3:]) == 0:
+            break
+    return c
+
+
+def _edges_ds(pairs, weights=None):
+    """Canonical one-direction edge table — louvain symmetrizes."""
+    df = {"src": np.array([a for a, b in pairs], dtype=np.int64),
+          "dst": np.array([b for a, b in pairs], dtype=np.int64)}
+    if weights is not None:
+        df["w"] = np.asarray(weights, dtype=np.float64)
+    return rd.from_pandas(pd.DataFrame(df))
+
+
+def _sym_ds(pairs):
+    """Both-direction weighted table — _phase1's expected input."""
+    src, dst, w = sym_arrays(pairs)
+    return rd.from_pandas(pd.DataFrame({"src": src, "dst": dst, "w": w}))
+
+
+def _offsets(n, parts=1):
+    if parts == 1:
+        return np.array([0, n], dtype=np.int64)
+    return np.unique(np.linspace(0, n, parts + 1).astype(np.int64))
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("parts,actors", [(1, 0), (4, 3)])
+def test_phase1_matches_replay(tmp_path, seed, parts, actors):
+    rng = np.random.default_rng(seed)
+    n = 60
+    m = rng.random((n, n)) < 0.08
+    m |= m.T
+    np.fill_diagonal(m, False)
+    iu = np.triu_indices(n, 1)
+    pairs = [(a, b) for a, b in zip(*iu) if m[a, b]]
+    src, dst, w = sym_arrays(pairs)
+    exp = phase1_replay(n, src, dst, w, seed=7)
+    ds, moves, subrounds, m2 = _phase1(
+        _sym_ds(pairs), _offsets(n, parts),
+        str(tmp_path / f"p{parts}s{seed}"), 0, DEFAULT,
+        resolution=1.0, gain_eps=1e-9, max_subrounds=32,
+        num_actors=actors, seed=7)
+    got = ds.to_pandas().sort_values("vid").label.to_numpy()
+    assert np.array_equal(got, exp), (parts, actors)
+    assert m2 == w.sum()
+
+
+def test_two_cliques(tmp_path):
+    pairs = clique_edges(0, 5) + clique_edges(5, 10) + [(4, 5)]
+    ds, info = louvain(_edges_ds(pairs), _offsets(10),
+                       str(tmp_path / "c2"))
+    df = ds.to_pandas().sort_values("vid")
+    assert df.community.tolist() == [0] * 5 + [5] * 5
+    # m2 conserved across every level
+    assert len({lv["m2"] for lv in info["levels"]}) == 1
+    assert info["n_communities"] == 2
+
+
+def test_ring_of_cliques(tmp_path):
+    # 6 cliques of 5, ring-connected: each clique is one community
+    pairs = []
+    for i in range(6):
+        pairs += clique_edges(5 * i, 5 * i + 5)
+        pairs.append((5 * i + 4, (5 * i + 5) % 30))
+    ds, info = louvain(_edges_ds(pairs), _offsets(30, 4),
+                       str(tmp_path / "ring"))
+    df = ds.to_pandas().sort_values("vid")
+    groups = df.groupby("community").vid.apply(
+        lambda s: tuple(sorted(s))).tolist()
+    assert sorted(groups) == [tuple(range(5 * i, 5 * i + 5))
+                              for i in range(6)]
+    assert len({lv["m2"] for lv in info["levels"]}) == 1
+
+
+def test_layout_invariance(tmp_path):
+    rng = np.random.default_rng(11)
+    # planted partition: 4 groups of 10, dense in, sparse out
+    n, g = 40, 10
+    pairs = []
+    for i in range(4):
+        for a in range(g * i, g * i + g):
+            for b in range(a + 1, g * i + g):
+                if rng.random() < 0.7:
+                    pairs.append((a, b))
+    for _ in range(12):
+        a, b = rng.integers(0, n, 2)
+        if a // g != b // g:
+            pairs.append((int(min(a, b)), int(max(a, b))))
+    pairs = sorted(set(pairs))
+    outs = []
+    for parts, actors in ((1, 0), (4, 2), (6, 6)):
+        ds, _ = louvain(_edges_ds(pairs), _offsets(n, parts),
+                        str(tmp_path / f"li{parts}_{actors}"),
+                        num_actors=actors)
+        outs.append(ds.to_pandas().sort_values("vid")
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
+
+
+def test_planted_partition_quality(tmp_path):
+    rng = np.random.default_rng(5)
+    n, g = 48, 12
+    pairs = set()
+    for i in range(4):
+        for a in range(g * i, g * i + g):
+            for b in range(a + 1, g * i + g):
+                if rng.random() < 0.6:
+                    pairs.add((a, b))
+    for _ in range(20):
+        a, b = sorted(rng.integers(0, n, 2).tolist())
+        if a // g != b // g:
+            pairs.add((a, b))
+    pairs = sorted(pairs)
+    ds, info = louvain(_edges_ds(pairs), _offsets(n, 3),
+                       str(tmp_path / "pp"))
+    df = ds.to_pandas().sort_values("vid")
+    # exact planted recovery
+    for i in range(4):
+        blk = df[df.vid // g == i].community
+        assert blk.nunique() == 1, i
+    assert df.community.nunique() == 4
+    # fitness: Q positive and substantial on the canonical edge list
+    from halvesting_geometric_ray.graph.metrics import modularity
+
+    e = rd.from_pandas(pd.DataFrame(
+        {"src": np.array([a for a, b in pairs], dtype=np.int64),
+         "dst": np.array([b for a, b in pairs], dtype=np.int64)}))
+    labels = rd.from_pandas(
+        df.rename(columns={"community": "label"})[["vid", "label"]])
+    q, _ = modularity(e, labels)
+    assert q > 0.45
+
+
+def test_weighted_communities(tmp_path):
+    # path 0-1-2-3 where (0,1) and (2,3) are heavy, (1,2) light:
+    # weights decide the split
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    w = np.array([10.0, 1.0, 10.0])
+    ds, _ = louvain(_edges_ds(pairs, weights=w), _offsets(4),
+                    str(tmp_path / "w"), weight_col="w")
+    df = ds.to_pandas().sort_values("vid")
+    assert df.community.tolist() == [0, 0, 2, 2]
+
+
+def test_edgeless_and_empty(tmp_path):
+    empty = rd.from_pandas(pd.DataFrame(
+        {"src": pd.Series([], dtype="int64"),
+         "dst": pd.Series([], dtype="int64")}))
+    ds, info = louvain(empty, _offsets(5), str(tmp_path / "e5"))
+    df = ds.to_pandas().sort_values("vid")
+    assert df.community.tolist() == [0, 1, 2, 3, 4]
+    ds0, _ = louvain(empty, np.array([0], dtype=np.int64),
+                     str(tmp_path / "e0"))
+    assert ds0.to_pandas().empty
