@@ -837,6 +837,42 @@ def q_minhash_lsh(sf_dir: str):
     return j.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_edit_neardup")
+def q_edit_neardup(sf_dir: str):
+    """MinHash band candidates verified by CHARACTER-level edit
+    similarity >= 0.6 (functions/dedup.py::edit_similarity_pairs —
+    early-abandoned banded Levenshtein): the sequence-closeness
+    complement of q_minhash_lsh's bag-of-shingles Jaccard verify.
+    Rows-only; full-DP reference + bound/partitioning tests in
+    tests/test_edit_dedup.py."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bands(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        sigs = FD.minhash_signatures_batch(b.column("text").to_pylist())
+        keys = FD.band_keys_batch(sigs)
+        n = len(ids)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, FD.BANDS), type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(FD.BANDS, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1), type=pa.int64())})
+
+    cand = _banded_pairs(ds.map_batches(bands, batch_format="pyarrow",
+                                        zero_copy_batch=True),
+                         DEFAULT.lsh_bucket_cap, DEFAULT.num_parts)
+    from .ops.dedup import distinct
+
+    cand = distinct(cand, ["a", "b"], num_parts=DEFAULT.num_parts)
+    return FD.edit_similarity_pairs(
+        cand, _docs(sf_dir, ["doc_id", "text"]), min_sim=0.6,
+        num_parts=DEFAULT.num_parts).map_batches(
+        lambda b: pa.table({"doc_a": b.column("doc_a"),
+                            "doc_b": b.column("doc_b"),
+                            "edit_sim": pa.array(np.round(
+                                b.column("edit_sim").to_numpy(), 9))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---- SimHash (rows-only) ----------------------------------------------
 
 @_q("q_simhash")
