@@ -329,6 +329,7 @@ class LouvainShardActor:
 def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
             cfg: EngineConfig, *, resolution: float, gain_eps: float,
             max_subrounds: int, num_actors: int, seed: int,
+            stop_frac: float = 0.0,
             selfw_files: Optional[Dict[int, str]] = None):
     """One local-moving phase.  edges: weighted symmetrized directed
     representation WITHOUT self-loops (their mass arrives via
@@ -342,6 +343,11 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
                  "resolution": resolution},
         weight_col="w")
     paths = {dd["part"]: dd["path"] for dd in descs}
+    if num_actors <= 0:
+        # auto-size: a 4-barrier protocol on a small graph is actor-call
+        # overhead, not compute — collapse the pool (layout-invariant,
+        # pinned by tests); one actor per ~8k vertices, capped at parts
+        num_actors = max(1, min(num_parts, int(offsets[-1]) // 8192 + 1))
     owned = plan_actors(num_parts, num_actors)
     A = len(owned)
     p2a = part_to_actor_map(owned, num_parts)
@@ -384,10 +390,16 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
             n_moves = int(sum(ray.get([o[A] for o in mv])))
             delta_inbox = transpose_refs([o[:A] for o in mv])
             moves_hist.append(n_moves)
-            # 3 zero-move rounds: with ~1/2 hash activation a vertex
+            # 3 low-move rounds: with ~1/2 hash activation a vertex
             # that still wants to move gets a chance w.p. 7/8 in 3
-            # rounds; a stable zero-streak means best-response fixpoint
-            if len(moves_hist) >= 3 and sum(moves_hist[-3:]) == 0:
+            # rounds; a stable streak at/below the threshold means
+            # (approximate) best-response fixpoint.  stop_frac > 0 is
+            # the standard early-termination knob (the long tail of
+            # sub-1%-of-V move rounds buys little modularity — the
+            # coarser levels re-examine those vertices anyway).
+            thr = int(stop_frac * int(offsets[-1]))
+            if len(moves_hist) >= 3 and all(x <= thr
+                                            for x in moves_hist[-3:]):
                 break
         tables = [tt for ref in [a.label_tables.remote() for a in actors]
                   for tt in ray.get(ref)]
@@ -395,7 +407,99 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
         for a in actors:
             ray.kill(a)
     return (rd.from_arrow(tables), int(sum(moves_hist)),
-            len(moves_hist), m2)
+            moves_hist, m2, descs)
+
+
+def _dense_ids_np(labels: np.ndarray, parts2: int):
+    """NumPy replica of ops/ids.py::assign_dense_ids_hash's id
+    assignment (part = stable_hash64(label) % parts2, ids contiguous
+    per part, label-ascending within part) — the small-regime
+    contraction MUST mint identical community ids to the distributed
+    path so the regime gate never changes results."""
+    from ..functions.hashing import stable_hash64
+
+    uniq = np.unique(labels)
+    part = stable_hash64(uniq) % parts2
+    order = np.lexsort((uniq, part))
+    sorted_u, sorted_p = uniq[order], part[order]
+    counts = np.bincount(sorted_p, minlength=parts2)
+    off2 = np.zeros(parts2 + 1, dtype=np.int64)
+    np.cumsum(counts, out=off2[1:])
+    cid_sorted = np.arange(uniq.size, dtype=np.int64)
+    by_lab = np.argsort(sorted_u)
+    lab_keys = sorted_u[by_lab]
+    cid_by_lab = cid_sorted[by_lab]
+
+    def cid_of(x):
+        return cid_by_lab[np.searchsorted(lab_keys, x)]
+
+    return cid_of, off2, int(uniq.size)
+
+
+def _contract_small(descs, labels_pd, selfw_files, parts2: int,
+                    selfw_out: str):
+    """Driver-side contraction for the small regime (total shard edges
+    under the cap — the union-find-fast-path pattern of
+    q_dedup_clusters): reads the deduped weighted edges straight back
+    from the CSR shard files the phase just ran on, relabels, folds
+    parallel edges and splits self mass in one numpy pass.  Returns
+    (labels2_pa, cross_edges_pa, off2, K, selfw_files_next)."""
+    srcs, dsts, ws = [], [], []
+    for d in descs:
+        t = pq.read_table(d["path"])
+        row = {k: t.column(k)[0] for k in t.column_names}
+        indices = np.asarray(row["indices"].values)
+        if indices.size == 0:
+            continue
+        indptr = np.asarray(row["indptr"].values)
+        srcs.append(np.repeat(
+            np.arange(d["vid_lo"], d["vid_hi"], dtype=np.int64),
+            np.diff(indptr)))
+        dsts.append(indices.astype(np.int64))
+        ws.append(np.asarray(row["weights"].values, dtype=np.float64))
+    if selfw_files:  # current level's self mass joins the fold
+        for _, path in sorted(selfw_files.items()):
+            t = pq.read_table(path, columns=["vid", "rank"])
+            v = t.column("vid").to_numpy().astype(np.int64)
+            srcs.append(v)
+            dsts.append(v)
+            ws.append(t.column("rank").to_numpy().astype(np.float64))
+    src = np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
+    w = np.concatenate(ws) if ws else np.empty(0, dtype=np.float64)
+
+    vid = labels_pd["vid"].to_numpy()
+    lab = labels_pd["label"].to_numpy()
+    n_cur = vid.size
+    label_of = np.empty(n_cur, dtype=np.int64)
+    label_of[vid] = lab
+    cid_of, off2, K = _dense_ids_np(lab, parts2)
+    csrc = cid_of(label_of[src]) if src.size else src
+    cdst = cid_of(label_of[dst]) if dst.size else dst
+    key = csrc * np.int64(K) + cdst
+    uk, inv = np.unique(key, return_inverse=True)
+    wsum = np.bincount(inv, weights=w, minlength=uk.size)
+    ns, nd = uk // K, uk % K
+    selfm = ns == nd
+    files = {}
+    sv, sw = ns[selfm], wsum[selfm]
+    if sv.size:
+        os.makedirs(selfw_out, exist_ok=True)
+        spart = (np.searchsorted(off2, sv, side="right") - 1)
+        for p in np.unique(spart):
+            m = spart == p
+            path = os.path.join(selfw_out, f"part{int(p)}.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(pa.table({"vid": pa.array(sv[m]),
+                                     "rank": pa.array(sw[m])}), tmp)
+            os.replace(tmp, path)
+            files[int(p)] = path
+    cross = pa.table({"src": pa.array(ns[~selfm]),
+                      "dst": pa.array(nd[~selfm]),
+                      "w": pa.array(wsum[~selfm])})
+    labels2 = pa.table({"vid": pa.array(vid.astype(np.int64)),
+                        "cid": pa.array(cid_of(lab))})
+    return labels2, cross, off2, K, files
 
 
 def _relabel(ds, col: str, cmap, cfg: EngineConfig, out_col: str = None,
@@ -425,6 +529,7 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
             cfg: EngineConfig = DEFAULT, *,
             resolution: float = 1.0, gain_eps: float = 1e-9,
             max_subrounds: int = 32, max_levels: int = 6, seed: int = 42,
+            stop_frac: float = 0.0, small_edge_cap: int = 4_000_000,
             weight_col: Optional[str] = None,
             num_actors: int = 0) -> Tuple["rd.Dataset", Dict]:
     """Louvain communities over a DIRECTED edge table (symmetrized
@@ -472,32 +577,82 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
         swapped, batch_format="pyarrow", zero_copy_batch=True))
     cur_offsets = np.asarray(offsets)
     selfw_files = None
-    cur_self = None  # (vid, rank) self-loop mass of the current level
     full_map = None  # (ovid, cur) in ORIGINAL vid space
     t0 = time.time()
     for level in range(max_levels):
+        t_lvl = time.time()
         n_cur = int(cur_offsets[-1])
-        labels, moves, subrounds, m2 = _phase1(
+        labels, moves, moves_hist, m2, descs = _phase1(
             cur_edges, cur_offsets, workdir, level, cfg,
             resolution=resolution, gain_eps=gain_eps,
             max_subrounds=max_subrounds, num_actors=num_actors,
-            seed=seed, selfw_files=selfw_files)
+            seed=seed, stop_frac=stop_frac, selfw_files=selfw_files)
+        t_p1 = time.time() - t_lvl
+        subrounds = len(moves_hist)
         if level == 0:
             info["m2"] = m2
         if moves == 0:
             info["levels"].append({
                 "n_vertices": n_cur, "n_communities": n_cur,
-                "moves": 0, "subrounds": subrounds, "m2": m2})
+                "moves": 0, "subrounds": subrounds, "m2": m2,
+                "moves_hist": moves_hist})
             break
-        # ---- contraction (pure Ray Data) ----
+        # ---- contraction ----
+        # adaptive partition count: a contracted level of a few
+        # thousand communities on 16 parts is 4-barrier actor-call
+        # overhead, not compute — shrink the id space's partitioning
+        # (results are layout-invariant, pinned by test)
+        parts2 = max(1, min(cfg.num_parts, n_cur // 8192 + 1))
+        selfw_out = os.path.join(workdir, f"louvain_selfw_l{level + 1}")
+        n_edges_lvl = sum(
+            pq.read_table(d["path"], columns=["n_edges"])
+            .column("n_edges")[0].as_py() for d in descs)
+        if n_edges_lvl <= small_edge_cap:
+            # small regime (q_dedup_clusters' fast-path pattern): one
+            # driver numpy pass over the shard files the phase just ran
+            # on; id minting is _dense_ids_np == assign_dense_ids_hash,
+            # so the gate never changes results
+            labels2_pa, cross_pa, off2, K, selfw_files = _contract_small(
+                descs, labels.to_pandas(), selfw_files, parts2,
+                selfw_out)
+            info["levels"].append({
+                "n_vertices": n_cur, "n_communities": K,
+                "moves": moves, "subrounds": subrounds, "m2": m2,
+                "moves_hist": moves_hist, "phase1_sec": round(t_p1, 3),
+                "contract": "small"})
+            if full_map is None:
+                full_map = rd.from_arrow(pa.table(
+                    {"ovid": labels2_pa.column("vid"),
+                     "cur": labels2_pa.column("cid")})).materialize()
+            else:
+                from ..ops.join import broadcast_lookup
+
+                j = broadcast_lookup(full_map, "cur", labels2_pa,
+                                     "vid", ["cid"])
+                full_map = j.map_batches(
+                    lambda b: pa.table({"ovid": b.column("ovid"),
+                                        "cur": b.column("cid")}),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True).materialize()
+            if K == n_cur:
+                break  # no contraction: fixpoint
+            cur_edges = rd.from_arrow(cross_pa)
+            cur_offsets = off2
+            info["levels"][-1]["contract_sec"] = \
+                round(time.time() - t_lvl - t_p1, 3)
+            continue
+        # big regime: pure Ray Data — distributed dense re-id, two
+        # bucketed relabel joins, one grouped fold
         cmap, off2 = assign_dense_ids_hash(
-            labels.select_columns(["label"]), "label", cfg.num_parts,
+            labels.select_columns(["label"]), "label", parts2,
             id_col="cid")
         cmap = cmap.select_columns(["label", "cid"]).materialize()
         K = int(off2[-1])
         info["levels"].append({
             "n_vertices": n_cur, "n_communities": K,
-            "moves": moves, "subrounds": subrounds, "m2": m2})
+            "moves": moves, "subrounds": subrounds, "m2": m2,
+            "moves_hist": moves_hist, "phase1_sec": round(t_p1, 3),
+            "contract": "distributed"})
         # labels2: (vid, cid) — current-level vertex -> new community id
         labels2 = _relabel(labels, "label", cmap, cfg, out_col="cid",
                            keep=["vid"],
@@ -526,12 +681,13 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
                                 "cid": b.column("cid")}),
             batch_format="pyarrow", zero_copy_batch=True)
         contract_in = cur_edges
-        if cur_self is not None:
-            contract_in = contract_in.union(cur_self.map_batches(
-                lambda b: pa.table({"src": b.column("vid"),
-                                    "dst": b.column("vid"),
-                                    "w": b.column("rank")}),
-                batch_format="pyarrow", zero_copy_batch=True))
+        if selfw_files:
+            contract_in = contract_in.union(
+                rd.read_parquet(sorted(selfw_files.values())).map_batches(
+                    lambda b: pa.table({"src": b.column("vid"),
+                                        "dst": b.column("vid"),
+                                        "w": b.column("rank")}),
+                    batch_format="pyarrow", zero_copy_batch=True))
         e1 = _relabel(contract_in, "src", src_map, cfg,
                       keep=["dst", "w"],
                       schema_cols={"dst": i64, "w": f64})
@@ -549,15 +705,15 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
             return b.filter(pc.not_equal(b.column("src"),
                                          b.column("dst")))
 
-        cur_self = cedges.map_batches(
-            selfmass, batch_format="pyarrow",
-            zero_copy_batch=True).materialize()
         selfw_files = _write_ranks_by_part(
-            cur_self, off2,
-            os.path.join(workdir, f"louvain_selfw_l{level + 1}"))
+            cedges.map_batches(selfmass, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            off2, selfw_out)
         cur_edges = cedges.map_batches(crossonly, batch_format="pyarrow",
                                        zero_copy_batch=True)
         cur_offsets = off2
+        info["levels"][-1]["contract_sec"] = \
+            round(time.time() - t_lvl - t_p1, 3)
     # ---- canonicalize: community = min original vid per community ----
     if full_map is None:  # zero moves at level 0: all singletons
         out = rd.from_arrow(pa.table({

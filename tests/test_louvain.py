@@ -106,7 +106,7 @@ def test_phase1_matches_replay(tmp_path, seed, parts, actors):
     pairs = [(a, b) for a, b in zip(*iu) if m[a, b]]
     src, dst, w = sym_arrays(pairs)
     exp = phase1_replay(n, src, dst, w, seed=7)
-    ds, moves, subrounds, m2 = _phase1(
+    ds, moves, moves_hist, m2, _descs = _phase1(
         _sym_ds(pairs), _offsets(n, parts),
         str(tmp_path / f"p{parts}s{seed}"), 0, DEFAULT,
         resolution=1.0, gain_eps=1e-9, max_subrounds=32,
@@ -201,6 +201,26 @@ def test_planted_partition_quality(tmp_path):
         df.rename(columns={"community": "label"})[["vid", "label"]])
     q, _ = modularity(e, labels)
     assert q > 0.45
+
+
+def test_contraction_regimes_agree(tmp_path):
+    """small_edge_cap=0 forces the distributed contraction on every
+    level; the output must be IDENTICAL to the small-regime run —
+    certifies that _dense_ids_np mints the same community ids as
+    assign_dense_ids_hash (the gate must never change results)."""
+    pairs = []
+    for i in range(6):
+        pairs += clique_edges(5 * i, 5 * i + 5)
+        pairs.append((5 * i + 4, (5 * i + 5) % 30))
+    a, _ = louvain(_edges_ds(pairs), _offsets(30, 4),
+                   str(tmp_path / "small"))
+    b, info_b = louvain(_edges_ds(pairs), _offsets(30, 4),
+                        str(tmp_path / "big"), small_edge_cap=0)
+    assert all(lv.get("contract") in (None, "distributed")
+               for lv in info_b["levels"])
+    pa_ = a.to_pandas().sort_values("vid").reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert pa_.equals(pb_)
 
 
 def test_weighted_communities(tmp_path):
