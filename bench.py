@@ -89,6 +89,12 @@ def run_bench() -> dict:
                         shards_dir=f"{wd}/csr", max_iters=25)
     t_hits = time.time() - t4
 
+    from halvesting_geometric_ray.graph.katz import katz
+
+    t4b = time.time()
+    _, katz_info = katz(edges, g.offsets, wd, shards_dir=f"{wd}/csr")
+    t_katz = time.time() - t4b
+
     from halvesting_geometric_ray.graph.anf import anf
 
     t5 = time.time()
@@ -123,6 +129,7 @@ def run_bench() -> dict:
         "connected_components": round(t_cc, 3),
         "triangles": round(t_tri, 3),
         "hits_25_iters": round(t_hits, 3),
+        "katz": round(t_katz, 3),
         "anf_hyperball": round(t_anf, 3),
         "random_walks_len8": round(t_walks, 3),
         "scc": round(t_scc, 3),
@@ -146,12 +153,18 @@ def run_bench() -> dict:
     for name in ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
                  "q_dedup_exact", "q_span_dedup", "q_tfidf",
                  "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
-                 "q_knn_cosine_pq"]:
+                 "q_knn_cosine_pq", "q_edit_neardup"]:
         t = time.time()
         res = QT.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
             res.materialize()
         queries[name] = round(time.time() - t, 3)
+
+    from halvesting_geometric_ray import queries_graph as QG
+
+    t = time.time()
+    QG.QUERIES["q_louvain"](sf_dir).materialize()
+    queries["q_louvain"] = round(time.time() - t, 3)
 
     total = queries["graph_build"] + queries["pagerank"]
     out = {

@@ -413,6 +413,29 @@ def q_pagerank(sf_dir: str):
     return ranks.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_spam_mass")
+def q_spam_mass(sf_dir: str):
+    """TrustRank spam mass (graph/spam.py, Gyongyi 2004): PageRank vs
+    seed-personalized trust, (pr - trust)/pr — the link-farm detector
+    composition of two certified fixpoints.  Seeds = vids 0,1,2 (the
+    q_personalized_pagerank convention).  Rows-only; NumPy composition
+    oracle + link-farm detection tests in tests/test_spam.py."""
+    from .graph.spam import spam_mass
+
+    g = graph_for(sf_dir)
+    ds, _ = spam_mass(read_layer(g.edges), g.offsets, g.workdir,
+                      np.array([0, 1, 2], dtype=np.int64))
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": b.column("vid"),
+            "spam_mass": pa.array(np.round(
+                b.column("spam_mass").to_numpy(), 9))})
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 @_q("q_katz")
 def q_katz(sf_dir: str):
     """Katz centrality of the link graph (graph/katz.py: alpha-damped
