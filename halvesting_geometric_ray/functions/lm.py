@@ -143,3 +143,179 @@ def lm_scores(docs, model_ref, id_col: str = "doc_id",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+_UNK_H = np.int64(-1)  # UNK sentinel; stable_hash64 outputs are >= 0
+_BACKOFF = 0.4         # Brants et al. 2007 stupid-backoff constant
+
+
+def _map_vocab(th: np.ndarray, hv: np.ndarray) -> np.ndarray:
+    """Token hashes -> vocab hash or the UNK sentinel."""
+    if hv.size == 0:
+        return np.full(th.size, _UNK_H)
+    j = np.minimum(np.searchsorted(hv, th), hv.size - 1)
+    return np.where(hv[j] == th, th, _UNK_H)
+
+
+def _doc_pairs(lens: np.ndarray):
+    """Valid (prev, cur) pair positions of a flattened token stream:
+    pair p joins flat[p] -> flat[p+1]; pairs crossing document
+    boundaries are masked out."""
+    total = int(lens.sum())
+    if total < 2:
+        return np.zeros(max(total - 1, 0), dtype=bool)
+    mask = np.ones(total - 1, dtype=bool)
+    ends = np.cumsum(lens)[:-1]
+    idx = ends[(ends > 0) & (ends < total)]
+    mask[idx - 1] = False
+    return mask
+
+
+def bigram_model(docs, text_col: str = "text", *,
+                 vocab_size: int = 65536, num_bigrams: int = 1 << 20,
+                 alpha: float = 0.5, num_parts: int = 16,
+                 hash_seed: int = 42):
+    """Stupid-backoff bigram model (Brants et al. 2007 — the web-scale
+    LM scoring recipe: no discount normalization, so estimation is one
+    grouped sum over (prev, cur) pairs):
+
+        s(w2 | w1) = c(w1, w2) / c(w1)        if the bigram is kept
+                   = 0.4 * p_uni(w2)           otherwise
+
+    over the UNK-mapped token stream (tokens outside the top-V unigram
+    vocabulary collapse to one UNK class, bounding bigram cardinality
+    at V^2 in theory and corpus-observed types in practice), keeping
+    the top-``num_bigrams`` bigrams by (count desc, (prev, cur) asc).
+    c(w1) is the pair-history marginal of the FULL (pre-truncation)
+    count table — one more grouped sum over bigram-type-cardinality
+    data, so kept bigrams score exactly.  Returns (model_ref, info);
+    model_ref is a ray.put of (sorted bigram key array, logp12,
+    unigram hv, logp, logp_unk)."""
+    import polars as pl
+
+    from ..functions.hashing import stable_hash_pair64
+
+    if num_bigrams < 1:
+        raise ValueError("num_bigrams must be >= 1")
+    uni_ref, uni_info = unigram_model(
+        docs, text_col, vocab_size=vocab_size, alpha=alpha,
+        num_parts=num_parts, hash_seed=hash_seed)
+    hv, lp, lp_unk = ray.get(uni_ref)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        s = pl.from_arrow(b.column(text_col))
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        ls = s.str.extract_all(r"\S+")
+        lens = ls.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = ls.explode().drop_nulls()
+        th = _map_vocab(stable_hash64(flat.to_arrow(), seed=hash_seed), hv)
+        mask = _doc_pairs(lens)
+        prev, cur = th[:-1][mask], th[1:][mask]
+        # combine per (prev, cur) inside the batch
+        order = np.lexsort((cur, prev))
+        pv, cv = prev[order], cur[order]
+        new = np.r_[True, (pv[1:] != pv[:-1]) | (cv[1:] != cv[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, pv.size])
+        return pa.table({"prev": pa.array(pv[starts]),
+                         "cur": pa.array(cv[starts]),
+                         "n": pa.array(n.astype(np.int64))})
+
+    counts = grouped_aggregate(
+        docs.map_batches(pair_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["prev", "cur"], {"n": ("sum", "n")},
+        num_parts=num_parts).materialize()
+    # full-history marginal c(w1): bounded by V + 1 rows
+    marg = grouped_aggregate(counts, ["prev"], {"c1": ("sum", "n")},
+                             num_parts=num_parts).to_pandas()
+    pm = dict(zip(marg["prev"].to_numpy(), marg["c1"].to_numpy())) \
+        if len(marg) else {}
+
+    def top_pairs(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["n", "prev", "cur"],
+                                   descending=[True, False, False])
+        return df.head(num_bigrams).to_arrow().cast(b.schema)
+
+    top = counts.map_batches(top_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    if len(top):
+        top = (top.sort_values(["n", "prev", "cur"],
+                               ascending=[False, True, True])
+               .head(num_bigrams))
+        prev = top["prev"].to_numpy()
+        cur = top["cur"].to_numpy()
+        bn = top["n"].to_numpy().astype(np.float64)
+        c1 = np.array([pm[p] for p in prev], dtype=np.float64)
+        bk = stable_hash_pair64(prev, cur)
+        order = np.argsort(bk, kind="stable")
+        bk = bk[order]
+        logp12 = np.log(bn / c1)[order]
+    else:
+        bk = np.empty(0, dtype=np.int64)
+        logp12 = np.empty(0, dtype=np.float64)
+    model_ref = ray.put((bk, logp12, hv, lp, lp_unk))
+    info = dict(uni_info)
+    info.update({"num_bigrams": int(bk.size), "backoff": _BACKOFF})
+    return model_ref, info
+
+
+def bigram_scores(docs, model_ref, id_col: str = "doc_id",
+                  text_col: str = "text", hash_seed: int = 42):
+    """Score documents under a broadcast stupid-backoff bigram model:
+    (id_col, n_tokens, bigram_hits, cross_entropy) — first token of a
+    document scores under the unigram; transitions score
+    log s(w2|w1)."""
+    import polars as pl
+
+    from ..functions.hashing import stable_hash_pair64
+
+    def score(b: pa.Table) -> pa.Table:
+        bk, logp12, hv, lp, lp_unk = ray.get(model_ref)
+        s = pl.from_arrow(b.column(text_col))
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        ls = s.str.extract_all(r"\S+")
+        lens = ls.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = ls.explode().drop_nulls()
+        th_raw = stable_hash64(flat.to_arrow(), seed=hash_seed)
+        th = _map_vocab(th_raw, hv)
+        # unigram logp of every token (the backoff target + doc heads)
+        if hv.size:
+            j = np.minimum(np.searchsorted(hv, th), hv.size - 1)
+            hit = hv[j] == th
+            uni_lp = np.where(hit, lp[np.minimum(j, lp.size - 1)], lp_unk)
+        else:
+            uni_lp = np.full(th.size, lp_unk)
+        total = th.size
+        tok_lp = uni_lp.copy()  # doc-head default
+        bigram_hit = np.zeros(total, dtype=bool)
+        if total >= 2:
+            mask = _doc_pairs(lens)
+            prev, cur = th[:-1][mask], th[1:][mask]
+            k = stable_hash_pair64(prev, cur)
+            if bk.size:
+                jj = np.minimum(np.searchsorted(bk, k), bk.size - 1)
+                bhit = bk[jj] == k
+            else:
+                bhit = np.zeros(k.size, dtype=bool)
+            pos = np.arange(1, total)[mask]  # positions scored as pairs
+            pair_lp = np.where(bhit, logp12[np.minimum(jj, max(logp12.size - 1, 0))]
+                               if logp12.size else 0.0,
+                               np.log(_BACKOFF) + uni_lp[pos])
+            tok_lp[pos] = pair_lp
+            bigram_hit[pos] = bhit
+        rowidx = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        tot_lp = np.bincount(rowidx, weights=tok_lp, minlength=b.num_rows)
+        bh = np.bincount(rowidx, weights=bigram_hit.astype(np.float64),
+                         minlength=b.num_rows).astype(np.int64)
+        ce = np.where(lens > 0, -tot_lp / np.maximum(lens, 1), 0.0)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pa.array(lens),
+            "bigram_hits": pa.array(bh),
+            "cross_entropy": pa.array(ce)})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)

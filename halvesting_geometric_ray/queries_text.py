@@ -383,6 +383,30 @@ def q_lm_score(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_lm_score_bigram")
+def q_lm_score_bigram(sf_dir: str):
+    """Stupid-backoff bigram cross-entropy (functions/lm.py::
+    bigram_model, Brants 2007): sequence-aware quality scoring — real
+    word order scores better than shuffled bags (property pinned in
+    tests/test_lm.py along with an exact-to-1e-12 oracle).  Rows-only."""
+    from .functions.lm import bigram_model, bigram_scores
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    ref, _ = bigram_model(docs, vocab_size=4096, num_bigrams=65536)
+    out = bigram_scores(docs, ref)
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": b.column("n_tokens"),
+            "bigram_hits": b.column("bigram_hits"),
+            "cross_entropy": pa.array(
+                np.round(b.column("cross_entropy").to_numpy(), 9))})
+
+    return out.map_batches(quant, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_normalize_text")
 def q_normalize_text(sf_dir: str):
     """Unicode text normalization (functions/text.py::

@@ -129,3 +129,127 @@ def test_compressibility_oracle_and_ordering():
     # repetitive text compresses harder than prose; empty -> 0
     assert got.ratio_pct[0] < got.ratio_pct[1]
     assert got.ratio_pct[2] == 0
+
+
+# ---- stupid-backoff bigram ---------------------------------------------
+
+def bigram_oracle(texts, vocab_size, num_bigrams, alpha, seed=42):
+    """Pure-Python replica of bigram_model + bigram_scores (incl. the
+    hash-based top-B tie-break and UNK mapping)."""
+    import pyarrow as pa
+
+    from halvesting_geometric_ray.functions.hashing import stable_hash64
+
+    counts = Counter()
+    for t in texts:
+        counts.update(t.split())
+    T = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = dict(top)
+    V = len(vocab)
+    denom = T + alpha * (V + 1)
+
+    def uni_lp(h, w):
+        if w in vocab:
+            return math.log((vocab[w] + alpha) / denom)
+        return math.log(alpha / denom)
+
+    toks_all = sorted({w for t in texts for w in t.split()})
+    hs = stable_hash64(pa.array(toks_all, type=pa.string()), seed=seed)
+    h_of = dict(zip(toks_all, (int(x) for x in hs)))
+
+    def mapped(w):
+        return h_of[w] if w in vocab else -1
+
+    pair_counts = Counter()
+    for t in texts:
+        toks = t.split()
+        for a, b in zip(toks[:-1], toks[1:]):
+            pair_counts[(mapped(a), mapped(b))] += 1
+    c1 = Counter()
+    for (p, _), n in pair_counts.items():
+        c1[p] += n
+    kept = sorted(pair_counts.items(),
+                  key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:num_bigrams]
+    logp12 = {k: math.log(n / c1[k[0]]) for k, n in kept}
+
+    out = []
+    for t in texts:
+        toks = t.split()
+        if not toks:
+            out.append((0, 0, 0.0))
+            continue
+        lp = uni_lp(None, toks[0])
+        hits = 0
+        for a, b in zip(toks[:-1], toks[1:]):
+            key = (mapped(a), mapped(b))
+            if key in logp12:
+                lp += logp12[key]
+                hits += 1
+            else:
+                lp += math.log(0.4) + uni_lp(None, b)
+        out.append((len(toks), hits, -lp / len(toks)))
+    return out
+
+
+def _bigram_corpus():
+    return [
+        "the cat sat on the mat and the cat slept",
+        "the dog sat on the rug and the dog barked",
+        "the cat sat on the rug",
+        "quantum flux harmonics decay rapidly under observation",
+        "the the the the",
+        "",
+        "single",
+    ]
+
+
+def test_bigram_matches_oracle():
+    from halvesting_geometric_ray.functions.lm import (bigram_model,
+                                                       bigram_scores)
+
+    texts = _bigram_corpus()
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    for vs, nb in ((100, 1000), (6, 5)):
+        ref, info = bigram_model(docs, vocab_size=vs, num_bigrams=nb,
+                                 alpha=0.5)
+        got = (bigram_scores(docs, ref).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        exp = bigram_oracle(texts, vs, nb, 0.5)
+        for i, (n, hits, ce) in enumerate(exp):
+            assert got.n_tokens[i] == n, (vs, nb, i)
+            assert got.bigram_hits[i] == hits, (vs, nb, i)
+            assert abs(got.cross_entropy[i] - ce) < 1e-12, (vs, nb, i)
+
+
+def test_bigram_ordering_and_invariance():
+    from halvesting_geometric_ray.functions.lm import (bigram_model,
+                                                       bigram_scores)
+
+    rng = np.random.default_rng(4)
+    natural = ["the cat sat on the mat " * 6] * 10
+    toks = ("the cat sat on the mat " * 6).split()
+    shuffled = [" ".join(rng.permutation(toks)) for _ in range(10)]
+    texts = natural + shuffled
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    ref, _ = bigram_model(docs, vocab_size=100, num_bigrams=1000)
+    df = bigram_scores(docs, ref).to_pandas().sort_values("doc_id")
+    nat = df.cross_entropy[:10].mean()
+    shuf = df.cross_entropy[10:].mean()
+    assert nat < shuf  # sequence model rewards real word order
+    # partitioning invariance
+    df4 = (bigram_scores(docs.repartition(4), ref).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert np.allclose(df.reset_index(drop=True).cross_entropy,
+                       df4.cross_entropy, atol=0)
+
+
+def test_bigram_validation():
+    from halvesting_geometric_ray.functions.lm import bigram_model
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([0], dtype=np.int64), "text": ["a b"]}))
+    with pytest.raises(ValueError, match="num_bigrams"):
+        bigram_model(docs, num_bigrams=0)
