@@ -586,3 +586,87 @@ def grouped_quantile_sketch(ds, keys, col: str, qs, k: int = 256,
     return (pre_shuffle(prepped).groupby("__qs_part")
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def _cms_positions(h: np.ndarray, width: int, depth: int):
+    """One column index per row via double hashing (the Bloom
+    Kirsch-Mitzenmacher step reused — pairwise-independent enough for
+    the CMS bound in practice; width a power of two)."""
+    h1 = h.astype(np.uint64)
+    h2 = _mix64(h1) | np.uint64(1)
+    mask = np.uint64(width - 1)
+    with np.errstate(over="ignore"):
+        return [((h1 + np.uint64(i) * h2) & mask).astype(np.int64)
+                for i in range(depth)]
+
+
+def cms_build(ds, col: str, width: int = 1 << 14, depth: int = 4,
+              merge_parts: int = 8,
+              weight_col: str = None) -> "np.ndarray":
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over ``col`` —
+    the point-frequency-query completion of the sketch family
+    (HLL = distinct, Misra-Gries = top-k, KLL = ranks, Bloom =
+    membership, CMS = per-key counts): a (depth x width) int64 counter
+    matrix answering est(x) = min_i counts[i][pos_i(x)] with
+
+        true <= est <= true + (e / width) * N   w.p. 1 - e^-depth
+
+    Per-batch local sketches SUM-merge through the Bloom/HLL
+    ``merge_parts`` tree; integer addition is commutative/associative,
+    so the final matrix is EXACTLY identical under any partitioning.
+    ``weight_col`` switches from row counting to weighted sums.
+    Communication: depth*width*8 bytes per input block, key-cardinality
+    independent."""
+    if width & (width - 1) or width < 2:
+        raise ValueError("width must be a power of two >= 2")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.zeros((depth, width), dtype=np.int64)
+        col_a = b.column(col)
+        if weight_col is None:
+            col_a = pc.drop_null(col_a)
+            h = np.asarray(stable_hash64(col_a))
+            w = None
+        else:
+            keep = pc.is_valid(col_a)
+            t = b.filter(keep)
+            h = np.asarray(stable_hash64(t.column(col)))
+            w = t.column(weight_col).to_numpy().astype(np.int64)
+        if h.size:
+            for i, pos in enumerate(_cms_positions(h, width, depth)):
+                np.add.at(m[i], pos,
+                          np.int64(1) if w is None else w)
+        return pa.table({"m": pa.array([m.reshape(-1)],
+                                       type=pa.list_(pa.int64()))})
+
+    def summ(b: pa.Table) -> pa.Table:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for row in b.column("m"):
+            acc += np.asarray(row.values)
+        return pa.table({"m": pa.array([acc], type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    reduced = (parts.repartition(merge_parts)
+               .map_batches(summ, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True))
+    acc = np.zeros(depth * width, dtype=np.int64)
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        for row in b.column("m"):
+            acc += np.asarray(row.values)
+    return acc.reshape(depth, width)
+
+
+def cms_query(sketch: "np.ndarray", keys) -> "np.ndarray":
+    """Estimated frequency of each key (min over rows) — vectorized;
+    never underestimates."""
+    depth, width = sketch.shape
+    h = np.asarray(stable_hash64(keys))
+    if h.size == 0:
+        return np.empty(0, dtype=np.int64)
+    est = np.full(h.size, np.iinfo(np.int64).max)
+    for i, pos in enumerate(_cms_positions(h, width, depth)):
+        est = np.minimum(est, sketch[i][pos])
+    return est

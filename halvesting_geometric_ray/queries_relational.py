@@ -852,6 +852,36 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=20, capacity=65536)
 
 
+@_q("q_cms_event_counts",
+    "SELECT user_id, count(*) AS est FROM events GROUP BY user_id")
+def q_cms_event_counts(sf_dir: str):
+    """Per-user event counts via a Count-Min sketch (ops/sketch.py::
+    cms_build) — constant-communication frequency summary (depth x
+    width int64 matrix, sum-merged, bitwise partitioning-invariant),
+    probed distributedly against the broadcast sketch.  At the test
+    scales the distinct-user count is far below width = 2^16, so the
+    estimate is EXACT and the SQL count oracle hash-matches (the
+    deterministic-hash analogue of q_heavy_hitters' exact regime); at
+    web scale the same sketch answers with err <= (e/width) * N.
+    Bound/invariance/weighted tests in tests/test_sketch.py."""
+    import ray as _ray
+
+    from .ops.dedup import distinct
+    from .ops.sketch import cms_build, cms_query
+
+    ev = _t(sf_dir, "events", columns=["user_id"])
+    sk_ref = _ray.put(cms_build(ev, "user_id", width=1 << 16, depth=4))
+
+    def probe(b: pa.Table) -> pa.Table:
+        sk = _ray.get(sk_ref)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "est": pa.array(cms_query(sk, b.column("user_id")))})
+
+    return distinct(ev, ["user_id"]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_stats_lineitem",
     "SELECT l_returnflag, "
     "round(avg(l_quantity), 6) AS mean_qty, "

@@ -306,3 +306,72 @@ def test_grouped_quantiles_validation():
         grouped_quantile_sketch(ds, "g", "x", [0.0, 0.5])
     with _pytest.raises(ValueError):
         grouped_quantile_sketch(ds, "g", "x", [0.501, 0.502])
+
+
+# ---- Count-Min sketch ---------------------------------------------------
+
+def test_cms_exact_in_sparse_regime():
+    import pandas as pd
+
+    from halvesting_geometric_ray.ops.sketch import cms_build, cms_query
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 50, 5000)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+    sk = cms_build(ds, "k", width=1 << 12, depth=4)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_query(sk, pa.array(uniq))
+    # 50 keys in 4096 columns: collisions essentially impossible at
+    # depth 4 -> exact
+    assert np.array_equal(est, true)
+    assert int(sk[0].sum()) == keys.size  # every row sums to N
+
+
+def test_cms_bound_and_no_underestimate():
+    import pandas as pd
+
+    from halvesting_geometric_ray.ops.sketch import cms_build, cms_query
+
+    rng = np.random.default_rng(1)
+    keys = (rng.pareto(1.2, 200_000) * 50).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+    width, depth = 1 << 10, 4
+    sk = cms_build(ds, "k", width=width, depth=depth)
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_query(sk, pa.array(uniq))
+    assert (est >= true).all()  # CMS never underestimates
+    eps_n = np.e / width * keys.size
+    # the 1 - e^-4 bound per key; allow a small tail above eps*N
+    frac_over = float(np.mean(est - true > eps_n))
+    assert frac_over < 0.05, frac_over
+
+
+def test_cms_partitioning_invariant_and_weighted():
+    import pandas as pd
+
+    from halvesting_geometric_ray.ops.sketch import cms_build, cms_query
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": rng.integers(0, 30, 3000),
+                       "w": rng.integers(1, 9, 3000)})
+    a = cms_build(rd.from_pandas(df).repartition(1), "k", width=1 << 12)
+    b = cms_build(rd.from_pandas(df).repartition(8), "k", width=1 << 12)
+    assert np.array_equal(a, b)  # integer sums: bitwise invariant
+    wsk = cms_build(rd.from_pandas(df), "k", width=1 << 12,
+                    weight_col="w")
+    uniq = np.unique(df.k)
+    true_w = df.groupby("k").w.sum().loc[uniq].to_numpy()
+    assert np.array_equal(cms_query(wsk, pa.array(uniq)), true_w)
+
+
+def test_cms_validation():
+    import pandas as pd
+    import pytest
+
+    from halvesting_geometric_ray.ops.sketch import cms_build
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1]}))
+    with pytest.raises(ValueError, match="width"):
+        cms_build(ds, "k", width=1000)
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(ds, "k", depth=0)
