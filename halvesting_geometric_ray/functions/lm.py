@@ -319,3 +319,46 @@ def bigram_scores(docs, model_ref, id_col: str = "doc_id",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def dsir_log_weights(docs, target_ref, raw_ref, id_col: str = "doc_id",
+                     text_col: str = "text", hash_seed: int = 42):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document
+
+        log w(x) = log p_target(x) - log p_raw(x)
+
+    under two broadcast unigram models (hashed-feature bag-of-words —
+    the paper's estimator).  One stateless pass, both models looked up
+    per token; feeds ops/sample.py::weighted_sample (A-ES exponential
+    keys) for the actual resampling.  Returns
+    (id_col, n_tokens, log_weight)."""
+    import polars as pl
+
+    def score(b: pa.Table) -> pa.Table:
+        hv_t, lp_t, unk_t = ray.get(target_ref)
+        hv_r, lp_r, unk_r = ray.get(raw_ref)
+        s = pl.from_arrow(b.column(text_col))
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        ls = s.str.extract_all(r"\S+")
+        lens = ls.list.len().fill_null(0).to_numpy().astype(np.int64)
+        flat = ls.explode().drop_nulls()
+        th = stable_hash64(flat.to_arrow(), seed=hash_seed)
+
+        def lookup(hv, lp, unk):
+            if hv.size == 0:
+                return np.full(th.size, unk)
+            j = np.minimum(np.searchsorted(hv, th), hv.size - 1)
+            return np.where(hv[j] == th, lp[j], unk)
+
+        diff = lookup(hv_t, lp_t, unk_t) - lookup(hv_r, lp_r, unk_r)
+        rowidx = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        logw = np.bincount(rowidx, weights=diff, minlength=b.num_rows)
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_tokens": pa.array(lens),
+            "log_weight": pa.array(logw)})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -383,6 +383,42 @@ def q_lm_score(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_dsir_sample")
+def q_dsir_sample(sf_dir: str):
+    """DSIR data selection (functions/lm.py::dsir_log_weights, Xie
+    2023): importance weights log p_target - log p_raw under two
+    broadcast unigram models (target = the English subset, raw = the
+    full corpus), resampled without replacement by A-ES weighted
+    sampling.  Rows-only; exact log-weight oracle + separation +
+    composition tests in tests/test_lm.py."""
+    from .functions.lm import dsir_log_weights, unigram_model
+    from .ops.sample import weighted_sample
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("lang"), "en"))
+        .select(["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    corpus = docs.map_batches(
+        lambda b: b.select(["doc_id", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    t_ref, _ = unigram_model(target, vocab_size=4096)
+    r_ref, _ = unigram_model(corpus, vocab_size=4096)
+    lw = dsir_log_weights(corpus, t_ref, r_ref)
+
+    def to_w(b: pa.Table) -> pa.Table:
+        x = b.column("log_weight").to_numpy()
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "log_weight": pa.array(np.round(x, 9)),
+                         "w": pa.array(np.exp(x / 50.0))})
+
+    weighted = lw.map_batches(to_w, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return weighted_sample(weighted, "doc_id", "w", 50,
+                           seed=23).select_columns(
+        ["doc_id", "log_weight"])
+
+
 @_q("q_lm_score_bigram")
 def q_lm_score_bigram(sf_dir: str):
     """Stupid-backoff bigram cross-entropy (functions/lm.py::

@@ -253,3 +253,59 @@ def test_bigram_validation():
         {"doc_id": np.array([0], dtype=np.int64), "text": ["a b"]}))
     with pytest.raises(ValueError, match="num_bigrams"):
         bigram_model(docs, num_bigrams=0)
+
+
+# ---- DSIR importance weights --------------------------------------------
+
+def test_dsir_matches_oracle_and_separates():
+    from halvesting_geometric_ray.functions.lm import (dsir_log_weights,
+                                                       unigram_model)
+
+    eng = ["the quick brown fox jumps over the lazy dog",
+           "a stitch in time saves nine every single day",
+           "the rain in spain stays mainly on the plain"]
+    num = ["12 44 97 31 55 60 42 88 19 77",
+           "3 1 4 1 5 9 2 6 5 3 5 8 9 7",
+           "100 200 300 400 500 600 700 800"]
+    corpus = eng + num
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(len(corpus), dtype=np.int64),
+         "text": corpus}))
+    target_docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(2, dtype=np.int64), "text": eng[:2]}))
+    t_ref, _ = unigram_model(target_docs, vocab_size=100, alpha=0.5)
+    r_ref, _ = unigram_model(docs, vocab_size=100, alpha=0.5)
+    got = (dsir_log_weights(docs, t_ref, r_ref).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # exact oracle: logw = n * (ce_raw - ce_target) per doc
+    exp_t = oracle_scores(eng[:2], 100, 0.5)
+    # target model scores the FULL corpus; replicate via model terms
+    t_scores = {}
+    # reuse oracle machinery: score corpus docs under the target model
+    counts = Counter()
+    for t in eng[:2]:
+        counts.update(t.split())
+    T = sum(counts.values())
+    V = len(counts)
+    denom = T + 0.5 * (V + 1)
+
+    def lp_t(w):
+        return math.log((counts[w] + 0.5) / denom) if w in counts \
+            else math.log(0.5 / denom)
+
+    raw = oracle_scores(corpus, 100, 0.5)
+    for i, t in enumerate(corpus):
+        toks = t.split()
+        logw = sum(lp_t(w) for w in toks) - (-raw[i][2] * raw[i][0])
+        assert abs(got.log_weight[i] - logw) < 1e-10, i
+    # separation: every english doc outweighs every numeric doc
+    assert got.log_weight[:3].min() > got.log_weight[3:].max()
+    # composes with weighted_sample: resampling favors target-like docs
+    from halvesting_geometric_ray.ops.sample import weighted_sample
+
+    wdf = got.copy()
+    wdf["w"] = np.exp(wdf.log_weight - wdf.log_weight.max())
+    pick = weighted_sample(rd.from_pandas(wdf), "doc_id", "w", 2,
+                           seed=11).to_pandas()
+    # in-target docs carry overwhelming weight (deterministic draw)
+    assert set(pick.doc_id) <= {0, 1, 2}
