@@ -271,3 +271,59 @@ def relative_rank(ds, partition_by, order_by,
     return (pre_shuffle(prepped).groupby(_PART)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def window_value(ds, partition_by, order_by, cols,
+                 which: str = "first",
+                 tie_break: Optional[List[str]] = None,
+                 descending: bool = False, num_parts: int = 16):
+    """SQL ``first_value(col) / last_value(col) OVER (PARTITION BY ...
+    ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING)`` — every row of a window receives the partition's
+    first/last value under the (order_by + tie_break) total order.
+
+    The FULL frame is used deliberately: SQL's default frame makes
+    ``last_value`` the current row (the classic gotcha); the
+    unbounded frame is the semantics people actually want and the one
+    an oracle must spell out explicitly.  ``cols`` is a column name, a
+    {out_col: col} dict, or a {out_col: (col, "first"|"last")} dict
+    mixing both kinds — all computed in ONE exchange.  Same
+    one-key-partitioned-exchange scale shape as row_number."""
+    import polars as pl
+
+    if which not in ("first", "last"):
+        raise ValueError(f"unknown window_value kind {which!r}")
+    if isinstance(cols, str):
+        outs = {f"{which}_{cols}": (cols, which)}
+    else:
+        outs = {name: (v if isinstance(v, tuple) else (v, which))
+                for name, v in cols.items()}
+    for _, (_, kk) in outs.items():
+        if kk not in ("first", "last"):
+            raise ValueError(f"unknown window_value kind {kk!r}")
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+    ties = list(tie_break or [])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .sort(pkeys + okeys + ties,
+                    descending=[False] * len(pkeys)
+                    + [descending] * len(okeys) + [False] * len(ties),
+                    maintain_order=True))
+        exprs = []
+        for name, (c, kk) in outs.items():
+            e = pl.col(c).first() if kk == "first" else pl.col(c).last()
+            exprs.append(e.over(pkeys).alias(name))
+        df = df.with_columns(exprs)
+        want = g.schema.remove(g.schema.get_field_index(_PART))
+        for name, (c, _) in outs.items():
+            want = want.append(pa.field(name, g.schema.field(c).type))
+        return cast_like(df.to_arrow(), want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))

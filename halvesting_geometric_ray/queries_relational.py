@@ -376,6 +376,31 @@ def q_lead_lag(sf_dir: str):
                                "next_event"])
 
 
+@_q("q_first_last_value",
+    "SELECT event_id, user_id, "
+    "first_value(event_id) OVER w AS first_event, "
+    "last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, "
+    "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "AS last_event "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)")
+def q_first_last_value(sf_dir: str):
+    """first_value/last_value windows (ops/window.py::window_value):
+    each user's first and last event id by time — full unbounded frame
+    (SQL's default frame makes last_value the current row, the classic
+    gotcha; the oracle spells the frame out).  One key-partitioned
+    exchange computing both in one pass.  SQL-oracled (demoted tail);
+    DuckDB parity also pinned in tests/test_window.py."""
+    from .ops.window import window_value
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = window_value(ds, "user_id", "ts",
+                       {"first_event": ("event_id", "first"),
+                        "last_event": ("event_id", "last")},
+                       tie_break=["event_id"])
+    return out.select_columns(["event_id", "user_id", "first_event",
+                               "last_event"])
+
+
 @_q("q_row_number",
     "SELECT event_id, user_id, "
     "row_number() OVER (PARTITION BY user_id "

@@ -142,3 +142,42 @@ def test_ntile_validation():
 
     with pytest.raises(ValueError):
         ntile(rd.from_pandas(_events(10)), "user", "ts", 0)
+
+
+def test_window_value_matches_duckdb():
+    from halvesting_geometric_ray.ops.window import window_value
+
+    pdf = _events()
+    got = window_value(rd.from_pandas(pdf).repartition(5), "user", "ts",
+                       {"first_amt": ("amount", "first"),
+                        "last_amt": ("amount", "last"),
+                        "first_ts": ("ts", "first")}).to_pandas()
+    exp = _duck(pdf, """
+        SELECT user, ts, amount,
+               first_value(amount) OVER w AS first_amt,
+               last_value(amount) OVER (PARTITION BY user ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS last_amt,
+               first_value(ts) OVER w AS first_ts
+        FROM e WINDOW w AS (PARTITION BY user ORDER BY ts)""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+
+
+def test_window_value_descending_and_validation():
+    from halvesting_geometric_ray.ops.window import window_value
+
+    pdf = _events()
+    got = window_value(rd.from_pandas(pdf), "user", "ts", "amount",
+                       which="last", descending=True).to_pandas()
+    # last under ts desc == first under ts asc
+    exp = _duck(pdf, """
+        SELECT user, ts, amount,
+               first_value(amount) OVER (PARTITION BY user ORDER BY ts)
+                   AS last_amount
+        FROM e""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False)
+    with pytest.raises(ValueError, match="kind"):
+        window_value(rd.from_pandas(pdf), "user", "ts", "amount",
+                     which="middle")
