@@ -877,6 +877,47 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=20, capacity=65536)
 
 
+@_q("q_retention_cohorts",
+    "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort "
+    "FROM events GROUP BY user_id) "
+    "SELECT f.cohort, date_trunc('week', e.ts) AS week, "
+    "count(DISTINCT e.user_id) AS active_users "
+    "FROM events e JOIN f USING (user_id) GROUP BY f.cohort, "
+    "date_trunc('week', e.ts)")
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohort matrix: users bucketed by first-activity week,
+    distinct actives per (cohort, week) — the standard product-
+    analytics rollup, composed from certified ops: grouped min (cohort
+    assignment), bucketed hash_join (cohort attach), exact grouped
+    count-distinct (ops/distinct.py).  Week granularity (the events
+    fixture spans one month).  SQL-oracled (demoted tail)."""
+    from .ops.distinct import grouped_count_distinct
+
+    ev = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def trunc(b: pa.Table) -> pa.Table:
+        # ISO week start (Monday) == DuckDB date_trunc('week')
+        wk = pc.floor_temporal(b.column("ts"), unit="week",
+                               week_starts_monday=True)
+        return pa.table({"user_id": b.column("user_id"), "week": wk})
+
+    evm = ev.map_batches(trunc, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    first = grouped_aggregate(evm, ["user_id"],
+                              {"cohort": ("min", "week")},
+                              num_parts=DEFAULT.num_parts)
+    ts_t = pa.timestamp("us")
+    j = hash_join(evm, first, on="user_id", right_on="user_id",
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=pa.schema([("user_id", pa.int64()),
+                                         ("week", ts_t)]),
+                  right_schema=pa.schema([("user_id", pa.int64()),
+                                          ("cohort", ts_t)]))
+    return grouped_count_distinct(j, ["cohort", "week"], "user_id",
+                                  out_col="active_users",
+                                  num_parts=DEFAULT.num_parts)
+
+
 @_q("q_cms_event_counts",
     "SELECT user_id, count(*) AS est FROM events GROUP BY user_id")
 def q_cms_event_counts(sf_dir: str):
