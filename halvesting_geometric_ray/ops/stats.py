@@ -303,3 +303,53 @@ def winsorize(ds, keys: List[str], col: str, lo_q: float = 0.05,
 
     return joined.map_batches(clip, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def roc_auc(ds, score_col: str, label_col: str) -> float:
+    """Exact ROC-AUC (ties -> average rank; the Mann-Whitney U form):
+
+        AUC = (sum of positive ranks - P(P+1)/2) / (P * N)
+
+    Scale shape: one grouped exchange collapses the data to one row per
+    DISTINCT SCORE (count, positives) — the only cardinality that
+    matters for AUC — then a distributed sort of that grouped table and
+    a constant-memory driver stream accumulates rank mass in score
+    order.  Driver traffic is O(distinct scores), not O(rows); with a
+    continuous model score at extreme scale, quantize the score column
+    first (AUC is rank-based, so quantization error is explicit and
+    bounded by the bin width).
+
+    Labels must be 0/1; raises on degenerate input (no positives or no
+    negatives, where AUC is undefined)."""
+    from .agg import grouped_aggregate
+
+    def prep(b: pa.Table) -> pa.Table:
+        lab = b.column(label_col).to_numpy()
+        if lab.size and not np.isin(np.unique(lab), (0, 1)).all():
+            raise ValueError("labels must be 0/1")
+        return pa.table({"score": b.column(score_col).cast(pa.float64()),
+                         "lab": pa.array(lab.astype(np.int64))})
+
+    g = grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["score"], {"cnt": ("count", None), "pos": ("sum", "lab")})
+    gs = g.sort("score")
+    P = 0.0
+    Nn = 0.0
+    rank_sum_pos = 0.0
+    seen = 0.0
+    for b in gs.iter_batches(batch_format="pyarrow"):
+        cnt = b.column("cnt").to_numpy().astype(np.float64)
+        pos = b.column("pos").to_numpy().astype(np.float64)
+        # average rank of a tie group starting after `seen` rows:
+        # (seen + 1 + seen + cnt) / 2
+        before = seen + np.concatenate(([0.0], np.cumsum(cnt)[:-1]))
+        avg_rank = before + (cnt + 1.0) / 2.0
+        rank_sum_pos += float((avg_rank * pos).sum())
+        P += float(pos.sum())
+        Nn += float((cnt - pos).sum())
+        seen += float(cnt.sum())
+    if P == 0 or Nn == 0:
+        raise ValueError("roc_auc undefined: need both classes present")
+    return (rank_sum_pos - P * (P + 1) / 2.0) / (P * Nn)

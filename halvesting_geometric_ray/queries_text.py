@@ -1092,6 +1092,49 @@ def q_learned_filter(sf_dir: str):
     return logreg_predict(feats, w, threshold=0.5)
 
 
+@_q("q_learned_filter_auc")
+def q_learned_filter_auc(sf_dir: str):
+    """Evaluation of the learned filter: exact ROC-AUC
+    (ops/stats.py::roc_auc, Mann-Whitney with average-rank ties) of the
+    logistic lang=='en' scores against the labels — one grouped
+    collapse to distinct scores + a distributed sort + constant-memory
+    driver stream.  Rows-only (single float row); pairwise-reference
+    oracle to 1e-12 in tests/test_linear.py."""
+    import pandas as _pd
+    import pyarrow.compute as pc
+
+    from .functions.features import hash_features
+    from .functions.linear import logreg_predict, logreg_train
+    from .ops.join import hash_join
+    from .ops.stats import roc_auc
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    feats = hash_features(docs, dim=128).materialize()
+    labels = docs.map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "label": pc.cast(pc.equal(b.column("lang"), "en"),
+                             pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    train = hash_join(feats, labels, on="doc_id", right_on="doc_id",
+                      num_parts=8).materialize()
+    w, _ = logreg_train(train, iters=40, lr=1.0, l2=1e-4)
+    scored = logreg_predict(feats, w, threshold=0.5)
+    sl = hash_join(
+        scored.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "score": pa.array(np.round(
+                                    b.column("score").to_numpy(), 12))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        labels, on="doc_id", right_on="doc_id", num_parts=8,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("score", pa.float64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("label", pa.int64())]))
+    auc = roc_auc(sl, "score", "label")
+    return _pd.DataFrame({"auc": [round(auc, 9)]})
+
+
 @_q("q_semantic_dedup")
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup over the embeddings table

@@ -88,3 +88,59 @@ def test_validation():
     ds = rd.from_arrow(_table(x, y))
     with pytest.raises(ValueError):
         logreg_train(ds, iters=0)
+
+
+# ---- ROC-AUC ------------------------------------------------------------
+
+def _auc_ref(scores, labels):
+    """Pairwise reference with tie credit 0.5."""
+    import itertools
+
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    tot = 0.0
+    for p, n in itertools.product(pos, neg):
+        tot += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return tot / (len(pos) * len(neg))
+
+
+def test_roc_auc_exact_and_invariant():
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.stats import roc_auc
+
+    rng = np.random.default_rng(0)
+    n = 400
+    labels = rng.integers(0, 2, n)
+    # ties on purpose: quantized scores correlated with the label
+    scores = np.round(rng.normal(labels * 0.8, 1.0), 1)
+    df = pd.DataFrame({"s": scores, "y": labels.astype(np.int64)})
+    exp = _auc_ref(scores.tolist(), labels.tolist())
+    for parts in (1, 8):
+        got = roc_auc(rd.from_pandas(df).repartition(parts), "s", "y")
+        assert abs(got - exp) < 1e-12, parts
+    # perfect / inverted / coin-flip anchors
+    from halvesting_geometric_ray.ops.stats import roc_auc as auc
+
+    d2 = pd.DataFrame({"s": [0.1, 0.2, 0.8, 0.9],
+                       "y": np.array([0, 0, 1, 1], dtype=np.int64)})
+    assert auc(rd.from_pandas(d2), "s", "y") == 1.0
+    d3 = d2.assign(s=-d2.s)
+    assert auc(rd.from_pandas(d3), "s", "y") == 0.0
+
+
+def test_roc_auc_validation():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.stats import roc_auc
+
+    one_class = pd.DataFrame({"s": [0.1, 0.2],
+                              "y": np.array([1, 1], dtype=np.int64)})
+    with pytest.raises(ValueError, match="both classes"):
+        roc_auc(rd.from_pandas(one_class), "s", "y")
+    bad = pd.DataFrame({"s": [0.1], "y": np.array([2], dtype=np.int64)})
+    with pytest.raises(Exception):
+        roc_auc(rd.from_pandas(bad), "s", "y")
