@@ -72,7 +72,7 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_quantiles_prices", "q_mode_event_type",
                  "q_toposort_urls", "q_winsorize_doclen", "q_powerlaw",
                  "q_cms_event_counts", "q_first_last_value",
-                 "q_retention_cohorts"]
+                 "q_retention_cohorts", "q_bloom_join"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",
@@ -87,7 +87,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_pack_sequences", "q_bpe_train", "q_normalize_text",
     "q_mixture_resample",
     "q_lm_score", "q_lm_score_bigram", "q_dsir_sample", "q_learned_filter",
-    "q_learned_filter_auc",
+    "q_learned_filter_auc", "q_split_leakage_free",
     "q_adamic_adar", "q_anf", "q_random_walks", "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",

@@ -228,3 +228,42 @@ def broadcast_semi(ds, key: str, keys_table: pa.Table, key_col: str, anti: bool 
         return cast_like(out.to_arrow(), batch.schema)
 
     return ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bloom_filtered_join(left, right, on, right_on=None, *,
+                        num_parts: int = 16, num_bits: int = 1 << 22,
+                        num_hashes: int = 5,
+                        left_schema=None, right_schema=None,
+                        left_cols=None, right_cols=None):
+    """Inner ``hash_join`` with a Bloom pre-filter on the LEFT side:
+    build a Bloom filter over the right keys (constant-size OR-merge,
+    ops/sketch.py), broadcast it once, and drop left rows whose key
+    cannot match BEFORE the all-to-all exchange.
+
+    The classic selective-join optimization: when only a small fraction
+    of left rows survive the join (a dimension subset, a delta batch,
+    a candidate set), the shuffle ships that fraction (+ the Bloom
+    FPR) instead of the whole left table.  False positives only — the
+    inner join after the exchange discards them, so the result is
+    EXACTLY hash_join's.  Wrong tool when most left rows match (the
+    filter shrinks nothing and costs a pass)."""
+    from .sketch import bloom_build, bloom_might_contain
+
+    rk = right_on or on
+    lk = on if isinstance(on, str) else on[0]
+    rk0 = rk if isinstance(rk, str) else rk[0]
+    bits = bloom_build(right, rk0, num_bits=num_bits,
+                       num_hashes=num_hashes)
+    ref = ray.put(bits)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        m = bloom_might_contain(ray.get(ref), b.column(lk),
+                                num_hashes=num_hashes)
+        return b.filter(pa.array(m))
+
+    filtered = left.map_batches(prefilter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return hash_join(filtered, right, on=on, right_on=right_on,
+                     num_parts=num_parts, left_schema=left_schema,
+                     right_schema=right_schema, left_cols=left_cols,
+                     right_cols=right_cols)

@@ -167,3 +167,28 @@ def weighted_sample(ds, key, weight_col: str, n: int, seed: int = 17):
                           zero_copy_batch=True)
            .sort(_SCORE).limit(n))
     return out.drop_columns([_SCORE])
+
+
+def split_by_group(ds, group_col: str, test_frac: float, seed: int = 17,
+                   out_col: str = "split"):
+    """Leakage-free train/test split: every row of a GROUP (a near-dup
+    cluster, a host, a user) lands on the same side, decided by a
+    deterministic hash threshold on the group id — the split a dedup
+    pipeline must use, or near-duplicates of training docs leak into
+    the held-out set and inflate eval (the failure mode the Lee 2022
+    dedup study measures).  Stateless one-pass map (zero exchanges),
+    partitioning-invariant, and NESTED in test_frac like
+    mixture_resample (growing the test set keeps prior members)."""
+    from ..functions.hashing import stable_hash64
+
+    if not (0.0 <= test_frac <= 1.0):
+        raise ValueError("test_frac must be in [0, 1]")
+    thr = np.int64(int(test_frac * ((1 << 63) - 1)))
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b.column(group_col), seed=seed)
+        lab = np.where(h < thr, "test", "train")
+        return b.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -877,6 +877,41 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=20, capacity=65536)
 
 
+@_q("q_bloom_join",
+    "SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderkey % 101 = 0")
+def q_bloom_join(sf_dir: str):
+    """Bloom-prefiltered selective join (ops/join.py::
+    bloom_filtered_join): a constant-size Bloom filter over the right
+    keys broadcasts once and prunes non-matching left rows BEFORE the
+    all-to-all exchange — the shuffle ships ~1% of lineitem instead of
+    all of it (right side = every 101st order).  False positives only;
+    the inner join discards them, so the result is exactly
+    hash_join's.  SQL-oracled (demoted tail); parity + prune-rate
+    tests in tests/test_outer_join.py."""
+    from .ops.join import bloom_filtered_join
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber"])
+    def sel(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy()
+        return b.filter(pa.array(k % 101 == 0))
+
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        sel, batch_format="pyarrow", zero_copy_batch=True)
+    j = bloom_filtered_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        num_parts=DEFAULT.num_parts, num_bits=1 << 18,
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_linenumber", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+    return j.select_columns(["l_orderkey", "l_linenumber",
+                             "o_orderpriority"])
+
+
 @_q("q_retention_cohorts",
     "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort "
     "FROM events GROUP BY user_id) "

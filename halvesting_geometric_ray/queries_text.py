@@ -1135,6 +1135,20 @@ def q_learned_filter_auc(sf_dir: str):
     return _pd.DataFrame({"auc": [round(auc, 9)]})
 
 
+@_q("q_split_leakage_free")
+def q_split_leakage_free(sf_dir: str):
+    """Leakage-free train/test split (ops/sample.py::split_by_group):
+    near-dup CLUSTERS (q_dedup_clusters' pair semantics) split
+    atomically — no near-duplicate of a training doc can land in the
+    held-out set (the eval-inflation failure mode of Lee 2022).
+    Rows-only; atomicity/nesting/invariance tests in
+    tests/test_sample.py."""
+    from .ops.sample import split_by_group
+
+    clusters = q_dedup_clusters(sf_dir)
+    return split_by_group(clusters, "cluster", 0.1, seed=31)
+
+
 @_q("q_semantic_dedup")
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup over the embeddings table

@@ -79,3 +79,42 @@ def test_join_type_validated_upfront():
     with pytest.raises(ValueError):
         hash_join(rd.from_arrow(pa.Table.from_pandas(left)), rd.from_arrow(pa.Table.from_pandas(right)),
                   on="k", right_on="rk", join_type="full", salt=2)
+
+
+def test_bloom_filtered_join_matches_hash_join():
+    from halvesting_geometric_ray.ops.join import (bloom_filtered_join,
+                                                   hash_join)
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 100_000, 20_000),
+                         "x": rng.integers(0, 9, 20_000)})
+    # selective right side: only 200 keys can match
+    right = pd.DataFrame({"k": rng.choice(100_000, 200, replace=False)
+                         .astype(np.int64),
+                          "y": rng.integers(0, 9, 200)})
+    ls = pa.schema([("k", pa.int64()), ("x", pa.int64())])
+    rs = pa.schema([("k", pa.int64()), ("y", pa.int64())])
+    a = bloom_filtered_join(rd.from_pandas(left), rd.from_pandas(right),
+                            on="k", num_parts=8, num_bits=1 << 16,
+                            left_schema=ls, right_schema=rs).to_pandas()
+    b = hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  num_parts=8, left_schema=ls,
+                  right_schema=rs).to_pandas()
+    key = ["k", "x", "y"]
+    pa_ = a[key].sort_values(key).reset_index(drop=True)
+    pb_ = b[key].sort_values(key).reset_index(drop=True)
+    assert pa_.equals(pb_)
+    assert len(pa_) > 0
+
+
+def test_bloom_prefilter_actually_prunes():
+    from halvesting_geometric_ray.ops.sketch import (bloom_build,
+                                                     bloom_might_contain)
+
+    rng = np.random.default_rng(4)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64)}))
+    bits = bloom_build(right, "k", num_bits=1 << 16)
+    probe = pa.array(rng.integers(100, 1_000_000, 50_000))
+    survive = bloom_might_contain(bits, probe).mean()
+    assert survive < 0.01  # non-matching keys almost all pruned

@@ -92,3 +92,45 @@ def test_weighted_sample_proportional_and_invariant():
         rd.from_arrow(pa.Table.from_pandas(pdf2)), "id", "w", 50,
         seed=1).to_pandas()
     assert (got.id < 10).all() and len(got) == 10
+
+
+# ---- leakage-free group split -------------------------------------------
+
+def test_split_by_group_atomic_and_nested():
+    import pandas as pd
+
+    from halvesting_geometric_ray.ops.sample import split_by_group
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "cluster": rng.integers(0, 300, n)})
+    out = split_by_group(rd.from_pandas(df), "cluster", 0.25,
+                         seed=5).to_pandas()
+    # every cluster entirely on one side
+    assert (out.groupby("cluster").split.nunique() == 1).all()
+    frac = (out.split == "test").mean()
+    assert 0.15 < frac < 0.35
+    # nested: the 10% test set is a subset of the 25% test set
+    small = split_by_group(rd.from_pandas(df), "cluster", 0.10,
+                           seed=5).to_pandas()
+    t_small = set(small[small.split == "test"].cluster)
+    t_big = set(out[out.split == "test"].cluster)
+    assert t_small <= t_big
+    # partitioning invariance
+    out8 = split_by_group(rd.from_pandas(df).repartition(8), "cluster",
+                          0.25, seed=5).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out8.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_split_by_group_validation():
+    import pandas as pd
+    import pytest
+
+    from halvesting_geometric_ray.ops.sample import split_by_group
+
+    ds = rd.from_pandas(pd.DataFrame({"g": [1]}))
+    with pytest.raises(ValueError, match="test_frac"):
+        split_by_group(ds, "g", 1.5)
