@@ -43,7 +43,7 @@ Phase 2 (contraction), pure Ray Data — communities become vertices:
   parquet (pagerank's _write_ranks_by_part — never a driver-side
   broadcast), and k_v = wout + self_w keeps the invariant
   k_C = sum of member degrees, so m2 is conserved across levels
-  (asserted in info).
+  (recorded per level in info["levels"]; pinned by tests).
 
 Determinism: all message combines sort by (vid, community) before
 order-fixed reduction; with integer-valued weights (level 0 always;
@@ -337,11 +337,19 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
     from .csr import build_csr_shards
 
     num_parts = len(offsets) - 1
+    # level-0 shards depend only on the input edge table; every
+    # contracted level's edges additionally depend on ALL phase-1
+    # parameters of the levels above it — stamp them or a rerun with a
+    # different seed/stop_frac would silently adopt stale shards
+    lineage = {"kind": "louvain-sym-weighted", "level": level,
+               "resolution": resolution}
+    if level > 0:
+        lineage.update({"seed": seed, "stop_frac": stop_frac,
+                        "gain_eps": gain_eps,
+                        "max_subrounds": max_subrounds})
     descs = build_csr_shards(
         edges, offsets, f"{workdir}/louvain_csr_l{level}",
-        lineage={"kind": "louvain-sym-weighted", "level": level,
-                 "resolution": resolution},
-        weight_col="w")
+        lineage=lineage, weight_col="w")
     paths = {dd["part"]: dd["path"] for dd in descs}
     if num_actors <= 0:
         # auto-size: a 4-barrier protocol on a small graph is actor-call
