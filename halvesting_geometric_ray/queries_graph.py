@@ -436,6 +436,48 @@ def q_spam_mass(sf_dir: str):
                           zero_copy_batch=True)
 
 
+@_q("q_conductance")
+def q_conductance(sf_dir: str):
+    """Per-community conductance of the Louvain communities
+    (graph/metrics.py::community_conductance — cut / min(vol, 2m-vol),
+    the second fitness metric next to modularity).  Rows-only; exact
+    two-clique + brute-force oracles in tests/test_metrics.py."""
+    from .graph.louvain import louvain
+    from .graph.metrics import community_conductance
+
+    g = graph_for(sf_dir)
+    labels, _ = louvain(read_layer(g.edges), g.offsets, g.workdir)
+    lab = labels.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "label": b.column("community")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # canonical undirected edge list (each edge once)
+    from .ops.dedup import distinct
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"src": pa.array(np.minimum(s, d)),
+                         "dst": pa.array(np.maximum(s, d))})
+
+    und = distinct(read_layer(g.edges).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"])
+    ds, _ = community_conductance(und, lab)
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b.column("label"), "cut": b.column("cut"),
+            "volume": b.column("volume"),
+            "conductance": pa.array(np.round(
+                b.column("conductance").to_numpy(), 9))})
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 @_q("q_katz")
 def q_katz(sf_dir: str):
     """Katz centrality of the link graph (graph/katz.py: alpha-damped

@@ -211,3 +211,72 @@ def test_edge_cut_report():
     # multi-block layout gives identical totals
     rep2 = edge_cut_report(edges.repartition(3), np.array([0, 4, 8]))
     assert rep2 == rep
+
+
+# ---- community conductance ----------------------------------------------
+
+def test_conductance_two_cliques_exact():
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.metrics import community_conductance
+
+    # two 5-cliques bridged by one edge; labels = the cliques
+    pairs = []
+    for lo in (0, 5):
+        vv = range(lo, lo + 5)
+        pairs += [(a, b) for a in vv for b in vv if a < b]
+    pairs.append((4, 5))
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": np.array([a for a, b in pairs], dtype=np.int64),
+         "dst": np.array([b for a, b in pairs], dtype=np.int64)}))
+    labels = rd.from_pandas(pd.DataFrame(
+        {"vid": np.arange(10, dtype=np.int64),
+         "label": np.array([0] * 5 + [5] * 5, dtype=np.int64)}))
+    ds, info = community_conductance(edges, labels)
+    df = ds.to_pandas().set_index("label")
+    # per clique: e_in=10, deg=21 (20 + bridge endpoint), cut=1
+    assert df.volume.tolist() == [21, 21]
+    assert df.cut.tolist() == [1, 1]
+    assert np.allclose(df.conductance, 1 / 21)
+    assert info["m"] == 21
+    # degenerate whole-graph community -> conductance 0
+    one = rd.from_pandas(pd.DataFrame(
+        {"vid": np.arange(10, dtype=np.int64),
+         "label": np.zeros(10, dtype=np.int64)}))
+    d1, _ = community_conductance(edges, one)
+    assert d1.to_pandas().conductance.tolist() == [0.0]
+
+
+def test_conductance_brute_force():
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.metrics import community_conductance
+
+    rng = np.random.default_rng(6)
+    n = 40
+    m = rng.random((n, n)) < 0.12
+    iu = np.triu_indices(n, 1)
+    pairs = [(a, b) for a, b in zip(*iu) if m[a, b]]
+    lab = rng.integers(0, 5, n)
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": np.array([a for a, b in pairs], dtype=np.int64),
+         "dst": np.array([b for a, b in pairs], dtype=np.int64)}))
+    labels = rd.from_pandas(pd.DataFrame(
+        {"vid": np.arange(n, dtype=np.int64),
+         "label": lab.astype(np.int64)}))
+    ds, info = community_conductance(edges, labels)
+    df = ds.to_pandas().set_index("label").sort_index()
+    m2 = 2 * len(pairs)
+    for c in np.unique(lab):
+        vol = sum(int(lab[a] == c) + int(lab[b] == c)
+                  for a, b in pairs)
+        cut = sum(1 for a, b in pairs if (lab[a] == c) != (lab[b] == c))
+        den = min(vol, m2 - vol)
+        exp = cut / den if den > 0 else 0.0
+        assert df.volume.loc[c] == vol, c
+        assert df.cut.loc[c] == cut, c
+        assert np.isclose(df.conductance.loc[c], exp), c
