@@ -88,7 +88,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_mixture_resample",
     "q_lm_score", "q_lm_score_bigram", "q_dsir_sample", "q_learned_filter",
     "q_learned_filter_auc", "q_split_leakage_free",
-    "q_adamic_adar", "q_anf", "q_random_walks", "q_bowtie", "q_ktruss",
+    "q_adamic_adar", "q_anf", "q_random_walks", "q_node2vec_walks",
+    "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",

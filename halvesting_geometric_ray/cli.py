@@ -54,7 +54,7 @@ def main(argv=None) -> int:
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
-                 "sssp", "katz", "louvain"):
+                 "sssp", "katz", "louvain", "node2vec"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -103,6 +103,12 @@ def main(argv=None) -> int:
         if name == "louvain":
             sp.add_argument("--resolution", type=float, default=1.0)
             sp.add_argument("--max-levels", type=int, default=6)
+            sp.add_argument("--seed", type=int, default=42)
+        if name == "node2vec":
+            sp.add_argument("--p", type=float, default=1.0)
+            sp.add_argument("--q", type=float, default=1.0)
+            sp.add_argument("--walk-len", type=int, default=10)
+            sp.add_argument("--walks-per-vertex", type=int, default=1)
             sp.add_argument("--seed", type=int, default=42)
 
     sp = sub.add_parser("all", help="build + pagerank + cc + triangles")
@@ -314,6 +320,18 @@ def main(argv=None) -> int:
             ds.write_parquet(os.path.join(args.workdir, "katz_scores"))
             out["katz"] = {"num_iters": info["num_iters"],
                            "converged": info["converged"]}
+        if args.cmd == "node2vec":
+            from .graph.node2vec import node2vec_walks
+            import os
+
+            ds, info = node2vec_walks(
+                edges, g.offsets, args.workdir, cfg,
+                p=args.p, q=args.q, walk_len=args.walk_len,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed)
+            ds.write_parquet(os.path.join(args.workdir, "node2vec"))
+            out["node2vec"] = {"n_walks": info["n_walks"],
+                               "n_visits": info["n_visits"],
+                               "rounds": info["rounds"]}
         if args.cmd == "louvain":
             from .graph.louvain import louvain as run_louvain
             import os

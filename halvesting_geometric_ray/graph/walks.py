@@ -23,8 +23,9 @@ Semantics per step from vertex v:
 - else move to a uniform random out-neighbor.
 
 node2vec p/q biasing needs the previous vertex's neighbor set per step
-(a semi-join per hop); deliberately out of scope — uniform + restart
-covers DeepWalk and PPR-sampling corpora.
+— that second-order variant lives in graph/node2vec.py (rejection
+sampling, two routed hops per attempt); this module stays the
+zero-rejection fast path for DeepWalk and PPR-sampling corpora.
 """
 
 from __future__ import annotations

@@ -436,6 +436,21 @@ def q_spam_mass(sf_dir: str):
                           zero_copy_batch=True)
 
 
+@_q("q_node2vec_walks")
+def q_node2vec_walks(sf_dir: str):
+    """node2vec second-order biased walks (graph/node2vec.py: p=0.5
+    return-averse / q=2 locally-exploring — the homophily setting) over
+    the link graph; the embedding-corpus generator with exact alpha
+    semantics via rejection sampling.  Rows-only; full protocol-replay
+    oracle + transition-law tests in tests/test_node2vec.py."""
+    from .graph.node2vec import node2vec_walks
+
+    g = graph_for(sf_dir)
+    ds, _ = node2vec_walks(read_layer(g.edges), g.offsets, g.workdir,
+                           p=0.5, q=2.0, walk_len=8, seed=17)
+    return ds
+
+
 @_q("q_conductance")
 def q_conductance(sf_dir: str):
     """Per-community conductance of the Louvain communities
