@@ -220,3 +220,48 @@ def materialize_sequences(manifest, enc, num_parts: int = 16,
     return (pre_shuffle(tagged).groupby(_PART)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def skipgram_pairs(ds, seq_col: str, order_col: str, token_col: str, *,
+                   window: int = 2, tie_break=None, num_parts: int = 16):
+    """(center, context) skip-gram pairs within a window over ordered
+    sequences — the training-pair generator between a walk corpus
+    (graph/walks.py / graph/node2vec.py: seq_col=walk_id,
+    order_col=step, token_col=vid) and an embedding trainer; equally
+    the session-co-occurrence miner over event logs.
+
+    One key-partitioned exchange (the lead_lag machinery): for each
+    offset k in 1..window the row emits (token, token_at(+k)) — both
+    directions come from emitting only forward pairs and letting the
+    consumer symmetrize, matching the word2vec convention of each
+    unordered co-occurrence appearing once per direction ONLY if
+    symmetrized downstream.  Output: (seq_col, center, context, offset)
+    with offset in 1..window; pairs never cross sequence boundaries."""
+    import pyarrow as pa
+
+    from ..ops.window import lead_lag
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    shifts = {f"__c{k}": (token_col, -k) for k in range(1, window + 1)}
+    led = lead_lag(ds, seq_col, order_col, shifts,
+                   tie_break=tie_break, num_parts=num_parts)
+
+    def melt(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        parts = []
+        for k in range(1, window + 1):
+            ctx = b.column(f"__c{k}")
+            keep = ctx.is_valid()
+            t = b.filter(keep)
+            parts.append(pa.table({
+                seq_col: t.column(seq_col),
+                "center": t.column(token_col),
+                "context": t.column(f"__c{k}"),
+                "offset": pa.array(np.full(t.num_rows, k,
+                                           dtype=np.int64))}))
+        return pa.concat_tables(parts)
+
+    return led.map_batches(melt, batch_format="pyarrow",
+                           zero_copy_batch=True)

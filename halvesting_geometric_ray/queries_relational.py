@@ -877,6 +877,28 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=20, capacity=65536)
 
 
+@_q("q_skipgram_events",
+    "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+    "SELECT a.user_id, a.event_type AS center, b.event_type AS context, "
+    "(b.rn - a.rn) AS \"offset\" FROM r a JOIN r b "
+    "ON a.user_id = b.user_id AND b.rn - a.rn BETWEEN 1 AND 2")
+def q_skipgram_events(sf_dir: str):
+    """Skip-gram context pairs (functions/pack.py::skipgram_pairs) over
+    per-user event sequences — the training-pair generator between a
+    walk corpus and an embedding trainer, exercised here on a
+    SQL-reproducible ordering (ts, event_id).  One key-partitioned
+    exchange (lead_lag multi-shift) + a zero-shuffle melt.  SQL-oracled
+    (demoted tail); DuckDB parity also in tests/test_pack.py."""
+    from .functions.pack import skipgram_pairs
+
+    ev = _t(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                       "event_type"])
+    return skipgram_pairs(ev, "user_id", "ts", "event_type", window=2,
+                          tie_break=["event_id"]).select_columns(
+        ["user_id", "center", "context", "offset"])
+
+
 @_q("q_bloom_join",
     "SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority "
     "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "

@@ -210,3 +210,56 @@ def test_materialize_sequences_padding():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         materialize_sequences(man, enc, pad_id=-1)
+
+
+# ---- skip-gram pairs ----------------------------------------------------
+
+def test_skipgram_pairs_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.pack import skipgram_pairs
+
+    rng = np.random.default_rng(2)
+    n = 600
+    pdf = pd.DataFrame({
+        "walk": rng.integers(0, 40, n).astype(np.int64),
+        "step": rng.permutation(n).astype(np.int64),
+        "tok": rng.integers(0, 25, n).astype(np.int64)})
+    got = (skipgram_pairs(rd.from_pandas(pdf).repartition(5),
+                          "walk", "step", "tok", window=3).to_pandas()
+           .sort_values(["walk", "center", "context", "offset"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute("""
+        WITH r AS (SELECT walk, tok,
+                   row_number() OVER (PARTITION BY walk ORDER BY step)
+                       AS rn FROM t)
+        SELECT a.walk, a.tok AS center, b.tok AS context,
+               (b.rn - a.rn) AS "offset"
+        FROM r a JOIN r b ON a.walk = b.walk
+        WHERE b.rn - a.rn BETWEEN 1 AND 3
+        ORDER BY a.walk, center, context, "offset"
+    """).df().reset_index(drop=True)
+    assert len(got) == len(exp)
+    for c in ["walk", "center", "context", "offset"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_skipgram_no_cross_sequence_and_validation():
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.pack import skipgram_pairs
+
+    pdf = pd.DataFrame({"w": np.array([0, 0, 1, 1], dtype=np.int64),
+                        "s": np.array([0, 1, 0, 1], dtype=np.int64),
+                        "t": np.array([10, 11, 20, 21], dtype=np.int64)})
+    out = skipgram_pairs(rd.from_pandas(pdf), "w", "s", "t",
+                         window=3).to_pandas()
+    assert sorted(zip(out.center, out.context)) == [(10, 11), (20, 21)]
+    with pytest.raises(ValueError, match="window"):
+        skipgram_pairs(rd.from_pandas(pdf), "w", "s", "t", window=0)
