@@ -436,6 +436,25 @@ def q_spam_mass(sf_dir: str):
                           zero_copy_batch=True)
 
 
+@_q("q_local_cluster")
+def q_local_cluster(sf_dir: str):
+    """ACL local community of vertex 0 (graph/pprpush.py: PPR push —
+    work bounded by 1/(alpha*eps) regardless of graph size — + minimum-
+    conductance sweep cut).  Rows-only; exact fixpoint-vs-pagerank,
+    l1-invariant/locality-bound and clique-recovery oracles in
+    tests/test_pprpush.py."""
+    import pandas as _pd
+
+    from .graph.pprpush import local_cluster
+
+    g = graph_for(sf_dir)
+    members, phi, _ = local_cluster(read_layer(g.edges), g.offsets,
+                                    g.workdir, seed_vid=0,
+                                    alpha=0.15, eps=1e-6)
+    return _pd.DataFrame({"vid": members,
+                          "conductance": np.round(phi, 9)})
+
+
 @_q("q_node2vec_walks")
 def q_node2vec_walks(sf_dir: str):
     """node2vec second-order biased walks (graph/node2vec.py: p=0.5
