@@ -265,3 +265,71 @@ def skipgram_pairs(ds, seq_col: str, order_col: str, token_col: str, *,
 
     return led.map_batches(melt, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def skipgram_negatives(pairs, vocab_counts, *, k: int = 5,
+                       power: float = 0.75, seed: int = 29,
+                       pair_id_cols=("center", "context")):
+    """k negative samples per skip-gram pair from the word2vec noise
+    distribution P(w) ~ count(w)^power (Mikolov 2013's 3/4 smoothing)
+    — completes the walks -> pairs -> (pair, negatives) embedding
+    data path.
+
+    vocab_counts: pa.Table / pandas with (token:int64, n:int64) —
+    vocabulary-bounded, broadcast ONCE as a cumulative-probability
+    array; each batch draws by inverse-CDF searchsorted on stateless
+    hash uniforms of (center, context, slot, seed), so the sample is
+    deterministic and partitioning-invariant.  Faithful to word2vec:
+    accidental positives are NOT excluded.  Output: input columns +
+    ``neg`` (one row per negative; k rows per input pair)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from ..functions.hashing import stable_hash_pair64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if power <= 0:
+        raise ValueError("power must be > 0")
+    vc = vocab_counts.to_pandas() if hasattr(vocab_counts, "to_pandas") \
+        else pd.DataFrame(vocab_counts)
+    if not len(vc):
+        raise ValueError("vocab_counts is empty")
+    toks = vc["token"].to_numpy().astype(np.int64)
+    w = vc["n"].to_numpy().astype(np.float64) ** power
+    order = np.argsort(toks, kind="stable")
+    toks, w = toks[order], w[order]
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    ref = ray.put((toks, cdf))
+    ca, cb = pair_id_cols
+
+    def draw(b: pa.Table) -> pa.Table:
+        tt, cc = ray.get(ref)
+        n = b.num_rows
+        base = np.asarray(stable_hash_pair64(b.column(ca),
+                                             b.column(cb), seed=seed))
+        cols = {name: [] for name in b.column_names}
+        negs = []
+        for slot in range(k):
+            with np.errstate(over="ignore"):
+                h = (base.astype(np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15)
+                     + np.uint64(slot * 2 + 1))
+                h ^= h >> np.uint64(31)
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(27)
+            u = (h >> np.uint64(11)).astype(np.float64) * 2.0 ** -53
+            j = np.minimum(np.searchsorted(cc, u, side="right"),
+                           tt.size - 1)
+            negs.append(tt[j])
+        idx = np.repeat(np.arange(n), k)
+        out = {name: b.column(name).take(pa.array(idx))
+               for name in b.column_names}
+        out["neg"] = pa.array(np.stack(negs, axis=1).reshape(-1))
+        return pa.table(out)
+
+    return pairs.map_batches(draw, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -436,6 +436,36 @@ def q_spam_mass(sf_dir: str):
                           zero_copy_batch=True)
 
 
+@_q("q_word2vec_training_pairs")
+def q_word2vec_training_pairs(sf_dir: str):
+    """The complete graph-embedding training-data path: node2vec walks
+    (graph/node2vec.py) -> windowed skip-gram pairs
+    (functions/pack.py::skipgram_pairs, SQL-certified by
+    q_skipgram_events) -> Mikolov noise negatives
+    (skipgram_negatives, freq^0.75 law pinned in tests/test_pack.py).
+    Rows-only capstone composed from individually-certified stages."""
+    from .functions.pack import skipgram_negatives, skipgram_pairs
+    from .graph.node2vec import node2vec_walks
+    from .ops.agg import grouped_aggregate
+
+    g = graph_for(sf_dir)
+    walks, _ = node2vec_walks(read_layer(g.edges), g.offsets, g.workdir,
+                              p=0.5, q=2.0, walk_len=8, seed=17)
+    walks = walks.materialize()  # feeds vocab counts AND pairs
+    pairs = skipgram_pairs(walks, "walk_id", "step", "vid", window=2)
+    vocab = grouped_aggregate(walks.select_columns(["vid"]), ["vid"],
+                              {"n": ("count", None)}).map_batches(
+        lambda b: pa.table({"token": b.column("vid"),
+                            "n": b.column("n")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    import pyarrow as _pa
+
+    vt = _pa.concat_tables(
+        [_pa.table({"token": b.column("token"), "n": b.column("n")})
+         for b in vocab.iter_batches(batch_format="pyarrow")])
+    return skipgram_negatives(pairs, vt, k=2, seed=29)
+
+
 @_q("q_local_cluster")
 def q_local_cluster(sf_dir: str):
     """ACL local community of vertex 0 (graph/pprpush.py: PPR push —

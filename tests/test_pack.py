@@ -263,3 +263,54 @@ def test_skipgram_no_cross_sequence_and_validation():
     assert sorted(zip(out.center, out.context)) == [(10, 11), (20, 21)]
     with pytest.raises(ValueError, match="window"):
         skipgram_pairs(rd.from_pandas(pdf), "w", "s", "t", window=0)
+
+
+def test_skipgram_negatives_distribution_and_determinism():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.pack import skipgram_negatives
+
+    rng = np.random.default_rng(7)
+    pairs = pd.DataFrame({
+        "center": rng.integers(0, 5, 6000).astype(np.int64),
+        "context": np.arange(6000, dtype=np.int64)})  # unique pair ids
+    vocab = pa.table({"token": pa.array(np.arange(4, dtype=np.int64)),
+                      "n": pa.array(np.array([1, 16, 81, 256],
+                                             dtype=np.int64))})
+    out = skipgram_negatives(rd.from_pandas(pairs), vocab, k=3,
+                             seed=11).to_pandas()
+    assert len(out) == 3 * len(pairs)
+    # noise law ~ n^0.75 = [1, 8, 27, 64] -> normalized weights
+    wts = np.array([1, 8, 27, 64], dtype=np.float64)
+    wts /= wts.sum()
+    freq = out.neg.value_counts(normalize=True).sort_index().to_numpy()
+    assert np.allclose(freq, wts, atol=0.02)
+    # partitioning invariance (stateless draws keyed on the pair)
+    out8 = skipgram_negatives(rd.from_pandas(pairs).repartition(8),
+                              vocab, k=3, seed=11).to_pandas()
+    a = out.sort_values(["center", "context", "neg"]).reset_index(drop=True)
+    b = out8.sort_values(["center", "context", "neg"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_skipgram_negatives_validation():
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.pack import skipgram_negatives
+
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"center": np.array([0], dtype=np.int64),
+         "context": np.array([1], dtype=np.int64)}))
+    vocab = pa.table({"token": pa.array(np.array([0], dtype=np.int64)),
+                      "n": pa.array(np.array([1], dtype=np.int64))})
+    with pytest.raises(ValueError, match="k must"):
+        skipgram_negatives(pairs, vocab, k=0)
+    empty = pa.table({"token": pa.array([], type=pa.int64()),
+                      "n": pa.array([], type=pa.int64())})
+    with pytest.raises(ValueError, match="empty"):
+        skipgram_negatives(pairs, empty)
