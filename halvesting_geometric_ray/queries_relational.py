@@ -877,6 +877,26 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=20, capacity=65536)
 
 
+@_q("q_customers_without_orders",
+    "SELECT c_custkey, c_nationkey FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+    "WHERE o_orderpriority = '1-URGENT')")
+def q_customers_without_orders(sf_dir: str):
+    """Anti semi-join (ops/join.py::broadcast_semi(anti=True)) — the
+    NOT EXISTS certification by name (the same kernel decontamination
+    uses); restricted to urgent orders so the result is non-trivial at
+    every test sf.  SQL-oracled (demoted tail)."""
+    import pyarrow.compute as _pc
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_custkey", "o_orderpriority"])
+    okeys = ot.filter(_pc.equal(ot.column("o_orderpriority"),
+                                "1-URGENT")).select(["o_custkey"])
+    return broadcast_semi(cust, "c_custkey", okeys, "o_custkey",
+                          anti=True)
+
+
 @_q("q_skipgram_events",
     "WITH r AS (SELECT user_id, event_type, row_number() OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
