@@ -54,7 +54,7 @@ def main(argv=None) -> int:
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
-                 "sssp", "katz", "louvain", "node2vec"):
+                 "sssp", "katz", "louvain", "node2vec", "localcluster"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -110,6 +110,10 @@ def main(argv=None) -> int:
             sp.add_argument("--walk-len", type=int, default=10)
             sp.add_argument("--walks-per-vertex", type=int, default=1)
             sp.add_argument("--seed", type=int, default=42)
+        if name == "localcluster":
+            sp.add_argument("--seed-vid", type=int, required=True)
+            sp.add_argument("--alpha", type=float, default=0.15)
+            sp.add_argument("--eps", type=float, default=1e-6)
 
     sp = sub.add_parser("all", help="build + pagerank + cc + triangles")
     sp.add_argument("--pages", required=True)
@@ -332,6 +336,17 @@ def main(argv=None) -> int:
             out["node2vec"] = {"n_walks": info["n_walks"],
                                "n_visits": info["n_visits"],
                                "rounds": info["rounds"]}
+        if args.cmd == "localcluster":
+            from .graph.pprpush import local_cluster
+
+            members, phi, info = local_cluster(
+                edges, g.offsets, args.workdir,
+                seed_vid=args.seed_vid, alpha=args.alpha, eps=args.eps)
+            out["localcluster"] = {
+                "seed_vid": args.seed_vid,
+                "n_members": int(members.size),
+                "conductance": round(float(phi), 6),
+                "support_size": info["support_size"]}
         if args.cmd == "louvain":
             from .graph.louvain import louvain as run_louvain
             import os
