@@ -51,6 +51,21 @@ def stable_hash_pair64(a, b, seed: int = 42) -> np.ndarray:
     return (x & np.uint64(_MASK63)).astype(np.int64)
 
 
+def stable_hash_cols64(cols, seed: int = 42) -> np.ndarray:
+    """Stable order-sensitive hash of N >= 1 columns, chained with the
+    same splitmix-style mix as stable_hash_pair64 (for exactly two
+    columns the result is bit-identical to stable_hash_pair64)."""
+    x = stable_hash64(cols[0], seed=seed).astype(np.uint64)
+    for i, c in enumerate(cols[1:], start=1):
+        hb = stable_hash64(c, seed=seed + i).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x * np.uint64(0x9E3779B97F4A7C15)) ^ hb
+            x ^= x >> np.uint64(31)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+    return (x & np.uint64(_MASK63)).astype(np.int64)
+
+
 def blake2b64(data: bytes) -> int:
     """Scalar fallback/reference hash (used in tests to sanity-check)."""
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big") & _MASK63

@@ -223,7 +223,8 @@ def materialize_sequences(manifest, enc, num_parts: int = 16,
 
 
 def skipgram_pairs(ds, seq_col: str, order_col: str, token_col: str, *,
-                   window: int = 2, tie_break=None, num_parts: int = 16):
+                   window: int = 2, tie_break=None, num_parts: int = 16,
+                   keep_order: bool = False):
     """(center, context) skip-gram pairs within a window over ordered
     sequences — the training-pair generator between a walk corpus
     (graph/walks.py / graph/node2vec.py: seq_col=walk_id,
@@ -236,7 +237,11 @@ def skipgram_pairs(ds, seq_col: str, order_col: str, token_col: str, *,
     consumer symmetrize, matching the word2vec convention of each
     unordered co-occurrence appearing once per direction ONLY if
     symmetrized downstream.  Output: (seq_col, center, context, offset)
-    with offset in 1..window; pairs never cross sequence boundaries."""
+    with offset in 1..window; pairs never cross sequence boundaries.
+    keep_order=True also emits order_col (the center's position) so a
+    pair row carries full occurrence identity — feed (seq_col,
+    order_col, offset) to skipgram_negatives' pair_id_cols for
+    word2vec-faithful per-occurrence negative draws."""
     import pyarrow as pa
 
     from ..ops.window import lead_lag
@@ -255,12 +260,14 @@ def skipgram_pairs(ds, seq_col: str, order_col: str, token_col: str, *,
             ctx = b.column(f"__c{k}")
             keep = ctx.is_valid()
             t = b.filter(keep)
-            parts.append(pa.table({
-                seq_col: t.column(seq_col),
-                "center": t.column(token_col),
-                "context": t.column(f"__c{k}"),
-                "offset": pa.array(np.full(t.num_rows, k,
-                                           dtype=np.int64))}))
+            cols = {seq_col: t.column(seq_col)}
+            if keep_order:
+                cols[order_col] = t.column(order_col)
+            cols["center"] = t.column(token_col)
+            cols["context"] = t.column(f"__c{k}")
+            cols["offset"] = pa.array(np.full(t.num_rows, k,
+                                              dtype=np.int64))
+            parts.append(pa.table(cols))
         return pa.concat_tables(parts)
 
     return led.map_batches(melt, batch_format="pyarrow",
@@ -278,8 +285,12 @@ def skipgram_negatives(pairs, vocab_counts, *, k: int = 5,
     vocab_counts: pa.Table / pandas with (token:int64, n:int64) —
     vocabulary-bounded, broadcast ONCE as a cumulative-probability
     array; each batch draws by inverse-CDF searchsorted on stateless
-    hash uniforms of (center, context, slot, seed), so the sample is
-    deterministic and partitioning-invariant.  Faithful to word2vec:
+    hash uniforms of (pair_id_cols..., slot, seed), so the sample is
+    deterministic and partitioning-invariant.  pair_id_cols may name
+    ANY number of identity columns — include a row-identity column
+    (e.g. walk_id + offset) so duplicate occurrences of the same
+    (center, context) pair draw DIFFERENT negatives, matching
+    word2vec's per-occurrence sampling.  Faithful to word2vec:
     accidental positives are NOT excluded.  Output: input columns +
     ``neg`` (one row per negative; k rows per input pair)."""
     import pandas as pd
@@ -287,7 +298,7 @@ def skipgram_negatives(pairs, vocab_counts, *, k: int = 5,
 
     import ray
 
-    from ..functions.hashing import stable_hash_pair64
+    from ..functions.hashing import stable_hash_cols64
 
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -304,13 +315,15 @@ def skipgram_negatives(pairs, vocab_counts, *, k: int = 5,
     cdf = np.cumsum(w)
     cdf /= cdf[-1]
     ref = ray.put((toks, cdf))
-    ca, cb = pair_id_cols
+    id_cols = list(pair_id_cols)
+    if len(id_cols) < 1:
+        raise ValueError("pair_id_cols must name at least one column")
 
     def draw(b: pa.Table) -> pa.Table:
         tt, cc = ray.get(ref)
         n = b.num_rows
-        base = np.asarray(stable_hash_pair64(b.column(ca),
-                                             b.column(cb), seed=seed))
+        base = np.asarray(stable_hash_cols64(
+            [b.column(c) for c in id_cols], seed=seed))
         cols = {name: [] for name in b.column_names}
         negs = []
         for slot in range(k):

@@ -105,6 +105,21 @@ def extend_graph(g: GraphLayers, new_pages_path: str, out_workdir: str,
                       left_schema=pa.schema([pa.field("url", str_t),
                                              pa.field("html", pa.binary())]),
                       right_schema=url_schema)
+    # A url appearing twice WITHIN one delta batch must extract once —
+    # the extracted layer's invariant is one row per url (edges/vertices
+    # were already safe via resolve_edges dedup + distinct).  Keeper is
+    # the minimal content hash: deterministic under any partitioning.
+    from ..functions.hashing import stable_hash64
+    from ..ops.dedup import keep_min_by
+
+    fresh = keep_min_by(
+        fresh.map_batches(
+            lambda b: b.append_column(
+                "__h", pa.array(stable_hash64(b.column("html")))),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["url"], "__h", num_parts=cfg.num_parts,
+    ).map_batches(lambda b: b.drop_columns(["__h"]),
+                  batch_format="pyarrow", zero_copy_batch=True)
 
     def _emit_delta(ds, layer_dir: str):
         """Write ds into layer_dir under this generation's unique

@@ -443,7 +443,10 @@ def q_word2vec_training_pairs(sf_dir: str):
     (functions/pack.py::skipgram_pairs, SQL-certified by
     q_skipgram_events) -> Mikolov noise negatives
     (skipgram_negatives, freq^0.75 law pinned in tests/test_pack.py).
-    Rows-only capstone composed from individually-certified stages."""
+    Rows-only capstone composed from individually-certified stages.
+    Negatives key on full occurrence identity (walk_id, step, offset)
+    so duplicate (center, context) pairs draw DIFFERENT negatives, as
+    word2vec does per occurrence (r3 ADVICE)."""
     from .functions.pack import skipgram_negatives, skipgram_pairs
     from .graph.node2vec import node2vec_walks
     from .ops.agg import grouped_aggregate
@@ -452,7 +455,8 @@ def q_word2vec_training_pairs(sf_dir: str):
     walks, _ = node2vec_walks(read_layer(g.edges), g.offsets, g.workdir,
                               p=0.5, q=2.0, walk_len=8, seed=17)
     walks = walks.materialize()  # feeds vocab counts AND pairs
-    pairs = skipgram_pairs(walks, "walk_id", "step", "vid", window=2)
+    pairs = skipgram_pairs(walks, "walk_id", "step", "vid", window=2,
+                           keep_order=True)
     vocab = grouped_aggregate(walks.select_columns(["vid"]), ["vid"],
                               {"n": ("count", None)}).map_batches(
         lambda b: pa.table({"token": b.column("vid"),
@@ -463,7 +467,8 @@ def q_word2vec_training_pairs(sf_dir: str):
     vt = _pa.concat_tables(
         [_pa.table({"token": b.column("token"), "n": b.column("n")})
          for b in vocab.iter_batches(batch_format="pyarrow")])
-    return skipgram_negatives(pairs, vt, k=2, seed=29)
+    return skipgram_negatives(pairs, vt, k=2, seed=29,
+                              pair_id_cols=("walk_id", "step", "offset"))
 
 
 @_q("q_local_cluster")
@@ -1240,27 +1245,51 @@ def q_host_graph(sf_dir: str):
     host, n_links = url-level link multiplicity — two bucketed joins +
     one grouped sum.  Rows-only at the gate; exact DuckDB contraction
     oracle + weighted-PageRank composition in tests/test_hostgraph.py.
-    Returned as host-name pairs (partitioning-independent)."""
+    Returned as host-name pairs (partitioning-independent).  Name
+    decoration is a broadcast_lookup under a row-count guard and a
+    bucketed hash_join past it — the host dimension (~1e8 rows at web
+    scale) never lands on the driver."""
     from .graph.hostgraph import host_graph
+    from .ops.join import broadcast_lookup, hash_join
 
     g = graph_for(sf_dir)
     hv, he, _ = host_graph(read_layer(g.vertices), read_layer(g.edges))
-    hv_pdf = hv.to_pandas()
-    m = dict(zip(hv_pdf.hid, hv_pdf.host))
-
-    def named(b: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        return pa.table({
-            "src_host": pa.array(pd.Series(
-                b.column("src_h").to_numpy()).map(m), type=pa.string()),
-            "dst_host": pa.array(pd.Series(
-                b.column("dst_h").to_numpy()).map(m), type=pa.string()),
-            "n_links": b.column("n_links"),
-        })
-
-    return he.map_batches(named, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    hv = hv.materialize()  # small side (one row per host); counted next
+    int_t, str_t = pa.int64(), pa.string()
+    if hv.count() <= 2_000_000:
+        src_map = pa.concat_tables(
+            [pa.table({"hid": b.column("hid"), "src_host": b.column("host")})
+             for b in hv.iter_batches(batch_format="pyarrow")])
+        dst_map = src_map.rename_columns(["hid", "dst_host"])
+        named = broadcast_lookup(he, "src_h", src_map, "hid", ["src_host"])
+        named = broadcast_lookup(named, "dst_h", dst_map, "hid",
+                                 ["dst_host"])
+    else:
+        he_schema = pa.schema([pa.field("src_h", int_t),
+                               pa.field("dst_h", int_t),
+                               pa.field("n_links", int_t)])
+        hv_schema = pa.schema([pa.field("host", str_t),
+                               pa.field("hid", int_t)])
+        named = hash_join(he, hv, on="src_h", right_on="hid",
+                          left_schema=he_schema, right_schema=hv_schema)
+        named = named.map_batches(
+            lambda b: b.rename_columns(
+                ["src_host" if c == "host" else c for c in b.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        named = hash_join(
+            named, hv, on="dst_h", right_on="hid",
+            left_schema=pa.schema([pa.field("src_h", int_t),
+                                   pa.field("dst_h", int_t),
+                                   pa.field("n_links", int_t),
+                                   pa.field("src_host", str_t)]),
+            right_schema=hv_schema)
+        named = named.map_batches(
+            lambda b: b.rename_columns(
+                ["dst_host" if c == "host" else c for c in b.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return named.map_batches(
+        lambda b: b.select(["src_host", "dst_host", "n_links"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 @_q("q_betweenness")
