@@ -91,7 +91,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_lm_score", "q_lm_score_bigram", "q_dsir_sample", "q_learned_filter",
     "q_learned_filter_auc", "q_split_leakage_free",
     "q_adamic_adar", "q_anf", "q_random_walks", "q_node2vec_walks",
-    "q_word2vec_training_pairs",
+    "q_word2vec_training_pairs", "q_word2vec_embeddings",
+    "q_kmeans_trained", "q_semantic_dedup_trained",
     "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",
