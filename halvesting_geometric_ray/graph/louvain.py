@@ -34,6 +34,18 @@ Phase 1 (local moving), synchronous sub-rounds on shard actors —
     4. apply_moves: vectorized gain evaluation, label updates, and
        (community, +-k_v) delta messages back to community owners.
 
+  MIRRORED mode (levels with <= mirror_cap vertices, the common case
+  after level 0 contracts — and level 0 itself on graphs under the
+  cap): every actor keeps the FULL Sigma_tot array (O(V) float64) and
+  answers candidate lookups locally, fusing barriers 2-4 into one
+  move_and_apply call — 2 barriers per sub-round, and the (community,
+  +-k_v) deltas become ONE broadcast object per actor per round
+  instead of an A x A routed exchange.  Delta application order is
+  fixed (actor index), so mirror values — and therefore every move
+  decision — are bitwise identical to the owner protocol (pinned by
+  tests/test_louvain.py's mirror-vs-owner parity test).  Above
+  mirror_cap the owner protocol is the 10^12-vertex scale path.
+
 Phase 2 (contraction), pure Ray Data — communities become vertices:
   assign_dense_ids_hash gives the surviving community ids a dense
   contiguous-range id space + offsets (the CSR ownership contract),
@@ -144,9 +156,27 @@ class LouvainShardActor:
             not np.any(s["weights"] != np.floor(s["weights"]))
             for s in self.shards.values())
         self._use_fast = False
+        # full-graph Sigma_tot mirror (small/medium levels only): every
+        # actor answers candidate Sigma_tot locally, fusing the
+        # prep_moves/answer_ctot request-answer exchange away (2 actor
+        # barriers per sub-round instead of 4).  Deltas arrive as the
+        # same broadcast refs on every actor and are applied in fixed
+        # actor order, so mirror values stay bitwise equal to the owner
+        # protocol's ctot.  None => owner protocol (the 10^12-vertex
+        # scale path: O(V) per-actor state is only paid under mirror_cap).
+        self.mirror: Optional[np.ndarray] = None
 
     def k_sum(self) -> float:
         return float(sum(self.k[p].sum() for p in self.owned))
+
+    def k_parts(self):
+        """Owned (vid_lo, k) segments — the driver assembles the initial
+        Sigma_tot mirror from these (init state: Sigma_tot(v) = k_v)."""
+        return [(self.shards[p]["vid_lo"], self.k[p]) for p in self.owned]
+
+    def set_mirror(self, k_full: np.ndarray) -> None:
+        # object-store arrays are read-only; np.add.at needs a writable copy
+        self.mirror = k_full.copy()
 
     def int_weights(self) -> bool:
         return self._int_w
@@ -176,6 +206,9 @@ class LouvainShardActor:
             if msg is None:
                 continue
             ids, vals = msg
+            if self.mirror is not None:
+                np.add.at(self.mirror, ids, vals)
+                continue
             for p in self.owned:
                 lo = self.shards[p]["vid_lo"]
                 hi = self.shards[p]["vid_hi"]
@@ -206,9 +239,7 @@ class LouvainShardActor:
             out = self._route_triples(v, l, w)
         return tuple(out) if self.num_actors > 1 else out[0]
 
-    def prep_moves(self, *label_msgs):
-        """Merge candidate messages; return per-owner Sigma_tot request
-        id arrays (candidate communities + own current communities)."""
+    def _merge_cands(self, label_msgs):
         msgs = [m for m in label_msgs if m is not None]
         if msgs:
             v = np.concatenate([m[0] for m in msgs])
@@ -219,6 +250,12 @@ class LouvainShardActor:
             v = np.empty(0, dtype=np.int64)
             l = np.empty(0, dtype=np.int64)
             w = np.empty(0, dtype=np.float64)
+        return v, l, w
+
+    def prep_moves(self, *label_msgs):
+        """Merge candidate messages; return per-owner Sigma_tot request
+        id arrays (candidate communities + own current communities)."""
+        v, l, w = self._merge_cands(label_msgs)
         self._cand = (v, l, w)
         need = [l]
         for p in self.owned:
@@ -272,7 +309,30 @@ class LouvainShardActor:
         def lookup(x):
             return vals_s[np.searchsorted(ids_s, x)]
 
-        v, l, w = self._cand
+        pairs, n_moves = self._gain_moves(t, resolution, m2, gain_eps,
+                                          *self._cand, lookup)
+        msgs = (self._route_pairs(*pairs) if pairs
+                else [None] * self.num_actors)
+        return (*msgs, n_moves)
+
+    def move_and_apply(self, t: int, resolution: float, m2: float,
+                       gain_eps: float, *label_msgs):
+        """Fused prep_moves + answer_ctot + apply_moves for the
+        mirrored-Sigma_tot mode: candidate Sigma_tot reads come straight
+        off the local mirror, so the request-answer exchange disappears
+        and the sub-round is 2 barriers.  Returns (delta_pairs_or_None,
+        n_moves); the driver hands the SAME delta ref to every actor
+        next round (one object per actor per round, not A)."""
+        v, l, w = self._merge_cands(label_msgs)
+        pairs, n_moves = self._gain_moves(
+            t, resolution, m2, gain_eps, v, l, w,
+            lambda x: self.mirror[x])
+        return pairs, n_moves
+
+    def _gain_moves(self, t: int, resolution: float, m2: float,
+                    gain_eps: float, v, l, w, lookup):
+        """Shared gain evaluation + label update.  Returns
+        ((community_ids, deltas) or None, n_moves)."""
         active = (round_priority(v, t, self.seed) & np.uint64(1)) == 0 \
             if v.size else np.empty(0, dtype=bool)
         v, l, w = v[active], l[active], w[active]
@@ -336,10 +396,9 @@ class LouvainShardActor:
             ud, uinv = np.unique(dv, return_inverse=True)
             sums = np.bincount(uinv, weights=dk, minlength=ud.size)
             keep = sums != 0.0
-            msgs = self._route_pairs(ud[keep], sums[keep])
-        else:
-            msgs = [None] * self.num_actors
-        return (*msgs, n_moves)
+            if keep.any():
+                return (ud[keep], sums[keep]), n_moves
+        return None, n_moves
 
     def _route_pairs(self, ids: np.ndarray, vals: np.ndarray):
         dest = self.p2a[np.searchsorted(self.off, ids, side="right") - 1]
@@ -366,7 +425,8 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
             cfg: EngineConfig, *, resolution: float, gain_eps: float,
             max_subrounds: int, num_actors: int, seed: int,
             stop_frac: float = 0.0,
-            selfw_files: Optional[Dict[int, str]] = None):
+            selfw_files: Optional[Dict[int, str]] = None,
+            mirror_cap: int = 8_000_000):
     """One local-moving phase.  edges: weighted symmetrized directed
     representation WITHOUT self-loops (their mass arrives via
     selfw_files).  Returns (labels_ds, moves_total, subrounds, m2)."""
@@ -406,11 +466,46 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
         use_fast = all(ray.get([a.int_weights.remote() for a in actors]))
         ray.get([a.set_fast_agg.remote(use_fast) for a in actors])
         m2 = float(sum(ray.get([a.k_sum.remote() for a in actors])))
+        # mirrored Sigma_tot (2-barrier sub-rounds) while the per-actor
+        # O(V) float64 mirror fits comfortably; the owner request-answer
+        # protocol (4 barriers, O(V/A) state) is the 10^12-vertex path
+        use_mirror = int(offsets[-1]) <= mirror_cap
+        if use_mirror:
+            k_full = np.zeros(int(offsets[-1]), dtype=np.float64)
+            for seg in ray.get([a.k_parts.remote() for a in actors]):
+                for lo, k in seg:
+                    k_full[lo:lo + k.size] = k
+            ref = ray.put(k_full)
+            ray.get([a.set_mirror.remote(ref) for a in actors])
+            del k_full, ref
         moves_hist: List[int] = []
         delta_inbox = [[None] * A for _ in range(A)]
+        shared_deltas: List = [None] * A  # mirror mode: same refs for all
         # edgeless graph: every vertex stays a singleton (and the gain
         # formula's /m2 would divide by zero)
         for t in range(max_subrounds if m2 > 0 else 0):
+            if use_mirror:
+                outs = [list(actors[i].scatter_labels
+                             .options(num_returns=A)
+                             .remote(t, *shared_deltas))
+                        if A > 1 else
+                        [actors[i].scatter_labels.remote(t,
+                                                         *shared_deltas)]
+                        for i in range(A)]
+                label_inbox = transpose_refs(outs)
+                mv = [actors[i].move_and_apply
+                      .options(num_returns=2)
+                      .remote(t, resolution, m2, gain_eps,
+                              *label_inbox[i])
+                      for i in range(A)]
+                n_moves = int(sum(ray.get([m[1] for m in mv])))
+                shared_deltas = [m[0] for m in mv]
+                moves_hist.append(n_moves)
+                thr = int(stop_frac * int(offsets[-1]))
+                if len(moves_hist) >= 3 and all(x <= thr
+                                                for x in moves_hist[-3:]):
+                    break
+                continue
             outs = [list(actors[i].scatter_labels
                          .options(num_returns=A)
                          .remote(t, *delta_inbox[i]))
@@ -579,7 +674,8 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
             max_subrounds: int = 32, max_levels: int = 6, seed: int = 42,
             stop_frac: float = 0.0, small_edge_cap: int = 4_000_000,
             weight_col: Optional[str] = None,
-            num_actors: int = 0) -> Tuple["rd.Dataset", Dict]:
+            num_actors: int = 0,
+            mirror_cap: int = 8_000_000) -> Tuple["rd.Dataset", Dict]:
     """Louvain communities over a DIRECTED edge table (symmetrized
     internally; self-loops dropped at level 0).  Returns
     (labels_ds(vid, community), info): community = smallest member vid
@@ -634,7 +730,8 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
             cur_edges, cur_offsets, workdir, level, cfg,
             resolution=resolution, gain_eps=gain_eps,
             max_subrounds=max_subrounds, num_actors=num_actors,
-            seed=seed, stop_frac=stop_frac, selfw_files=selfw_files)
+            seed=seed, stop_frac=stop_frac, selfw_files=selfw_files,
+            mirror_cap=mirror_cap)
         t_p1 = time.time() - t_lvl
         subrounds = len(moves_hist)
         if level == 0:

@@ -223,6 +223,30 @@ def test_contraction_regimes_agree(tmp_path):
     assert pa_.equals(pb_)
 
 
+def test_mirror_owner_parity(tmp_path):
+    """mirror_cap=0 forces the 4-barrier owner request-answer protocol
+    on every level; default runs the fused 2-barrier mirrored-Sigma_tot
+    mode.  Labels must be IDENTICAL (the fusion may never change a move
+    decision) across a multi-part, multi-actor layout."""
+    rng = np.random.default_rng(7)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n, 3000)
+    keep = src != dst
+    pairs = list(zip(src[keep].tolist(), dst[keep].tolist()))
+    pairs += clique_edges(0, 8) + clique_edges(100, 108)
+    ds = _edges_ds(pairs)
+    a, info_a = louvain(ds, _offsets(n, 4), str(tmp_path / "mirror"),
+                        num_actors=3)
+    b, info_b = louvain(ds, _offsets(n, 4), str(tmp_path / "owner"),
+                        num_actors=3, mirror_cap=0)
+    pa_ = a.to_pandas().sort_values("vid").reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert pa_.equals(pb_)
+    assert [lv["moves_hist"] for lv in info_a["levels"]] == \
+        [lv["moves_hist"] for lv in info_b["levels"]]
+
+
 def test_weighted_communities(tmp_path):
     # path 0-1-2-3 where (0,1) and (2,3) are heavy, (1,2) light:
     # weights decide the split
