@@ -56,6 +56,19 @@ def test_curate_write_roundtrip(tmp_path):
     assert info["out_path"] == out_dir
 
 
+def test_exact_dedup_paths_agree(tmp_path):
+    """driver_hash_cap=0 forces the distributed combiner exchange for
+    exact dedup; the default driver lexsort fast path must keep the
+    identical winner-by-min-id survivors."""
+    fast, _ = curate_corpus(_corpus(), neardup=False)
+    slow, _ = curate_corpus(_corpus(), neardup=False,
+                            driver_hash_cap=0)
+    df_f = fast.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df_s = slow.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df_f.equals(df_s)
+    assert sorted(df_f.doc_id) == [0, 2, 4, 5]
+
+
 def test_curate_validation():
     with pytest.raises(ValueError):
         curate_corpus(_corpus(), neardup=True, workdir=None)
