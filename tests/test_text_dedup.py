@@ -215,8 +215,15 @@ def test_binary_decode_stub():
 
     from halvesting_geometric_ray.functions.multimodal import DecodeStage
 
+    import pyarrow as pa
+
+    # real mode decodes PNG (tests/test_png.py); non-PNG payloads
+    # still raise — those codecs are absent from this container
+    t = pa.table({"url": pa.array(["a"]),
+                  "html": pa.array([b"\xff\xd8notapng"],
+                                   type=pa.binary())})
     with _pt.raises(NotImplementedError):
-        DecodeStage(mode="real")(None)
+        DecodeStage(mode="real")(t)
 
 
 def test_embed_neardup_lsh_recall():
