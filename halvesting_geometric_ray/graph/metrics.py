@@ -112,8 +112,7 @@ def common_neighbor_scores(edges, cfg: EngineConfig = DEFAULT,
     if max_center_degree is not None:
         import pyarrow.compute as pc
 
-        small = deg.filter(
-            lambda row: row["deg"] <= max_center_degree)
+        small = deg.filter(expr=f"deg <= {int(max_center_degree)}")
         small_schema = _DEG_SCHEMA
         centers_schema = _E_SCHEMA
         centers = hash_join(centers, small, on="src", right_on="vid",
@@ -189,7 +188,7 @@ def adamic_adar_scores(edges, cfg: EngineConfig = DEFAULT,
     centers = und.map_batches(sym, batch_format="pyarrow",
                               zero_copy_batch=True)
     if max_center_degree is not None:
-        small = deg.filter(lambda row: row["deg"] <= max_center_degree)
+        small = deg.filter(expr=f"deg <= {int(max_center_degree)}")
         centers = hash_join(centers, small, on="src", right_on="vid",
                             join_type="semi", num_parts=cfg.num_parts,
                             left_schema=_E_SCHEMA, right_schema=_DEG_SCHEMA)
