@@ -306,6 +306,156 @@ def span_dedup(docs, n: int = 5, min_count: int = 2,
                             zero_copy_batch=True)
 
 
+def _flat_chars(ids, texts):
+    """Per-batch flattened Unicode codepoint stream: returns
+    (rowidx int64, flat_cp uint32, lens int64) — the character-level
+    analogue of _flat_tokens (utf-32 decode is a C-level codec pass
+    per document)."""
+    import numpy as np
+
+    tl = texts.to_pylist()
+    arrs = [np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+            for t in tl]
+    lens = np.fromiter((a.size for a in arrs), dtype=np.int64,
+                       count=len(arrs))
+    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.uint32)
+    rowidx = np.repeat(np.arange(len(arrs), dtype=np.int64), lens)
+    return rowidx, flat, lens
+
+
+def substring_dedup(docs, min_len: int = 50, min_count: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    num_parts: int = 16, hash_seed: int = 42):
+    """EXACT substring deduplication at character granularity — the
+    distributed formulation of Lee et al. 2022's suffix-array dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    their ExactSubstr at threshold ``min_len``).
+
+    Anchor identity: a duplicated substring of length >= min_len
+    contains, at every alignment, a duplicated min_len-gram — so
+    marking every occurrence of each corpus-duplicated min_len-gram
+    EXCEPT its globally-first (min doc id, then min position) keeper,
+    and removing the union of the marked [pos, pos + min_len) windows,
+    yields output in which no substring of length >= min_len occurs
+    twice (keeper occurrences aside) — the same guarantee the
+    suffix-array scan provides, without materializing suffixes.  A
+    suffix array is O(8x corpus) memory on one machine; this is two
+    streaming passes and ONE grouped exchange of per-batch-combined
+    (gram, count, keeper) triples, so it shards like every other
+    operator here.
+
+    Semantics pinned by the independent per-position pytest oracle
+    (tests/test_substring_dedup.py): coverage is the union of hot
+    non-keeper windows; keepers can still lose characters to
+    OVERLAPPING hot windows (exactly as in span_dedup / Lee et al.'s
+    interval cutting).  Gram identity is a 64-bit polynomial over
+    per-character stable hashes — a collision (~2^-64 per pair) only
+    ever removes a non-duplicated span, the conservative direction for
+    training data.
+
+    Returns one row per document:
+    (id_col, text_dedup, kept_chars, removed_chars).
+    """
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    import ray
+
+    from .agg import grouped_aggregate
+
+    if min_len < 2:
+        raise ValueError("min_len must be >= 2")
+    KEY_POS_BITS = 32
+    n = min_len
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        if ids.size and (ids.min() < 0
+                         or ids.max() >= (1 << 62 - KEY_POS_BITS)):
+            raise ValueError("doc ids must fit the keeper key encoding")
+        rowidx, flat, lens = _flat_chars(ids, b.column(text_col))
+        empty = pa.table({"gram": pa.array([], type=pa.int64()),
+                          "cnt": pa.array([], type=pa.int64()),
+                          "keeper": pa.array([], type=pa.int64())})
+        if flat.size < n:
+            return empty
+        ch = stable_hash64(flat, seed=hash_seed)
+        gram, starts = _gram_hashes(ch, rowidx, n)
+        if gram.size == 0:
+            return empty
+        doc_start = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pos = starts - doc_start[rowidx[starts]]
+        if pos.size and int(pos.max()) >= (1 << KEY_POS_BITS):
+            raise ValueError("document too long for keeper key encoding")
+        keeper = (ids[rowidx[starts]] << KEY_POS_BITS) | pos
+        df = (pl.DataFrame({"gram": gram, "keeper": keeper})
+              .group_by("gram")
+              .agg(cnt=pl.len().cast(pl.Int64),
+                   keeper=pl.col("keeper").min()))
+        return df.select(["gram", "cnt", "keeper"]).to_arrow().cast(
+            empty.schema)
+
+    partials = docs.map_batches(gram_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    hot_tbl = (grouped_aggregate(partials, ["gram"],
+                                 {"cnt": ("sum", "cnt"),
+                                  "keeper": ("min", "keeper")},
+                                 num_parts=num_parts)
+               .map_batches(lambda t: t.filter(
+                   pa.compute.greater_equal(t["cnt"], min_count)),
+                   batch_format="pyarrow", zero_copy_batch=True))
+    hot_pdf = hot_tbl.to_pandas()
+    if len(hot_pdf) == 0:  # empty datasets can drop their schema
+        hg = np.empty(0, dtype=np.int64)
+        hk = np.empty(0, dtype=np.int64)
+    else:
+        hg = hot_pdf["gram"].to_numpy()
+        hk = hot_pdf["keeper"].to_numpy()
+    order = np.argsort(hg, kind="stable")
+    hot_ref = ray.put((hg[order], hk[order]))
+
+    def mask(b: pa.Table) -> pa.Table:
+        hot_gram, hot_keeper = ray.get(hot_ref)
+        ids = b.column(id_col).to_numpy()
+        rowidx, flat, lens = _flat_chars(ids, b.column(text_col))
+        T = flat.size
+        covered = np.zeros(T + 1, dtype=np.int64)
+        if T >= n and hot_gram.size:
+            ch = stable_hash64(flat, seed=hash_seed)
+            gram, starts = _gram_hashes(ch, rowidx, n)
+            if gram.size:
+                j = np.searchsorted(hot_gram, gram)
+                j_cl = np.minimum(j, hot_gram.size - 1)
+                is_hot = hot_gram[j_cl] == gram
+                doc_start = np.concatenate([[0], np.cumsum(lens)])[:-1]
+                pos = starts - doc_start[rowidx[starts]]
+                key = (ids[rowidx[starts]] << KEY_POS_BITS) | pos
+                remove = is_hot & (hot_keeper[j_cl] != key)
+                s = starts[remove]
+                np.add.at(covered, s, 1)
+                np.add.at(covered, s + n, -1)
+        kept_mask = np.cumsum(covered[:-1]) <= 0
+        kept_per_doc = np.bincount(
+            rowidx[kept_mask], minlength=len(ids)).astype(np.int64) \
+            if T else np.zeros(len(ids), dtype=np.int64)
+        doc_start = np.concatenate([[0], np.cumsum(lens)])
+        texts = []
+        for i in range(len(ids)):
+            seg = flat[doc_start[i]:doc_start[i + 1]]
+            km = kept_mask[doc_start[i]:doc_start[i + 1]]
+            texts.append(seg[km].tobytes().decode("utf-32-le"))
+        return pa.table({
+            id_col: b.column(id_col),
+            "text_dedup": pa.array(texts, type=pa.string()),
+            "kept_chars": pa.array(kept_per_doc),
+            "removed_chars": pa.array(
+                (lens - kept_per_doc).astype(np.int64)),
+        })
+
+    return docs.map_batches(mask, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def keep_min_by(ds, key_cols: List[str], order_col: str,
                 num_parts: int = 16):
     """Keep, per distinct `key_cols` value, exactly the row with the

@@ -525,6 +525,21 @@ def q_span_dedup(sf_dir: str):
     return span_dedup(_docs(sf_dir, ["doc_id", "text"]), n=5, min_count=2)
 
 
+@_q("q_substring_dedup")
+def q_substring_dedup(sf_dir: str):
+    """EXACT substring dedup at character granularity
+    (ops/dedup.py::substring_dedup) — the distributed formulation of
+    Lee et al. 2022's suffix-array ExactSubstr at threshold 30 chars:
+    every duplicated 30-char-gram keeps only its globally-first
+    occurrence; covered characters are cut.  Rows-only at the gate;
+    independent per-position oracle + partitioning invariance in
+    tests/test_substring_dedup.py."""
+    from .ops.dedup import substring_dedup
+
+    return substring_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                           min_len=30, min_count=2)
+
+
 # ---- exact dedup -------------------------------------------------------
 
 @_q("q_dedup_exact",
