@@ -83,6 +83,53 @@ def lead_lag(ds, partition_by, order_by, shifts: Dict[str, int],
                         retry_exceptions=True))
 
 
+def sessionize(ds, partition_by, order_by, gap_us: int,
+               tie_break: Optional[List[str]] = None,
+               num_parts: int = 16, out_col: str = "session_idx"):
+    """Gap-based sessionization: within each partition key, rows
+    ordered by ``order_by`` (a timestamp column) start a NEW session
+    whenever the gap to the previous row exceeds ``gap_us``
+    microseconds (strict >).  Appends ``out_col`` = 0-based session
+    index per key — the classic web-log session operator.
+
+    Same one-exchange scale shape and determinism contract as
+    lead_lag above (order_by + tie_break must totally order each key's
+    rows).  gap comparisons are integer microseconds, so semantics are
+    exact and match the SQL ``lag(ts) ... CASE WHEN ts - prev >
+    INTERVAL`` oracle form bit-for-bit.
+    """
+    import polars as pl
+
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+    if len(okeys) != 1:
+        raise ValueError("sessionize orders by exactly one timestamp col")
+    tcol = okeys[0]
+    if gap_us <= 0:
+        raise ValueError("gap_us must be positive")
+    sort_keys = okeys + list(tie_break or [])
+
+    def per_part(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .sort(pkeys + sort_keys, maintain_order=True))
+        prev = pl.col(tcol).shift(1).over(pkeys)
+        brk = ((pl.col(tcol) - prev).dt.total_microseconds()
+               > gap_us).fill_null(True)
+        df = df.with_columns(
+            (brk.cast(pl.Int64).cum_sum().over(pkeys) - 1)
+            .alias(out_col))
+        want = g.schema.remove(g.schema.get_field_index(_PART)) \
+            .append(pa.field(out_col, pa.int64()))
+        return cast_like(df.to_arrow(), want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))
+
+
 def row_number(ds, partition_by, order_by, descending: bool = False,
                tie_break: Optional[List[str]] = None,
                out_col: str = "rn", num_parts: int = 16,

@@ -181,3 +181,28 @@ def test_window_value_descending_and_validation():
     with pytest.raises(ValueError, match="kind"):
         window_value(rd.from_pandas(pdf), "user", "ts", "amount",
                      which="middle")
+
+
+def test_sessionize_crafted_gaps():
+    from halvesting_geometric_ray.ops.window import sessionize
+
+    US = 1_000_000
+    # user 1: gaps 10s, 40s, 10s with gap=30s -> sessions 0,0,1,1
+    # user 2: single event -> session 0
+    # user 3: exact-gap tie (30s is NOT > 30s) -> same session
+    pdf = pd.DataFrame({
+        "user": np.array([1, 1, 1, 1, 2, 3, 3], dtype=np.int64),
+        "ts": pd.to_datetime(np.array(
+            [0, 10 * US, 50 * US, 60 * US, 5 * US, 0, 30 * US]),
+            unit="us"),
+        "eid": np.arange(7, dtype=np.int64),
+    })
+    got = sessionize(rd.from_pandas(pdf).repartition(3), "user", "ts",
+                     gap_us=30 * US, tie_break=["eid"]).to_pandas()
+    got = got.sort_values("eid").reset_index(drop=True)
+    assert got.session_idx.tolist() == [0, 0, 1, 1, 0, 0, 0]
+    with pytest.raises(ValueError, match="positive"):
+        sessionize(rd.from_pandas(pdf), "user", "ts", gap_us=0)
+    with pytest.raises(ValueError, match="one timestamp"):
+        sessionize(rd.from_pandas(pdf), "user", ["ts", "eid"],
+                   gap_us=30 * US)
