@@ -151,7 +151,8 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_text as QT
 
     for name in ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
-                 "q_dedup_exact", "q_span_dedup", "q_tfidf",
+                 "q_dedup_exact", "q_span_dedup", "q_substring_dedup",
+                 "q_tfidf",
                  "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
                  "q_knn_cosine_pq", "q_edit_neardup"]:
         t = time.time()
@@ -162,9 +163,12 @@ def run_bench() -> dict:
 
     from halvesting_geometric_ray import queries_graph as QG
 
-    t = time.time()
-    QG.QUERIES["q_louvain"](sf_dir).materialize()
-    queries["q_louvain"] = round(time.time() - t, 3)
+    for name in ["q_louvain", "q_word2vec_embeddings"]:
+        t = time.time()
+        res = QG.QUERIES[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        queries[name] = round(time.time() - t, 3)
 
     total = queries["graph_build"] + queries["pagerank"]
     out = {

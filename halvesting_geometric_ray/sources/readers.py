@@ -91,6 +91,60 @@ def read_partitioned_parquet(path: str,
     return rd.read_parquet(path, columns=columns, **kw)
 
 
+def resumable_partitioned_write(ds, path: str, partition_col: str,
+                                compression: str = "zstd") -> dict:
+    """WRITER-side resumable hive-partitioned sink: partitions whose
+    directory carries a ``_SUCCESS`` marker are skipped (their rows are
+    filtered out BEFORE the write, so a rerun never recomputes or
+    rewrites finished work); everything else writes in ONE streaming
+    pass (``write_parquet(partition_cols=...)``), then each newly
+    finished partition dir is stamped.  A job killed mid-write leaves
+    unstamped dirs, and the next run redoes exactly those — the
+    restart-over-100TB contract: progress is partition-granular, the
+    marker write is the atomic commit point.
+
+    Keep ``partition_col`` low-cardinality (shard id, date, lang,
+    key-range bucket): the distinct-value scan is one column-projected
+    pass, and the skip set broadcasts inside the filter.
+    Returns {"written": [...], "skipped": [...]}.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _dirname(v) -> str:
+        return f"{partition_col}={v}"
+
+    done = set()
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith(partition_col + "=") and os.path.exists(
+                    os.path.join(path, d, "_SUCCESS")):
+                done.add(d.split("=", 1)[1])
+    vals = {str(v) for v in ds.unique(partition_col)}
+    missing = sorted(vals - done)
+    if missing:
+        mset = set(missing)
+
+        def keep_missing(b: pa.Table) -> pa.Table:
+            col = b.column(partition_col)
+            m = pc.is_in(pc.cast(col, pa.string()),
+                         value_set=pa.array(sorted(mset)))
+            return b.filter(m)
+
+        (ds.map_batches(keep_missing, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .write_parquet(path, partition_cols=[partition_col],
+                        compression=compression))
+        for v in missing:
+            d = os.path.join(path, _dirname(v))
+            if os.path.isdir(d):
+                with open(os.path.join(d, "_SUCCESS"), "w") as f:
+                    f.write("ok")
+    return {"written": missing, "skipped": sorted(vals & done)}
+
+
 def compact_parquet(in_path: str, out_path: str,
                     target_mb: int = 128,
                     columns: Optional[List[str]] = None,

@@ -202,3 +202,40 @@ def test_compact_parquet_validation(tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(str(tmp_path / "nope"), str(tmp_path / "out"))
+
+
+def test_resumable_partitioned_write(tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.sources.readers import (
+        read_partitioned_parquet, resumable_partitioned_write)
+
+    out = str(tmp_path / "sink")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+        "lang": pa.array([["en", "fr", "de"][i % 3] for i in range(60)]),
+    })
+    ds = rd.from_arrow(t)
+    r1 = resumable_partitioned_write(ds, out, "lang")
+    assert r1 == {"written": ["de", "en", "fr"], "skipped": []}
+    assert read_partitioned_parquet(out).count() == 60
+
+    # simulate a mid-job crash: one partition lost its commit marker
+    os.remove(os.path.join(out, "lang=fr", "_SUCCESS"))
+    for f in os.listdir(os.path.join(out, "lang=fr")):
+        os.remove(os.path.join(out, "lang=fr", f))
+    stamp = {d: os.listdir(os.path.join(out, d))
+             for d in ("lang=en", "lang=de")}
+    r2 = resumable_partitioned_write(ds, out, "lang")
+    assert r2 == {"written": ["fr"], "skipped": ["de", "en"]}
+    # finished partitions untouched, crashed one rebuilt
+    assert {d: os.listdir(os.path.join(out, d))
+            for d in ("lang=en", "lang=de")} == stamp
+    back = read_partitioned_parquet(out).to_pandas()
+    assert len(back) == 60 and (back.lang == "fr").sum() == 20
+    # fully-committed rerun is a no-op
+    assert resumable_partitioned_write(ds, out, "lang")["written"] == []
