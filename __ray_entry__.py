@@ -73,8 +73,7 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_toposort_urls", "q_winsorize_doclen", "q_powerlaw",
                  "q_cms_event_counts", "q_first_last_value",
                  "q_retention_cohorts", "q_bloom_join",
-                 "q_skipgram_events", "q_customers_without_orders",
-                 "q_sessionize"]
+                 "q_skipgram_events", "q_customers_without_orders"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",

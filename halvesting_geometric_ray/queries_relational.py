@@ -376,41 +376,6 @@ def q_lead_lag(sf_dir: str):
                                "next_event"])
 
 
-@_q("q_sessionize",
-    "WITH lagged AS ("
-    " SELECT user_id, event_id, ts,"
-    " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-    " AS prev_ts FROM events),"
-    " sess AS ("
-    " SELECT user_id, event_id, ts,"
-    " sum(CASE WHEN prev_ts IS NULL"
-    "          OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)"
-    " OVER (PARTITION BY user_id ORDER BY ts, event_id"
-    "       ROWS UNBOUNDED PRECEDING) - 1 AS session_idx"
-    " FROM lagged)"
-    " SELECT user_id, session_idx, count(*) AS n_events,"
-    " min(ts) AS ts_start, max(ts) AS ts_end"
-    " FROM sess GROUP BY user_id, session_idx")
-def q_sessionize(sf_dir: str):
-    """Gap-based sessionization (ops/window.py::sessionize): a user's
-    events split into sessions at >30-minute gaps, aggregated to one
-    row per session (n_events, ts_start, ts_end) — the classic web-log
-    operator.  One key-partitioned window exchange + one grouped
-    aggregate.  SQL-oracled (registered in the demoted _ORACLED_TAIL:
-    the 50-slot recorded window is full); DuckDB parity also swept by
-    tests/test_queries_relational.py."""
-    from .ops.agg import grouped_aggregate
-    from .ops.window import sessionize
-
-    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    s = sessionize(ds, "user_id", "ts", gap_us=30 * 60 * 1_000_000,
-                   tie_break=["event_id"])
-    return grouped_aggregate(
-        s, ["user_id", "session_idx"],
-        {"n_events": ("count", None),
-         "ts_start": ("min", "ts"), "ts_end": ("max", "ts")})
-
-
 @_q("q_first_last_value",
     "SELECT event_id, user_id, "
     "first_value(event_id) OVER w AS first_event, "
