@@ -351,10 +351,12 @@ def main(argv=None) -> int:
             from .graph.louvain import louvain as run_louvain
             import os
 
+            # the CLI is the long-job surface: sub-round checkpointing
+            # on, so a killed run rerun over the same --workdir resumes
             ds, info = run_louvain(edges, g.offsets, args.workdir, cfg,
                                    resolution=args.resolution,
                                    max_levels=args.max_levels,
-                                   seed=args.seed)
+                                   seed=args.seed, checkpoint=True)
             ds.write_parquet(os.path.join(args.workdir, "louvain"))
             out["louvain"] = {"n_communities": info["n_communities"],
                               "levels": info["levels"]}

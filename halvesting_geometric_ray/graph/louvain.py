@@ -193,16 +193,10 @@ class LouvainShardActor:
                 if b[j + 1] > b[j] else None
                 for j in range(self.num_actors)]
 
-    def scatter_labels(self, t: int, *ctot_deltas):
-        """Apply last sub-round's Sigma_tot deltas, then emit per-owner
-        (dst, c(src), w_sum) candidate messages — only for destinations
-        ACTIVE at sub-round t (stateless hash coin, ~half the vertices:
-        strict parity admits period-2 limit cycles of synchronized
-        community hopping inside symmetric structures — a clique's two
-        halves hop forever; randomized activation breaks every such
-        cycle with probability 1), which also halves the exchange
-        (inactive vertices are never evaluated this round)."""
-        for msg in ctot_deltas:
+    def _apply_delta_msgs(self, msgs) -> None:
+        """Fold (community, +-k_v) delta messages into Sigma_tot state
+        in FIXED message order (bitwise-reproducible accumulation)."""
+        for msg in msgs:
             if msg is None:
                 continue
             ids, vals = msg
@@ -215,6 +209,53 @@ class LouvainShardActor:
                 m = (ids >= lo) & (ids < hi)
                 if m.any():
                     np.add.at(self.ctot[p], ids[m] - lo, vals[m])
+
+    def flush_deltas(self, *msgs) -> bool:
+        """Checkpoint support: apply pending deltas NOW (instead of at
+        the next scatter) so dumped state is sub-round-consistent.
+        Same message order as scatter_labels -> bitwise identical."""
+        self._apply_delta_msgs(msgs)
+        return True
+
+    def dump_state(self, paths: Dict[int, str]) -> bool:
+        """Write per-owned-part (vid, label, ctot) checkpoint tables
+        (atomic tmp+rename).  In mirror mode the owned slice of the
+        mirror IS the owner-protocol ctot, so one format serves both."""
+        from ..state.checkpoint import IterativeCheckpoint
+
+        for p in self.owned:
+            lo = self.shards[p]["vid_lo"]
+            hi = self.shards[p]["vid_hi"]
+            ct = self.mirror[lo:hi] if self.mirror is not None \
+                else self.ctot[p]
+            IterativeCheckpoint.write_part(pa.table({
+                "vid": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "label": pa.array(self.c[p]),
+                "ctot": pa.array(np.asarray(ct, dtype=np.float64)),
+            }), paths[p])
+        return True
+
+    def load_state(self, paths: Dict[int, str]) -> bool:
+        """Restore labels + owner-mode Sigma_tot from checkpoint parts
+        (mirror mode reassembles the full array driver-side)."""
+        for p in self.owned:
+            t = pq.read_table(paths[p], columns=["vid", "label", "ctot"])
+            self.c[p] = t.column("label").to_numpy().astype(
+                np.int64, copy=True)
+            self.ctot[p] = t.column("ctot").to_numpy().astype(
+                np.float64, copy=True)
+        return True
+
+    def scatter_labels(self, t: int, *ctot_deltas):
+        """Apply last sub-round's Sigma_tot deltas, then emit per-owner
+        (dst, c(src), w_sum) candidate messages — only for destinations
+        ACTIVE at sub-round t (stateless hash coin, ~half the vertices:
+        strict parity admits period-2 limit cycles of synchronized
+        community hopping inside symmetric structures — a clique's two
+        halves hop forever; randomized activation breaks every such
+        cycle with probability 1), which also halves the exchange
+        (inactive vertices are never evaluated this round)."""
+        self._apply_delta_msgs(ctot_deltas)
         vs, cs, ws = [], [], []
         for p in self.owned:
             s = self.shards[p]
@@ -426,10 +467,20 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
             max_subrounds: int, num_actors: int, seed: int,
             stop_frac: float = 0.0,
             selfw_files: Optional[Dict[int, str]] = None,
-            mirror_cap: int = 8_000_000):
+            mirror_cap: int = 8_000_000,
+            checkpoint: bool = True, ckpt_every: int = 8,
+            _fail_after_commit: int = -1):
     """One local-moving phase.  edges: weighted symmetrized directed
     representation WITHOUT self-loops (their mass arrives via
-    selfw_files).  Returns (labels_ds, moves_total, subrounds, m2)."""
+    selfw_files).  Returns (labels_ds, moves_total, subrounds, m2).
+
+    checkpoint/ckpt_every: dump (label, Sigma_tot) per partition every
+    ckpt_every sub-rounds (+ at the stopping round) under
+    {workdir}/louvain_ckpt/l{level}; a rerun resumes from the last
+    committed sub-round and a finished phase is loaded without spawning
+    actors.  Resumed output is bitwise identical (pinned in tests).
+    _fail_after_commit: TEST HOOK — raise right after the checkpoint
+    commit at/after that sub-round (simulates a crash)."""
     from .csr import build_csr_shards
 
     num_parts = len(offsets) - 1
@@ -447,6 +498,33 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
         edges, offsets, f"{workdir}/louvain_csr_l{level}",
         lineage=lineage, weight_col="w")
     paths = {dd["part"]: dd["path"] for dd in descs}
+    # per-sub-round checkpointing (north-rule contract: resume
+    # MID-iteration after failure).  State = (label, Sigma_tot) per
+    # partition, dumped every ckpt_every sub-rounds with deltas flushed
+    # first (manifest commits AFTER the part files — the r2 lesson).
+    # The checkpoint lineage carries EVERY phase-1 parameter at every
+    # level (unlike the shard lineage: level-0 shards don't depend on
+    # seed/stop_frac, but phase-1 labels always do).
+    ck = None
+    if checkpoint:
+        from ..state.checkpoint import IterativeCheckpoint
+
+        ck = IterativeCheckpoint(
+            f"{workdir}/louvain_ckpt", f"l{level}",
+            {"kind": "louvain-phase1", "level": level,
+             "resolution": resolution, "seed": seed,
+             "stop_frac": stop_frac, "gain_eps": gain_eps,
+             "max_subrounds": max_subrounds, "num_parts": num_parts})
+        dn = ck.manifest.get("done")
+        if dn is not None:
+            files = ck.state_files(int(dn["iter"]))
+            if len(files) == num_parts:
+                # phase already finished under this exact lineage:
+                # load final labels, skip the actor pool entirely
+                tabs = [pq.read_table(f, columns=["vid", "label"])
+                        for f in files]
+                return (rd.from_arrow(tabs), int(dn["moves"]),
+                        list(dn["moves_hist"]), float(dn["m2"]), descs)
     if num_actors <= 0:
         # auto-size: a 4-barrier protocol on a small graph is actor-call
         # overhead, not compute — collapse the pool (layout-invariant,
@@ -470,20 +548,43 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
         # O(V) float64 mirror fits comfortably; the owner request-answer
         # protocol (4 barriers, O(V/A) state) is the 10^12-vertex path
         use_mirror = int(offsets[-1]) <= mirror_cap
+        moves_hist: List[int] = []
+        start_t = 0
+        last_ck_t = None
+        resume_k = ck.latest_complete() if ck else None
+        if resume_k is not None:
+            # resume MID-phase: restore labels + Sigma_tot as of the
+            # last committed sub-round; deltas were flushed before the
+            # dump, so the inboxes restart empty
+            pmap = {p: ck.part_path(resume_k, p)
+                    for p in range(num_parts)}
+            ray.get([actors[i].load_state.remote(
+                {p: pmap[p] for p in owned[i]}) for i in range(A)])
+            moves_hist = list(ck.manifest["iters"][str(resume_k)]
+                              ["metrics"]["moves_hist"])
+            start_t = resume_k + 1
+            last_ck_t = resume_k
         if use_mirror:
             k_full = np.zeros(int(offsets[-1]), dtype=np.float64)
-            for seg in ray.get([a.k_parts.remote() for a in actors]):
-                for lo, k in seg:
-                    k_full[lo:lo + k.size] = k
+            if resume_k is not None:
+                for p in range(num_parts):
+                    tt = pq.read_table(pmap[p], columns=["vid", "ctot"])
+                    v = tt.column("vid").to_numpy()
+                    if v.size:
+                        k_full[v[0]:v[0] + v.size] = \
+                            tt.column("ctot").to_numpy()
+            else:
+                for seg in ray.get([a.k_parts.remote() for a in actors]):
+                    for lo, k in seg:
+                        k_full[lo:lo + k.size] = k
             ref = ray.put(k_full)
             ray.get([a.set_mirror.remote(ref) for a in actors])
             del k_full, ref
-        moves_hist: List[int] = []
         delta_inbox = [[None] * A for _ in range(A)]
         shared_deltas: List = [None] * A  # mirror mode: same refs for all
         # edgeless graph: every vertex stays a singleton (and the gain
         # formula's /m2 would divide by zero)
-        for t in range(max_subrounds if m2 > 0 else 0):
+        for t in range(start_t, max_subrounds if m2 > 0 else 0):
             if use_mirror:
                 outs = [list(actors[i].scatter_labels
                              .options(num_returns=A)
@@ -500,38 +601,36 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
                       for i in range(A)]
                 n_moves = int(sum(ray.get([m[1] for m in mv])))
                 shared_deltas = [m[0] for m in mv]
-                moves_hist.append(n_moves)
-                thr = int(stop_frac * int(offsets[-1]))
-                if len(moves_hist) >= 3 and all(x <= thr
-                                                for x in moves_hist[-3:]):
-                    break
-                continue
-            outs = [list(actors[i].scatter_labels
-                         .options(num_returns=A)
-                         .remote(t, *delta_inbox[i]))
-                    if A > 1 else
-                    [actors[i].scatter_labels.remote(t, *delta_inbox[i])]
-                    for i in range(A)]
-            label_inbox = transpose_refs(outs)
-            reqs = [list(actors[i].prep_moves
-                         .options(num_returns=A).remote(*label_inbox[i]))
-                    if A > 1 else
-                    [actors[i].prep_moves.remote(*label_inbox[i])]
-                    for i in range(A)]
-            req_inbox = transpose_refs(reqs)
-            ans = [list(actors[j].answer_ctot
-                        .options(num_returns=A).remote(*req_inbox[j]))
-                   if A > 1 else
-                   [actors[j].answer_ctot.remote(*req_inbox[j])]
-                   for j in range(A)]
-            ans_inbox = transpose_refs(ans)
-            mv = [list(actors[i].apply_moves
-                       .options(num_returns=A + 1)
-                       .remote(t, resolution, m2, gain_eps,
-                               *ans_inbox[i]))
-                  for i in range(A)]
-            n_moves = int(sum(ray.get([o[A] for o in mv])))
-            delta_inbox = transpose_refs([o[:A] for o in mv])
+            else:
+                outs = [list(actors[i].scatter_labels
+                             .options(num_returns=A)
+                             .remote(t, *delta_inbox[i]))
+                        if A > 1 else
+                        [actors[i].scatter_labels.remote(t,
+                                                         *delta_inbox[i])]
+                        for i in range(A)]
+                label_inbox = transpose_refs(outs)
+                reqs = [list(actors[i].prep_moves
+                             .options(num_returns=A)
+                             .remote(*label_inbox[i]))
+                        if A > 1 else
+                        [actors[i].prep_moves.remote(*label_inbox[i])]
+                        for i in range(A)]
+                req_inbox = transpose_refs(reqs)
+                ans = [list(actors[j].answer_ctot
+                            .options(num_returns=A)
+                            .remote(*req_inbox[j]))
+                       if A > 1 else
+                       [actors[j].answer_ctot.remote(*req_inbox[j])]
+                       for j in range(A)]
+                ans_inbox = transpose_refs(ans)
+                mv = [list(actors[i].apply_moves
+                           .options(num_returns=A + 1)
+                           .remote(t, resolution, m2, gain_eps,
+                                   *ans_inbox[i]))
+                      for i in range(A)]
+                n_moves = int(sum(ray.get([o[A] for o in mv])))
+                delta_inbox = transpose_refs([o[:A] for o in mv])
             moves_hist.append(n_moves)
             # 3 low-move rounds: with ~1/2 hash activation a vertex
             # that still wants to move gets a chance w.p. 7/8 in 3
@@ -541,9 +640,41 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
             # sub-1%-of-V move rounds buys little modularity — the
             # coarser levels re-examine those vertices anyway).
             thr = int(stop_frac * int(offsets[-1]))
-            if len(moves_hist) >= 3 and all(x <= thr
-                                            for x in moves_hist[-3:]):
+            stopping = len(moves_hist) >= 3 and all(
+                x <= thr for x in moves_hist[-3:])
+            if ck and (stopping or t == max_subrounds - 1
+                       or (t + 1 - start_t) % ckpt_every == 0):
+                # flush the pending deltas so the dumped Sigma_tot is
+                # sub-round-consistent (same message order as the next
+                # scatter would use -> bitwise identical), then dump
+                # parts, then commit the manifest
+                if use_mirror:
+                    ray.get([a.flush_deltas.remote(*shared_deltas)
+                             for a in actors])
+                    shared_deltas = [None] * A
+                else:
+                    ray.get([actors[i].flush_deltas
+                             .remote(*delta_inbox[i]) for i in range(A)])
+                    delta_inbox = [[None] * A for _ in range(A)]
+                pmap = {p: ck.part_path(t, p) for p in range(num_parts)}
+                ray.get([actors[i].dump_state.remote(
+                    {p: pmap[p] for p in owned[i]}) for i in range(A)])
+                ck.commit_iter(t, {"moves_hist": list(moves_hist),
+                                   "moves": n_moves, "m2": m2},
+                               list(range(num_parts)))
+                last_ck_t = t
+                if 0 <= _fail_after_commit <= t:
+                    raise RuntimeError(
+                        "test-injected failure after checkpoint commit")
+            if stopping:
                 break
+        if ck and last_ck_t is not None and \
+                ck.manifest.get("done") is None:
+            ck.manifest["done"] = {"iter": last_ck_t,
+                                   "moves": int(sum(moves_hist)),
+                                   "moves_hist": list(moves_hist),
+                                   "m2": m2}
+            ck._save()
         tables = [tt for ref in [a.label_tables.remote() for a in actors]
                   for tt in ray.get(ref)]
     finally:
@@ -675,12 +806,23 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
             stop_frac: float = 0.0, small_edge_cap: int = 4_000_000,
             weight_col: Optional[str] = None,
             num_actors: int = 0,
-            mirror_cap: int = 8_000_000) -> Tuple["rd.Dataset", Dict]:
+            mirror_cap: int = 8_000_000,
+            checkpoint: bool = False,
+            ckpt_every: int = 8) -> Tuple["rd.Dataset", Dict]:
     """Louvain communities over a DIRECTED edge table (symmetrized
     internally; self-loops dropped at level 0).  Returns
     (labels_ds(vid, community), info): community = smallest member vid
     (the components.py canonicalization), info carries per-level
     {n_vertices, n_communities, moves, subrounds, m2}.
+
+    checkpoint=True turns on per-sub-round phase-1 checkpointing
+    (see _phase1): a killed job rerun over the same workdir resumes
+    from the last committed sub-round with bitwise-identical output,
+    and fully finished levels' phases load without spawning actors.
+    OFF by default because a resumed rerun is (intentionally) not a
+    fresh computation — benchmarks and conformance queries that reuse
+    a workdir must keep measuring real compute; the CLI `louvain`
+    subcommand (the long-job surface) enables it.
 
     weight_col: positive edge weights (anchor multiplicity etc.);
     default weight 1 per directed edge after symmetrization."""
@@ -731,7 +873,8 @@ def louvain(edges, offsets: np.ndarray, workdir: str,
             resolution=resolution, gain_eps=gain_eps,
             max_subrounds=max_subrounds, num_actors=num_actors,
             seed=seed, stop_frac=stop_frac, selfw_files=selfw_files,
-            mirror_cap=mirror_cap)
+            mirror_cap=mirror_cap, checkpoint=checkpoint,
+            ckpt_every=ckpt_every)
         t_p1 = time.time() - t_lvl
         subrounds = len(moves_hist)
         if level == 0:

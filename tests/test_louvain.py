@@ -247,6 +247,66 @@ def test_mirror_owner_parity(tmp_path):
         [lv["moves_hist"] for lv in info_b["levels"]]
 
 
+def _rand_pairs(seed=11, n=300, m=2200):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    return list(zip(src[keep].tolist(), dst[keep].tolist())) \
+        + clique_edges(0, 7) + clique_edges(200, 207)
+
+
+def test_checkpoint_does_not_perturb(tmp_path):
+    """Checkpointing ON must be bitwise-transparent: flushing deltas at
+    dump points applies the same messages in the same order the next
+    scatter would."""
+    pairs = _rand_pairs()
+    a, ia = louvain(_edges_ds(pairs), _offsets(300, 4),
+                    str(tmp_path / "plain"), num_actors=3)
+    b, ib = louvain(_edges_ds(pairs), _offsets(300, 4),
+                    str(tmp_path / "ck"), num_actors=3,
+                    checkpoint=True, ckpt_every=2)
+    assert a.to_pandas().sort_values("vid").reset_index(drop=True).equals(
+        b.to_pandas().sort_values("vid").reset_index(drop=True))
+    assert [lv["moves_hist"] for lv in ia["levels"]] == \
+        [lv["moves_hist"] for lv in ib["levels"]]
+
+
+@pytest.mark.parametrize("mirror_cap", [8_000_000, 0])
+def test_phase1_crash_resume_bitwise(tmp_path, mirror_cap):
+    """Kill the phase right after a mid-run checkpoint commit; the
+    rerun must resume from that sub-round and finish with labels
+    bitwise equal to the uninterrupted run — in both the mirrored and
+    the owner Sigma_tot protocols."""
+    pairs = _rand_pairs(seed=5)
+    ds = _sym_ds(pairs)
+    off = _offsets(300, 4)
+    kw = dict(resolution=1.0, gain_eps=1e-9, max_subrounds=16,
+              num_actors=3, seed=42, mirror_cap=mirror_cap)
+    ref_labels, ref_moves, ref_hist, ref_m2, _ = _phase1(
+        ds, off, str(tmp_path / "ref"), 0, DEFAULT, **kw)
+
+    wd = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="test-injected"):
+        _phase1(ds, off, wd, 0, DEFAULT, checkpoint=True, ckpt_every=3,
+                _fail_after_commit=3, **kw)
+    got_labels, got_moves, got_hist, got_m2, _ = _phase1(
+        ds, off, wd, 0, DEFAULT, checkpoint=True, ckpt_every=3, **kw)
+    assert got_hist == ref_hist and got_moves == ref_moves
+    assert got_m2 == ref_m2
+    assert ref_labels.to_pandas().sort_values("vid").reset_index(
+        drop=True).equals(got_labels.to_pandas().sort_values(
+            "vid").reset_index(drop=True))
+
+    # third run: the done marker loads the finished phase actor-free
+    again, again_moves, again_hist, _, _ = _phase1(
+        ds, off, wd, 0, DEFAULT, checkpoint=True, ckpt_every=3, **kw)
+    assert again_hist == ref_hist and again_moves == ref_moves
+    assert again.to_pandas().sort_values("vid").reset_index(
+        drop=True).equals(got_labels.to_pandas().sort_values(
+            "vid").reset_index(drop=True))
+
+
 def test_weighted_communities(tmp_path):
     # path 0-1-2-3 where (0,1) and (2,3) are heavy, (1,2) light:
     # weights decide the split
