@@ -468,7 +468,7 @@ def _phase1(edges, offsets: np.ndarray, workdir: str, level: int,
             stop_frac: float = 0.0,
             selfw_files: Optional[Dict[int, str]] = None,
             mirror_cap: int = 8_000_000,
-            checkpoint: bool = True, ckpt_every: int = 8,
+            checkpoint: bool = False, ckpt_every: int = 8,
             _fail_after_commit: int = -1):
     """One local-moving phase.  edges: weighted symmetrized directed
     representation WITHOUT self-loops (their mass arrives via
