@@ -133,12 +133,58 @@ def sgns_shard_epoch(w_in: np.ndarray, w_out: np.ndarray,
     return uniq, l_in - w_in[uniq], l_out - w_out[uniq]
 
 
+@ray.remote(num_cpus=0)
+class _SgnsShardActor:
+    """Holds its parts' (ids, center, context) arrays resident across
+    epochs — the pair set shards ONCE (one grouped exchange total);
+    each epoch is then just one actor call per pool member + the
+    driver's vocab-bounded fold.  (The first cut re-ran the
+    repartition+sort every epoch: at 2M pairs / 32 CPUs that was ~26 s
+    of exchange per ~0.7 s of SGD.)"""
+
+    def __init__(self, paths: Dict[int, str], idc, center_col,
+                 context_col, noise):
+        # `noise` / `wref` arrive as top-level ObjectRef args, which
+        # Ray auto-resolves before the call (fetched once per node)
+        import pyarrow.parquet as pq
+
+        self.toks, self.cdf = noise
+        self.parts = []
+        for p in sorted(paths):
+            t = pq.read_table(paths[p])
+            if t.num_rows == 0:
+                continue
+            ids = [t.column(c).to_numpy(zero_copy_only=False)
+                   .astype(np.int64) for c in idc]
+            cen = t.column(center_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ctx = t.column(context_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            self.parts.append((ids, cen, ctx))
+
+    def train(self, ep: int, wref, negatives: int, lr: float,
+              inner_batch: int, seed: int):
+        """One epoch over every owned part (each part is its own SGD
+        shard, exactly as the grouped formulation).  Returns per-part
+        (uniq_rows, delta_in, delta_out, n_pairs) tuples."""
+        wi, wo = wref
+        out = []
+        for ids, cen, ctx in self.parts:
+            uniq, d_in, d_out = sgns_shard_epoch(
+                wi, wo, self.toks, self.cdf, ids, cen, ctx,
+                negatives=negatives, lr=lr, inner_batch=inner_batch,
+                seed=seed, epoch=ep)
+            out.append((uniq, d_in, d_out, len(cen)))
+        return out
+
+
 def sgns_train(pairs, vocab_counts, *,
                id_cols: Sequence[str] = ("walk_id", "step", "offset"),
                center_col: str = "center", context_col: str = "context",
                dim: int = 32, negatives: int = 5, power: float = 0.75,
                lr: float = 0.025, epochs: int = 3, seed: int = 1,
-               num_parts: int = 16, inner_batch: int = 64
+               num_parts: int = 16, inner_batch: int = 64,
+               workdir: str = None
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Dict]:
     """Train SGNS embeddings over a skip-gram pair Dataset.
 
@@ -147,6 +193,11 @@ def sgns_train(pairs, vocab_counts, *,
     center/context token columns.  vocab_counts: (token:int64, n:int64)
     — every center/context token MUST appear in it (validated in the
     pre-shard map stage, before any retryable group task).
+
+    workdir: directory for the one-time pair-shard parquet layer (a
+    fresh subdirectory is created per call).  On a multi-node cluster
+    pass a SHARED path (the engine-wide workdir contract, same as the
+    CSR shards); default is a process-local temp dir (single node).
 
     Returns (tokens sorted, w_in (V, dim) float32, w_out, info);
     w_in is the embedding table (w_out the context table, as word2vec).
@@ -184,67 +235,85 @@ def sgns_train(pairs, vocab_counts, *,
         return b.append_column(
             _PART, pa.array((h % num_parts).astype(np.int32)))
 
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..graph.engine import plan_actors
+
     cols = idc + [center_col, context_col]
-    tagged = (pairs.select_columns(cols)
-              .map_batches(tag, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .materialize())  # iterative consumer: pay the scan once
-    n_total = tagged.count()
+    tagged = pairs.select_columns(cols).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    # shard ONCE: one grouped exchange writes per-part parquet; every
+    # epoch after that is actor calls + the driver fold (the first cut
+    # re-ran the repartition+sort each epoch — pure exchange waste)
+    if workdir is None:
+        shard_root = tempfile.mkdtemp(prefix="sgns_shards_")
+        _cleanup = True
+    else:
+        shard_root = os.path.join(workdir, "sgns_shards")
+        shutil.rmtree(shard_root, ignore_errors=True)
+        os.makedirs(shard_root, exist_ok=True)
+        _cleanup = False
+
+    def write_part(g: pa.Table) -> pa.Table:
+        p = int(g.column(_PART)[0].as_py())
+        path = os.path.join(shard_root, f"part-{p:05d}.parquet")
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(g.drop_columns([_PART]), tmp)
+        os.replace(tmp, path)
+        return pa.table({"part": pa.array([p], type=pa.int64()),
+                         "n": pa.array([g.num_rows], type=pa.int64())})
+
+    manifest = (pre_shuffle(tagged).groupby(_PART)
+                .map_groups(write_part, batch_format="pyarrow")
+                .to_pandas())
+    n_total = int(manifest["n"].sum()) if len(manifest) else 0
     if n_total == 0:
         raise ValueError("pairs is empty")
+    paths = {int(p): os.path.join(shard_root, f"part-{int(p):05d}.parquet")
+             for p in manifest["part"]}
 
-    w_in, w_out = sgns_init(v_size, dim, seed)
-    info: Dict = {"V": int(v_size), "dim": dim, "n_pairs": int(n_total),
-                  "epochs": []}
-    for ep in range(epochs):
-        wref = ray.put((w_in, w_out))
+    try:
+        existing = sorted(paths)
+        owned = plan_actors(len(existing), min(len(existing), 32))
+        actors = [_SgnsShardActor.remote(
+            {existing[j]: paths[existing[j]] for j in grp},
+            idc, center_col, context_col, noise_ref)
+            for grp in owned]
 
-        def train_part(g: pa.Table, ep=ep, wref=wref) -> pa.Table:
-            wi, wo = ray.get(wref)
-            tt, cc = ray.get(noise_ref)
-            ids = [g.column(c).to_numpy(zero_copy_only=False)
-                   .astype(np.int64) for c in idc]
-            cen = g.column(center_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            ctx = g.column(context_col).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            uniq, d_in, d_out = sgns_shard_epoch(
-                wi, wo, tt, cc, ids, cen, ctx, negatives=negatives,
-                lr=lr, inner_batch=inner_batch, seed=seed, epoch=ep)
-            m = len(uniq)
-            d = d_in.shape[1]
-            flat = np.concatenate([d_in.ravel(), d_out.ravel()])
-            return pa.table({
-                "matrix": pa.array(np.repeat(np.array([0, 1], np.int8), m)),
-                "row": pa.array(np.concatenate([uniq, uniq])),
-                "delta": pa.FixedSizeListArray.from_arrays(
-                    pa.array(flat, type=pa.float64()), d),
-                "n": pa.array(np.full(2 * m, g.num_rows, dtype=np.int64)),
-            })
-
-        res = (pre_shuffle(tagged).groupby(_PART)
-               .map_groups(train_part, batch_format="pyarrow",
-                           retry_exceptions=True))
-        acc = np.zeros((2, v_size, dim), dtype=np.float64)
-        moved = 0.0
-        for b in res.iter_batches(batch_format="pyarrow"):
-            mcol = b.column("matrix").to_numpy(zero_copy_only=False)
-            rows = b.column("row").to_numpy(zero_copy_only=False)
-            dc = b.column("delta")
-            if isinstance(dc, pa.ChunkedArray):
-                dc = dc.combine_chunks()
-            d = np.asarray(dc.flatten(), dtype=np.float64).reshape(
-                len(rows), dim)
-            nw = b.column("n").to_numpy(zero_copy_only=False)
-            wgt = d * nw[:, None]
-            np.add.at(acc, (mcol.astype(np.int64), rows), wgt)
-            moved += float(np.abs(wgt).sum())
-        w_in = (w_in.astype(np.float64) + acc[0] / n_total).astype(
-            np.float32)
-        w_out = (w_out.astype(np.float64) + acc[1] / n_total).astype(
-            np.float32)
-        info["epochs"].append(
-            {"epoch": ep, "mean_abs_update": moved / (n_total * dim)})
+        w_in, w_out = sgns_init(v_size, dim, seed)
+        info: Dict = {"V": int(v_size), "dim": dim,
+                      "n_pairs": int(n_total), "epochs": []}
+        for ep in range(epochs):
+            wref = ray.put((w_in, w_out))
+            res = ray.get([a.train.remote(ep, wref, negatives, lr,
+                                          inner_batch, seed)
+                           for a in actors])
+            acc = np.zeros((2, v_size, dim), dtype=np.float64)
+            moved = 0.0
+            for shard_list in res:
+                for uniq, d_in, d_out, n in shard_list:
+                    acc[0, uniq] += d_in * n
+                    acc[1, uniq] += d_out * n
+                    moved += float((np.abs(d_in).sum()
+                                    + np.abs(d_out).sum()) * n)
+            w_in = (w_in.astype(np.float64) + acc[0] / n_total).astype(
+                np.float32)
+            w_out = (w_out.astype(np.float64)
+                     + acc[1] / n_total).astype(np.float32)
+            info["epochs"].append(
+                {"epoch": ep,
+                 "mean_abs_update": moved / (n_total * dim)})
+            del wref
+        for a in actors:
+            ray.kill(a)
+    finally:
+        if _cleanup:
+            shutil.rmtree(shard_root, ignore_errors=True)
     return toks, w_in, w_out, info
 
 
