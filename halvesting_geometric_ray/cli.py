@@ -54,7 +54,8 @@ def main(argv=None) -> int:
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
-                 "sssp", "katz", "louvain", "node2vec", "localcluster"):
+                 "sssp", "katz", "louvain", "node2vec", "localcluster",
+                 "embed"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -109,6 +110,17 @@ def main(argv=None) -> int:
             sp.add_argument("--q", type=float, default=1.0)
             sp.add_argument("--walk-len", type=int, default=10)
             sp.add_argument("--walks-per-vertex", type=int, default=1)
+            sp.add_argument("--seed", type=int, default=42)
+        if name == "embed":
+            sp.add_argument("--p", type=float, default=1.0)
+            sp.add_argument("--q", type=float, default=1.0)
+            sp.add_argument("--walk-len", type=int, default=10)
+            sp.add_argument("--walks-per-vertex", type=int, default=1)
+            sp.add_argument("--window", type=int, default=2)
+            sp.add_argument("--dim", type=int, default=32)
+            sp.add_argument("--negatives", type=int, default=5)
+            sp.add_argument("--epochs", type=int, default=3)
+            sp.add_argument("--lr", type=float, default=0.025)
             sp.add_argument("--seed", type=int, default=42)
         if name == "localcluster":
             sp.add_argument("--seed-vid", type=int, required=True)
@@ -336,6 +348,48 @@ def main(argv=None) -> int:
             out["node2vec"] = {"n_walks": info["n_walks"],
                                "n_visits": info["n_visits"],
                                "rounds": info["rounds"]}
+        if args.cmd == "embed":
+            # the reference's end product — learned node embeddings
+            # (link_prediction.py:33-106) — as ONE command:
+            # node2vec walks -> skip-gram pairs -> distributed SGNS ->
+            # embeddings parquet under the workdir
+            import os
+
+            import pyarrow as pa
+
+            from .functions.pack import skipgram_pairs
+            from .functions.word2vec import (embeddings_dataset,
+                                             sgns_train)
+            from .graph.node2vec import node2vec_walks
+            from .ops.agg import grouped_aggregate
+
+            walks, winfo = node2vec_walks(
+                edges, g.offsets, args.workdir, cfg,
+                p=args.p, q=args.q, walk_len=args.walk_len,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed)
+            walks = walks.materialize()  # vocab counts AND pairs
+            pairs = skipgram_pairs(walks, "walk_id", "step", "vid",
+                                   window=args.window, keep_order=True)
+            vocab = grouped_aggregate(
+                walks.select_columns(["vid"]), ["vid"],
+                {"n": ("count", None)})
+            vt = pa.concat_tables(
+                [pa.table({"token": b.column("vid"),
+                           "n": b.column("n")})
+                 for b in vocab.iter_batches(batch_format="pyarrow")])
+            toks, w_in, _, tinfo = sgns_train(
+                pairs, vt, id_cols=("walk_id", "step", "offset"),
+                dim=args.dim, negatives=args.negatives, lr=args.lr,
+                epochs=args.epochs, seed=args.seed,
+                num_parts=cfg.num_parts, workdir=args.workdir)
+            emb = embeddings_dataset(toks, w_in)
+            emb.write_parquet(os.path.join(args.workdir, "embeddings"))
+            out["embed"] = {"n_walks": winfo["n_walks"],
+                            "vocab": tinfo["V"],
+                            "n_pairs": tinfo["n_pairs"],
+                            "dim": args.dim,
+                            "epochs": [round(e["mean_abs_update"], 8)
+                                       for e in tinfo["epochs"]]}
         if args.cmd == "localcluster":
             from .graph.pprpush import local_cluster
 

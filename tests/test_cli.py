@@ -119,3 +119,21 @@ def test_cli_graph_family(tmp_path, capsys, tiny_pages_dir):
     for layer in ("coreness", "truss_k3", "mis", "coloring", "densest",
                   "sssp"):
         assert rd.read_parquet(os.path.join(wd, layer)).count() > 0
+
+
+def test_cli_embed(tmp_path, capsys, tiny_pages_dir):
+    """`embed`: the reference's end product (learned node embeddings)
+    as one command — walks -> pairs -> SGNS -> embeddings parquet."""
+    wd = str(tmp_path / "wd_embed")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["embed", "--workdir", wd, "--dim", "8",
+                 "--epochs", "2", "--negatives", "2"]) == 0
+    out = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["embed"]
+    assert out["dim"] == 8 and out["n_pairs"] > 0
+    assert len(out["epochs"]) == 2 and out["epochs"][0] > 0
+    emb = rd.read_parquet(os.path.join(wd, "embeddings")).to_pandas()
+    assert len(emb) == out["vocab"]
+    assert len(emb.iloc[0]["embedding"]) == 8
