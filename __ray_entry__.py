@@ -132,7 +132,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     for k in merged:  # 3) anything new not yet listed
         if k not in out:
             out[k] = merged[k]
-    return out
+
+    # clamp Ray's 200-block read-split floor to the session's CPUs
+    # (ops/_util.tune_block_sizing — tiny-block task storms dominate
+    # small-scale walls otherwise); wrapped per call because the
+    # driver owns the Ray session and may init it after queries()
+    def _tuned(fn):
+        def run(sf_dir):
+            from halvesting_geometric_ray.ops._util import \
+                tune_block_sizing
+            tune_block_sizing()
+            return fn(sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "q")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {k: _tuned(v) for k, v in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -40,6 +40,8 @@ def run_bench() -> dict:
                  logging_level="ERROR")
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from halvesting_geometric_ray.ops._util import tune_block_sizing
+    tune_block_sizing()
 
     import pyarrow.parquet as pq
 

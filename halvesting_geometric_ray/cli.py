@@ -33,6 +33,8 @@ def _session():
             kwargs["address"] = "local"
         ray.init(**kwargs)
     rd.DataContext.get_current().enable_progress_bars = False
+    from .ops._util import tune_block_sizing
+    tune_block_sizing()
     return ray
 
 

@@ -23,6 +23,37 @@ def cast_like(tbl: pa.Table, ref_schema: pa.Schema) -> pa.Table:
     return pa.table(dict(zip(names, cols)))
 
 
+def tune_block_sizing():
+    """Clamp Ray Data's read-split floor to the session's CPU count.
+
+    Ray's default ``read_op_min_num_blocks`` is 200: every read is
+    split into >=200 blocks regardless of size, so a 600k-row corpus
+    becomes 200 x ~350 KB blocks and the fused read->map chain turns
+    into 200 tiny tasks whose scheduling overhead dwarfs the UDF work
+    (measured: curation chain at 8 CPUs 3.04 s -> 1.22 s from this
+    knob alone).  At 100 TB the knob is inert — file count >> CPUs and
+    blocks land near ``target_max_block_size`` — so this only changes
+    the small-input regime, where the floor should track the actual
+    execution slots, not a 100-node default.  min(200, ...) keeps the
+    stock behavior whenever it would have been reached anyway.
+
+    Idempotent; call after ray.init (falls back to os.cpu_count when
+    no session is up).  Returns the chosen floor.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 1
+    else:
+        cpus = os.cpu_count() or 1
+    floor = min(200, max(8, 2 * cpus))
+    rd.DataContext.get_current().read_op_min_num_blocks = floor
+    return floor
+
+
 def pre_shuffle(ds, num_blocks: int = None):
     """Coalesce block count before a sort-based groupby (see
     config.default_shuffle_blocks — sort cost scales with input blocks

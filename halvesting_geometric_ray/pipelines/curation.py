@@ -135,18 +135,23 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
         from ..ops.dedup import subset_dup_losers
         from ..ops.join import broadcast_semi
 
-        def add_h(b: pa.Table) -> pa.Table:
-            return b.append_column("__h", pa.array(
+        def proj_h(b: pa.Table) -> pa.Table:
+            return pa.table({"__h": pa.array(
                 np.asarray(stable_hash64(b.column("text"))),
-                type=pa.int64()))
+                type=pa.int64()), "doc_id": b.column("doc_id")})
 
-        # hd IS materialized: the loser pass and the final anti-filter
-        # both read it, and re-running the normalize/PII regex kernels
-        # costs more than one object-store copy (measured 11.8 s vs
-        # 6.9 s at 8 CPUs on 600k docs; blocks spill under pressure)
-        hd = ds.map_batches(add_h, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-        if hd.count() <= driver_hash_cap:
+        # hd IS materialized — WITHOUT the hash column: the loser scan
+        # reads a cheap (hash, id) projection pass over it, and on a
+        # clean corpus (or after the anti-filter) the materialized
+        # layer itself is the result, so downstream consumption never
+        # pays the drop-columns projection the old __h-carrying layer
+        # forced on every consumer.  Re-running the normalize/PII
+        # regex kernels instead of materializing costs more than one
+        # object-store copy (measured 11.8 s vs 6.9 s at 8 CPUs on
+        # 600k docs; blocks spill under pressure).
+        hd = ds.materialize()
+        n_rows = hd.count()
+        if n_rows <= driver_hash_cap:
             # driver fast path: the projected (hash, id) pairs are
             # 16 B/doc — under the cap (default 256 MB) one lexsort on
             # the driver replaces the whole combiner exchange, which
@@ -155,42 +160,55 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
             # 8 CPUs / 600k docs to find 0 losers).  Loser = any row
             # whose (hash-sorted, id-sorted) predecessor shares its
             # hash — identical winners-by-min-id semantics.
-            tbl = pa.concat_tables(
-                [t for t in map(ray.get,
-                                hd.select_columns(["__h", "doc_id"])
-                                .to_arrow_refs()) if t.num_rows])
-            h = tbl.column("__h").to_numpy(zero_copy_only=False)
-            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids, h))
-            hs = h[order]
-            drop = ids[order][np.r_[False, hs[1:] == hs[:-1]]] \
-                if hs.size else np.array([], dtype=np.int64)
+            parts = [t for t in map(ray.get,
+                                    hd.map_batches(
+                                        proj_h, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                                    .to_arrow_refs()) if t.num_rows]
+            drop = np.array([], dtype=np.int64)
+            if parts:
+                tbl = pa.concat_tables(parts)
+                h = tbl.column("__h").to_numpy(zero_copy_only=False)
+                ids = tbl.column("doc_id").to_numpy(
+                    zero_copy_only=False)
+                order = np.lexsort((ids, h))
+                hs = h[order]
+                if hs.size:
+                    drop = ids[order][np.r_[False, hs[1:] == hs[:-1]]]
             if drop.size:
                 ds = broadcast_semi(
-                    hd.drop_columns(["__h"]), "doc_id",
+                    hd, "doc_id",
                     pa.table({"doc_id": pa.array(drop,
                                                  type=pa.int64())}),
                     "doc_id", anti=True)
             else:  # clean corpus: the anti-filter would be identity
-                ds = hd.drop_columns(["__h"])
+                ds = hd
         else:
             # 10^12-doc path: distributed combiner exchange (definite
             # losers never shuffle), then loser-set broadcast under
             # loser_cap, full keep_min_by exchange past it
             losers = subset_dup_losers(
-                hd.select_columns(["__h", "doc_id"]), "__h", "doc_id"
-            ).materialize()
+                hd.map_batches(proj_h, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                "__h", "doc_id").materialize()
             loser_cap = 20_000_000  # ~160 MB of int64 ids broadcast
             if losers.count() <= loser_cap:
                 ltbl = pa.concat_tables(
                     [t for t in map(ray.get, losers.to_arrow_refs())
                      if t.num_rows]) if losers.count() else \
                     pa.table({"doc_id": pa.array([], type=pa.int64())})
-                ds = broadcast_semi(hd.drop_columns(["__h"]), "doc_id",
+                ds = broadcast_semi(hd, "doc_id",
                                     ltbl, "doc_id", anti=True)
             else:
-                ds = keep_min_by(hd, "__h",
-                                 "doc_id").drop_columns(["__h"])
+                def add_h(b: pa.Table) -> pa.Table:
+                    return b.append_column("__h", pa.array(
+                        np.asarray(stable_hash64(b.column("text"))),
+                        type=pa.int64()))
+
+                ds = keep_min_by(
+                    hd.map_batches(add_h, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    "__h", "doc_id").drop_columns(["__h"])
         ds = note("exact_dedup", ds)
 
     # 5. near-dup dedup: Jaccard pairs -> clusters -> keep representative.

@@ -15,6 +15,8 @@ def ray_session():
              ignore_reinit_error=True, logging_level="ERROR")
     ctx = rd.DataContext.get_current()
     ctx.enable_progress_bars = False
+    from halvesting_geometric_ray.ops._util import tune_block_sizing
+    tune_block_sizing()
     yield
     ray.shutdown()
 
