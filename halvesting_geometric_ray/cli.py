@@ -57,7 +57,7 @@ def main(argv=None) -> int:
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
                  "sssp", "katz", "louvain", "node2vec", "localcluster",
-                 "embed"):
+                 "embed", "linkpred"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -124,6 +124,17 @@ def main(argv=None) -> int:
             sp.add_argument("--epochs", type=int, default=3)
             sp.add_argument("--lr", type=float, default=0.025)
             sp.add_argument("--seed", type=int, default=42)
+        if name == "linkpred":
+            sp.add_argument("--test-frac", type=float, default=0.2)
+            sp.add_argument("--neg-ratio", type=float, default=2.0)
+            sp.add_argument("--dim", type=int, default=32)
+            sp.add_argument("--negatives", type=int, default=5)
+            sp.add_argument("--epochs", type=int, default=4)
+            sp.add_argument("--lr", type=float, default=0.1)
+            sp.add_argument("--walk-len", type=int, default=10)
+            sp.add_argument("--walks-per-vertex", type=int, default=2)
+            sp.add_argument("--window", type=int, default=2)
+            sp.add_argument("--seed", type=int, default=17)
         if name == "localcluster":
             sp.add_argument("--seed-vid", type=int, required=True)
             sp.add_argument("--alpha", type=float, default=0.15)
@@ -392,6 +403,29 @@ def main(argv=None) -> int:
                             "dim": args.dim,
                             "epochs": [round(e["mean_abs_update"], 8)
                                        for e in tinfo["epochs"]]}
+        if args.cmd == "linkpred":
+            # the reference's evaluation entry point
+            # (link_prediction.py:33-106): hold out edges, learn on the
+            # train graph, report ROC-AUC over held-out positives vs
+            # sampled non-edges; scored pairs parquet under the workdir
+            import os
+
+            from .graph.linkpred import link_prediction_auc
+
+            auc, scored, info = link_prediction_auc(
+                edges, g.offsets, args.workdir, cfg,
+                test_frac=args.test_frac, neg_ratio=args.neg_ratio,
+                seed=args.seed, dim=args.dim, epochs=args.epochs,
+                negatives=args.negatives, lr=args.lr,
+                walk_len=args.walk_len,
+                walks_per_vertex=args.walks_per_vertex,
+                window=args.window, num_parts=cfg.num_parts)
+            scored.write_parquet(os.path.join(args.workdir,
+                                              "linkpred_scores"))
+            out["linkpred"] = {"auc": round(float(auc), 6),
+                               "n_test": info["n_test"],
+                               "n_neg": info["n_neg"],
+                               "n_train": info["n_train"]}
         if args.cmd == "localcluster":
             from .graph.pprpush import local_cluster
 

@@ -560,6 +560,32 @@ def q_semantic_dedup_trained(sf_dir: str):
     return semantic_dedup(emb, k=16, threshold=0.95, seed=13)
 
 
+@_q("q_link_prediction_auc")
+def q_link_prediction_auc(sf_dir: str):
+    """The reference's evaluation, end to end (link_prediction.py:33-106
+    re-expressed with the engine's certified stages): hash-split the
+    corpus edge table, train node2vec/SGNS embeddings on the TRAIN
+    graph only, score held-out positives vs 2x sampled non-edges by
+    embedding dot product, and report exact Mann-Whitney ROC-AUC.
+    Rows-only (learned scorer); quality/replay/layout oracles in
+    tests/test_linkpred.py."""
+    import ray.data as rd
+
+    from .graph.linkpred import link_prediction_auc
+
+    g = graph_for(sf_dir)
+    auc, _, info = link_prediction_auc(
+        read_layer(g.edges), g.offsets, g.workdir, seed=17, dim=16,
+        epochs=6, lr=0.2, negatives=3, walks_per_vertex=4, walk_len=8,
+        window=2, num_parts=16)
+    return rd.from_arrow(pa.table({
+        "auc": pa.array([round(float(auc), 6)]),
+        "n_test": pa.array([info["n_test"]], type=pa.int64()),
+        "n_neg": pa.array([info["n_neg"]], type=pa.int64()),
+        "n_train": pa.array([info["n_train"]], type=pa.int64()),
+    }))
+
+
 @_q("q_local_cluster")
 def q_local_cluster(sf_dir: str):
     """ACL local community of vertex 0 (graph/pprpush.py: PPR push —

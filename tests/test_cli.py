@@ -137,3 +137,22 @@ def test_cli_embed(tmp_path, capsys, tiny_pages_dir):
     emb = rd.read_parquet(os.path.join(wd, "embeddings")).to_pandas()
     assert len(emb) == out["vocab"]
     assert len(emb.iloc[0]["embedding"]) == 8
+
+
+def test_cli_linkpred(tmp_path, capsys, tiny_pages_dir):
+    """`linkpred`: the reference's evaluation entry point — split,
+    train on the train graph, report ROC-AUC over held-out pairs."""
+    wd = str(tmp_path / "wd_lp")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["linkpred", "--workdir", wd, "--dim", "8",
+                 "--epochs", "2", "--negatives", "2",
+                 "--test-frac", "0.3"]) == 0
+    out = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["linkpred"]
+    assert 0.0 <= out["auc"] <= 1.0
+    assert out["n_test"] > 0 and out["n_neg"] > 0
+    sc = rd.read_parquet(os.path.join(wd, "linkpred_scores")).to_pandas()
+    assert len(sc) == out["n_test"] + out["n_neg"]
+    assert set(sc.lab.unique()) == {0, 1}
