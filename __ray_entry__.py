@@ -73,7 +73,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_toposort_urls", "q_winsorize_doclen", "q_powerlaw",
                  "q_cms_event_counts", "q_first_last_value",
                  "q_retention_cohorts", "q_bloom_join",
-                 "q_skipgram_events", "q_customers_without_orders"]
+                 "q_skipgram_events", "q_customers_without_orders",
+                 "q_feature_smooth_urls"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted", "q_hits",
@@ -94,6 +95,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_adamic_adar", "q_anf", "q_random_walks", "q_node2vec_walks",
     "q_word2vec_training_pairs", "q_word2vec_embeddings",
     "q_kmeans_trained", "q_semantic_dedup_trained",
+    "q_link_prediction_auc", "q_feature_propagation",
     "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",

@@ -96,6 +96,18 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
         "q_host_counts":
             f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_pages "
             f"FROM {vert} v GROUP BY host",
+        # SAGE-mean feature smoothing, 1 round: in-neighbor mean of the
+        # source pages' text byte lengths.  BIGINT sum + one division
+        # on both sides -> bitwise-comparable DOUBLE
+        "q_feature_smooth_urls":
+            f"WITH e AS (SELECT DISTINCT src_url, dst_url FROM {A}), "
+            f"lens AS (SELECT url, octet_length(encode(text)) AS len "
+            f"FROM {P}), "
+            f"agg AS (SELECT e.dst_url AS url, sum(l.len) AS s, "
+            f"count(*) AS c FROM e JOIN lens l ON l.url = e.src_url "
+            f"GROUP BY e.dst_url) "
+            f"SELECT v.url, coalesce(CAST(a.s AS DOUBLE) / a.c, 0.0) "
+            f"AS smooth FROM {vert} v LEFT JOIN agg a ON a.url = v.url",
         # exact CC certification in pure SQL: recursive transitive
         # closure over the authored undirected anchor graph, then the
         # vid-free component-SIZE distribution (bounded at gate scale:
@@ -558,6 +570,105 @@ def q_semantic_dedup_trained(sf_dir: str):
 
     _, _, emb, _ = _trained_embeddings(sf_dir)
     return semantic_dedup(emb, k=16, threshold=0.95, seed=13)
+
+
+@_q("q_feature_smooth_urls")
+def q_feature_smooth_urls(sf_dir: str):
+    """SAGE-mean feature smoothing certified at the url level: ONE
+    round of in-neighbor mean aggregation (graph/propagate.py,
+    agg="mean", alpha=0 — the deterministic SAGEConv aggregate,
+    reference modeling_link_prediction.py:115-143) over the source
+    pages' text byte lengths.  Integer sums + a single division on
+    both sides -> check_exact clean vs the DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    from .graph.propagate import feature_propagation
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    ext = read_layer(g.extracted, columns=["url", "text"])
+    lens = ext.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "x": pc.binary_length(b.column("text"))
+                            .cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    verts = read_layer(g.vertices, columns=["url", "vid"])
+    l_schema = pa.schema([("url", pa.string()), ("x", pa.int64())])
+    v_schema = pa.schema([("url", pa.string()), ("vid", pa.int64())])
+    feats = hash_join(lens, verts, on="url", right_on="url",
+                      num_parts=DEFAULT.num_parts,
+                      left_schema=l_schema, right_schema=v_schema)
+    smoothed, _ = feature_propagation(
+        read_layer(g.edges), g.offsets, feats, g.workdir, col="x",
+        rounds=1, alpha=0.0, agg="mean")
+
+    def flat(b: pa.Table) -> pa.Table:
+        v = b.column("x").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        return pa.table({"vid": b.column("vid"),
+                         "smooth": pa.array(v, type=pa.float64())})
+
+    s = smoothed.map_batches(flat, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    s_schema = pa.schema([("vid", pa.int64()), ("smooth", pa.float64())])
+    out = hash_join(s, verts.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "url": b.column("url")}),
+        batch_format="pyarrow", zero_copy_batch=True),
+        on="vid", right_on="vid", num_parts=DEFAULT.num_parts,
+        left_schema=s_schema,
+        right_schema=pa.schema([("vid", pa.int64()),
+                                ("url", pa.string())]))
+    return out.select_columns(["url", "smooth"])
+
+
+@_q("q_feature_propagation")
+def q_feature_propagation(sf_dir: str):
+    """APPNP feature diffusion (graph/propagate.py agg="rw",
+    Klicpera et al. 2019): 2 rounds of random-walk-normalized
+    propagation with restart 0.15 over 2-d page features (text byte
+    length, outlink count) — GNN-style structure-aware features
+    without a learned transform.  Rows-only; NumPy-oracle parity and
+    layout independence in tests/test_propagate.py."""
+    import pyarrow.compute as pc
+
+    from .graph.propagate import feature_propagation
+    from .ops.join import hash_join
+
+    g = graph_for(sf_dir)
+    ext = read_layer(g.extracted, columns=["url", "text", "links"])
+
+    def fv(b: pa.Table) -> pa.Table:
+        ln = pc.binary_length(b.column("text")).to_numpy().astype(
+            np.float64)
+        nl = pc.list_value_length(b.column("links")).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        m = np.column_stack([ln, nl])
+        return pa.table({"url": b.column("url"),
+                         "f": pa.FixedSizeListArray.from_arrays(
+                             pa.array(m.ravel(), type=pa.float64()), 2)})
+
+    feats = hash_join(
+        ext.map_batches(fv, batch_format="pyarrow", zero_copy_batch=True),
+        read_layer(g.vertices, columns=["url", "vid"]),
+        on="url", right_on="url", num_parts=DEFAULT.num_parts,
+        left_schema=pa.schema([("url", pa.string()),
+                               ("f", pa.list_(pa.float64(), 2))]),
+        right_schema=pa.schema([("url", pa.string()),
+                                ("vid", pa.int64())]))
+    prop, _ = feature_propagation(
+        read_layer(g.edges), g.offsets, feats, g.workdir, col="f",
+        rounds=2, alpha=0.15, agg="rw")
+
+    def flat(b: pa.Table) -> pa.Table:
+        m = b.column("f").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(-1, 2)
+        return pa.table({"vid": b.column("vid"),
+                         "f_len": pa.array(np.round(m[:, 0], 9)),
+                         "f_links": pa.array(np.round(m[:, 1], 9))})
+
+    return prop.map_batches(flat, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 @_q("q_link_prediction_auc")
