@@ -210,3 +210,58 @@ def random_walks(edges, offsets: np.ndarray, workdir: str,
                              pa.field("vid", pa.int64())]).empty_table()]
     info["n_visits"] = int(sum(t.num_rows for t in tables))
     return rd.from_arrow(tables), info
+
+
+def pagerank_mc(edges, offsets: np.ndarray, workdir: str,
+                cfg: EngineConfig = DEFAULT, *,
+                damping: float = 0.85, walks_per_vertex: int = 16,
+                walk_len: int = 32, seed: int = 42,
+                shards_dir: Optional[str] = None,
+                num_actors: int = 0) -> Tuple["rd.Dataset", Dict]:
+    """Monte-Carlo PageRank (Avrachenkov et al. 2007, "Monte Carlo
+    methods in PageRank computation"): run `walks_per_vertex` restart
+    walks from EVERY vertex with restart probability 1-damping and
+    estimate rank(v) = visits(v) / total_visits.  With uniform starts,
+    restart-to-origin equals the uniform teleport in aggregate, so the
+    visit frequencies converge to the PageRank stationary distribution
+    as walks_per_vertex grows (truncation bias O(damping^walk_len)).
+
+    Scale shape vs the exact fixpoint (graph/pagerank.py): ONE walk
+    pass — O(V * R * E[len]) total work, no convergence barrier, no
+    per-round global exchange — the cheap first-cut rank for a 10^12-
+    page crawl, with the exact engine as the refinement.  Walk draws
+    are stateless hashes, so the estimate is bitwise deterministic
+    under any partitioning/actor layout.
+
+    DANGLING BIAS (documented): a walk ENDS at an out-degree-0 vertex
+    (the walk engine's contract) instead of teleporting uniformly, so
+    mass near dangling sinks is slightly under-propagated; the exact
+    engine redistributes dangling mass and remains the reference
+    semantics.  Returns (Dataset(vid, rank_mc), info)."""
+    from ..ops.agg import grouped_aggregate
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if walks_per_vertex < 1:
+        raise ValueError("walks_per_vertex must be >= 1")
+    visits, winfo = random_walks(
+        edges, offsets, workdir, cfg, walks_per_vertex=walks_per_vertex,
+        walk_len=walk_len, seed=seed, restart_prob=1.0 - damping,
+        shards_dir=shards_dir, num_actors=num_actors)
+    total = winfo["n_visits"]
+    counts = grouped_aggregate(visits.select_columns(["vid"]), ["vid"],
+                               {"n": ("count", None)},
+                               num_parts=cfg.num_parts)
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": b.column("vid"),
+            "rank_mc": pa.array(
+                b.column("n").to_numpy().astype(np.float64) / total)})
+
+    ranks = counts.map_batches(norm, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    info = {"n_visits": total, "walks": winfo,
+            "damping": damping, "walks_per_vertex": walks_per_vertex,
+            "walk_len": walk_len}
+    return ranks, info

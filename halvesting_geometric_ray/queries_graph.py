@@ -425,6 +425,29 @@ def q_pagerank(sf_dir: str):
     return ranks.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_pagerank_mc")
+def q_pagerank_mc(sf_dir: str):
+    """Monte-Carlo PageRank (graph/walks.py::pagerank_mc, Avrachenkov
+    et al. 2007): visit frequencies of restart walks — the one-pass,
+    no-convergence-barrier approximate rank for a first cut over a
+    10^12-page crawl.  Rows-only; accuracy vs the exact fixpoint and
+    bitwise layout determinism pinned in tests/test_pagerank_mc.py."""
+    from .graph.walks import pagerank_mc
+
+    g = graph_for(sf_dir)
+    ranks, _ = pagerank_mc(read_layer(g.edges), g.offsets, g.workdir,
+                           walks_per_vertex=8, walk_len=16, seed=13)
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": b.column("vid"),
+            "rank_mc": pa.array(np.round(
+                b.column("rank_mc").to_numpy(), 9))})
+
+    return ranks.map_batches(quant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 @_q("q_spam_mass")
 def q_spam_mass(sf_dir: str):
     """TrustRank spam mass (graph/spam.py, Gyongyi 2004): PageRank vs

@@ -125,3 +125,58 @@ def test_validation(tmp_path):
         feature_propagation(edges, off, feats, str(tmp_path), alpha=1.5)
     with pytest.raises(ValueError, match="agg"):
         feature_propagation(edges, off, feats, str(tmp_path), agg="max")
+
+
+def test_sgc_composition_denoises_labels(tmp_path):
+    """The propagate-then-fit-linear-head recipe (SGC, Wu et al. 2019):
+    on a two-block planted graph with a noisy 1-d label-indicator
+    feature, 2 rounds of mean aggregation must denoise the feature
+    enough that logistic regression separates the blocks better than
+    on the raw feature."""
+    from halvesting_geometric_ray.functions.linear import (logreg_predict,
+                                                           logreg_train)
+    from halvesting_geometric_ray.ops.stats import roc_auc
+
+    rng = np.random.default_rng(5)
+    n, block = 80, 40
+    lab = (np.arange(n) >= block).astype(np.int64)
+    # intra-block edges only (dense), so neighbor means converge to the
+    # block mean
+    src, dst = [], []
+    for b in (0, 1):
+        lo = b * block
+        for u in range(lo, lo + block):
+            for v in range(lo, lo + block):
+                if u != v and rng.random() < 0.3:
+                    src.append(u)
+                    dst.append(v)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(np.array(src, dtype=np.int64)),
+        "dst": pa.array(np.array(dst, dtype=np.int64))}))
+    x = lab.astype(np.float64) + rng.normal(0, 2.0, n)  # very noisy
+    feats = rd.from_arrow(pa.table({
+        "vid": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(x)}))
+    prop, _ = feature_propagation(
+        edges, np.array([0, n], dtype=np.int64), feats,
+        str(tmp_path / "sgc"), col="x", rounds=2, alpha=0.0, agg="mean")
+
+    def make_ds(vals):
+        return rd.from_arrow(pa.table({
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(vals.astype(np.float64)), 1),
+            "label": pa.array(lab)})).materialize()
+
+    def auc_of(vals):
+        ds = make_ds(vals)
+        w, _ = logreg_train(ds, feat_col="features", label_col="label",
+                            iters=60, lr=0.5)
+        sc = logreg_predict(ds, w, feat_col="features", id_col="label")
+        return roc_auc(sc, "score", "label")
+
+    df = prop.to_pandas().sort_values("vid")
+    xs = np.vstack(df.x.to_numpy()).ravel()
+    auc_raw = auc_of(x)
+    auc_sgc = auc_of(xs)
+    assert auc_sgc > auc_raw + 0.1, (auc_raw, auc_sgc)
+    assert auc_sgc > 0.9, auc_sgc
