@@ -161,6 +161,61 @@ def common_neighbor_scores(edges, cfg: EngineConfig = DEFAULT,
     return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def cocitation_scores(edges, cfg: EngineConfig = DEFAULT, *,
+                      mode: str = "cocitation",
+                      max_center_degree: Optional[int] = None):
+    """The two classical citation-similarity measures over the DIRECTED
+    edge table (the reference domain is a citation graph —
+    link_prediction_dataset.py builds exactly such edges):
+
+    - ``mode="cocitation"`` (Small 1973): score(a, b) = number of pages
+      citing BOTH a and b (shared in-neighbors).
+    - ``mode="coupling"`` (Kessler 1963, bibliographic coupling):
+      score(a, b) = number of pages cited by BOTH a and b (shared
+      out-neighbors).
+
+    Returns (a, b, score) with a < b, one row per unordered pair with
+    score >= 1.  Pair volume is sum over centers of deg^2/2 (center =
+    the citing page for co-citation, the cited page for coupling);
+    ``max_center_degree`` is the same explicit hub guard as
+    common_neighbor_scores (excluding a hub center removes its wedges
+    from every adjacent pair's count — an explicit caller decision).
+
+    Exact integer counts, one wedge pass + one grouped sum — the
+    triangles.py machinery on the unsymmetrized graph."""
+    import pyarrow.compute as pc
+
+    if mode not in ("cocitation", "coupling"):
+        raise ValueError("mode must be 'cocitation' or 'coupling'")
+
+    def orient(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("src"), b.column("dst")))
+        c, n = (("src", "dst") if mode == "cocitation"
+                else ("dst", "src"))
+        return pa.table({"src": b.column(c), "dst": b.column(n),
+                         "deg_dst": b.column(n)})
+
+    centers = edges.map_batches(orient, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    if max_center_degree is not None:
+        deg = grouped_aggregate(centers.select_columns(["src"]), ["src"],
+                                {"deg": ("count", None)},
+                                num_parts=cfg.num_parts)
+        small = deg.filter(expr=f"deg <= {int(max_center_degree)}")
+        centers = hash_join(
+            centers, small, on="src", right_on="src", join_type="semi",
+            num_parts=cfg.num_parts,
+            left_schema=pa.schema([("src", pa.int64()),
+                                   ("dst", pa.int64()),
+                                   ("deg_dst", pa.int64())]),
+            right_schema=pa.schema([("src", pa.int64()),
+                                    ("deg", pa.int64())]))
+    pairs = _wedges(centers, cfg)
+    return grouped_aggregate(pairs.select_columns(["a", "b"]), ["a", "b"],
+                             {"score": ("count", None)},
+                             num_parts=cfg.num_parts)
+
+
 def adamic_adar_scores(edges, cfg: EngineConfig = DEFAULT,
                        max_center_degree: Optional[int] = None):
     """Adamic-Adar and resource-allocation link-prediction scores per

@@ -96,6 +96,25 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
         "q_host_counts":
             f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_pages "
             f"FROM {vert} v GROUP BY host",
+        # Small 1973 co-citation: pairs cited by the same page, exact
+        # integer counts; url-canonical pair order on both sides
+        "q_cocitation_urls":
+            f"WITH e AS (SELECT DISTINCT src_url, dst_url FROM {A} "
+            f"WHERE src_url <> dst_url) "
+            f"SELECT least(e1.dst_url, e2.dst_url) AS a_url, "
+            f"greatest(e1.dst_url, e2.dst_url) AS b_url, "
+            f"count(*) AS score FROM e e1 JOIN e e2 "
+            f"ON e1.src_url = e2.src_url AND e1.dst_url < e2.dst_url "
+            f"GROUP BY 1, 2",
+        # Kessler 1963 bibliographic coupling: pairs citing the same page
+        "q_bib_coupling_urls":
+            f"WITH e AS (SELECT DISTINCT src_url, dst_url FROM {A} "
+            f"WHERE src_url <> dst_url) "
+            f"SELECT least(e1.src_url, e2.src_url) AS a_url, "
+            f"greatest(e1.src_url, e2.src_url) AS b_url, "
+            f"count(*) AS score FROM e e1 JOIN e e2 "
+            f"ON e1.dst_url = e2.dst_url AND e1.src_url < e2.src_url "
+            f"GROUP BY 1, 2",
         # SAGE-mean feature smoothing, 1 round: in-neighbor mean of the
         # source pages' text byte lengths.  BIGINT sum + one division
         # on both sides -> bitwise-comparable DOUBLE
@@ -593,6 +612,66 @@ def q_semantic_dedup_trained(sf_dir: str):
 
     _, _, emb, _ = _trained_embeddings(sf_dir)
     return semantic_dedup(emb, k=16, threshold=0.95, seed=13)
+
+
+def _pair_scores_urls(mode: str):
+    """Shared body for the co-citation / bibliographic-coupling gate
+    queries: score pairs at the vid level, decorate both endpoints with
+    urls (two bucketed hash joins), canonicalize pair order by URL (the
+    oracle's least/greatest) — counts are order-free."""
+    from .graph.metrics import cocitation_scores
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    sc = cocitation_scores(read_layer(g.edges), mode=mode)
+    verts = read_layer(g.vertices, columns=["url", "vid"])
+    v_schema = pa.schema([("url", pa.string()), ("vid", pa.int64())])
+    sc_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                           ("score", pa.int64())])
+    j = hash_join(sc, verts, on="a", right_on="vid",
+                  num_parts=DEFAULT.num_parts, right_cols=["url"],
+                  left_schema=sc_schema, right_schema=v_schema)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["a", "b", "score", "a_url"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("score", pa.int64()), ("a_url", pa.string())])
+    j = hash_join(j, verts, on="b", right_on="vid",
+                  num_parts=DEFAULT.num_parts, right_cols=["url"],
+                  left_schema=j_schema, right_schema=v_schema)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["b", "a", "score", "a_url", "b_url"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def canon(b: pa.Table) -> pa.Table:
+        au = b.column("a_url").to_numpy(zero_copy_only=False)
+        bu = b.column("b_url").to_numpy(zero_copy_only=False)
+        lo = np.where(au < bu, au, bu)
+        hi = np.where(au < bu, bu, au)
+        return pa.table({"a_url": pa.array(lo, type=pa.string()),
+                         "b_url": pa.array(hi, type=pa.string()),
+                         "score": b.column("score")})
+
+    return j.map_batches(canon, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+@_q("q_cocitation_urls")
+def q_cocitation_urls(sf_dir: str):
+    """Co-citation counts (Small 1973; graph/metrics.py::
+    cocitation_scores mode="cocitation") certified at the url level —
+    THE classical citation-similarity measure of the reference's
+    domain.  Exact wedge-pass integer counts; DuckDB self-join oracle,
+    check_exact."""
+    return _pair_scores_urls("cocitation")
+
+
+@_q("q_bib_coupling_urls")
+def q_bib_coupling_urls(sf_dir: str):
+    """Bibliographic-coupling counts (Kessler 1963; mode="coupling"):
+    pairs citing the same page.  Same machinery on reversed centers;
+    DuckDB self-join oracle, check_exact."""
+    return _pair_scores_urls("coupling")
 
 
 @_q("q_feature_smooth_urls")
