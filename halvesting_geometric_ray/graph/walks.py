@@ -227,11 +227,16 @@ def pagerank_mc(edges, offsets: np.ndarray, workdir: str,
     as walks_per_vertex grows (truncation bias O(damping^walk_len)).
 
     Scale shape vs the exact fixpoint (graph/pagerank.py): ONE walk
-    pass — O(V * R * E[len]) total work, no convergence barrier, no
-    per-round global exchange — the cheap first-cut rank for a 10^12-
-    page crawl, with the exact engine as the refinement.  Walk draws
-    are stateless hashes, so the estimate is bitwise deterministic
-    under any partitioning/actor layout.
+    pass — O(V * R * E[len]) total work with no convergence barrier.
+    HONEST TRADE-OFF: this engine's exact fixpoint is heavily
+    vectorized (~15M edges/s/iter), so at full precision it beats MC
+    wall-clock on every measured input; MC pays off when the walk set
+    is restricted (rank a sampled subset / a seed neighborhood), when
+    per-iteration global synchronization dominates (very wide clusters,
+    stragglers), or as the incremental estimator under edge deltas
+    (walks touching unchanged regions stay valid).  Walk draws are
+    stateless hashes, so the estimate is bitwise deterministic under
+    any partitioning/actor layout.
 
     DANGLING BIAS (documented): a walk ENDS at an out-degree-0 vertex
     (the walk engine's contract) instead of teleporting uniformly, so

@@ -447,10 +447,12 @@ def q_pagerank(sf_dir: str):
 @_q("q_pagerank_mc")
 def q_pagerank_mc(sf_dir: str):
     """Monte-Carlo PageRank (graph/walks.py::pagerank_mc, Avrachenkov
-    et al. 2007): visit frequencies of restart walks — the one-pass,
-    no-convergence-barrier approximate rank for a first cut over a
-    10^12-page crawl.  Rows-only; accuracy vs the exact fixpoint and
-    bitwise layout determinism pinned in tests/test_pagerank_mc.py."""
+    et al. 2007): visit frequencies of restart walks — one pass, no
+    convergence barrier; the sampled-subset / low-synchronization /
+    incremental-delta regime estimator (the exact engine wins at full
+    precision — see the operator docstring).  Rows-only; accuracy vs
+    the exact fixpoint and bitwise layout determinism pinned in
+    tests/test_pagerank_mc.py."""
     from .graph.walks import pagerank_mc
 
     g = graph_for(sf_dir)
