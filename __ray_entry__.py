@@ -102,6 +102,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_betweenness", "q_host_graph", "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
+    "q_pca_whiten",
     "q_embed_neardup_lsh", "q_kmeans", "q_semantic_dedup",
     "q_component_sizes", "q_graph_vertices", "q_graph_edges",
     "q_pagerank_top20", "q_binary_decode", "q_simhash",

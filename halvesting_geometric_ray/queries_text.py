@@ -1045,6 +1045,32 @@ def q_knn_cosine(sf_dir: str):
     return knn_cosine(emb, qt, k=5)
 
 
+@_q("q_pca_whiten")
+def q_pca_whiten(sf_dir: str):
+    """PCA whitening of the embedding table (functions/whiten.py,
+    Su et al. 2021): one covariance pass + a stateless transform pass;
+    output covariance is the identity (pinned in tests/test_whiten.py
+    with numpy oracles).  Rows-only: per-vector norm + two leading
+    whitened components, quantized."""
+    from .functions.whiten import pca_whiten
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out, info = pca_whiten(emb, k=8)
+
+    def head(b: pa.Table) -> pa.Table:
+        m = b.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(b.num_rows, -1)
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "norm": pa.array(np.round(np.linalg.norm(m, axis=1), 6)),
+            "w0": pa.array(np.round(m[:, 0], 6)),
+            "w1": pa.array(np.round(m[:, 1], 6))})
+
+    return out.map_batches(head, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_knn_cosine_lsh")
 def q_knn_cosine_lsh(sf_dir: str):
     """Approximate LSH-bucketed variant (scale path); recall vs exact

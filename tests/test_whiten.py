@@ -1,0 +1,104 @@
+"""PCA/ZCA whitening (functions/whiten.py): numpy oracle parity,
+identity output covariance, truncation variance, partitioning
+invariance, validation."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.functions.whiten import (pca_whiten,
+                                                       whitening_stats)
+
+
+def _aniso_ds(n=400, d=6, seed=3, blocks=1):
+    """Strongly anisotropic Gaussian (distinct variances + rotation)."""
+    rng = np.random.default_rng(seed)
+    scales = np.linspace(3.0, 0.2, d)
+    A = rng.normal(size=(d, d))
+    q, _ = np.linalg.qr(A)
+    X = rng.normal(size=(n, d)) * scales @ q.T + rng.normal(size=d)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(X.ravel(), type=pa.float64()), d)})
+    ds = rd.from_arrow(t)
+    if blocks > 1:
+        ds = ds.repartition(blocks)
+    return ds, X
+
+
+def test_stats_match_numpy():
+    ds, X = _aniso_ds()
+    n, mean, cov = whitening_stats(ds)
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(X.T, bias=True), atol=1e-9)
+
+
+def test_whitened_covariance_is_identity():
+    ds, X = _aniso_ds(seed=5)
+    out, info = pca_whiten(ds)
+    df = out.to_pandas().sort_values("vec_id")
+    Y = np.vstack(df.embedding.to_numpy())
+    cov = np.cov(Y.T, bias=True)
+    assert np.allclose(cov, np.eye(Y.shape[1]), atol=1e-6), \
+        np.abs(cov - np.eye(Y.shape[1])).max()
+    assert info["explained_variance_ratio"] == pytest.approx(1.0)
+
+
+def test_truncation_keeps_top_variance():
+    ds, X = _aniso_ds(seed=7, d=8)
+    out, info = pca_whiten(ds, k=3)
+    df = out.to_pandas().sort_values("vec_id")
+    Y = np.vstack(df.embedding.to_numpy())
+    assert Y.shape[1] == 3
+    # top-3 axes of this spectrum carry most of the variance
+    assert info["explained_variance_ratio"] > 0.75
+    # truncated output is whitened too
+    assert np.allclose(np.cov(Y.T, bias=True), np.eye(3), atol=1e-6)
+    # eigenvalues descending
+    assert (np.diff(info["eigenvalues"]) <= 1e-12).all()
+
+
+def test_zca_stays_in_original_basis():
+    """ZCA is the unique whitening closest to the input: for an
+    already-white input it must be (near) the identity map."""
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(2000, 4))
+    X -= X.mean(axis=0)
+    t = pa.table({"vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(X.ravel(), type=pa.float64()), 4)})
+    out, _ = pca_whiten(rd.from_arrow(t), zca=True)
+    Y = np.vstack(out.to_pandas().sort_values("vec_id")
+                  .embedding.to_numpy())
+    # same orientation: strong per-column correlation with the input
+    for j in range(4):
+        c = np.corrcoef(X[:, j], Y[:, j])[0, 1]
+        assert c > 0.9, (j, c)
+
+
+def test_partitioning_invariant():
+    got = []
+    for blocks in (1, 7):
+        ds, _ = _aniso_ds(seed=13, blocks=blocks)
+        out, _ = pca_whiten(ds, k=4)
+        df = out.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        got.append(np.vstack(df.embedding.to_numpy()))
+    assert np.allclose(got[0], got[1], atol=1e-9)
+
+
+def test_validation():
+    ds, _ = _aniso_ds(d=4)
+    with pytest.raises(ValueError, match="k must be"):
+        pca_whiten(ds, k=9)
+    with pytest.raises(ValueError, match="zca requires"):
+        pca_whiten(ds, k=2, zca=True)
+    with pytest.raises(ValueError, match="eps"):
+        pca_whiten(ds, eps=0.0)
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64(), 4))}))
+    with pytest.raises(ValueError, match="empty"):
+        whitening_stats(empty)
