@@ -57,7 +57,7 @@ def main(argv=None) -> int:
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
                  "sssp", "katz", "louvain", "node2vec", "localcluster",
-                 "embed", "linkpred"):
+                 "embed", "linkpred", "propagate"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -135,6 +135,11 @@ def main(argv=None) -> int:
             sp.add_argument("--walks-per-vertex", type=int, default=2)
             sp.add_argument("--window", type=int, default=2)
             sp.add_argument("--seed", type=int, default=17)
+        if name == "propagate":
+            sp.add_argument("--rounds", type=int, default=2)
+            sp.add_argument("--alpha", type=float, default=0.15)
+            sp.add_argument("--agg", choices=("mean", "rw"),
+                            default="rw")
         if name == "localcluster":
             sp.add_argument("--seed-vid", type=int, required=True)
             sp.add_argument("--alpha", type=float, default=0.15)
@@ -426,6 +431,24 @@ def main(argv=None) -> int:
                                "n_test": info["n_test"],
                                "n_neg": info["n_neg"],
                                "n_train": info["n_train"]}
+        if args.cmd == "propagate":
+            # GNN-style feature smoothing over the built graph:
+            # (text_len, n_links) page features, k aggregation rounds
+            # on the shared directed CSR cache -> parquet layer
+            import os
+
+            from .graph.propagate import (feature_propagation,
+                                          page_features)
+
+            prop, pinfo = feature_propagation(
+                edges, g.offsets, page_features(g, cfg), args.workdir,
+                cfg, col="f", rounds=args.rounds, alpha=args.alpha,
+                agg=args.agg)
+            prop.write_parquet(os.path.join(args.workdir, "propagated"))
+            out["propagate"] = {"rounds": pinfo["rounds"],
+                                "agg": pinfo["agg"],
+                                "dim": pinfo["dim"],
+                                "alpha": args.alpha}
         if args.cmd == "localcluster":
             from .graph.pprpush import local_cluster
 

@@ -253,6 +253,39 @@ class FeatureShardActor:
         return out
 
 
+def page_features(g, cfg: EngineConfig = DEFAULT):
+    """(vid, f fixed_size_list<float64>[2]) page features from the
+    extracted layer: text byte length + outlink count — the default
+    input for corpus-level propagation (CLI `propagate`,
+    q_feature_propagation)."""
+    import pyarrow.compute as pc
+
+    from ..ops.join import hash_join
+    from .build import read_layer
+
+    ext = read_layer(g.extracted, columns=["url", "text", "links"],
+                     cfg=cfg)
+
+    def fv(b: pa.Table) -> pa.Table:
+        ln = pc.binary_length(b.column("text")).to_numpy().astype(
+            np.float64)
+        nl = pc.list_value_length(b.column("links")).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        m = np.column_stack([ln, nl])
+        return pa.table({"url": b.column("url"),
+                         "f": pa.FixedSizeListArray.from_arrays(
+                             pa.array(m.ravel(), type=pa.float64()), 2)})
+
+    return hash_join(
+        ext.map_batches(fv, batch_format="pyarrow", zero_copy_batch=True),
+        read_layer(g.vertices, columns=["url", "vid"], cfg=cfg),
+        on="url", right_on="url", num_parts=cfg.num_parts,
+        left_schema=pa.schema([("url", pa.string()),
+                               ("f", pa.list_(pa.float64(), 2))]),
+        right_schema=pa.schema([("url", pa.string()),
+                                ("vid", pa.int64())]))
+
+
 def feature_propagation(edges, offsets: np.ndarray, features,
                         workdir: str, cfg: EngineConfig = DEFAULT, *,
                         col: str = "embedding", out_col: str = None,

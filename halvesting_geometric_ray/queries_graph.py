@@ -734,32 +734,10 @@ def q_feature_propagation(sf_dir: str):
     length, outlink count) — GNN-style structure-aware features
     without a learned transform.  Rows-only; NumPy-oracle parity and
     layout independence in tests/test_propagate.py."""
-    import pyarrow.compute as pc
-
-    from .graph.propagate import feature_propagation
-    from .ops.join import hash_join
+    from .graph.propagate import feature_propagation, page_features
 
     g = graph_for(sf_dir)
-    ext = read_layer(g.extracted, columns=["url", "text", "links"])
-
-    def fv(b: pa.Table) -> pa.Table:
-        ln = pc.binary_length(b.column("text")).to_numpy().astype(
-            np.float64)
-        nl = pc.list_value_length(b.column("links")).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        m = np.column_stack([ln, nl])
-        return pa.table({"url": b.column("url"),
-                         "f": pa.FixedSizeListArray.from_arrays(
-                             pa.array(m.ravel(), type=pa.float64()), 2)})
-
-    feats = hash_join(
-        ext.map_batches(fv, batch_format="pyarrow", zero_copy_batch=True),
-        read_layer(g.vertices, columns=["url", "vid"]),
-        on="url", right_on="url", num_parts=DEFAULT.num_parts,
-        left_schema=pa.schema([("url", pa.string()),
-                               ("f", pa.list_(pa.float64(), 2))]),
-        right_schema=pa.schema([("url", pa.string()),
-                                ("vid", pa.int64())]))
+    feats = page_features(g)
     prop, _ = feature_propagation(
         read_layer(g.edges), g.offsets, feats, g.workdir, col="f",
         rounds=2, alpha=0.15, agg="rw")

@@ -156,3 +156,18 @@ def test_cli_linkpred(tmp_path, capsys, tiny_pages_dir):
     sc = rd.read_parquet(os.path.join(wd, "linkpred_scores")).to_pandas()
     assert len(sc) == out["n_test"] + out["n_neg"]
     assert set(sc.lab.unique()) == {0, 1}
+
+
+def test_cli_propagate(tmp_path, capsys, tiny_pages_dir):
+    """`propagate`: page features smoothed over the link graph."""
+    wd = str(tmp_path / "wd_prop")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["propagate", "--workdir", wd, "--rounds", "2",
+                 "--agg", "mean"]) == 0
+    out = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["propagate"]
+    assert out == {"rounds": 2, "agg": "mean", "dim": 2, "alpha": 0.15}
+    prop = rd.read_parquet(os.path.join(wd, "propagated")).to_pandas()
+    assert len(prop) > 0 and len(prop.iloc[0]["f"]) == 2
