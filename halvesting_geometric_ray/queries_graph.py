@@ -96,6 +96,22 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
         "q_host_counts":
             f"SELECT string_split(url, '/')[3] AS host, count(*) AS n_pages "
             f"FROM {vert} v GROUP BY host",
+        # reciprocal rank fusion of two per-host page rankings (text
+        # length / outlink count).  Two-term IEEE sums are commutative,
+        # so the float scores compare bitwise
+        "q_rrf_pages":
+            f"WITH p AS (SELECT url, string_split(url, '/')[3] AS host, "
+            f"octet_length(encode(text)) AS len FROM {P}), "
+            f"a AS (SELECT src_url, count(*) AS n FROM {A} "
+            f"GROUP BY src_url), "
+            f"f AS (SELECT p.url, p.host, p.len, coalesce(a.n, 0) AS "
+            f"n_links FROM p LEFT JOIN a ON a.src_url = p.url), "
+            f"r1 AS (SELECT host, url, row_number() OVER (PARTITION BY "
+            f"host ORDER BY len DESC, url) AS r FROM f), "
+            f"r2 AS (SELECT host, url, row_number() OVER (PARTITION BY "
+            f"host ORDER BY n_links DESC, url) AS r FROM f) "
+            f"SELECT f.host, f.url, 1.0/(60+r1.r) + 1.0/(60+r2.r) AS rrf "
+            f"FROM f JOIN r1 ON r1.url = f.url JOIN r2 ON r2.url = f.url",
         # Small 1973 co-citation: pairs cited by the same page, exact
         # integer counts; url-canonical pair order on both sides
         "q_cocitation_urls":
@@ -614,6 +630,35 @@ def q_semantic_dedup_trained(sf_dir: str):
 
     _, _, emb, _ = _trained_embeddings(sf_dir)
     return semantic_dedup(emb, k=16, threshold=0.95, seed=13)
+
+
+@_q("q_rrf_pages")
+def q_rrf_pages(sf_dir: str):
+    """Reciprocal rank fusion (ops/fuse.py, Cormack 2009) of two
+    per-host page rankings — text byte length and outlink count — the
+    zero-training ranking combiner of retrieval stacks.  check_exact
+    vs the DuckDB window oracle (two-term IEEE sums are commutative)."""
+    import pyarrow.compute as pc
+
+    from .ops.fuse import reciprocal_rank_fusion
+
+    g = gate_graph()
+    ext = read_layer(g.extracted, columns=["url", "text", "links"])
+
+    def fv(b: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(b.column("url"), "/"), 2)
+        return pa.table({
+            "host": host,
+            "url": b.column("url"),
+            "len": pc.binary_length(b.column("text")).cast(pa.int64()),
+            "n_links": pc.list_value_length(b.column("links"))
+            .cast(pa.int64())})
+
+    f = ext.map_batches(fv, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    return reciprocal_rank_fusion(
+        [(f, "len", True), (f, "n_links", True)],
+        partition_by="host", key="url", k=60, out_col="rrf")
 
 
 def _pair_scores_urls(mode: str):
