@@ -203,6 +203,40 @@ def q_first_event_per_user(sf_dir: str):
                               "n_events": ("count", None)})
 
 
+@_q("q_upsert_events",
+    "WITH delta AS (SELECT event_id, ts, user_id, "
+    "'updated' AS event_type, value * 2 AS value, props "
+    "FROM events WHERE event_id % 7 = 0) "
+    "SELECT * FROM delta UNION ALL SELECT e.* FROM events e "
+    "WHERE e.event_id NOT IN (SELECT event_id FROM delta)")
+def q_upsert_events(sf_dir: str):
+    """Keyed MERGE (ops/merge.py::upsert): a synthetic recrawl delta
+    (every 7th event re-observed with doubled value) replaces its base
+    rows; everything else passes through one bucketed anti-join.
+    check_exact vs the DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    from .ops.merge import upsert
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = _t(sf_dir, "events", columns=cols)
+
+    def mk_delta(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        t = b.filter(pa.array(eid % 7 == 0))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "user_id": t.column("user_id"),
+            "event_type": pa.array(["updated"] * t.num_rows),
+            "value": pc.multiply(t.column("value"), 2.0),
+            "props": t.column("props")})
+
+    delta = base.map_batches(mk_delta, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return upsert(base, delta, "event_id")
+
+
 # ---- union + distinct (U1) --------------------------------------------
 
 @_q("q_union_keys",
