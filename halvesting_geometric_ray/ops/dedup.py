@@ -537,3 +537,70 @@ def subset_dup_losers(ds, key_cols, order_col: str, num_parts: int = 16):
     return (pre_shuffle(prepped).groupby(_PART_COL)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def ngram_decontaminate(docs, bench, *, n: int = 13,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_seed: int = 42):
+    """Benchmark decontamination at n-gram granularity — the GPT-3 /
+    PaLM method (Brown et al. 2020 appendix C: drop training docs
+    sharing any 13-gram with an eval example; q_decontaminate's
+    whole-document fingerprint only catches verbatim copies).
+
+    bench: the benchmark/eval document table (same id/text columns).
+    Returns (id_col, contaminated: bool, n_hits: int64) — one row per
+    input doc; n_hits = number of contaminated n-gram windows.
+
+    Scale shape: the benchmark side collapses to its DISTINCT gram
+    hashes per batch (one combine) and is collected + broadcast once
+    via ray.put — eval suites are tiny next to a crawl; if a benchmark
+    ever outgrows a broadcast, build a Bloom over the same hashes
+    (ops/sketch.py::bloom_build, false positives drop extra docs —
+    conservative).  The corpus side is one stateless vectorized pass:
+    sliding-window gram hashes + searchsorted membership.  Gram
+    identity is the 64-bit polynomial over token hashes shared with
+    span_dedup — collisions (~2^-64/pair) only ever REMOVE a clean doc.
+    """
+    import numpy as np
+
+    import ray
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        rowidx, flat, _ = _flat_tokens(ids, b.column(text_col))
+        th = stable_hash64(flat.to_arrow(), seed=hash_seed)
+        gram, _ = _gram_hashes(th, rowidx, n)
+        return pa.table({"gram": pa.array(np.unique(gram))})
+
+    parts = []
+    for t in bench.map_batches(bench_grams, batch_format="pyarrow",
+                               zero_copy_batch=True).iter_batches(
+                                   batch_format="pyarrow"):
+        if t.num_rows:
+            parts.append(t.column("gram").to_numpy())
+    bg = np.unique(np.concatenate(parts)) if parts else \
+        np.empty(0, dtype=np.int64)
+    ref = ray.put(bg)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bench_set = ray.get(ref)
+        ids = b.column(id_col).to_numpy()
+        hits = np.zeros(ids.size, dtype=np.int64)
+        if ids.size and bench_set.size:
+            rowidx, flat, lens = _flat_tokens(ids, b.column(text_col))
+            th = stable_hash64(flat.to_arrow(), seed=hash_seed)
+            gram, starts = _gram_hashes(th, rowidx, n)
+            if gram.size:
+                ix = np.searchsorted(bench_set, gram)
+                ok = (ix < bench_set.size) & \
+                    (bench_set[np.minimum(ix, bench_set.size - 1)] == gram)
+                np.add.at(hits, rowidx[starts[ok]], 1)
+        return pa.table({id_col: b.column(id_col),
+                         "contaminated": pa.array(hits > 0),
+                         "n_hits": pa.array(hits)})
+
+    return docs.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)

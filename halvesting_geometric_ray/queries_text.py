@@ -267,6 +267,39 @@ def q_decontaminate(sf_dir: str):
     return keep.select_columns(["doc_id"])
 
 
+@_q("q_decontaminate_ngram",
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks "
+    "FROM documents), "
+    "w AS (SELECT doc_id, toks, unnest(generate_series(1, "
+    "greatest(len(toks) - 7, 0))) AS i FROM t), "
+    "g AS (SELECT doc_id, array_to_string(toks[i:i+7], chr(10)) AS gram "
+    "FROM w), "
+    "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0), "
+    "h AS (SELECT g.doc_id, count(*) AS n FROM g "
+    "JOIN bench USING (gram) GROUP BY g.doc_id) "
+    "SELECT t.doc_id, coalesce(h.n, 0) > 0 AS contaminated, "
+    "coalesce(h.n, 0) AS n_hits FROM t LEFT JOIN h USING (doc_id)")
+def q_decontaminate_ngram(sf_dir: str):
+    """N-GRAM-level decontamination (ops/dedup.py::ngram_decontaminate;
+    Brown et al. 2020 appendix C — the GPT-3/PaLM method): flag every
+    training doc sharing any 8-gram with the benchmark subset
+    (doc_id % 97 == 0, the q_decontaminate convention; benchmark docs
+    self-hit by construction).  Gram identity is the 64-bit polynomial
+    token-hash shared with span_dedup — a collision (~2^-64/pair)
+    could only flag a clean doc (conservative); the SQL oracle compares
+    literal token sequences, so parity also certifies the hash path."""
+    import pyarrow.compute as pc
+
+    from .ops.dedup import ngram_decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    bench = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            (b.column("doc_id").to_numpy() % 97) == 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ngram_decontaminate(docs, bench, n=8)
+
+
 @_q("q_decontaminate_bloom")
 def q_decontaminate_bloom(sf_dir: str):
     """Decontamination via a Bloom filter over the benchmark fingerprint
