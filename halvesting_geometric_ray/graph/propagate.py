@@ -143,11 +143,12 @@ class FeatureShardActor:
                               "feat": pa.array([], type=pa.float64())})
             self.H0[p] = _feat_matrix(t, hi - lo, lo, dim)
             self.H[p] = self.H0[p].copy()
-            self.indeg[p] = np.zeros(hi - lo, dtype=np.int64)
+            self.indeg[p] = np.zeros(hi - lo, dtype=np.float64)
 
     def indeg_msgs(self):
         """One-time per-destination in-degree partials (multiplicity of
-        each unique dst in this actor's shards) — integer sums, so the
+        each unique dst in this actor's shards; in-WEIGHT sums in
+        weighted mode) — unweighted counts are integer sums, so the
         final in-degrees are layout-invariant."""
         out: List = [None] * self.num_actors
         acc_v: List[List[np.ndarray]] = [[] for _ in range(self.num_actors)]
@@ -156,7 +157,7 @@ class FeatureShardActor:
             s = self.shards[p]
             if s["indices"].size == 0:
                 continue
-            cnt = np.bincount(s["uinv"],
+            cnt = np.bincount(s["uinv"], weights=s.get("weights"),
                               minlength=len(s["udsts"]))[s["route_order"]]
             b = s["route_bounds"]
             for j in range(self.num_actors):
@@ -193,12 +194,17 @@ class FeatureShardActor:
             if s["indices"].size == 0:
                 continue
             outdeg = s["outdeg"]
+            w = s.get("weights")
             if self.agg == "rw":
-                src = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1),
+                norm = s["wout"] if w is not None else outdeg
+                src = np.where(norm > 0, 1.0 / np.where(norm > 0, norm, 1),
                                0.0)[:, None] * self.H[p]
             else:
                 src = self.H[p]
-            per_edge = np.repeat(src, outdeg, axis=0)[s["agg_order"]]
+            per_edge = np.repeat(src, outdeg, axis=0)
+            if w is not None:
+                per_edge = per_edge * w[:, None]
+            per_edge = per_edge[s["agg_order"]]
             sums = np.add.reduceat(per_edge, s["agg_bounds"], axis=0) \
                 if per_edge.size else \
                 np.zeros((len(s["udsts"]), self.dim))
@@ -236,7 +242,8 @@ class FeatureShardActor:
                 if mk.any():
                     M[v[mk] - lo] += mat[mk]
             if self.agg == "mean":
-                M /= np.maximum(self.indeg[p], 1)[:, None]
+                dgn = self.indeg[p]
+                M /= np.where(dgn > 0, dgn, 1.0)[:, None]
             self.H[p] = (1.0 - self.alpha) * M + self.alpha * self.H0[p]
         return True
 
@@ -291,6 +298,7 @@ def feature_propagation(edges, offsets: np.ndarray, features,
                         col: str = "embedding", out_col: str = None,
                         rounds: int = 2, alpha: float = 0.0,
                         agg: str = "mean", dim: Optional[int] = None,
+                        weight_col: Optional[str] = None,
                         shards_dir: Optional[str] = None,
                         lineage: Optional[dict] = None,
                         num_actors: int = 0
@@ -304,7 +312,11 @@ def feature_propagation(edges, offsets: np.ndarray, features,
 
     Reuses PageRank's directed CSR shard cache ({workdir}/csr,
     lineage {"kind": "directed"}) — warm after any pagerank/hits/katz
-    run on the same workdir."""
+    run on the same workdir.  `weight_col` (positive edge weights,
+    e.g. host-graph n_links) switches to the weighted cache
+    ({workdir}/csr_w, the pagerank convention): "rw" normalizes by
+    out-WEIGHT, "mean" becomes the weighted in-neighbor mean
+    (sum w*x / sum w)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if not 0.0 <= alpha <= 1.0:
@@ -315,8 +327,15 @@ def feature_propagation(edges, offsets: np.ndarray, features,
 
     out_col = out_col or col
     num_parts = len(offsets) - 1
-    descs = build_csr_shards(edges, offsets, shards_dir or f"{workdir}/csr",
-                             lineage=lineage or {"kind": "directed"})
+    if weight_col is None:
+        descs = build_csr_shards(edges, offsets,
+                                 shards_dir or f"{workdir}/csr",
+                                 lineage=lineage or {"kind": "directed"})
+    else:
+        descs = build_csr_shards(
+            edges, offsets, shards_dir or f"{workdir}/csr_w",
+            lineage=lineage or {"kind": "directed-weighted"},
+            weight_col=weight_col)
     paths = {dd["part"]: dd["path"] for dd in descs}
 
     # normalize the feature column to (vid, feat) and learn dim
@@ -377,5 +396,5 @@ def feature_propagation(edges, offsets: np.ndarray, features,
         for a in actors:
             ray.kill(a)
     info = {"rounds": rounds, "alpha": alpha, "agg": agg, "dim": d,
-            "num_actors": A}
+            "num_actors": A, "weight_col": weight_col}
     return rd.from_arrow(tables), info

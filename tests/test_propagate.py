@@ -180,3 +180,44 @@ def test_sgc_composition_denoises_labels(tmp_path):
     auc_sgc = auc_of(xs)
     assert auc_sgc > auc_raw + 0.1, (auc_raw, auc_sgc)
     assert auc_sgc > 0.9, auc_sgc
+
+
+def _weighted_oracle(src, dst, w, n, X0, rounds, alpha, agg):
+    wout = np.bincount(src, weights=w, minlength=n)
+    win = np.bincount(dst, weights=w, minlength=n)
+    H = X0.copy()
+    for _ in range(rounds):
+        M = np.zeros_like(H)
+        if agg == "rw":
+            contrib = H[src] * (w / np.where(wout[src] > 0,
+                                             wout[src], 1.0))[:, None]
+        else:
+            contrib = H[src] * w[:, None]
+        np.add.at(M, dst, contrib)
+        if agg == "mean":
+            M /= np.where(win > 0, win, 1.0)[:, None]
+        H = (1.0 - alpha) * M + alpha * X0
+    return H
+
+
+@pytest.mark.parametrize("agg", ["mean", "rw"])
+def test_weighted_matches_numpy_oracle(tmp_path, agg):
+    """weight_col mode: rw normalizes by out-weight, mean is the
+    weighted in-neighbor mean."""
+    rng = np.random.default_rng(21)
+    edges, (src, dst), n = _rand_graph(seed=19)
+    w = rng.integers(1, 5, src.size).astype(np.float64)
+    ew = rd.from_arrow(pa.table({
+        "src": pa.array(src.astype(np.int64)),
+        "dst": pa.array(dst.astype(np.int64)),
+        "w": pa.array(w)}))
+    feats, X0 = _feat_ds(n, 3, seed=23)
+    ds, info = feature_propagation(
+        ew, np.array([0, n // 2, n], dtype=np.int64), feats,
+        str(tmp_path / agg), rounds=2, alpha=0.1, agg=agg,
+        weight_col="w")
+    assert info["weight_col"] == "w"
+    df = ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    got = np.vstack(df.embedding.to_numpy())
+    want = _weighted_oracle(src, dst, w, n, X0, 2, 0.1, agg)
+    assert np.allclose(got, want, atol=1e-12), np.abs(got - want).max()
