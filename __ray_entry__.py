@@ -76,7 +76,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_skipgram_events", "q_customers_without_orders",
                  "q_feature_smooth_urls", "q_cocitation_urls",
                  "q_bib_coupling_urls", "q_rrf_pages",
-                 "q_upsert_events", "q_decontaminate_ngram"]
+                 "q_upsert_events", "q_decontaminate_ngram",
+                 "q_token_budget"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

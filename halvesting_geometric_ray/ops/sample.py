@@ -192,3 +192,59 @@ def split_by_group(ds, group_col: str, test_frac: float, seed: int = 17,
 
     return ds.map_batches(tag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def token_budget_sample(ds, group_col: str, weight_col: str, budget, *,
+                        order_by=None, key=None, seed: int = 17,
+                        num_parts: int = 16):
+    """Sample each group up to a WEIGHT BUDGET (token budget per
+    domain/language — the data-mixing counterpart of the rate-based
+    mixture_resample): rows are taken in a deterministic per-group
+    order until the running weight sum would exceed the group's
+    budget; a row is kept iff its INCLUSIVE running sum <= budget.
+
+    ``order_by``: explicit priority column (SQL-reproducible); else
+    pass ``key`` and rows are ordered by a seeded stable hash of it
+    (uniform, partitioning-independent — retuning seed reshuffles).
+    ``budget``: one number, or {group_value: number} (groups absent
+    from the dict are dropped entirely).
+
+    Scale shape: one key-partitioned exchange (ops/window.py::
+    cumulative) + a stateless filter.  Same skew note as all window
+    ops: one group's rows co-locate in one task.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import stable_hash64
+    from .window import cumulative
+
+    if (order_by is None) == (key is None):
+        raise ValueError("pass exactly one of order_by / key")
+    if order_by is None:
+        def prio(b: pa.Table) -> pa.Table:
+            h = stable_hash64(b.column(key), seed=seed)
+            return b.append_column("__prio", pa.array(h))
+
+        ds = ds.map_batches(prio, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        order_col = "__prio"
+    else:
+        order_col = order_by
+    run = cumulative(ds, group_col, order_col,
+                     {"__run": (weight_col, "sum")},
+                     num_parts=num_parts)
+
+    def keep(b: pa.Table) -> pa.Table:
+        r = b.column("__run").to_numpy().astype(np.float64)
+        if isinstance(budget, dict):
+            g = b.column(group_col).to_pylist()
+            cap = np.array([float(budget.get(x, -1.0)) for x in g])
+        else:
+            cap = np.full(r.size, float(budget))
+        out = b.filter(pa.array(r <= cap))
+        drop = ["__run"] + (["__prio"] if order_by is None else [])
+        return out.drop_columns(drop)
+
+    return run.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -267,6 +267,41 @@ def q_decontaminate(sf_dir: str):
     return keep.select_columns(["doc_id"])
 
 
+@_q("q_token_budget",
+    "WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS "
+    "n_tokens FROM documents), "
+    "c AS (SELECT doc_id, lang, n_tokens, sum(n_tokens) OVER "
+    "(PARTITION BY lang ORDER BY doc_id) AS run FROM t) "
+    "SELECT doc_id, lang, n_tokens FROM c WHERE run <= 2000")
+def q_token_budget(sf_dir: str):
+    """Token-budget data mixing (ops/sample.py::token_budget_sample):
+    each language contributes documents in deterministic order until
+    its 2000-token budget is filled — the per-domain token-quota
+    sampler of LLM data recipes (rate-based mixture_resample's
+    counterpart).  check_exact vs the DuckDB running-sum oracle
+    (order_by=doc_id; the hash-priority mode is the production path)."""
+    import polars as pl
+
+    from .ops.sample import token_budget_sample
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "lang", "text"]))
+        out = df.select(
+            pl.col("doc_id"), pl.col("lang"),
+            pl.col("text").str.split(" ").list.len().cast(pl.Int64)
+            .alias("n_tokens"))
+        return out.to_arrow().cast(pa.schema([
+            pa.field("doc_id", pa.int64()), pa.field("lang", pa.string()),
+            pa.field("n_tokens", pa.int64())]))
+
+    t = docs.map_batches(stats, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return token_budget_sample(t, "lang", "n_tokens", 2000,
+                               order_by="doc_id")
+
+
 @_q("q_decontaminate_ngram",
     "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks "
     "FROM documents), "
