@@ -47,3 +47,86 @@ def upsert(base, delta, on: Union[str, Sequence[str]], *,
                           join_type="anti", num_parts=cfg.num_parts,
                           left_schema=sch, right_schema=key_schema)
     return survivors.union(delta)
+
+
+def upsert_scd2(base, delta, on: Union[str, Sequence[str]], *,
+                ts_col: str, valid_from: str = "valid_from",
+                valid_to: str = "valid_to",
+                base_schema: pa.Schema = None,
+                cfg: EngineConfig = DEFAULT):
+    """History-preserving upsert (slowly-changing-dimension type 2) —
+    the recrawl-history table: base rows carry [valid_from, valid_to)
+    intervals with valid_to NULL marking the current version; applying
+    a delta (one observation per key, timestamped by ``ts_col``)
+    CLOSES the matched current rows at the delta's timestamp and
+    appends the delta as the new current version.  Expired base rows
+    (valid_to already set) always pass through untouched.
+
+    Returns the new history table (same schema as base:
+    payload + valid_from + valid_to).  delta carries payload + ts_col.
+
+    Scale shape: current/expired split is a stateless filter; matched-
+    current closing is ONE bucketed inner join (delta side ships only
+    key + ts), unmatched-current pass-through is the matching anti
+    join — both on the same key bucketing.  Nothing materializes.
+    """
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("need at least one key column")
+    sch = base_schema or pa.schema(
+        [(n, t) for n, t in zip(base.schema().names,
+                                base.schema().types)])
+    for c in keys + [valid_from, valid_to]:
+        if c not in sch.names:
+            raise ValueError(f"column {c!r} not in base schema")
+
+    import pyarrow.compute as pc
+
+    def _split(null_side: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.is_null(b.column(valid_to))
+            return b.filter(m if null_side else pc.invert(m))
+
+        return f
+
+    expired = base.map_batches(_split(False), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    current = base.map_batches(_split(True), batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    dsch = pa.schema([(k, sch.field(k).type) for k in keys]
+                     + [(ts_col, sch.field(valid_from).type)])
+    dkeys = delta.select_columns(keys + [ts_col])
+    # unmatched current rows stay open
+    untouched = hash_join(current, dkeys, on=keys, right_on=keys,
+                          join_type="anti", num_parts=cfg.num_parts,
+                          left_schema=sch, right_schema=dsch)
+    # matched current rows close at the delta timestamp
+    closed = hash_join(current, dkeys, on=keys, right_on=keys,
+                       num_parts=cfg.num_parts,
+                       left_schema=sch, right_schema=dsch)
+
+    def close(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index(valid_to)
+        return b.set_column(i, valid_to,
+                            b.column(ts_col).cast(sch.field(valid_to)
+                                                  .type)) \
+            .drop_columns([ts_col])
+
+    closed = closed.map_batches(close, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def open_rows(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in sch:
+            if f.name == valid_from:
+                cols[f.name] = b.column(ts_col).cast(f.type)
+            elif f.name == valid_to:
+                cols[f.name] = pa.nulls(b.num_rows, f.type)
+            else:
+                cols[f.name] = b.column(f.name).cast(f.type)
+        return pa.table(cols)
+
+    fresh = delta.map_batches(open_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return expired.union(untouched).union(closed).union(fresh)

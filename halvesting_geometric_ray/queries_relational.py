@@ -237,6 +237,59 @@ def q_upsert_events(sf_dir: str):
     return upsert(base, delta, "event_id")
 
 
+@_q("q_scd2_history",
+    "WITH f AS (SELECT user_id, value AS v, ts, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
+    "l AS (SELECT user_id, value AS v, ts, row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events), "
+    "base AS (SELECT user_id, v, ts AS valid_from FROM f WHERE rn = 1), "
+    "delta AS (SELECT user_id, v, ts FROM l WHERE rn = 1) "
+    "SELECT b.user_id, b.v, b.valid_from, d.ts AS valid_to "
+    "FROM base b JOIN delta d USING (user_id) "
+    "UNION ALL SELECT user_id, v, ts AS valid_from, "
+    "CAST(NULL AS TIMESTAMP) AS valid_to FROM delta")
+def q_scd2_history(sf_dir: str):
+    """History-preserving upsert (ops/merge.py::upsert_scd2, SCD
+    type 2 — the recrawl-history table shape): each user's FIRST
+    observation forms the open base version; applying their LAST
+    observation as the recrawl delta closes it at the delta timestamp
+    and appends the new current version.  check_exact vs the DuckDB
+    window+join oracle."""
+    from .ops.merge import upsert_scd2
+    from .ops.window import row_number
+
+    ev = _t(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                       "value"])
+    ts_t = pa.timestamp("us")
+
+    def pick(descending):
+        rn = row_number(ev, "user_id", ["ts", "event_id"],
+                        descending=descending, out_col="__rn",
+                        method="rank")
+        return rn.map_batches(
+            lambda b: b.filter(pc.equal(b.column("__rn"), 1))
+            .drop_columns(["__rn", "event_id"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def as_base(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "v": b.column("value"),
+                         "valid_from": b.column("ts").cast(ts_t),
+                         "valid_to": pa.nulls(b.num_rows, ts_t)})
+
+    def as_delta(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b.column("user_id"),
+                         "v": b.column("value"),
+                         "ts": b.column("ts").cast(ts_t)})
+
+    base = pick(False).map_batches(as_base, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    delta = pick(True).map_batches(as_delta, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return upsert_scd2(base, delta, "user_id", ts_col="ts")
+
+
 # ---- union + distinct (U1) --------------------------------------------
 
 @_q("q_union_keys",
