@@ -824,6 +824,22 @@ def q_link_prediction_auc(sf_dir: str):
     }))
 
 
+@_q("q_landmark_distances")
+def q_landmark_distances(sf_dir: str):
+    """Landmark distance oracle (graph/landmarks.py, Potamias 2009):
+    exact BFS layers from the 4 highest-degree hubs of the symmetrized
+    corpus graph — the precomputed structure behind O(k) shortest-path
+    estimates at web scale.  Rows-only; upper-bound/exactness oracles
+    in tests/test_landmarks.py."""
+    from .graph.landmarks import landmark_distances
+
+    g = graph_for(sf_dir)
+    sym = symmetrize(read_layer(g.edges), dedup=False)
+    dist, _, _ = landmark_distances(sym, g.offsets, g.workdir, k=4,
+                                    shards_dir=f"{g.workdir}/csr_sym")
+    return dist
+
+
 @_q("q_local_cluster")
 def q_local_cluster(sf_dir: str):
     """ACL local community of vertex 0 (graph/pprpush.py: PPR push —
