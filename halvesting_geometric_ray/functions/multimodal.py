@@ -3,12 +3,21 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Ray-side machinery — schema, actor-pool stage shape, batch sizing,
 output layout — is real and tested.  ``DecodeStage`` mode="real" now
-REALLY decodes PNG payloads with the pure-stdlib decoder below (zlib
-inflate + per-scanline unfiltering, color types 0/2/3/4/6 at bit depth
-8); other formats (JPEG/audio/video) still raise NotImplementedError —
-their codecs are not in this container — and mode="fake" remains the
-deterministic byte featurizer so non-PNG pipelines stay end-to-end
-executable.
+REALLY decodes several formats with the pure-stdlib codecs below:
+
+- PNG  (zlib inflate + per-scanline unfiltering, color types 0/2/3/4/6
+  at bit depth 8),
+- BMP  (BITMAPINFOHEADER, 8-bit palette and 24/32-bit BI_RGB,
+  bottom-up or top-down rows),
+- WAV  (RIFF/PCM 8/16-bit + IEEE-float32; features = amplitude stats,
+  zero-crossing rate and FFT spectral centroid),
+
+and ``ResizeStage`` / ``FrameSampleStage`` mode="real" really resample
+PNG/BMP images (box-filter area average, re-encoded as PNG) and really
+split YUV4MPEG2 (y4m) uncompressed video into per-frame payloads.
+JPEG/MP3/H.264-class compressed codecs are still NotImplementedError —
+absent from this container — and mode="fake" remains the deterministic
+byte featurizer so those pipelines stay end-to-end executable.
 
 Batch-size guidance: payloads are large (100 KB-10 MB); size batches so
 batch_size x concurrency x payload fits the worker heap (config
@@ -143,18 +152,271 @@ def png_features(px: np.ndarray) -> np.ndarray:
     return f
 
 
+def decode_bmp(data: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Pure-stdlib BMP decode: returns (width, height, channels,
+    pixels[h, w, channels] uint8, RGB order).
+
+    Supports the BITMAPINFOHEADER (and the larger V4/V5 headers that
+    embed it) with BI_RGB compression at 8 (palette), 24 and 32 bits
+    per pixel, bottom-up (positive height) or top-down (negative)
+    rows.  Rows are 4-byte aligned per the spec."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"BMP: unsupported header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    if comp != 0:  # BI_RGB only
+        raise ValueError(f"BMP: unsupported compression {comp}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP: unsupported bit depth {bpp}")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w <= 0 or h <= 0:
+        raise ValueError("BMP: bad dimensions")
+    stride = ((w * bpp // 8) + 3) & ~3
+    need = data_off + stride * h
+    if len(data) < need:
+        raise ValueError("BMP: truncated pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette sits right after the info header: BGRX quads
+        pal_off = 14 + hdr_size
+        (used,) = struct.unpack_from("<I", data, 46)
+        n_pal = used or 256
+        pal = np.frombuffer(data, dtype=np.uint8, count=n_pal * 4,
+                            offset=pal_off).reshape(n_pal, 4)
+        idx = rows[:, :w]
+        px = pal[idx][:, :, [2, 1, 0]]  # BGRX -> RGB
+        return w, h, 3, np.ascontiguousarray(px)
+    nch = bpp // 8
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if nch == 3:
+        px = px[:, :, [2, 1, 0]]                 # BGR -> RGB
+    else:
+        px = px[:, :, [2, 1, 0, 3]]              # BGRA -> RGBA
+    return w, h, nch, np.ascontiguousarray(px)
+
+
+def decode_wav(data: bytes) -> Tuple[int, int, np.ndarray]:
+    """Pure-stdlib WAV (RIFF/PCM) decode: returns (sample_rate,
+    n_channels, samples[n_frames, n_channels] float64 in [-1, 1]).
+
+    Supports format 1 (integer PCM, 8-bit unsigned / 16-bit signed)
+    and format 3 (IEEE float32), plus WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+    wrapping either.  Chunks are walked generically (word-aligned), so
+    LIST/fact/cue chunks before ``data`` are fine."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos, fmt, fmt_body, raw = 12, None, b"", None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
+        elif cid == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 0xFFFE:  # EXTENSIBLE: real format leads the GUID
+        if len(fmt_body) < 26:
+            raise ValueError("WAV: truncated extensible fmt chunk")
+        (audio_fmt,) = struct.unpack_from("<H", fmt_body, 24)
+    if audio_fmt not in (1, 3):
+        raise ValueError(f"WAV: unsupported audio format {audio_fmt}")
+    if n_ch < 1 or rate <= 0:
+        raise ValueError("WAV: bad fmt chunk")
+    if audio_fmt == 3:
+        if bits != 32:
+            raise ValueError(f"WAV: float format needs 32 bits, got {bits}")
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+    elif bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    n_frames = x.size // n_ch
+    return rate, n_ch, x[: n_frames * n_ch].reshape(n_frames, n_ch)
+
+
+def wav_features(rate: int, n_ch: int, samples: np.ndarray) -> np.ndarray:
+    """Deterministic N_FEATURES-vector from decoded PCM: mean |x|, RMS,
+    zero-crossing rate, FFT spectral centroid (fraction of Nyquist),
+    duration seconds, sample rate, channel count, and a reserved 0.
+    Multi-channel audio is averaged to mono first."""
+    f = np.zeros(N_FEATURES, dtype=np.float64)
+    mono = samples.mean(axis=1) if samples.size else np.zeros(1)
+    f[0] = float(np.abs(mono).mean())
+    f[1] = float(np.sqrt((mono ** 2).mean()))
+    if mono.size > 1:
+        f[2] = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean())
+        mag = np.abs(np.fft.rfft(mono))
+        tot = mag.sum()
+        if tot > 0:
+            # centroid as fraction of Nyquist, in [0, 1]
+            f[3] = float((mag * np.arange(mag.size)).sum()
+                         / (tot * (mag.size - 1)))
+    f[4] = samples.shape[0] / float(rate)
+    f[5] = float(rate)
+    f[6] = float(n_ch)
+    return f
+
+
+WAV_SIG = b"RIFF"
+BMP_SIG = b"BM"
+Y4M_SIG = b"YUV4MPEG2 "
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter type 0 on every scanline, one zlib
+    IDAT): inverse of ``decode_png`` for bit-depth-8 images.  Channel
+    count picks the color type (1 gray, 2 gray+alpha, 3 RGB, 4 RGBA)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color is None:
+        raise ValueError(f"encode_png: bad channel count {c}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = np.concatenate(
+        [np.concatenate(([0], row)) for row in
+         px.astype(np.uint8).reshape(h, w * c)]).astype(np.uint8)
+    idat = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Minimal 16-bit PCM RIFF/WAVE encoder — inverse of ``decode_wav``
+    for integer PCM.  `samples` is (n_frames, n_channels) float in
+    [-1, 1]."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_ch = samples.shape[1]
+    raw = (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    block = n_ch * 2
+    fmt_body = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block,
+                           block, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+              + b"data" + struct.pack("<I", len(raw)) + raw)
+    if len(raw) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_y4m(frames, w: int, h: int, chroma: str = "mono") -> bytes:
+    """Minimal YUV4MPEG2 encoder — inverse of ``parse_y4m``: a stream
+    header plus FRAME-delimited raw planes."""
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C%s\n"
+                    % (w, h, chroma.encode()))
+    for f in frames:
+        out += b"FRAME\n" + f
+    return bytes(out)
+
+
+def _box_resize_axis(px: np.ndarray, out: int, axis: int) -> np.ndarray:
+    """Resample one axis to length `out`: area-average (np.add.reduceat
+    over integer bucket edges) when shrinking, nearest-index repeat when
+    growing.  Deterministic; exact on constant images either way."""
+    n = px.shape[axis]
+    if out == n:
+        return px
+    if out < n:
+        edges = (np.arange(out, dtype=np.int64) * n) // out
+        sums = np.add.reduceat(px.astype(np.float64), edges, axis=axis)
+        counts = np.diff(np.append(edges, n)).astype(np.float64)
+        shape = [1] * px.ndim
+        shape[axis] = out
+        avg = sums / counts.reshape(shape)
+        return np.clip(np.rint(avg), 0, 255).astype(np.uint8)
+    idx = (np.arange(out, dtype=np.int64) * n) // out
+    return np.take(px, idx, axis=axis)
+
+
+def box_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Box-filter resize of an (h, w, c) uint8 image to (out_h, out_w, c)."""
+    return _box_resize_axis(_box_resize_axis(px, out_h, 0), out_w, 1)
+
+
+def parse_y4m(data: bytes):
+    """Parse a YUV4MPEG2 stream: returns (width, height, chroma,
+    header:bytes, frames:list[bytes]) where each frame is the raw plane
+    payload (no FRAME marker).  Supports the C420* / C422 / C444 / Cmono
+    chroma taggings (frame size W*H * {1.5, 2, 3, 1})."""
+    if not data.startswith(Y4M_SIG):
+        raise ValueError("not a y4m stream (bad magic)")
+    nl = data.index(b"\n")
+    header = data[:nl]
+    w = h = None
+    chroma = "420jpeg"
+    for tok in header.split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            chroma = val.decode()
+    if not w or not h:
+        raise ValueError("y4m: missing W/H in stream header")
+    if chroma.startswith("420"):
+        fsize = (w * h * 3) // 2
+    elif chroma.startswith("422"):
+        fsize = w * h * 2
+    elif chroma.startswith("444"):
+        fsize = w * h * 3
+    elif chroma == "mono":
+        fsize = w * h
+    else:
+        raise ValueError(f"y4m: unsupported chroma {chroma}")
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        if not data.startswith(b"FRAME", pos):
+            raise ValueError("y4m: bad FRAME marker")
+        fnl = data.index(b"\n", pos)
+        body = data[fnl + 1:fnl + 1 + fsize]
+        if len(body) < fsize:
+            raise ValueError("y4m: truncated frame")
+        frames.append(body)
+        pos = fnl + 1 + fsize
+    return w, h, chroma, header, frames
+
+
 class DecodeStage:
     """Actor-pool map_batches stage: (id, payload binary) ->
     (id, n_bytes, width, height, features list<float>).
 
     mode="fake": deterministic pseudo-decode — dimensions and features
     derived from the payload bytes (stable across runs).
-    mode="real": PNG payloads decode for real (``decode_png`` above:
-    stdlib zlib inflate + scanline unfiltering); width/height come from
-    IHDR and features from the decoded pixels (``png_features``).
-    Non-PNG payloads raise NotImplementedError — JPEG/audio/video
-    codecs are absent from this container; drop a PIL/libvips decode
-    into ``_decode_real`` with the same signature at deploy time.
+    mode="real": PNG and BMP payloads decode for real (``decode_png`` /
+    ``decode_bmp`` above); width/height come from the headers and
+    features from the decoded pixels (``png_features``).  WAV payloads
+    decode via ``decode_wav`` — width maps to n_frames, height to
+    n_channels, features to ``wav_features`` (RMS/ZCR/spectral
+    centroid/duration/rate).  Other formats raise NotImplementedError —
+    JPEG/MP3/video codecs are absent from this container; drop a
+    PIL/libsndfile decode into ``_decode_real`` with the same signature
+    at deploy time.
     """
 
     def __init__(self, id_col: str = "url", payload_col: str = "html",
@@ -168,14 +430,22 @@ class DecodeStage:
     @staticmethod
     def _decode_real(p: bytes):
         """Real decode of one payload -> (width, height, features).
-        PNG is handled in-process; extend per format at deploy time."""
+        PNG/BMP/WAV are handled in-process (pure stdlib codecs above);
+        extend per format at deploy time.  Audio maps width <- n_frames
+        and height <- n_channels so the output schema stays uniform."""
         if p.startswith(PNG_SIG):
             w, h, _, px = decode_png(p)
             return w, h, png_features(px)
+        if p.startswith(BMP_SIG):
+            w, h, _, px = decode_bmp(p)
+            return w, h, png_features(px)
+        if p.startswith(WAV_SIG) and p[8:12] == b"WAVE":
+            rate, n_ch, samples = decode_wav(p)
+            return samples.shape[0], n_ch, wav_features(rate, n_ch, samples)
         raise NotImplementedError(
-            "real decode implemented for PNG only in this container "
-            "(no JPEG/audio/video codecs); use mode='fake' for other "
-            "formats' plumbing tests")
+            "real decode implemented for PNG/BMP/WAV only in this "
+            "container (no JPEG/MP3/video codecs); use mode='fake' for "
+            "other formats' plumbing tests")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads: List[bytes] = batch.column(self.payload_col).to_pylist()
@@ -229,9 +499,11 @@ class ResizeStage:
     """(id, payload) -> (id, out_w, out_h, resized:binary).
 
     mode="fake": deterministic byte-grid subsample to out_w x out_h
-    (stable across runs; output payload is exactly out_w*out_h bytes) —
-    the real PIL/libvips resample drops in with the same signature.
-    mode="real": NotImplementedError (no image libs in this container)."""
+    (stable across runs; output payload is exactly out_w*out_h bytes).
+    mode="real": PNG/BMP payloads REALLY resample — decode, box-filter
+    area average (``box_resize``), re-encode as PNG (``encode_png``) —
+    pure stdlib; other formats raise NotImplementedError (their codecs
+    are absent; a PIL/libvips resample drops in with this signature)."""
 
     def __init__(self, id_col: str = "url", payload_col: str = "html",
                  out_w: int = 32, out_h: int = 32, mode: str = "fake"):
@@ -243,9 +515,30 @@ class ResizeStage:
             raise ValueError(mode)
         self.mode = mode
 
+    @staticmethod
+    def _resize_real(p: bytes, out_w: int, out_h: int) -> bytes:
+        if p.startswith(PNG_SIG):
+            _, _, _, px = decode_png(p)
+        elif p.startswith(BMP_SIG):
+            _, _, _, px = decode_bmp(p)
+        else:
+            raise NotImplementedError(
+                "real resample implemented for PNG/BMP only in this "
+                "container (no JPEG codecs)")
+        return encode_png(box_resize(px, out_w, out_h))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError("image resample needs PIL/libvips")
+            out = [self._resize_real(p, self.out_w, self.out_h)
+                   for p in batch.column(self.payload_col).to_pylist()]
+            return pa.table({
+                self.id_col: batch.column(self.id_col),
+                "out_w": pa.array(np.full(batch.num_rows, self.out_w,
+                                          dtype=np.int64)),
+                "out_h": pa.array(np.full(batch.num_rows, self.out_h,
+                                          dtype=np.int64)),
+                "resized": pa.array(out, type=pa.binary()),
+            })
         n_out = self.out_w * self.out_h
         out: List[bytes] = []
         for p in batch.column(self.payload_col).to_pylist():
@@ -271,8 +564,15 @@ class FrameSampleStage:
     (flat_map semantics via a batch fn returning more rows than it got).
 
     mode="fake": the payload is treated as n_frames equal-length chunks
-    sampled at evenly spaced offsets; a real ffmpeg/pyav keyframe
-    sampler drops in with the same signature and output layout."""
+    sampled at evenly spaced offsets.
+    mode="real": YUV4MPEG2 (y4m) payloads REALLY split — ``parse_y4m``
+    walks the uncompressed frame stream, n_frames are sampled at evenly
+    spaced frame indices, and each output frame is re-wrapped as a
+    self-contained single-frame y4m (stream header + FRAME + planes) so
+    downstream stages can re-parse it; frame_idx is the ORIGINAL frame
+    number.  Compressed containers (MP4/H.264) raise
+    NotImplementedError — an ffmpeg/pyav keyframe sampler drops in with
+    the same signature and output layout."""
 
     def __init__(self, id_col: str = "url", payload_col: str = "html",
                  n_frames: int = 4, mode: str = "fake"):
@@ -283,10 +583,36 @@ class FrameSampleStage:
             raise ValueError(mode)
         self.mode = mode
 
+    def _sample_real(self, p: bytes):
+        """One y4m payload -> [(orig_frame_idx, single-frame y4m bytes)]."""
+        if not p.startswith(Y4M_SIG):
+            raise NotImplementedError(
+                "real frame sampling implemented for y4m only in this "
+                "container (no MP4/H.264 codecs)")
+        _, _, _, header, frames = parse_y4m(p)
+        n = len(frames)
+        if n == 0:
+            return []
+        k = min(self.n_frames, n)
+        picks = (np.arange(k, dtype=np.int64) * n) // k
+        return [(int(i), header + b"\nFRAME\n" + frames[i]) for i in picks]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError("frame decode needs ffmpeg/pyav")
         ids = batch.column(self.id_col).to_pylist()
+        if self.mode == "real":
+            out_id, out_fi, out_fr = [], [], []
+            for i, p in enumerate(
+                    batch.column(self.payload_col).to_pylist()):
+                for fi, fr in self._sample_real(p):
+                    out_id.append(ids[i])
+                    out_fi.append(fi)
+                    out_fr.append(fr)
+            return pa.table({
+                self.id_col: pa.array(out_id,
+                                      type=batch.column(self.id_col).type),
+                "frame_idx": pa.array(out_fi, type=pa.int64()),
+                "frame": pa.array(out_fr, type=pa.binary()),
+            })
         out_id, out_fi, out_fr = [], [], []
         for i, p in enumerate(batch.column(self.payload_col).to_pylist()):
             size = len(p)

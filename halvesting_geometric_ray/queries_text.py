@@ -1669,3 +1669,145 @@ def q_training_data_path(sf_dir: str):
     return seqs.drop_columns(["ids"])  # gate-friendly scalar columns;
     # the ids payload is what a loader consumes (exactness pinned by
     # the replay oracle in tests/test_pack.py)
+
+
+# ---- multimodal real codecs (pure-stdlib PNG/BMP/WAV/y4m) --------------
+
+def _synth_media_payloads(b: pa.Table, kind: str) -> pa.Table:
+    """Deterministic per-doc media payload synthesis (no external data):
+    parameters are derived from doc_id, then encoded with the package's
+    own spec-level encoders (functions/multimodal.py) — so the queries
+    below exercise the REAL decode paths end-to-end, and their outputs
+    are pytest-certified against independent numpy computations."""
+    import numpy as np
+
+    from .functions.multimodal import encode_png, encode_wav, encode_y4m
+
+    ids = b.column("doc_id").to_numpy()
+    payloads = []
+    if kind == "wav":
+        for d in ids:
+            rate = 8000
+            f0 = 100 + int(d) % 900          # 100..999 Hz
+            n = 400 + (int(d) * 7) % 400     # 50..100 ms
+            t = np.arange(n) / rate
+            amp = 0.2 + (int(d) % 5) * 0.15
+            payloads.append(encode_wav(
+                amp * np.sin(2 * np.pi * f0 * t), rate))
+    elif kind == "png":
+        for d in ids:
+            h = 8 + int(d) % 9               # 8..16
+            w = 8 + (int(d) // 9) % 9
+            base = np.uint64(d) * np.uint64(2654435761)
+            px = ((np.arange(h * w * 3, dtype=np.uint64) * np.uint64(31)
+                   + base) % np.uint64(256)).astype(np.uint8)
+            payloads.append(encode_png(px.reshape(h, w, 3)))
+    elif kind == "y4m":
+        for d in ids:
+            w, h = 4, 4
+            n_fr = 3 + int(d) % 6            # 3..8 frames
+            frames = [bytes(((int(d) + 31 * f + i) % 256
+                             for i in range(w * h)))
+                      for f in range(n_fr)]
+            payloads.append(encode_y4m(frames, w, h, "mono"))
+    else:
+        raise ValueError(kind)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "payload": pa.array(payloads, type=pa.binary())})
+
+
+@_q("q_audio_features")
+def q_audio_features(sf_dir: str):
+    """REAL audio path: per-doc WAV payloads (sine, parameters from
+    doc_id) -> pure-stdlib RIFF/PCM decode -> amplitude/ZCR/spectral-
+    centroid features (functions/multimodal.py::decode_wav/
+    wav_features).  Feature math certified vs closed-form sine
+    expectations in tests/test_multimodal_real.py; this query certifies
+    the distributed plumbing (synth and decode both run in map_batches,
+    never on the driver)."""
+    from .functions.multimodal import decode_binary
+
+    docs = _docs(sf_dir, ["doc_id"])
+    wav = docs.map_batches(lambda b: _synth_media_payloads(b, "wav"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    out = decode_binary(wav, id_col="doc_id", payload_col="payload",
+                        mode="real", batch_size=512)
+
+    def flat(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = np.asarray(b.column("features").to_pylist(), dtype=np.float64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_samples": b.column("width"),
+            "n_channels": b.column("height"),
+            "rms": pa.array(np.round(f[:, 1], 9)),
+            "zcr": pa.array(np.round(f[:, 2], 9)),
+            "spectral_centroid": pa.array(np.round(f[:, 3], 9)),
+            "duration_s": pa.array(np.round(f[:, 4], 9))})
+
+    return out.map_batches(flat, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@_q("q_image_resize")
+def q_image_resize(sf_dir: str):
+    """REAL image path: per-doc PNG payloads -> decode -> box-filter
+    area-average resize to 8x8 -> PNG re-encode -> re-decode dims +
+    mean-pixel check columns.  Exercises decode_png/box_resize/
+    encode_png distributed; pixel exactness pinned in
+    tests/test_multimodal_real.py."""
+    from .functions.multimodal import decode_binary, resize_binary
+
+    docs = _docs(sf_dir, ["doc_id"])
+    png = docs.map_batches(lambda b: _synth_media_payloads(b, "png"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    rs = resize_binary(png, id_col="doc_id", payload_col="payload",
+                       out_w=8, out_h=8, mode="real", batch_size=512)
+    out = decode_binary(rs, id_col="doc_id", payload_col="resized",
+                        mode="real", batch_size=512)
+
+    def flat(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = np.asarray(b.column("features").to_pylist(), dtype=np.float64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "width": b.column("width"), "height": b.column("height"),
+            "mean_r": pa.array(np.round(f[:, 0], 9)),
+            "mean_g": pa.array(np.round(f[:, 1], 9)),
+            "mean_b": pa.array(np.round(f[:, 2], 9))})
+
+    return out.map_batches(flat, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@_q("q_video_frames")
+def q_video_frames(sf_dir: str):
+    """REAL video path: per-doc YUV4MPEG2 payloads (3..8 mono frames)
+    -> parse_y4m frame sampling (2 evenly spaced ORIGINAL frame
+    indices, each re-wrapped as a single-frame y4m) -> per-frame luma
+    mean.  Sampling exactness pinned in tests/test_multimodal_real.py."""
+    from .functions.multimodal import frame_sample, parse_y4m
+
+    docs = _docs(sf_dir, ["doc_id"])
+    y4m = docs.map_batches(lambda b: _synth_media_payloads(b, "y4m"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    fr = frame_sample(y4m, id_col="doc_id", payload_col="payload",
+                      n_frames=2, mode="real", batch_size=256)
+
+    def luma(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        means = []
+        for p in b.column("frame").to_pylist():
+            _, _, _, _, frames = parse_y4m(p)
+            means.append(round(float(np.frombuffer(
+                frames[0], dtype=np.uint8).mean()), 9))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "frame_idx": b.column("frame_idx"),
+            "luma_mean": pa.array(means, type=pa.float64())})
+
+    return fr.map_batches(luma, batch_format="pyarrow",
+                          zero_copy_batch=True)
