@@ -11,13 +11,19 @@ REALLY decodes several formats with the pure-stdlib codecs below:
   bottom-up or top-down rows),
 - WAV  (RIFF/PCM 8/16-bit + IEEE-float32; features = amplitude stats,
   zero-crossing rate and FFT spectral centroid),
+- JPEG (baseline sequential DCT, ITU-T T.81: Huffman entropy decode,
+  dequantize, IDCT, chroma upsample, YCbCr->RGB; SOF0/SOF1, 1- or
+  3-component, arbitrary sampling factors, DRI/RSTn restarts —
+  certified against an independent spec-following encoder in
+  tests/test_jpeg.py),
 
 and ``ResizeStage`` / ``FrameSampleStage`` mode="real" really resample
-PNG/BMP images (box-filter area average, re-encoded as PNG) and really
-split YUV4MPEG2 (y4m) uncompressed video into per-frame payloads.
-JPEG/MP3/H.264-class compressed codecs are still NotImplementedError —
-absent from this container — and mode="fake" remains the deterministic
-byte featurizer so those pipelines stay end-to-end executable.
+PNG/BMP/JPEG images (box-filter area average, re-encoded as PNG) and
+really split YUV4MPEG2 (y4m) uncompressed video into per-frame
+payloads.  MP3/H.264-class compressed codecs remain
+NotImplementedError — absent from this container — and mode="fake"
+remains the deterministic byte featurizer so those pipelines stay
+end-to-end executable.
 
 Batch-size guidance: payloads are large (100 KB-10 MB); size batches so
 batch_size x concurrency x payload fits the worker heap (config
@@ -442,9 +448,12 @@ class DecodeStage:
         if p.startswith(WAV_SIG) and p[8:12] == b"WAVE":
             rate, n_ch, samples = decode_wav(p)
             return samples.shape[0], n_ch, wav_features(rate, n_ch, samples)
+        if p.startswith(JPEG_SIG):
+            w, h, _, px = decode_jpeg(p)
+            return w, h, png_features(px)
         raise NotImplementedError(
-            "real decode implemented for PNG/BMP/WAV only in this "
-            "container (no JPEG/MP3/video codecs); use mode='fake' for "
+            "real decode implemented for PNG/BMP/WAV/JPEG only in this "
+            "container (no MP3/video codecs); use mode='fake' for "
             "other formats' plumbing tests")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -521,10 +530,12 @@ class ResizeStage:
             _, _, _, px = decode_png(p)
         elif p.startswith(BMP_SIG):
             _, _, _, px = decode_bmp(p)
+        elif p.startswith(JPEG_SIG):
+            _, _, _, px = decode_jpeg(p)
         else:
             raise NotImplementedError(
-                "real resample implemented for PNG/BMP only in this "
-                "container (no JPEG codecs)")
+                "real resample implemented for PNG/BMP/JPEG only in "
+                "this container")
         return encode_png(box_resize(px, out_w, out_h))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -649,3 +660,305 @@ def frame_sample(ds, id_col: str = "url", payload_col: str = "html",
         batch_size=batch_size, concurrency=concurrency,
         fn_constructor_kwargs={"id_col": id_col, "payload_col": payload_col,
                                "n_frames": n_frames, "mode": mode})
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) — pure stdlib + numpy
+# ---------------------------------------------------------------------------
+
+JPEG_SIG = b"\xff\xd8"
+
+# zigzag scan order: ZIGZAG[k] = natural (row-major) index of the k-th
+# coefficient in scan order (T.81 Figure 5)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _idct_basis() -> np.ndarray:
+    """A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); spatial = A.T @ F @ A."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    A[0] *= 1.0 / np.sqrt(2.0)
+    return A
+
+
+_IDCT_A = _idct_basis()
+
+
+class _HuffTable:
+    """Canonical Huffman decode table from a DHT (counts, symbols)."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "symbols")
+
+    def __init__(self, counts: List[int], symbols: bytes):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.symbols = symbols
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += n
+            k += n
+            self.maxcode[ln] = code - 1 if n else -1
+            code <<= 1
+        if k != len(symbols):
+            raise ValueError("JPEG: DHT counts/symbols mismatch")
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 unstuffing and
+    restart-marker detection."""
+
+    __slots__ = ("data", "pos", "bitbuf", "nbits", "marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker = None  # marker byte seen (ends entropy data)
+
+    def _fill(self):
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker terminates the entropy stream; feed 0s
+                self.marker = nxt
+                self.bitbuf = (self.bitbuf << 8)
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def get_bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def decode_huff(self, tab: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.get_bits(1)
+            if tab.maxcode[ln] >= code >= tab.mincode[ln]:
+                return tab.symbols[tab.valptr[ln] + code - tab.mincode[ln]]
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is not None:
+            if not (0xD0 <= self.marker <= 0xD7):
+                raise ValueError("JPEG: expected RSTn marker")
+            # pos still points at the 0xFF of the marker _fill saw
+            self.pos += 2
+            self.marker = None
+            return
+        d = self.data
+        # skip fill bytes to the marker
+        while d[self.pos] != 0xFF:
+            self.pos += 1
+        while d[self.pos + 1] == 0xFF:
+            self.pos += 1
+        m = d[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError("JPEG: expected RSTn marker")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t-bit magnitude v to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Baseline sequential-DCT JPEG decode: returns
+    (width, height, channels, pixels[h, w, channels] uint8).
+
+    1-component frames return grayscale (channels=1); 3-component
+    frames are YCbCr -> RGB (BT.601 full range, the JFIF convention).
+    Chroma upsampling is nearest-neighbor replication.  Progressive
+    (SOF2), arithmetic-coded and 12-bit streams raise ValueError."""
+    if not data.startswith(JPEG_SIG):
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: Dict[int, np.ndarray] = {}
+    hdc: Dict[int, _HuffTable] = {}
+    hac: Dict[int, _HuffTable] = {}
+    frame = None   # (h, w, comps) comps: list of (cid, hs, vs, tq)
+    restart_interval = 0
+    planes: Dict[int, np.ndarray] = {}
+    pos = 2
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: marker sync lost")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:          # fill byte
+            pos -= 1
+            continue
+        if marker == 0xD9:          # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                # standalone markers
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        body = data[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:          # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker in (0xC0, 0xC1):    # SOF0/SOF1 baseline/ext sequential
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG: only baseline sequential Huffman "
+                             "(SOF0/SOF1) is supported")
+        elif marker == 0xC4:        # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = bytes(body[i + 17:i + 17 + nsym])
+                tab = _HuffTable(counts, syms)
+                (hdc if tc == 0 else hac)[th] = tab
+                i += 17 + nsym
+        elif marker == 0xDD:        # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:        # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 15))
+            pos = _decode_scan(data, pos, frame, scan, qt, hdc, hac,
+                               restart_interval, planes)
+    if frame is None or not planes:
+        raise ValueError("JPEG: no image data")
+    return _assemble(frame, planes)
+
+
+def _decode_scan(data, pos, frame, scan, qt, hdc, hac, ri, planes):
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("JPEG: only single-scan (interleaved) streams "
+                         "supported")
+    byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component padded planes + dequant tables + huff tables
+    meta = []
+    for cs, td, ta in scan:
+        hs, vs, tq = byid[cs]
+        plane = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        planes[cs] = plane
+        meta.append((cs, hs, vs, qt[tq].astype(np.float64),
+                     hdc[td], hac[ta], plane))
+    br = _BitReader(data, pos)
+    preds = {cs: 0 for cs, _, _ in scan}
+    coef = np.zeros(64, dtype=np.float64)
+    A = _IDCT_A
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu_count and mcu_count % ri == 0:
+                br.restart()
+                for k in preds:
+                    preds[k] = 0
+            mcu_count += 1
+            for cs, hs, vs, q, tdc, tac, plane in meta:
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef[:] = 0.0
+                        t = br.decode_huff(tdc)
+                        diff = _extend(br.get_bits(t), t) if t else 0
+                        preds[cs] += diff
+                        coef[0] = preds[cs]
+                        k = 0
+                        while k < 63:
+                            rs = br.decode_huff(tac)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break       # EOB
+                            k += r + 1
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            coef[ZIGZAG[k]] = _extend(br.get_bits(s), s)
+                        F = (coef.reshape(8, 8)) * q
+                        blk = A.T @ F @ A + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        plane[y0:y0 + 8, x0:x0 + 8] = blk
+    # advance past entropy data to the next marker
+    pos = br.pos
+    if br.marker is not None:
+        return pos  # _decode_jpeg loop will re-sync on data[pos]==0xFF
+    while pos + 1 < len(data) and not (data[pos] == 0xFF and
+                                       data[pos + 1] != 0x00):
+        pos += 1
+    return pos
+
+
+def _assemble(frame, planes) -> Tuple[int, int, int, np.ndarray]:
+    h, w, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    chans = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs,
+                          axis=1)
+        chans.append(p[:h, :w])
+    if len(chans) == 1:
+        px = np.clip(np.round(chans[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px[:, :, None]
+    if len(chans) != 3:
+        raise ValueError("JPEG: only 1- or 3-component frames supported")
+    Y, Cb, Cr = chans
+    r = Y + 1.402 * (Cr - 128.0)
+    g = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b = Y + 1.772 * (Cb - 128.0)
+    px = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255)
+    return w, h, 3, px.astype(np.uint8)
