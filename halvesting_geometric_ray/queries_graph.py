@@ -131,6 +131,43 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"count(*) AS score FROM e e1 JOIN e e2 "
             f"ON e1.dst_url = e2.dst_url AND e1.src_url < e2.src_url "
             f"GROUP BY 1, 2",
+        # SALSA closed form (Lempel & Moran 2000): bipartite
+        # hub/authority support-graph components via recursive closure,
+        # then score = (side-count-in-component * degree) / (side-total
+        # * component-edge-count) — exact integer products, ONE double
+        # division on both sides -> check_exact
+        "q_salsa_urls":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT DISTINCT src_url AS s, dst_url AS d FROM {A} "
+            f"WHERE src_url <> dst_url), "
+            f"be AS (SELECT 'h:'||s AS a, 'a:'||d AS b FROM e "
+            f"UNION SELECT 'a:'||d, 'h:'||s FROM e), "
+            f"nodes AS (SELECT DISTINCT a AS v FROM be), "
+            f"walk AS (SELECT v, v AS reach FROM nodes "
+            f"UNION SELECT w.v, be.b FROM walk w JOIN be ON be.a = w.reach), "
+            f"comp AS (SELECT v, min(reach) AS c FROM walk GROUP BY v), "
+            f"ind AS (SELECT d AS url, count(*) AS deg FROM e GROUP BY d), "
+            f"outd AS (SELECT s AS url, count(*) AS deg FROM e GROUP BY s), "
+            f"ac AS (SELECT i.url, i.deg, c.c FROM ind i "
+            f"JOIN comp c ON c.v = 'a:'||i.url), "
+            f"ast AS (SELECT c, count(*) AS n_side, sum(deg) AS m "
+            f"FROM ac GROUP BY c), "
+            f"atot AS (SELECT count(*) AS t FROM ind), "
+            f"auth AS (SELECT ac.url, CAST(ast.n_side * ac.deg AS DOUBLE) "
+            f"/ CAST(atot.t * ast.m AS DOUBLE) AS authority "
+            f"FROM ac JOIN ast ON ast.c = ac.c CROSS JOIN atot), "
+            f"hc AS (SELECT o.url, o.deg, c.c FROM outd o "
+            f"JOIN comp c ON c.v = 'h:'||o.url), "
+            f"hst AS (SELECT c, count(*) AS n_side, sum(deg) AS m "
+            f"FROM hc GROUP BY c), "
+            f"htot AS (SELECT count(*) AS t FROM outd), "
+            f"hub AS (SELECT hc.url, CAST(hst.n_side * hc.deg AS DOUBLE) "
+            f"/ CAST(htot.t * hst.m AS DOUBLE) AS hub "
+            f"FROM hc JOIN hst ON hst.c = hc.c CROSS JOIN htot) "
+            f"SELECT v.url, coalesce(a.authority, 0.0) AS authority, "
+            f"coalesce(h.hub, 0.0) AS hub FROM {vert} v "
+            f"LEFT JOIN auth a ON a.url = v.url "
+            f"LEFT JOIN hub h ON h.url = v.url",
         # SAGE-mean feature smoothing, 1 round: in-neighbor mean of the
         # source pages' text byte lengths.  BIGINT sum + one division
         # on both sides -> bitwise-comparable DOUBLE
@@ -719,6 +756,41 @@ def q_bib_coupling_urls(sf_dir: str):
     pairs citing the same page.  Same machinery on reversed centers;
     DuckDB self-join oracle, check_exact."""
     return _pair_scores_urls("coupling")
+
+
+@_q("q_salsa_urls")
+def q_salsa_urls(sf_dir: str):
+    """SALSA hub/authority scores (Lempel & Moran 2000) certified at
+    the url level via the CLOSED FORM (graph/salsa.py): one bipartite
+    connected-components run + degree counts + grouped sums — no power
+    iteration.  Scores are exact int64 products with ONE double
+    division, so the DuckDB recursive-closure oracle is check_exact.
+    Power-iteration parity is pinned separately (tests/test_salsa.py)."""
+    from .graph.salsa import salsa
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    scores, _ = salsa(read_layer(g.edges), g.offsets, g.workdir)
+    verts = read_layer(g.vertices, columns=["url", "vid"])
+    v_schema = pa.schema([("url", pa.string()), ("vid", pa.int64())])
+    s_schema = pa.schema([("vid", pa.int64()),
+                          ("authority", pa.float64()),
+                          ("hub", pa.float64())])
+    out = hash_join(verts, scores, on="vid", right_on="vid",
+                    join_type="left", num_parts=DEFAULT.num_parts,
+                    left_schema=v_schema, right_schema=s_schema)
+
+    def fin(b: pa.Table) -> pa.Table:
+        a = b.column("authority").to_numpy(zero_copy_only=False)
+        h = b.column("hub").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url": b.column("url"),
+            "authority": pa.array(np.nan_to_num(a, nan=0.0)),
+            "hub": pa.array(np.nan_to_num(h, nan=0.0)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 @_q("q_feature_smooth_urls")
