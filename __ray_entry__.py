@@ -100,7 +100,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_word2vec_training_pairs", "q_word2vec_embeddings",
     "q_kmeans_trained", "q_semantic_dedup_trained",
     "q_link_prediction_auc", "q_feature_propagation",
-    "q_landmark_distances",
+    "q_landmark_distances", "q_simrank",
     "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",

@@ -758,6 +758,30 @@ def q_bib_coupling_urls(sf_dir: str):
     return _pair_scores_urls("coupling")
 
 
+@_q("q_simrank")
+def q_simrank(sf_dir: str):
+    """Monte-Carlo SimRank (Fogaras & Racz 2005) among the 24
+    highest-out-degree pages: coupled reverse walks on the cached CSR
+    shards, first-meeting-time estimator E[c^tau] — the scalable
+    seed-set regime (all-pairs SimRank is O(n^2) state).  Rows-only at
+    the gate; exact-fixpoint parity, bitwise layout invariance and the
+    star closed form are pinned in tests/test_simrank.py."""
+    from .graph.simrank import simrank_mc
+    from .ops.agg import grouped_aggregate
+
+    g = gate_graph()
+    e = read_layer(g.edges)
+    deg = grouped_aggregate(e.select_columns(["src"]), ["src"],
+                            {"deg": ("count", None)},
+                            num_parts=DEFAULT.num_parts)
+    top = (deg.sort(["deg", "src"], descending=[True, False])
+           .limit(24).to_pandas())
+    out, _ = simrank_mc(e, g.offsets, g.workdir, top["src"].to_numpy(),
+                        c=0.6, walk_len=12, walks_per_seed=128)
+    out["simrank"] = out["simrank"].round(9)
+    return out
+
+
 @_q("q_salsa_urls")
 def q_salsa_urls(sf_dir: str):
     """SALSA hub/authority scores (Lempel & Moran 2000) certified at
