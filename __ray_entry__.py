@@ -92,7 +92,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_edge_splits", "q_negative_samples", "q_hll_distinct",
     "q_token_percentiles_sketch", "q_decontaminate_bloom", "q_span_dedup",
     "q_substring_dedup",
-    "q_pack_sequences", "q_bpe_train", "q_normalize_text",
+    "q_pack_sequences", "q_bpe_train", "q_unigram_train",
+    "q_unigram_encode", "q_normalize_text",
     "q_mixture_resample",
     "q_lm_score", "q_lm_score_bigram", "q_dsir_sample", "q_learned_filter",
     "q_learned_filter_auc", "q_split_leakage_free",

@@ -580,6 +580,39 @@ def q_bpe_train(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_unigram_train")
+def q_unigram_train(sf_dir: str):
+    """Unigram-LM tokenizer training (functions/unigram.py — the
+    SentencePiece algorithm, Kudo 2018): EM over the word-frequency
+    table with expected-count pruning toward the target vocab.
+    Returns the trained piece table (piece, logp).  Rows-only at the
+    gate (iterative EM is not SQL-expressible); sequential-EM parity,
+    likelihood ascent, layout invariance and compositional recovery
+    in tests/test_unigram.py."""
+    from .functions.unigram import train_unigram
+
+    pieces, _ = train_unigram(_docs(sf_dir, ["doc_id", "text"]),
+                              vocab_size=400, seed_size=2000,
+                              max_piece_len=6, em_rounds=2)
+    pieces["logp"] = pieces["logp"].round(9)
+    return pieces
+
+
+@_q("q_unigram_encode")
+def q_unigram_encode(sf_dir: str):
+    """Tokenizer capstone: train the unigram LM, Viterbi-encode the
+    corpus, return per-doc token counts (the compression the learned
+    pieces buy, comparable with q_bpe_token_counts).  Rows-only;
+    Viterbi round-trip + UNK fallback pinned in tests/test_unigram.py."""
+    from .functions.unigram import apply_unigram, train_unigram
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pieces, _ = train_unigram(docs, vocab_size=400, seed_size=2000,
+                              max_piece_len=6, em_rounds=2)
+    enc = apply_unigram(docs, pieces)
+    return enc.select_columns(["doc_id", "n_tokens"])
+
+
 @_q("q_span_dedup")
 def q_span_dedup(sf_dir: str):
     """Duplicate n-gram span dedup (ops/dedup.py::span_dedup) — the
