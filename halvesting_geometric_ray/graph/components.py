@@ -27,6 +27,7 @@ manifest machinery as PageRank) with mid-iteration file reuse.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -43,6 +44,36 @@ from .csr import load_shard
 from .engine import part_to_actor_map, plan_actors, scatter_refs_matrix, transpose_refs
 
 _INT64_MAX = np.iinfo(np.int64).max
+
+
+def write_label_parts(labels, offsets: np.ndarray, out_dir: str) -> Dict[int, str]:
+    """Re-bucket a (vid, label) Dataset by the CURRENT vid offsets and
+    write one parquet file per partition (distributed — labels never
+    land on the driver).  Returns {part: path} for the non-empty parts;
+    the files feed ``LabelShardActor.load_state`` (warm starts)."""
+    os.makedirs(out_dir, exist_ok=True)
+    off = np.asarray(offsets, dtype=np.int64)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        vid = b.column("vid").to_numpy(zero_copy_only=False)
+        part = (np.searchsorted(off, vid, side="right") - 1).astype(np.int32)
+        return pa.table({"part": pa.array(part), "vid": b.column("vid"),
+                         "label": b.column("label")})
+
+    def dump(g: pa.Table) -> pa.Table:
+        p = int(g.column("part")[0].as_py())
+        path = os.path.join(out_dir, f"part-{p}.parquet")
+        pq.write_table(g.select(["vid", "label"]), path)
+        return pa.table({"part": pa.array([p], type=pa.int32()),
+                         "path": pa.array([path])})
+
+    out = (labels.select_columns(["vid", "label"])
+           .map_batches(bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("part")
+           .map_groups(dump, batch_format="pyarrow",
+                       retry_exceptions=True)).to_pandas()
+    return {int(r["part"]): r["path"] for _, r in out.iterrows()}
 
 
 @ray.remote(num_cpus=0)
@@ -212,10 +243,22 @@ def connected_components(sym_edges, offsets: np.ndarray, workdir: str,
                          max_iters: Optional[int] = None, job: str = "cc",
                          resume: bool = True, pointer_jumping: bool = True,
                          shards_dir: Optional[str] = None,
+                         warm_labels=None,
                          num_actors: int = 0) -> Tuple["rd.Dataset", Dict]:
     """Exact min-vid component labels over a SYMMETRIZED edge table
     (callers: use graph.build.symmetrize first).  Returns (labels_ds, info)
-    with labels_ds columns (part, vid, label)."""
+    with labels_ds columns (part, vid, label).
+
+    ``warm_labels``: optional (vid, label) Dataset from a PREVIOUS run
+    on a subgraph of this one (the incremental-recrawl path,
+    graph/incremental.py::extend_graph): edges only ever merge
+    components, so any labeling with label(v) = min-vid of v's old
+    component is a valid (and much closer) starting point — new
+    vertices default to their own vid.  Labels are re-bucketed by the
+    CURRENT offsets (the old run's partitioning is irrelevant) and
+    convergence yields bitwise the same labels as a cold run, in fewer
+    rounds.  Ignored when an own-job checkpoint is resumable (the
+    checkpoint is strictly newer state)."""
     from .csr import build_csr_shards
 
     max_iters = cfg.max_iters if max_iters is None else max_iters
@@ -254,6 +297,14 @@ def connected_components(sym_edges, offsets: np.ndarray, workdir: str,
                 for i, a in enumerate(actors)])
             start = k0 + 1
         else:
+            if warm_labels is not None:
+                wfiles = write_label_parts(
+                    warm_labels, offsets,
+                    os.path.join(workdir, job, "warm"))
+                info["warm_parts"] = len(wfiles)
+                ray.get([a.load_state.remote(
+                    {p: wfiles[p] for p in owned[i] if p in wfiles})
+                    for i, a in enumerate(actors)])
             start = 1
         inbox = transpose_refs(scatter_refs_matrix(actors, A))
         pending: Dict[int, Tuple[List, List]] = {}
