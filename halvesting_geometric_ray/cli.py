@@ -57,7 +57,7 @@ def main(argv=None) -> int:
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
                  "sssp", "katz", "louvain", "node2vec", "localcluster",
-                 "embed", "linkpred", "propagate"):
+                 "embed", "linkpred", "propagate", "salsa", "simrank"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -144,6 +144,15 @@ def main(argv=None) -> int:
             sp.add_argument("--seed-vid", type=int, required=True)
             sp.add_argument("--alpha", type=float, default=0.15)
             sp.add_argument("--eps", type=float, default=1e-6)
+        if name == "simrank":
+            sp.add_argument("--seeds", default=None,
+                            help="comma-separated seed vids; default = "
+                                 "--top-k highest-out-degree vertices")
+            sp.add_argument("--top-k", type=int, default=32)
+            sp.add_argument("--c", type=float, default=0.6)
+            sp.add_argument("--walk-len", type=int, default=12)
+            sp.add_argument("--walks-per-seed", type=int, default=128)
+            sp.add_argument("--seed", type=int, default=42)
 
     sp = sub.add_parser("all", help="build + pagerank + cc + triangles")
     sp.add_argument("--pages", required=True)
@@ -344,6 +353,42 @@ def main(argv=None) -> int:
             ds.write_parquet(os.path.join(args.workdir, "hits_scores"))
             out["hits"] = {"num_iters": info["num_iters"],
                            "converged": info["converged"]}
+        if args.cmd == "salsa":
+            import os
+
+            from .graph.salsa import salsa as run_salsa
+
+            ds, info = run_salsa(edges, g.offsets, args.workdir, cfg)
+            ds.write_parquet(os.path.join(args.workdir, "salsa_scores"))
+            out["salsa"] = {"n": info["n"],
+                            "cc_iters": info["cc_iters"],
+                            "total_authority": info["total_authority"],
+                            "total_hub": info["total_hub"]}
+        if args.cmd == "simrank":
+            import os
+
+            import numpy as np
+
+            from .graph.simrank import simrank_mc
+            from .ops.agg import grouped_aggregate
+
+            if args.seeds:
+                seeds = np.array([int(x) for x in args.seeds.split(",")],
+                                 dtype=np.int64)
+            else:
+                deg = grouped_aggregate(
+                    edges.select_columns(["src"]), ["src"],
+                    {"deg": ("count", None)}, num_parts=cfg.num_parts)
+                seeds = (deg.sort(["deg", "src"],
+                                  descending=[True, False])
+                         .limit(args.top_k).to_pandas()["src"].to_numpy())
+            sim, info = simrank_mc(edges, g.offsets, args.workdir, seeds,
+                                   cfg, c=args.c, walk_len=args.walk_len,
+                                   walks_per_seed=args.walks_per_seed,
+                                   seed=args.seed)
+            sim.to_parquet(os.path.join(args.workdir, "simrank.parquet"))
+            out["simrank"] = {"n_seeds": info["n_seeds"],
+                              "pairs": int(len(sim))}
         if args.cmd == "katz":
             from .graph.katz import katz as run_katz
             import os

@@ -171,3 +171,23 @@ def test_cli_propagate(tmp_path, capsys, tiny_pages_dir):
     assert out == {"rounds": 2, "agg": "mean", "dim": 2, "alpha": 0.15}
     prop = rd.read_parquet(os.path.join(wd, "propagated")).to_pandas()
     assert len(prop) > 0 and len(prop.iloc[0]["f"]) == 2
+
+
+def test_cli_salsa_simrank(tmp_path, capsys, tiny_pages_dir):
+    wd = str(tmp_path / "wd_ss")
+    assert main(["build", "--pages", tiny_pages_dir, "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["salsa", "--workdir", wd]) == 0
+    o = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["salsa"]
+    assert o["total_authority"] > 0 and o["total_hub"] > 0
+    sal = rd.read_parquet(os.path.join(wd, "salsa_scores")).to_pandas()
+    assert abs(sal["authority"].sum() - 1.0) < 1e-9
+    assert abs(sal["hub"].sum() - 1.0) < 1e-9
+    assert main(["simrank", "--workdir", wd, "--top-k", "8",
+                 "--walks-per-seed", "16"]) == 0
+    o = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["simrank"]
+    assert o["n_seeds"] == 8
+    import pandas as pd
+
+    sim = pd.read_parquet(os.path.join(wd, "simrank.parquet"))
+    assert (sim[sim.a == sim.b].simrank == 1.0).all()
