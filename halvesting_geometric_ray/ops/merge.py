@@ -130,3 +130,89 @@ def upsert_scd2(base, delta, on: Union[str, Sequence[str]], *,
     fresh = delta.map_batches(open_rows, batch_format="pyarrow",
                               zero_copy_batch=True)
     return expired.union(untouched).union(closed).union(fresh)
+
+
+def snapshot_diff(base, delta, on: Union[str, Sequence[str]], *,
+                  cmp_cols: Sequence[str],
+                  base_schema: pa.Schema = None,
+                  delta_schema: pa.Schema = None,
+                  cfg: EngineConfig = DEFAULT):
+    """Classify every key across two crawl snapshots:
+
+    - ``added``     key only in the new snapshot (delta),
+    - ``removed``   key only in the old snapshot (base),
+    - ``changed``   key in both but any ``cmp_cols`` value differs,
+    - ``unchanged`` key in both, all compared values equal
+      (null == null counts as equal — absence of a field is a stable
+      observation, not a change).
+
+    Returns ds(keys..., status).  The recrawl-report primitive next to
+    ``upsert`` (apply) and ``upsert_scd2`` (history): one bucketed
+    full-outer exchange on the key; only keys + compared columns move.
+    Presence is tracked with explicit int8 indicator columns, so null
+    VALUES in ``cmp_cols`` never masquerade as a missing row.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    keys: List[str] = [on] if isinstance(on, str) else list(on)
+    cmp_list = list(cmp_cols)
+    if not keys or not cmp_list:
+        raise ValueError("need key and cmp columns")
+    overlap = set(keys) & set(cmp_list)
+    if overlap:
+        raise ValueError(f"cmp_cols overlap keys: {overlap}")
+
+    def tag(prefix: str):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {k: b.column(k) for k in keys}
+            for c in cmp_list:
+                cols[f"{prefix}_{c}"] = b.column(c)
+            cols[f"{prefix}_present"] = pa.array(
+                np.ones(b.num_rows, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    def side_schema(src_schema, prefix):
+        if src_schema is None:
+            return None
+        fields = [(k, src_schema.field(k).type) for k in keys]
+        fields += [(f"{prefix}_{c}", src_schema.field(c).type)
+                   for c in cmp_list]
+        fields += [(f"{prefix}_present", pa.int8())]
+        return pa.schema(fields)
+
+    b_tag = base.map_batches(tag("b"), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    d_tag = delta.map_batches(tag("d"), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = hash_join(b_tag, d_tag, on=keys, join_type="full",
+                       num_parts=cfg.num_parts,
+                       left_schema=side_schema(base_schema, "b"),
+                       right_schema=side_schema(delta_schema, "d"))
+
+    def classify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        in_b = pc.fill_null(t.column("b_present"), 0).to_numpy(
+            zero_copy_only=False).astype(bool)
+        in_d = pc.fill_null(t.column("d_present"), 0).to_numpy(
+            zero_copy_only=False).astype(bool)
+        same = np.ones(n, dtype=bool)
+        for c in cmp_list:
+            lb = t.column(f"b_{c}")
+            ld = t.column(f"d_{c}")
+            eq = pc.fill_null(pc.equal(lb, ld), False).to_numpy(
+                zero_copy_only=False)
+            both_null = pc.and_(pc.is_null(lb), pc.is_null(ld)).to_numpy(
+                zero_copy_only=False)
+            same &= (eq | both_null)
+        status = np.where(~in_b, "added",
+                          np.where(~in_d, "removed",
+                                   np.where(same, "unchanged", "changed")))
+        cols = {k: t.column(k) for k in keys}
+        cols["status"] = pa.array(status.tolist(), type=pa.string())
+        return pa.table(cols)
+
+    return joined.map_batches(classify, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -237,6 +237,58 @@ def q_upsert_events(sf_dir: str):
     return upsert(base, delta, "event_id")
 
 
+@_q("q_snapshot_diff",
+    "WITH b AS (SELECT event_id, event_type, value FROM events "
+    "WHERE event_id % 5 <> 0), "
+    "d AS (SELECT event_id, event_type, CASE WHEN event_id % 3 = 0 "
+    "THEN value * 2 ELSE value END AS value FROM events "
+    "WHERE event_id % 7 <> 0) "
+    "SELECT coalesce(b.event_id, d.event_id) AS event_id, "
+    "CASE WHEN b.event_id IS NULL THEN 'added' "
+    "WHEN d.event_id IS NULL THEN 'removed' "
+    "WHEN b.event_type = d.event_type AND b.value = d.value "
+    "THEN 'unchanged' ELSE 'changed' END AS status "
+    "FROM b FULL JOIN d ON d.event_id = b.event_id")
+def q_snapshot_diff(sf_dir: str):
+    """Recrawl snapshot diff (ops/merge.py::snapshot_diff): two
+    synthetic crawls of the events table (the old one missing every
+    5th key, the new one missing every 7th and re-observing every 3rd
+    with doubled value) classified added/removed/changed/unchanged per
+    key — one bucketed full-outer exchange moving only keys + compared
+    columns.  check_exact vs the DuckDB full-join oracle."""
+    import pyarrow.compute as pc
+
+    from .ops.merge import snapshot_diff
+
+    cols = ["event_id", "event_type", "value"]
+    ev = _t(sf_dir, "events", columns=cols)
+
+    def mk_base(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        return b.filter(pa.array(eid % 5 != 0))
+
+    def mk_delta(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        t = b.filter(pa.array(eid % 7 != 0))
+        eid = t.column("event_id").to_numpy()
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "value": pa.array(np.where(eid % 3 == 0, v * 2.0, v))})
+
+    sch = pa.schema([("event_id", pa.int64()),
+                     ("event_type", pa.string()),
+                     ("value", pa.float64())])
+    return snapshot_diff(
+        ev.map_batches(mk_base, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ev.map_batches(mk_delta, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "event_id", cmp_cols=["event_type", "value"],
+        base_schema=sch, delta_schema=sch)
+
+
 @_q("q_scd2_history",
     "WITH f AS (SELECT user_id, value AS v, ts, row_number() OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), "
