@@ -78,7 +78,7 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_bib_coupling_urls", "q_rrf_pages",
                  "q_upsert_events", "q_decontaminate_ngram",
                  "q_token_budget", "q_scd2_history", "q_salsa_urls",
-                 "q_snapshot_diff"]
+                 "q_snapshot_diff", "q_search_postings"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",
@@ -94,7 +94,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_token_percentiles_sketch", "q_decontaminate_bloom", "q_span_dedup",
     "q_substring_dedup",
     "q_pack_sequences", "q_bpe_train", "q_unigram_train",
-    "q_unigram_encode", "q_normalize_text",
+    "q_unigram_encode", "q_search_bm25", "q_normalize_text",
     "q_mixture_resample",
     "q_lm_score", "q_lm_score_bigram", "q_dsir_sample", "q_learned_filter",
     "q_learned_filter_auc", "q_split_leakage_free",

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -578,6 +580,51 @@ def q_bpe_train(sf_dir: str):
 
     return enc.map_batches(counts, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+@_q("q_search_postings",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+    "WHERE term <> '' GROUP BY doc_id, term), "
+    "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf "
+    "GROUP BY doc_id) "
+    "SELECT t.term, t.doc_id, t.tf, d.dl FROM tf t "
+    "JOIN dl d ON d.doc_id = t.doc_id")
+def q_search_postings(sf_dir: str):
+    """Inverted-index postings layer (functions/search.py::build_index):
+    (term, doc_id, tf, dl) rows with the doc length DENORMALIZED in —
+    the layout that makes BM25 queries join-free.  Hive-partitioned by
+    term-hash bucket on disk so a query reads only its terms' buckets.
+    check_exact vs the DuckDB tokenize+join oracle."""
+    import shutil
+
+    from .functions.search import build_index
+
+    idx = f"/tmp/hgr_search/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(_docs(sf_dir, ["doc_id", "text"]), idx, num_buckets=16)
+    return (rd.read_parquet(f"{idx}/postings")
+            .select_columns(["term", "doc_id", "tf", "dl"]))
+
+
+@_q("q_search_bm25")
+def q_search_bm25(sf_dir: str):
+    """BM25 top-10 from the built index (functions/search.py::
+    query_index) for a fixed 3-term query: the read touches only the
+    query terms' bucket directories (pruning at the read).  Rows-only
+    at the gate (float scores); exact parity with the full-scan
+    bm25_scores operator is pinned in tests/test_search.py."""
+    import shutil
+
+    from .functions.search import build_index, query_index
+
+    idx = f"/tmp/hgr_search/bm25_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(_docs(sf_dir, ["doc_id", "text"]), idx, num_buckets=16)
+    top, _ = query_index(idx, ["data", "model", "graph"], k=10)
+    top["score"] = top["score"].round(9)
+    return top
 
 
 @_q("q_unigram_train")
