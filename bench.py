@@ -125,6 +125,25 @@ def run_bench() -> dict:
         g.offsets, wd)
     t_core = time.time() - t8
 
+    from halvesting_geometric_ray.graph.salsa import salsa
+
+    t9 = time.time()
+    salsa_ds, _ = salsa(edges, g.offsets, wd)
+    salsa_ds.count()
+    t_salsa = time.time() - t9
+
+    from halvesting_geometric_ray.graph.simrank import simrank_mc
+    from halvesting_geometric_ray.ops.agg import grouped_aggregate
+
+    t10 = time.time()
+    deg = grouped_aggregate(edges.select_columns(["src"]), ["src"],
+                            {"deg": ("count", None)})
+    seeds = (deg.sort(["deg", "src"], descending=[True, False])
+             .limit(32).to_pandas()["src"].to_numpy())
+    simrank_mc(edges, g.offsets, wd, seeds, walk_len=10,
+               walks_per_seed=128)
+    t_simrank = time.time() - t10
+
     queries: dict = {
         "graph_build": round(t_build, 3),
         "pagerank": round(t_pr, 3),
@@ -136,6 +155,8 @@ def run_bench() -> dict:
         "random_walks_len8": round(t_walks, 3),
         "scc": round(t_scc, 3),
         "coreness": round(t_core, 3),
+        "salsa": round(t_salsa, 3),
+        "simrank_32seeds": round(t_simrank, 3),
     }
 
     # sample of conformance queries over the sf tables
@@ -156,7 +177,8 @@ def run_bench() -> dict:
                  "q_dedup_exact", "q_span_dedup", "q_substring_dedup",
                  "q_tfidf",
                  "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
-                 "q_knn_cosine_pq", "q_edit_neardup"]:
+                 "q_knn_cosine_pq", "q_edit_neardup",
+                 "q_unigram_train", "q_search_bm25"]:
         t = time.time()
         res = QT.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
