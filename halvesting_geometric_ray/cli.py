@@ -202,6 +202,20 @@ def main(argv=None) -> int:
     sp.add_argument("--stats", action="store_true")
     common(sp)
 
+    sp = sub.add_parser("index", help="build a BM25 inverted index "
+                        "(hive-partitioned postings by term-hash bucket)")
+    sp.add_argument("--docs", required=True,
+                    help="parquet with (doc_id, text)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--num-buckets", type=int, default=64)
+
+    sp = sub.add_parser("search", help="BM25 top-k from a built index "
+                        "(reads only the query terms' buckets)")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--query", required=True,
+                    help="space-separated query terms")
+    sp.add_argument("--k", type=int, default=10)
+
     args = p.parse_args(argv)
     ray = _session()
     try:
@@ -275,6 +289,26 @@ def main(argv=None) -> int:
                 batch_format="pyarrow").sum("n")
             print(json.dumps({"rows": int(n), "survivors": int(survivors),
                               "dropped": int(n - survivors)}))
+            return 0
+
+        if args.cmd == "index":
+            from .functions.search import build_index
+
+            ds = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+            meta = build_index(ds, args.out,
+                               num_buckets=args.num_buckets)
+            print(json.dumps({"index": meta}))
+            return 0
+        if args.cmd == "search":
+            from .functions.search import query_index
+
+            top, sinfo = query_index(args.index, args.query.split(),
+                                     k=args.k)
+            print(json.dumps({"search": {
+                "buckets_read": sinfo["buckets_read"],
+                "hits": [{"doc_id": int(r.doc_id),
+                          "score": round(float(r.score), 6)}
+                         for r in top.itertuples()]}}))
             return 0
 
         if args.config:

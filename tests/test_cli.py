@@ -191,3 +191,18 @@ def test_cli_salsa_simrank(tmp_path, capsys, tiny_pages_dir):
 
     sim = pd.read_parquet(os.path.join(wd, "simrank.parquet"))
     assert (sim[sim.a == sim.b].simrank == 1.0).all()
+
+
+def test_cli_index_search(tmp_path, capsys):
+    p, _ = _docs_parquet(tmp_path)
+    idx = str(tmp_path / "idx")
+    assert main(["index", "--docs", p, "--out", idx,
+                 "--num-buckets", "8"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["index"]
+    assert meta["n_docs"] == 60
+    assert main(["search", "--index", idx, "--query", "tok1 tok2",
+                 "--k", "3"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["search"]
+    assert len(res["buckets_read"]) <= 2
+    assert len(res["hits"]) == 3
+    assert res["hits"][0]["score"] >= res["hits"][-1]["score"]
