@@ -104,7 +104,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_link_prediction_auc", "q_feature_propagation",
     "q_landmark_distances", "q_simrank",
     "q_bowtie", "q_ktruss",
-    "q_betweenness", "q_host_graph", "q_url_canonical",
+    "q_betweenness", "q_host_graph", "q_host_backbone_mst",
+    "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
     "q_pca_whiten",

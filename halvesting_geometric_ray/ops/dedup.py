@@ -456,26 +456,29 @@ def substring_dedup(docs, min_len: int = 50, min_count: int = 2,
                             zero_copy_batch=True)
 
 
-def keep_min_by(ds, key_cols: List[str], order_col: str,
+def keep_min_by(ds, key_cols: List[str], order_col,
                 num_parts: int = 16):
     """Keep, per distinct `key_cols` value, exactly the row with the
     MINIMAL `order_col` (the deterministic-winner subset-key dedup:
-    "first copy by id wins").  One key-partitioned exchange; the
-    combiner keeps only each batch's local winner per key, so duplicate
-    mass collapses before it moves.  Full rows pass through."""
+    "first copy by id wins").  `order_col` may be a list of columns for
+    a lexicographic order (e.g. Boruvka's (w, u, v) total edge order).
+    One key-partitioned exchange; the combiner keeps only each batch's
+    local winner per key, so duplicate mass collapses before it moves.
+    Full rows pass through."""
     import polars as pl
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    ords = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def local(b: pa.Table) -> pa.Table:
-        df = (pl.from_arrow(b).sort(keys + [order_col])
+        df = (pl.from_arrow(b).sort(keys + ords)
               .unique(subset=keys, keep="first", maintain_order=True))
         t = cast_like(df.to_arrow(), b.schema)
         return _add_key_part(t, keys, num_parts)
 
     def per_part(g: pa.Table) -> pa.Table:
         df = (pl.from_arrow(g.drop_columns([_PART_COL]))
-              .sort(keys + [order_col])
+              .sort(keys + ords)
               .unique(subset=keys, keep="first", maintain_order=True))
         want = g.schema.remove(g.schema.get_field_index(_PART_COL))
         return cast_like(df.to_arrow(), want)

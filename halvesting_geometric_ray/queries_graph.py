@@ -1985,3 +1985,53 @@ def q_modularity(sf_dir: str):
         lambda b: b.append_column(
             "q_x1e9", pa.array([qx] * b.num_rows, type=pa.int64())),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_host_backbone_mst")
+def q_host_backbone_mst(sf_dir: str):
+    """Maximum-weight spanning forest of the host graph (graph/mst.py,
+    Boruvka 1926 over the n_links-weighted contraction) — the classic
+    "crawl backbone": the strongest inter-host link skeleton touching
+    every host.  Max-forest = min-forest on negated weights; the
+    (w, u, v) lexicographic tiebreak makes the edge SET unique and
+    partitioning-invariant.  Rows-only at the gate; the operator is
+    certified edge-set-exact vs a sequential Kruskal oracle plus a
+    scipy total-weight cross-check in tests/test_mst.py.  Returned as
+    host-name pairs via broadcast_lookup (bounded small side)."""
+    from .graph.hostgraph import host_graph
+    from .graph.mst import minimum_spanning_forest
+    from .ops.join import broadcast_lookup
+
+    g = graph_for(sf_dir)
+    hv, he, _ = host_graph(read_layer(g.vertices), read_layer(g.edges),
+                           drop_self_loops=True)
+
+    def neg_w(b: pa.Table) -> pa.Table:
+        w = b.column("n_links").to_numpy(zero_copy_only=False)
+        return pa.table({"src_h": b.column("src_h"),
+                         "dst_h": b.column("dst_h"),
+                         "negw": pa.array(-w.astype(np.float64))})
+
+    msf, info = minimum_spanning_forest(
+        he.map_batches(neg_w, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        src="src_h", dst="dst_h", weight_col="negw",
+        num_parts=DEFAULT.num_parts)
+    hv = hv.materialize()
+    host_map = pa.concat_tables(
+        [pa.table({"hid": b.column("hid"), "host_u": b.column("host")})
+         for b in hv.iter_batches(batch_format="pyarrow")])
+
+    named = broadcast_lookup(msf, "u", host_map, "hid", ["host_u"])
+    named = broadcast_lookup(
+        named, "v", host_map.rename_columns(["hid", "host_v"]),
+        "hid", ["host_v"])
+
+    def fin(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({"host_u": b.column("host_u"),
+                         "host_v": b.column("host_v"),
+                         "n_links": pa.array((-w).astype(np.int64))})
+
+    return named.map_batches(fin, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -217,13 +217,21 @@ def test_binary_decode_stub():
 
     import pyarrow as pa
 
-    # real mode decodes PNG (tests/test_png.py); non-PNG payloads
-    # still raise — those codecs are absent from this container
+    # real mode decodes PNG/BMP/WAV/JPEG (tests/test_png.py /
+    # test_jpeg.py); payloads with an unrecognized signature still
+    # raise NotImplementedError (those codecs are absent from this
+    # container), and a recognized-but-corrupt stream raises
+    # ValueError from its decoder
     t = pa.table({"url": pa.array(["a"]),
-                  "html": pa.array([b"\xff\xd8notapng"],
+                  "html": pa.array([b"\x00\x01notacodec"],
                                    type=pa.binary())})
     with _pt.raises(NotImplementedError):
         DecodeStage(mode="real")(t)
+    t2 = pa.table({"url": pa.array(["b"]),
+                   "html": pa.array([b"\xff\xd8notajpeg"],
+                                    type=pa.binary())})
+    with _pt.raises(ValueError):
+        DecodeStage(mode="real")(t2)
 
 
 def test_embed_neardup_lsh_recall():
