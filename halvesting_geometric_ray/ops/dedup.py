@@ -607,3 +607,125 @@ def ngram_decontaminate(docs, bench, *, n: int = 13,
 
     return docs.map_batches(flag, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def boilerplate_strip(docs, group_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      min_docs: int = 2, sep: str = "\n",
+                      num_parts: int = 16,
+                      broadcast_cap: int = 20_000_000):
+    """Group-scoped boilerplate-line removal — the template-stripping
+    pass of web curation (nav bars, footers, cookie banners: lines
+    repeated across a HOST's pages, cf. the C4/RefinedWeb cleaning
+    recipes).  A non-blank line is boilerplate within a `group_col`
+    value (host / source / template family) when it occurs in >=
+    `min_docs` DISTINCT documents of that group; every copy of a
+    boilerplate line is stripped from that group's documents (unlike
+    line_dedup, which keeps one global winner copy).  Documents
+    retaining zero lines are omitted.  Returns (id_col, text_clean)
+    with kept lines re-joined in original order.
+
+    Scale shape: the counting side moves only per-batch PARTIAL
+    (group, line, ndocs) rows (a document's lines never span batches,
+    so distinct-doc partials sum exactly) into one combiner-backed
+    grouped sum; the boilerplate key set — frequent lines only, tiny
+    relative to the corpus — broadcasts for an anti semi-join under
+    `broadcast_cap`, falling back to a bucketed hash-join anti past
+    it; one final id-partitioned exchange reassembles documents.
+    Driver state is bounded by the broadcast cap, never O(corpus).
+    """
+    import polars as pl
+
+    from .agg import grouped_aggregate
+    from .join import broadcast_semi, hash_join
+
+    sepcol = "\x00"  # cannot appear inside a line (line split on sep)
+
+    def explode(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select([group_col, id_col, text_col]))
+              .with_columns(pl.col(text_col).str.split(sep).alias("__ls"))
+              .with_columns(pl.int_ranges(pl.col("__ls").list.len())
+                            .alias("__pos"))
+              .explode(["__ls", "__pos"])
+              .rename({"__ls": "line", "__pos": "pos"})
+              .filter(pl.col("line").str.strip_chars().str.len_bytes() > 0)
+              .with_columns((pl.col(group_col) + pl.lit(sepcol)
+                             + pl.col("line")).alias("__k"))
+              .select([id_col, "line", "pos", "__k"]))
+        want = pa.schema([pa.field(id_col, pa.int64()),
+                          pa.field("line", pa.string()),
+                          pa.field("pos", pa.int64()),
+                          pa.field("__k", pa.string())])
+        return cast_like(df.to_arrow(), want)
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(b.select([id_col, "__k"]))
+              .unique(subset=[id_col, "__k"])
+              .group_by("__k").agg(pl.len().cast(pl.Int64).alias("nd")))
+        return cast_like(df.to_arrow(),
+                         pa.schema([pa.field("__k", pa.string()),
+                                    pa.field("nd", pa.int64())]))
+
+    counts = grouped_aggregate(
+        exploded.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["__k"], {"ndocs": ("sum", "nd")}, num_parts=num_parts)
+    boiler = counts.filter(expr=f"ndocs >= {int(min_docs)}") \
+                   .select_columns(["__k"]).materialize()
+
+    n_boiler = boiler.count()
+    if n_boiler == 0:  # nothing repeated: every exploded row survives
+        kept = exploded
+    elif n_boiler <= broadcast_cap:
+        kept = broadcast_semi(exploded, "__k",
+                              pa.concat_tables(list(boiler.iter_batches(
+                                  batch_format="pyarrow"))),
+                              "__k", anti=True)
+    else:  # bucketed anti: left join an indicator, keep the misses
+        marked = boiler.map_batches(
+            lambda b: b.append_column(
+                "__hit", pa.array([1] * b.num_rows, type=pa.int64())),
+            batch_format="pyarrow", zero_copy_batch=True)
+        j = hash_join(
+            exploded, marked, on="__k", right_on="__k",
+            join_type="left", num_parts=num_parts,
+            left_schema=pa.schema([pa.field(id_col, pa.int64()),
+                                   pa.field("line", pa.string()),
+                                   pa.field("pos", pa.int64()),
+                                   pa.field("__k", pa.string())]),
+            right_schema=pa.schema([pa.field("__k", pa.string()),
+                                    pa.field("__hit", pa.int64())]))
+
+        def misses(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.is_null(b.column("__hit"))) \
+                    .drop_columns(["__hit"])
+
+        kept = j.map_batches(misses, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def to_parts(b: pa.Table) -> pa.Table:
+        return _add_key_part(b.drop_columns(["__k"]), [id_col], num_parts)
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g.drop_columns([_PART_COL]))
+              .sort([id_col, "pos"])
+              .group_by(id_col, maintain_order=True)
+              .agg(pl.col("line"))
+              .with_columns(pl.col("line").list.join(sep)
+                            .alias("text_clean"))
+              .select([id_col, "text_clean"])
+              .sort(id_col))
+        want = pa.schema([pa.field(id_col, pa.int64()),
+                          pa.field("text_clean", pa.string())])
+        return cast_like(df.to_arrow(), want)
+
+    parts = kept.map_batches(to_parts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (pre_shuffle(parts).groupby(_PART_COL)
+            .map_groups(rebuild, batch_format="pyarrow",
+                        retry_exceptions=True))

@@ -1531,6 +1531,46 @@ def q_line_dedup(sf_dir: str):
                       id_col="doc_id", text_col="text")
 
 
+# ---- host/template boilerplate stripping --------------------------------
+
+_BOILERPLATE_SQL = """
+WITH exploded AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents
+),
+nonempty AS (SELECT * FROM exploded WHERE trim(line) <> ''),
+freq AS (SELECT source, line, count(DISTINCT doc_id) AS ndocs
+         FROM nonempty GROUP BY source, line),
+kept AS (SELECT n.doc_id, n.line, n.pos FROM nonempty n JOIN freq f
+         ON n.source = f.source AND n.line = f.line
+         WHERE f.ndocs < 2)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+FROM kept GROUP BY doc_id
+"""
+
+
+@_q("q_boilerplate_strip", _BOILERPLATE_SQL)
+def q_boilerplate_strip(sf_dir: str):
+    """Group-scoped boilerplate-line removal (ops/dedup.py::
+    boilerplate_strip): a non-blank line repeated in >= 2 distinct
+    documents of the same `source` is stripped from EVERY document of
+    that source (template/nav/footer cleaning — the RefinedWeb-style
+    pass next to C4's global line_dedup).  The sf documents are
+    single-line and globally unique, so the gate run degenerates to
+    identity; the real multi-line semantics are certified against the
+    same DuckDB oracle on a crafted multi-host corpus in
+    tests/test_text_dedup.py (broadcast and bucketed-anti paths).
+
+    Demoted to _ORACLED_TAIL (the 50-slot recorded window is full);
+    SQL stays registered for the full-sweep gate replica."""
+    from .ops.dedup import boilerplate_strip
+
+    return boilerplate_strip(_docs(sf_dir, ["doc_id", "text", "source"]),
+                             group_col="source", min_docs=2)
+
+
 # ---- TF-IDF (functions/tfidf.py) ---------------------------------------
 
 @_q("q_tfidf",

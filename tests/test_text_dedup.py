@@ -458,3 +458,106 @@ def test_line_dedup_partitioning_invariant():
     for o in outs[1:]:
         assert (o.doc_id.to_numpy() == outs[0].doc_id.to_numpy()).all()
         assert (o.text_dedup.to_numpy() == outs[0].text_dedup.to_numpy()).all()
+
+
+def _hosted_boiler_corpus(n=60, seed=3):
+    """Multi-host corpus: per-host nav/footer templates (boilerplate
+    within the host), a line shared ACROSS hosts but unique within each
+    (must survive group scoping), in-doc repeats, blanks, empty docs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        host = f"host{i % 4}"
+        lines = [f"NAV {host} home about"]
+        lines.append(f"unique middle {i} " + " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"], 5)))
+        if i in (0, 5, 10, 15):
+            # exactly once per host -> below min_docs=2 within a group,
+            # even though it exists on all 4 hosts
+            lines.append("cross host rare line")
+        if i % 3 == 0:
+            lines.append(lines[1])  # in-doc repeat of a unique line
+        lines.append("")
+        if i % 5 != 2:
+            lines.append(f"copyright {host}")
+        if i % 17 == 9:
+            lines = [f"NAV {host} home about"]  # all-boilerplate doc
+        rows.append({"doc_id": i, "source": host, "text": "\n".join(lines)})
+    return pd.DataFrame(rows)
+
+
+_BOILER_ORACLE = """
+WITH exploded AS (
+  SELECT doc_id, source, unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents),
+nonempty AS (SELECT * FROM exploded WHERE trim(line) <> ''),
+freq AS (SELECT source, line, count(DISTINCT doc_id) AS ndocs
+         FROM nonempty GROUP BY source, line),
+kept AS (SELECT n.doc_id, n.line, n.pos FROM nonempty n JOIN freq f
+         ON n.source = f.source AND n.line = f.line WHERE f.ndocs < 2)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+FROM kept GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _run_boiler(df, **kw):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.dedup import boilerplate_strip
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+           .repartition(7)
+    return (boilerplate_strip(ds, group_col="source", min_docs=2, **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_boilerplate_strip_matches_duckdb_oracle():
+    import duckdb
+
+    df = _hosted_boiler_corpus()
+    got = _run_boiler(df)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(_BOILER_ORACLE).df()
+    assert len(got) == len(exp)
+    assert (got.doc_id.to_numpy() == exp.doc_id.to_numpy()).all()
+    assert (got.text_clean.to_numpy() == exp.text_clean.to_numpy()).all()
+    joined = "\n".join(got.text_clean)
+    # per-host templates are gone EVERYWHERE (unlike line_dedup's
+    # keep-one-winner), the cross-host-rare line survives in full
+    assert "NAV host0" not in joined and "copyright host1" not in joined
+    assert joined.count("cross host rare line") == 4
+
+
+def test_boilerplate_strip_bucketed_anti_parity():
+    """broadcast_cap=0 forces the bucketed hash-join anti path; output
+    must match the broadcast path exactly."""
+    df = _hosted_boiler_corpus(n=40, seed=9)
+    a = _run_boiler(df)
+    b = _run_boiler(df, broadcast_cap=0)
+    assert (a.doc_id.to_numpy() == b.doc_id.to_numpy()).all()
+    assert (a.text_clean.to_numpy() == b.text_clean.to_numpy()).all()
+
+
+def test_boilerplate_strip_partitioning_invariant():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.dedup import boilerplate_strip
+
+    df = _hosted_boiler_corpus(n=80, seed=21)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    outs = []
+    for nb, parts in ((1, 16), (11, 5)):
+        ds = rd.from_arrow(t).repartition(nb)
+        outs.append(boilerplate_strip(ds, group_col="source",
+                                      min_docs=2, num_parts=parts)
+                    .to_pandas().sort_values("doc_id")
+                    .reset_index(drop=True))
+    assert (outs[0].doc_id.to_numpy() == outs[1].doc_id.to_numpy()).all()
+    assert (outs[0].text_clean.to_numpy()
+            == outs[1].text_clean.to_numpy()).all()
