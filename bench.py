@@ -188,7 +188,8 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_graph as QG
 
     for name in ["q_louvain", "q_word2vec_embeddings",
-                 "q_link_prediction_auc", "q_host_backbone_mst"]:
+                 "q_link_prediction_auc", "q_host_backbone_mst",
+                 "q_ldg_partition"]:
         t = time.time()
         res = QG.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):

@@ -1,0 +1,265 @@
+"""Streaming balanced graph partitioning — batch-synchronous LDG.
+
+Linear Deterministic Greedy (Stanton & Kliot, KDD 2012; the Fennel
+family, Tsourakakis et al. WSDM 2014) is THE practical one-pass web
+partitioner: stream vertices, place each on the block holding most of
+its already-placed neighbors, damped by a balance penalty.  The output
+feeds everything downstream that says "pick ONE partitioning key and
+reuse it": a low-cut balanced block assignment cuts every iterative
+round's exchange volume (PageRank/CC/Louvain messages cross blocks)
+on a multi-node cluster.
+
+Batch-synchronous spec (exactly what the oracle replays):
+
+- vertices are processed in DENSE-VID ORDER in chunks of ``chunk``
+  (CSR partitions in order, each partition's local vids chunked);
+- a chunk is scored against a FROZEN snapshot: block assignments of
+  strictly-earlier chunks and block sizes at chunk start;
+- score_i(u) = n_i(u) * (1 - size_i / cap) with n_i(u) = u's
+  already-assigned neighbors on block i, cap = ceil((1+eps) * N / k);
+- assignment resolves by priority waterfilling: every vertex claims
+  its best block (ties: smaller frozen size, then lower block id);
+  an over-cap block keeps its claimants with the highest
+  (score, lower vid) priority and spills the rest to their next
+  choice — at most k passes, each permanently filling a block.  The
+  hard cap ``size_i <= cap`` can therefore never be violated.
+
+The sequence of (chunk, frozen state) pairs is fully determined by
+(offsets, chunk, k, eps), so the assignment is bitwise deterministic
+and independent of the actor layout — only WHERE the arithmetic runs
+changes with num_actors (pinned in tests/test_partition.py).
+
+Scale shape: assignment state is sharded across the same actors that
+hold the CSR shards (block_of int32 per owned vertex — the "shared
+mutable index" case the Dataset API cannot express); a chunk costs
+one neighbor-lookup fan-out (vids routed to owner actors, block ids
+routed back) + one owner-side vectorized waterfill; the driver holds
+only the k-vector of block sizes and streams chunk deltas.  ``chunk``
+trades staleness for round trips — a hyperparameter like the SGNS
+shard count, NOT a layout knob.
+
+Reference anchor: the reference partitions per-institution by
+construction (halvesting_geometric/link_prediction_datamodule.py's
+per-file loaders); this is the general-graph replacement.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT, EngineConfig
+from .csr import build_csr_shards, load_shard
+from .engine import part_to_actor_map, plan_actors
+
+
+def waterfill_assign(scores: np.ndarray, vids: np.ndarray,
+                     frozen_sizes: np.ndarray, cap: int) -> np.ndarray:
+    """Resolve one chunk's claims against per-block remaining capacity.
+
+    scores: (m, k) float64; vids: (m,) int64 (priority tie-break);
+    frozen_sizes: (k,) int64.  Returns (m,) int32 chosen blocks.
+    Deterministic: preference order per vertex is (score desc,
+    frozen_size asc, block id asc); keep-priority inside an over-full
+    block is (score desc, vid asc).
+    """
+    m, k = scores.shape
+    # preference matrix per row: (-score, frozen_size, block id) — one
+    # flat lexsort over all m*k cells, row as the primary key
+    blk = np.tile(np.arange(k, dtype=np.int64), m)
+    fs = np.tile(frozen_sizes, m)
+    rows_flat = np.repeat(np.arange(m, dtype=np.int64), k)
+    flat = np.lexsort((blk, fs, -scores.ravel(), rows_flat))
+    pref = (flat % k).reshape(m, k)
+    choice_idx = np.zeros(m, dtype=np.int64)  # current preference rank
+    assigned = np.full(m, -1, dtype=np.int32)
+    remaining = (cap - frozen_sizes).astype(np.int64)
+    live = np.arange(m)
+    for _ in range(k):
+        if live.size == 0:
+            break
+        claims = pref[live, choice_idx[live]]
+        placed_mask = np.zeros(live.size, dtype=bool)
+        for b in np.unique(claims):
+            members = np.flatnonzero(claims == b)
+            if remaining[b] <= 0:
+                choice_idx[live[members]] += 1
+                continue
+            if members.size <= remaining[b]:
+                assigned[live[members]] = b
+                remaining[b] -= members.size
+                placed_mask[members] = True
+                continue
+            rows = live[members]
+            prio = np.lexsort((vids[rows], -scores[rows, b]))
+            keep = members[prio[: remaining[b]]]
+            spill = members[prio[remaining[b]:]]
+            assigned[live[keep]] = b
+            remaining[b] = 0
+            placed_mask[keep] = True
+            choice_idx[live[spill]] += 1
+        live = live[~placed_mask]
+    if live.size:  # cap * k >= (1+eps) * N > N: impossible, but guard
+        raise RuntimeError("waterfill: unplaceable vertices remain")
+    return assigned
+
+
+@ray.remote(num_cpus=0)
+class _LdgShardActor:
+    def __init__(self, actor_idx: int, owned: List[int],
+                 paths: Dict[int, str], offsets: np.ndarray,
+                 part2actor: np.ndarray, num_actors: int):
+        self.idx = actor_idx
+        self.owned = owned
+        self.off = offsets
+        self.p2a = part2actor
+        self.A = num_actors
+        self.shards = {p: load_shard(paths[p]) for p in owned}
+        self.block: Dict[int, np.ndarray] = {
+            p: np.full(self.shards[p]["indptr"].size - 1, -1,
+                       dtype=np.int32) for p in owned}
+        self._pending = None  # (part, lo, hi, rows per neighbor)
+
+    def chunk_queries(self, p: int, lo: int, hi: int):
+        """Extract the chunk's adjacency, remember the row layout and
+        return per-actor neighbor vid arrays (None when empty)."""
+        s = self.shards[p]
+        indptr, indices = s["indptr"], s["indices"]
+        starts, ends = indptr[lo:hi], indptr[lo + 1:hi + 1]
+        cnt = ends - starts
+        total = int(cnt.sum())
+        if total == 0:
+            self._pending = (p, lo, hi, np.empty(0, np.int64),
+                             np.empty(0, np.int64), None)
+            return [None] * self.A
+        csum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pos = np.repeat(starts - csum, cnt) + np.arange(total)
+        nbr = indices[pos]
+        row = np.repeat(np.arange(hi - lo, dtype=np.int64), cnt)
+        part = np.searchsorted(self.off, nbr, side="right") - 1
+        dest = self.p2a[part]
+        order = np.argsort(dest, kind="stable")
+        b = np.searchsorted(dest[order], np.arange(self.A + 1))
+        self._pending = (p, lo, hi, row, order, b)
+        n = nbr[order]
+        return [n[b[j]:b[j + 1]] if b[j + 1] > b[j] else None
+                for j in range(self.A)]
+
+    def lookup(self, vids) -> Optional[np.ndarray]:
+        """Block ids of the given vids (all owned by this actor)."""
+        if isinstance(vids, list):  # A == 1: whole list as one object
+            vids = vids[0]
+        if vids is None:
+            return None
+        part = np.searchsorted(self.off, vids, side="right") - 1
+        out = np.empty(vids.size, dtype=np.int32)
+        for p in self.owned:
+            m = part == p
+            if m.any():
+                out[m] = self.block[p][vids[m] - self.shards[p]["vid_lo"]]
+        return out
+
+    def assign_chunk(self, k: int, cap: int, frozen_sizes: np.ndarray,
+                     *lookups) -> np.ndarray:
+        """Score the pending chunk against the looked-up neighbor
+        blocks, waterfill, store assignments; return per-block delta."""
+        p, lo, hi, row, order, b = self._pending
+        self._pending = None
+        m = hi - lo
+        counts = np.zeros((m, k), dtype=np.int64)
+        if b is not None and order.size:
+            nblk_sorted = np.empty(order.size, dtype=np.int32)
+            for j, lk in enumerate(lookups):
+                if lk is not None:
+                    nblk_sorted[b[j]:b[j + 1]] = lk
+            # sorted position j holds original position order[j]
+            nblk = np.empty(order.size, dtype=np.int32)
+            nblk[order] = nblk_sorted
+            keep = nblk >= 0
+            if keep.any():
+                np.add.at(counts, (row[keep], nblk[keep]), 1)
+        scores = counts * (1.0 - frozen_sizes / float(cap))
+        vids = np.arange(lo, hi, dtype=np.int64) + \
+            self.shards[p]["vid_lo"]
+        chosen = waterfill_assign(scores, vids, frozen_sizes, cap)
+        self.block[p][lo:hi] = chosen
+        return np.bincount(chosen, minlength=k).astype(np.int64)
+
+    def result_tables(self):
+        out = []
+        for p in self.owned:
+            lo = self.shards[p]["vid_lo"]
+            blk = self.block[p]
+            out.append(pa.table({
+                "vid": pa.array(np.arange(lo, lo + blk.size,
+                                          dtype=np.int64)),
+                "block": pa.array(blk.astype(np.int32)),
+            }))
+        return out
+
+
+def ldg_partition(sym_edges, offsets: np.ndarray, workdir: str,
+                  cfg: EngineConfig = DEFAULT, *, k: int = 8,
+                  eps: float = 0.1, chunk: int = 4096,
+                  num_actors: int = 0,
+                  shards_dir: Optional[str] = None
+                  ) -> Tuple["rd.Dataset", Dict]:
+    """Batch-synchronous LDG over a SYMMETRIZED edge table.
+
+    Returns (ds(vid, block), info) with info = {k, cap, sizes,
+    n_chunks, wall_sec}.  ``chunk`` is a HYPERPARAMETER of the
+    assignment (staleness window), not a layout knob; results are
+    bitwise layout-independent for fixed (offsets, chunk, k, eps).
+    """
+    off = np.asarray(offsets, dtype=np.int64)
+    N = int(off[-1])
+    num_parts = len(off) - 1
+    if k < 1:
+        raise ValueError("ldg_partition: k must be >= 1")
+    cap = int(np.ceil((1.0 + eps) * N / k)) if N else 0
+    descs = build_csr_shards(sym_edges, off,
+                             shards_dir or f"{workdir}/csr_sym",
+                             lineage={"kind": "sym"})
+    paths = {dd["part"]: dd["path"] for dd in descs}
+    owned = plan_actors(num_parts, num_actors)
+    A = len(owned)
+    p2a = part_to_actor_map(owned, num_parts)
+    actors = [_LdgShardActor.remote(i, owned[i], paths, off, p2a, A)
+              for i in range(A)]
+    sizes = np.zeros(k, dtype=np.int64)
+    n_chunks = 0
+    t0 = time.time()
+    try:
+        for p in range(num_parts):
+            owner = actors[p2a[p]]
+            n_local = int(off[p + 1] - off[p])
+            for lo in range(0, n_local, chunk):
+                hi = min(lo + chunk, n_local)
+                if A > 1:
+                    qrefs = list(owner.chunk_queries.options(
+                        num_returns=A).remote(p, lo, hi))
+                else:  # single return IS the 1-element list
+                    qrefs = [owner.chunk_queries.remote(p, lo, hi)]
+                lrefs = [actors[j].lookup.remote(qrefs[j])
+                         for j in range(A)]
+                sizes += ray.get(owner.assign_chunk.remote(
+                    k, cap, sizes, *lrefs))
+                n_chunks += 1
+        tables = [t for ref in [a.result_tables.remote() for a in actors]
+                  for t in ray.get(ref)]
+    finally:
+        for a in actors:
+            ray.kill(a)
+    info = {"k": k, "cap": cap, "sizes": sizes.tolist(),
+            "n_chunks": n_chunks, "n": N,
+            "wall_sec": round(time.time() - t0, 4)}
+    tables = [t for t in tables if t.num_rows] or [pa.schema(
+        [pa.field("vid", pa.int64()),
+         pa.field("block", pa.int32())]).empty_table()]
+    return rd.from_arrow(tables), info
