@@ -57,7 +57,8 @@ def main(argv=None) -> int:
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
                  "sssp", "katz", "louvain", "node2vec", "localcluster",
-                 "embed", "linkpred", "propagate", "salsa", "simrank"):
+                 "embed", "linkpred", "propagate", "salsa", "simrank",
+                 "partition"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -144,6 +145,13 @@ def main(argv=None) -> int:
             sp.add_argument("--seed-vid", type=int, required=True)
             sp.add_argument("--alpha", type=float, default=0.15)
             sp.add_argument("--eps", type=float, default=1e-6)
+        if name == "partition":
+            sp.add_argument("--k", type=int, default=8)
+            sp.add_argument("--eps", type=float, default=0.1)
+            sp.add_argument("--chunk", type=int, default=4096)
+            sp.add_argument("--relabel", action="store_true",
+                            help="also write block-major relabeled "
+                                 "vertex/edge layers + offsets")
         if name == "simrank":
             sp.add_argument("--seeds", default=None,
                             help="comma-separated seed vids; default = "
@@ -398,6 +406,35 @@ def main(argv=None) -> int:
                             "cc_iters": info["cc_iters"],
                             "total_authority": info["total_authority"],
                             "total_hub": info["total_hub"]}
+        if args.cmd == "partition":
+            import os
+
+            import numpy as np
+
+            from .graph.build import symmetrize
+            from .graph.partition import (ldg_partition, partition_cut,
+                                          relabel_by_blocks)
+
+            sym = symmetrize(edges, drop_self_loops=True, dedup=False)
+            blocks, pinfo = ldg_partition(sym, g.offsets, args.workdir,
+                                          cfg, k=args.k, eps=args.eps,
+                                          chunk=args.chunk)
+            blocks = blocks.materialize()
+            blocks.write_parquet(os.path.join(args.workdir, "blocks"))
+            cut = partition_cut(edges, blocks,
+                                num_parts=cfg.num_parts)
+            out["partition"] = {**pinfo, **cut}
+            if args.relabel:
+                verts = read_layer(g.vertices,
+                                   columns=["url", "vid"])
+                v2, e2, off2 = relabel_by_blocks(
+                    verts, edges, blocks, args.k,
+                    num_parts=cfg.num_parts)
+                v2.write_parquet(os.path.join(args.workdir,
+                                              "vertices_bm"))
+                e2.write_parquet(os.path.join(args.workdir,
+                                              "edges_bm"))
+                out["partition"]["offsets_bm"] = off2.tolist()
         if args.cmd == "simrank":
             import os
 

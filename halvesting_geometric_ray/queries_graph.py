@@ -2047,7 +2047,7 @@ def q_ldg_partition(sf_dir: str):
     cap, actor-layout invariance and planted-community cut quality
     are pinned in tests/test_partition.py.  Returns (url, block) plus
     the achieved edge-cut fraction as a constant column."""
-    from .graph.partition import ldg_partition
+    from .graph.partition import ldg_partition, partition_cut
     from .ops.join import hash_join
 
     g = graph_for(sf_dir)
@@ -2056,33 +2056,9 @@ def q_ldg_partition(sf_dir: str):
     blocks, info = ldg_partition(sym, g.offsets, g.workdir, k=8,
                                  chunk=4096)
     blocks = blocks.materialize()
-
-    # achieved cut: join the assignment onto both edge endpoints
+    cut = partition_cut(e, blocks, num_parts=DEFAULT.num_parts)
+    cut_x1e9 = int(round(cut["cut_fraction"] * 10**9))
     b_schema = pa.schema([("vid", pa.int64()), ("block", pa.int32())])
-    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-    j = hash_join(e, blocks, on="src", right_on="vid",
-                  num_parts=DEFAULT.num_parts,
-                  left_schema=e_schema, right_schema=b_schema)
-    j = j.map_batches(lambda b: b.rename_columns(
-        ["src_block" if c == "block" else c for c in b.column_names]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    j = hash_join(j, blocks, on="dst", right_on="vid",
-                  num_parts=DEFAULT.num_parts,
-                  left_schema=e_schema.append(
-                      pa.field("src_block", pa.int32())),
-                  right_schema=b_schema)
-
-    def cut_partial(b: pa.Table) -> pa.Table:
-        sb = b.column("src_block").to_numpy(zero_copy_only=False)
-        db = b.column("block").to_numpy(zero_copy_only=False)
-        return pa.table({"cut": pa.array([int((sb != db).sum())]),
-                         "tot": pa.array([b.num_rows])})
-
-    parts = j.map_batches(cut_partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-    n_cut = int(parts.sum("cut") or 0)
-    n_tot = int(parts.sum("tot") or 0)
-    cut_x1e9 = int(round(n_cut / n_tot * 10**9)) if n_tot else 0
 
     verts = read_layer(g.vertices, columns=["url", "vid"])
     out = hash_join(verts, blocks, on="vid", right_on="vid",

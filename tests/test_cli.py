@@ -206,3 +206,28 @@ def test_cli_index_search(tmp_path, capsys):
     assert len(res["buckets_read"]) <= 2
     assert len(res["hits"]) == 3
     assert res["hits"][0]["score"] >= res["hits"][-1]["score"]
+
+
+def test_cli_partition(tmp_path, capsys, tiny_pages_dir):
+    """`partition`: LDG blocks + cut report; --relabel writes the
+    block-major layers whose offsets are the block boundaries."""
+    wd = str(tmp_path / "wd_part")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["partition", "--workdir", wd, "--k", "4",
+                 "--chunk", "64", "--relabel"]) == 0
+    out = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["partition"]
+    assert out["k"] == 4
+    assert max(out["sizes"]) <= out["cap"]
+    assert 0.0 <= out["cut_fraction"] <= 1.0
+    blocks = rd.read_parquet(os.path.join(wd, "blocks")).to_pandas()
+    assert sorted(blocks.columns) == ["block", "vid"]
+    assert blocks.vid.nunique() == len(blocks)
+    v2 = rd.read_parquet(os.path.join(wd, "vertices_bm")).to_pandas()
+    e2 = rd.read_parquet(os.path.join(wd, "edges_bm"))
+    assert len(v2) == len(blocks)
+    assert sorted(v2.vid.tolist()) == list(range(len(v2)))
+    assert e2.count() > 0
+    assert out["offsets_bm"][-1] == len(v2)

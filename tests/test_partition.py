@@ -202,3 +202,85 @@ def test_balance_under_adversarial_star(tmp_path):
                                offsets=off)
     assert got.block.to_numpy().tolist() == want_block.tolist()
     assert max(info["sizes"]) <= info["cap"] == 50
+
+
+def test_relabel_by_blocks_roundtrip(tmp_path):
+    """Relabel is a bijection onto 0..N-1, blocks become contiguous
+    vid ranges, and the new-offsets edge cut EQUALS the LDG cut."""
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.metrics import edge_cut_report
+    from halvesting_geometric_ray.graph.partition import (
+        partition_cut, relabel_by_blocks)
+
+    n, k = 130, 5
+    pairs = _random_graph(17, n, 420)
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": pairs[:, 0], "dst": pairs[:, 1]}))
+    verts = rd.from_pandas(pd.DataFrame(
+        {"url": [f"u{v}" for v in range(n)],
+         "vid": np.arange(n, dtype=np.int64)}))
+    offsets = np.unique(np.linspace(0, n, 5).astype(np.int64))
+    blocks, info = ldg_partition(edges, offsets, str(tmp_path / "r"),
+                                 EngineConfig(num_parts=4), k=k,
+                                 chunk=16)
+    blocks = blocks.materialize()
+    cut0 = partition_cut(edges, blocks, num_parts=4)
+
+    v2, e2, off2 = relabel_by_blocks(verts, edges, blocks, k,
+                                     num_parts=4)
+    v2p = v2.to_pandas().sort_values("vid").reset_index(drop=True)
+    # bijection onto 0..N-1
+    assert v2p.vid.tolist() == list(range(n))
+    # block sizes become the offsets
+    assert off2.tolist() == np.concatenate(
+        [[0], np.cumsum(info["sizes"])]).tolist()
+    # the physical-layout cut now equals the LDG cut
+    rep = edge_cut_report(e2, off2)
+    assert rep["n_cut"] == cut0["n_cut"]
+    assert rep["n_edges"] == cut0["n_edges"]
+    # old->new preserves adjacency: same multiset of (url_src, url_dst)
+    old_urls = dict(zip(range(n), [f"u{v}" for v in range(n)]))
+    new_urls = dict(zip(v2p.vid, v2p.url))
+    e2p = e2.to_pandas()
+    got = sorted((new_urls[s], new_urls[d])
+                 for s, d in zip(e2p.src, e2p.dst))
+    want = sorted((old_urls[s], old_urls[d]) for s, d in pairs)
+    assert got == want
+
+
+def test_relabel_pagerank_permutation_invariance(tmp_path):
+    """PageRank on the relabeled graph = the permuted PageRank of the
+    original (per-url rank equality) — the layout changes the
+    exchange pattern, never the math."""
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.pagerank import pagerank
+    from halvesting_geometric_ray.graph.partition import relabel_by_blocks
+
+    n, k = 90, 4
+    pairs = _random_graph(29, n, 260)
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": pairs[:, 0], "dst": pairs[:, 1]}))
+    verts = rd.from_pandas(pd.DataFrame(
+        {"url": [f"u{v}" for v in range(n)],
+         "vid": np.arange(n, dtype=np.int64)}))
+    offsets = np.unique(np.linspace(0, n, 4).astype(np.int64))
+    blocks, _ = ldg_partition(edges, offsets, str(tmp_path / "p"),
+                              EngineConfig(num_parts=3), k=k, chunk=16)
+    blocks = blocks.materialize()
+    v2, e2, off2 = relabel_by_blocks(verts, edges, blocks, k,
+                                     num_parts=4)
+
+    r1, _ = pagerank(edges, offsets, str(tmp_path / "pr1"),
+                     resume=False)
+    r2, _ = pagerank(e2.materialize(), off2, str(tmp_path / "pr2"),
+                     resume=False)
+    p1 = r1.to_pandas()
+    p2 = r2.to_pandas()
+    v2p = v2.to_pandas()
+    old = dict(zip(p1.vid, p1["rank"]))
+    new_by_vid = dict(zip(p2.vid, p2["rank"]))
+    new2old = dict(zip(v2p.url, v2p.vid))
+    for u, old_vid in ((f"u{v}", v) for v in range(n)):
+        assert abs(old[old_vid] - new_by_vid[new2old[u]]) < 1e-9
