@@ -130,10 +130,35 @@ def _resolve_roots(chosen, num_parts: int, max_jumps: int = 64):
     return P  # (c, p=root)
 
 
+def _resolve_roots_np(chosen_tbl: pa.Table, max_jumps: int = 64
+                      ) -> pa.Table:
+    """Driver fast path of _resolve_roots: identical math (2-cycle
+    break then pointer jumping) over numpy arrays.  One row per live
+    component (<= #components, shrinking every round), int64 columns
+    only — used below the driver_root_cap, the same regime split as
+    Louvain's contraction (graph/louvain.py small_edge_cap)."""
+    c = chosen_tbl.column("c").to_numpy(zero_copy_only=False)
+    cu = chosen_tbl.column("cu").to_numpy(zero_copy_only=False)
+    cv = chosen_tbl.column("cv").to_numpy(zero_copy_only=False)
+    p = np.where(c == cu, cv, cu)
+    order = np.argsort(c, kind="stable")
+    cs, ps = c[order], p[order]
+    # jump 0: break the unique 2-cycle per tree (smaller endpoint roots)
+    pp = ps[np.searchsorted(cs, ps)]
+    ps = np.where((pp == cs) & (cs < ps), cs, ps)
+    for _ in range(max_jumps):
+        pp = ps[np.searchsorted(cs, ps)]
+        if (pp == ps).all():
+            break
+        ps = pp
+    return pa.table({"c": pa.array(cs), "p": pa.array(ps)})
+
+
 def minimum_spanning_forest(
         edges, *, src: str = "src", dst: str = "dst",
         weight_col: Optional[str] = None, num_parts: int = 16,
-        max_rounds: int = 64) -> Tuple[rd.Dataset, Dict]:
+        max_rounds: int = 64,
+        driver_root_cap: int = 32_000_000) -> Tuple[rd.Dataset, Dict]:
     """Exact minimum spanning forest of the undirected(ified) graph.
 
     Returns ``(msf(u, v, w), info)`` — one row per tree edge of the
@@ -193,21 +218,36 @@ def minimum_spanning_forest(
                                   select=["u", "v", "w"],
                                   num_parts=num_parts).materialize())
 
-        # contract: component -> root of its chosen-edge tree
-        roots = _resolve_roots(chosen, num_parts)  # (c, p)
+        # contract: component -> root of its chosen-edge tree.  One
+        # row per live component; below the cap the fold runs on the
+        # driver (3 int64 arrays) and the relabel is a broadcast —
+        # past it, the distributed join path (identical math).
+        if chosen.count() <= driver_root_cap:
+            roots_tbl = _resolve_roots_np(pa.concat_tables(
+                list(chosen.select_columns(["c", "cu", "cv"])
+                     .iter_batches(batch_format="pyarrow"))))
+            from ..ops.join import broadcast_lookup
 
-        relabeled = hash_join(
-            hash_join(e, roots, on="cu", right_on="c", right_cols=["p"],
-                      num_parts=num_parts, left_schema=e_schema,
-                      right_schema=pa.schema([("c", pa.int64()),
-                                              ("p", pa.int64())])),
-            roots.map_batches(
-                lambda b: b.rename_columns(["c", "q"]),
-                batch_format="pyarrow", zero_copy_batch=True),
-            on="cv", right_on="c", right_cols=["q"], num_parts=num_parts,
-            left_schema=e_schema.append(pa.field("p", pa.int64())),
-            right_schema=pa.schema([("c", pa.int64()),
-                                    ("q", pa.int64())]))
+            relabeled = broadcast_lookup(e, "cu", roots_tbl, "c", ["p"])
+            relabeled = broadcast_lookup(
+                relabeled, "cv", roots_tbl.rename_columns(["c", "q"]),
+                "c", ["q"])
+        else:
+            roots = _resolve_roots(chosen, num_parts)  # (c, p)
+            relabeled = hash_join(
+                hash_join(e, roots, on="cu", right_on="c",
+                          right_cols=["p"], num_parts=num_parts,
+                          left_schema=e_schema,
+                          right_schema=pa.schema([("c", pa.int64()),
+                                                  ("p", pa.int64())])),
+                roots.map_batches(
+                    lambda b: b.rename_columns(["c", "q"]),
+                    batch_format="pyarrow", zero_copy_batch=True),
+                on="cv", right_on="c", right_cols=["q"],
+                num_parts=num_parts,
+                left_schema=e_schema.append(pa.field("p", pa.int64())),
+                right_schema=pa.schema([("c", pa.int64()),
+                                        ("q", pa.int64())]))
 
         def apply_labels(b: pa.Table) -> pa.Table:
             cu = b.column("p").to_numpy(zero_copy_only=False)

@@ -162,3 +162,14 @@ def test_layout_invariance():
         outs.append((sorted((int(r["u"]), int(r["v"]), float(r["w"]))
                             for r in msf.take_all()), info["total_weight"]))
     assert outs[0] == outs[1]
+
+
+def test_driver_and_distributed_root_paths_agree():
+    """driver_root_cap=0 forces the distributed pointer-jumping joins;
+    the MSF edge set must match the (default) driver fold exactly."""
+    rows = random_graph(23, 70, 200)
+    a, ia = run_engine(rows, num_parts=3)
+    b, ib = run_engine(rows, num_parts=3, driver_root_cap=0)
+    assert a == b
+    assert ia["n_components"] == ib["n_components"]
+    assert ia["total_weight"] == pytest.approx(ib["total_weight"])
