@@ -67,7 +67,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_distinct_users_per_type", "q_profile_orders",
                  "q_rollup_events", "q_json_props", "q_range_join",
                  "q_compressibility", "q_except_keys", "q_intersect_keys",
-                 "q_collect_events", "q_stats_lineitem", "q_percent_rank",
+                 "q_collect_events", "q_stats_lineitem", "q_regr_lineitem",
+                 "q_percent_rank",
                  "q_cube_events", "q_condensation_urls",
                  "q_quantiles_prices", "q_mode_event_type",
                  "q_toposort_urls", "q_winsorize_doclen", "q_powerlaw",

@@ -39,7 +39,7 @@ from ._util import cast_like, pre_shuffle
 _PART = "__mom_part"
 
 _UNARY = {"mean", "var", "std"}
-_BINARY = {"covar", "corr"}
+_BINARY = {"covar", "corr", "slope", "intercept", "r2"}
 
 
 def moments_aggregate(ds, keys: List[str],
@@ -47,12 +47,17 @@ def moments_aggregate(ds, keys: List[str],
                       num_parts: int = 16, ddof: int = 1,
                       round_to: int = None):
     """stats: {out_name: (op, col | (x_col, y_col))} with op in
-    mean/var/std (unary) or covar/corr (binary).  var/covar use the
-    sample (ddof=1) convention matching SQL VAR_SAMP/COVAR_SAMP; pass
-    ddof=0 for the population forms.  Groups with n <= ddof get null
-    var/std/covar (SQL semantics); corr is null when either side has
-    zero variance.  round_to rounds every float output (hash-parity
-    discipline for cross-engine comparison)."""
+    mean/var/std (unary) or covar/corr/slope/intercept/r2 (binary).
+    var/covar use the sample (ddof=1) convention matching SQL
+    VAR_SAMP/COVAR_SAMP; pass ddof=0 for the population forms.  The
+    regression ops take src=(x, y) and fit y = slope*x + intercept by
+    ordinary least squares (SQL REGR_SLOPE(y, x) argument order
+    reversed to match covar/corr's (x, y) here); r2 is the squared
+    correlation, SQL REGR_R2.  Groups with n <= ddof get null
+    var/std/covar (SQL semantics); corr/r2 are null when either side
+    has zero variance, slope/intercept when x has zero variance.
+    round_to rounds every float output (hash-parity discipline for
+    cross-engine comparison)."""
     import polars as pl
 
     cols = set()
@@ -133,11 +138,32 @@ def moments_aggregate(ds, keys: List[str],
             elif op == "covar":
                 v = cps(*src) / denom
                 mask = denom_ok
-            else:  # corr
+            elif op == "corr":
                 x, y = src
                 vx, vy = np.maximum(css(x), 0.0), np.maximum(css(y), 0.0)
                 with np.errstate(invalid="ignore", divide="ignore"):
                     v = cps(x, y) / np.sqrt(vx * vy)
+                mask = (vx > 0) & (vy > 0)
+            elif op == "slope":
+                x, y = src
+                vx = np.maximum(css(x), 0.0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    v = cps(x, y) / vx
+                mask = vx > 0
+            elif op == "intercept":
+                x, y = src
+                vx = np.maximum(css(x), 0.0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sl = cps(x, y) / vx
+                v = (t.column(m_s(y)).to_numpy() -
+                     sl * t.column(m_s(x)).to_numpy()) / n
+                mask = vx > 0
+            else:  # r2
+                x, y = src
+                vx, vy = np.maximum(css(x), 0.0), np.maximum(css(y), 0.0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    c = cps(x, y)
+                    v = c * c / (vx * vy)
                 mask = (vx > 0) & (vy > 0)
             if round_to is not None:
                 v = np.round(v, round_to)

@@ -1202,6 +1202,45 @@ def q_stats_lineitem(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_regr_lineitem",
+    "SELECT l_returnflag, "
+    "round(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_qty, "
+    "round(regr_intercept(l_extendedprice, l_quantity), 4) "
+    "AS intercept_price_qty, "
+    "round(regr_r2(l_extendedprice, l_quantity), 10) AS r2_price_qty "
+    "FROM lineitem GROUP BY l_returnflag")
+def q_regr_lineitem(sf_dir: str):
+    """Grouped ordinary-least-squares regression (ops/stats.py::
+    moments_aggregate ops slope/intercept/r2): SQL REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 in the same one-pass raw-moment plan as
+    q_stats_lineitem — no second exchange, the regression is closed
+    form over (n, sx, sy, sxx, syy, sxy).  Rounded on BOTH sides
+    (slope 6dp, intercept 4dp at ~5e4 magnitude, r2 10dp; measured
+    cross-engine deltas are <=1e-10 absolute).  SQL-oracled via the
+    demoted _ORACLED_TAIL; swept by tests/test_queries_relational."""
+    from .ops.stats import moments_aggregate
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = moments_aggregate(
+        ds, ["l_returnflag"],
+        {"slope_price_qty": ("slope", ("l_quantity", "l_extendedprice")),
+         "intercept_price_qty": ("intercept",
+                                 ("l_quantity", "l_extendedprice")),
+         "r2_price_qty": ("r2", ("l_quantity", "l_extendedprice"))},
+        round_to=10)
+
+    def reround(b: pa.Table) -> pa.Table:
+        for col, dp in (("slope_price_qty", 6), ("intercept_price_qty", 4)):
+            v = np.round(b.column(col).to_numpy(zero_copy_only=False), dp)
+            i = b.column_names.index(col)
+            b = b.set_column(i, col, pa.array(v, type=pa.float64()))
+        return b
+
+    return out.map_batches(reround, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_quantiles_prices",
     "SELECT l_returnflag, "
     "quantile_cont(l_extendedprice, 0.25) AS p25, "

@@ -240,3 +240,44 @@ def test_grouped_mode_and_winsorize():
         assert (inner.x_w == inner.x).all()  # untouched interior
     with pytest.raises(ValueError):
         winsorize(rd.from_arrow(tw), ["g"], "x", 0.9, 0.1)
+
+
+def test_regression_match_duckdb():
+    pdf = _rand()
+    out = moments_aggregate(
+        rd.from_pandas(pdf), ["g"],
+        {"slope": ("slope", ("x", "y")),
+         "icept": ("intercept", ("x", "y")),
+         "r2": ("r2", ("x", "y"))},
+        round_to=8).to_pandas()
+    exp = _duck(pdf, "SELECT g, round(regr_slope(y, x), 8) AS slope, "
+                     "round(regr_intercept(y, x), 8) AS icept, "
+                     "round(regr_r2(y, x), 8) AS r2 FROM t GROUP BY g")
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_regression_zero_x_variance_null():
+    pdf = pd.DataFrame({"g": [0] * 4, "x": [3.0] * 4,
+                        "y": [1.0, 2.0, 3.0, 4.0]})
+    out = moments_aggregate(
+        rd.from_pandas(pdf), ["g"],
+        {"slope": ("slope", ("x", "y")),
+         "icept": ("intercept", ("x", "y")),
+         "r2": ("r2", ("x", "y"))}).to_pandas()
+    assert pd.isna(out["slope"].iloc[0])
+    assert pd.isna(out["icept"].iloc[0])
+    assert pd.isna(out["r2"].iloc[0])
+
+
+def test_regression_exact_line():
+    # y = 2x + 1 exactly: slope/intercept recovered, r2 == 1
+    pdf = pd.DataFrame({"g": [0] * 6, "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    pdf["y"] = 2.0 * pdf["x"] + 1.0
+    out = moments_aggregate(
+        rd.from_pandas(pdf), ["g"],
+        {"slope": ("slope", ("x", "y")),
+         "icept": ("intercept", ("x", "y")),
+         "r2": ("r2", ("x", "y"))}).to_pandas()
+    assert out["slope"].iloc[0] == pytest.approx(2.0)
+    assert out["icept"].iloc[0] == pytest.approx(1.0)
+    assert out["r2"].iloc[0] == pytest.approx(1.0)
