@@ -85,7 +85,7 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",
     "q_pagerank_mc", "q_hits",
-    "q_katz", "q_spam_mass",
+    "q_katz", "q_eigenvector", "q_spam_mass",
     "q_minhash_lsh", "q_edit_neardup", "q_kcore", "q_coreness", "q_sssp",
     "q_mis",
     "q_coloring", "q_densest", "q_diameter",

@@ -56,7 +56,8 @@ def main(argv=None) -> int:
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
                  "anf", "walks", "bowtie", "betweenness", "scc",
                  "coreness", "ktruss", "mis", "coloring", "densest",
-                 "sssp", "katz", "louvain", "node2vec", "localcluster",
+                 "sssp", "katz", "eigenvector", "louvain", "node2vec",
+                 "localcluster",
                  "embed", "linkpred", "propagate", "salsa", "simrank",
                  "partition"):
         sp = sub.add_parser(name)
@@ -104,6 +105,9 @@ def main(argv=None) -> int:
             sp.add_argument("--beta", type=float, default=1.0)
             sp.add_argument("--tol", type=float, default=1e-9)
             sp.add_argument("--normalize", action="store_true")
+        if name == "eigenvector":
+            sp.add_argument("--tol", type=float, default=1e-9)
+            sp.add_argument("--max-iters", type=int, default=None)
         if name == "louvain":
             sp.add_argument("--resolution", type=float, default=1.0)
             sp.add_argument("--max-levels", type=int, default=6)
@@ -470,6 +474,19 @@ def main(argv=None) -> int:
             ds.write_parquet(os.path.join(args.workdir, "katz_scores"))
             out["katz"] = {"num_iters": info["num_iters"],
                            "converged": info["converged"]}
+        if args.cmd == "eigenvector":
+            from .graph.eigenvector import eigenvector_centrality
+            import os
+
+            kw = {}
+            if args.max_iters is not None:
+                kw["max_iters"] = args.max_iters
+            ds, info = eigenvector_centrality(edges, g.offsets,
+                                              args.workdir, cfg,
+                                              tol=args.tol, **kw)
+            ds.write_parquet(os.path.join(args.workdir, "eig_scores"))
+            out["eigenvector"] = {"num_iters": info["num_iters"],
+                                  "converged": info["converged"]}
         if args.cmd == "node2vec":
             from .graph.node2vec import node2vec_walks
             import os

@@ -1033,6 +1033,31 @@ def q_katz(sf_dir: str):
                               zero_copy_batch=True)
 
 
+@_q("q_eigenvector")
+def q_eigenvector(sf_dir: str):
+    """Principal-eigenvector (in-link) centrality of the link graph
+    (graph/eigenvector.py: deferred-normalization power iteration on
+    the shared directed CSR shards — the un-damped ancestor of
+    q_pagerank/q_katz; unit-L2 score vector).  Rows-only at the gate
+    (iterative float fixpoint); dense NumPy power-iteration oracle
+    with identical iteration counts + weighted/layout tests in
+    tests/test_eigenvector.py.  max_iters bounds the spectral-gap
+    crawl on the small fixture graph."""
+    from .graph.eigenvector import eigenvector_centrality
+
+    g = graph_for(sf_dir)
+    scores, _ = eigenvector_centrality(read_layer(g.edges), g.offsets,
+                                       g.workdir, tol=1e-9, max_iters=150)
+
+    def quant(b: pa.Table) -> pa.Table:
+        r = np.round(b.column("eigenvector").to_numpy(), 9)
+        return pa.table({"vid": b.column("vid"),
+                         "eigenvector": pa.array(r)})
+
+    return scores.map_batches(quant, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 @_q("q_pagerank_top20")
 def q_pagerank_top20(sf_dir: str):
     from .graph.pagerank import pagerank
