@@ -55,7 +55,8 @@ def main(argv=None) -> int:
 
     for name in ("pagerank", "cc", "labelprop", "triangles", "hits",
                  "anf", "walks", "bowtie", "betweenness", "scc",
-                 "coreness", "ktruss", "mis", "coloring", "densest",
+                 "coreness", "ktruss", "mis", "matching", "coloring",
+                 "densest",
                  "sssp", "katz", "eigenvector", "louvain", "node2vec",
                  "localcluster",
                  "embed", "linkpred", "propagate", "salsa", "simrank",
@@ -90,7 +91,7 @@ def main(argv=None) -> int:
             sp.add_argument("--rounds", type=int, default=5)
         if name == "ktruss":
             sp.add_argument("--k", type=int, default=3)
-        if name in ("mis", "coloring"):
+        if name in ("mis", "matching", "coloring"):
             sp.add_argument("--seed", type=int, default=42)
         if name == "densest":
             sp.add_argument("--eps", type=float, default=0.1)
@@ -688,6 +689,16 @@ def main(argv=None) -> int:
             ds.write_parquet(os.path.join(args.workdir, "mis"))
             out["mis"] = {"mis_size": info["mis_size"],
                           "num_rounds": info["num_rounds"]}
+        if args.cmd == "matching":
+            from .graph.matching import maximal_matching
+            import os
+
+            ds, info = maximal_matching(
+                symmetrize(edges, cfg, drop_self_loops=True, dedup=False),
+                g.offsets, args.workdir, cfg, seed=args.seed)
+            ds.write_parquet(os.path.join(args.workdir, "matching"))
+            out["matching"] = {"n_matched_pairs": info["n_matched_pairs"],
+                               "num_rounds": info["num_rounds"]}
         if args.cmd == "coloring":
             from .graph.coloring import greedy_coloring
             import os

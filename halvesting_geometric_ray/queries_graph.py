@@ -1922,6 +1922,25 @@ def q_mis(sf_dir: str):
     return ds.select_columns(["vid", "in_mis"])
 
 
+@_q("q_matching")
+def q_matching(sf_dir: str):
+    """Greedy maximal matching of the link graph (graph/matching.py,
+    mutual-minimum-edge proposals under stateless pair-hash
+    priorities) — the pair-coarsening / 2-approx-vertex-cover
+    primitive; equals the sequential greedy matching under the
+    (edge_priority, min, max) order, deterministic in (edge set,
+    seed) and layout-independent.  Shares the sym CSR cache with
+    q_mis/q_coloring.  Rows-only; sequential-greedy oracle +
+    maximality/symmetry invariants in tests/test_matching.py."""
+    from .graph.matching import maximal_matching
+
+    g = graph_for(sf_dir)
+    ds, _ = maximal_matching(
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
+        g.offsets, g.workdir)
+    return ds.select_columns(["vid", "partner"])
+
+
 @_q("q_coloring")
 def q_coloring(sf_dir: str):
     """Jones-Plassmann greedy coloring of the link graph
