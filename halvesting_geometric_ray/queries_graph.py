@@ -1941,6 +1941,25 @@ def q_matching(sf_dir: str):
     return ds.select_columns(["vid", "partner"])
 
 
+@_q("q_coarsen")
+def q_coarsen(sf_dir: str):
+    """Multilevel contraction step (graph/coarsen.py): maximal-matching
+    pairs collapse into supervertices, parallel edges sum weights,
+    self-loops keep the internal mass — the METIS-style coarse graph
+    that ldg_partition / louvain consume.  Rows-only; pandas
+    contraction oracle + weight-conservation invariants in
+    tests/test_coarsen.py (both relabel regimes)."""
+    from .graph.coarsen import coarsen_by_matching
+    from .graph.matching import maximal_matching
+
+    g = graph_for(sf_dir)
+    sym = symmetrize(read_layer(g.edges), drop_self_loops=True,
+                     dedup=False)
+    mt, _ = maximal_matching(sym, g.offsets, g.workdir)
+    coarse, _, _ = coarsen_by_matching(sym, mt)
+    return coarse
+
+
 @_q("q_coloring")
 def q_coloring(sf_dir: str):
     """Jones-Plassmann greedy coloring of the link graph
