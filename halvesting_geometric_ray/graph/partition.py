@@ -60,7 +60,8 @@ from .engine import part_to_actor_map, plan_actors
 
 
 def waterfill_assign(scores: np.ndarray, vids: np.ndarray,
-                     frozen_sizes: np.ndarray, cap: int) -> np.ndarray:
+                     frozen_sizes: np.ndarray, cap: int,
+                     weights: Optional[np.ndarray] = None) -> np.ndarray:
     """Resolve one chunk's claims against per-block remaining capacity.
 
     scores: (m, k) float64; vids: (m,) int64 (priority tie-break);
@@ -68,8 +69,21 @@ def waterfill_assign(scores: np.ndarray, vids: np.ndarray,
     Deterministic: preference order per vertex is (score desc,
     frozen_size asc, block id asc); keep-priority inside an over-full
     block is (score desc, vid asc).
+
+    weights (optional, (m,) int64, default all-ones): vertex weights
+    for the multilevel coarse level — sizes/cap are then in weight
+    units and an over-claimed block keeps the longest priority PREFIX
+    whose total weight fits (a mid-prefix heavy vertex spills
+    everything behind it — simpler than best-fit and still
+    deterministic).  Unweighted behavior is bitwise unchanged.  With
+    weights > 1 a vertex can exhaust all k blocks (every remainder
+    smaller than its weight); it then soft-overflows onto the block
+    with the largest remainder (ties: lower id), exceeding cap by at
+    most max_weight - 1 — the caller reports the excess in
+    info["overflow"].
     """
     m, k = scores.shape
+    w = weights if weights is not None else None
     # preference matrix per row: (-score, frozen_size, block id) — one
     # flat lexsort over all m*k cells, row as the primary key
     blk = np.tile(np.arange(k, dtype=np.int64), m)
@@ -91,22 +105,37 @@ def waterfill_assign(scores: np.ndarray, vids: np.ndarray,
             if remaining[b] <= 0:
                 choice_idx[live[members]] += 1
                 continue
-            if members.size <= remaining[b]:
+            mw = (int(members.size) if w is None
+                  else int(w[live[members]].sum()))
+            if mw <= remaining[b]:
                 assigned[live[members]] = b
-                remaining[b] -= members.size
+                remaining[b] -= mw
                 placed_mask[members] = True
                 continue
             rows = live[members]
             prio = np.lexsort((vids[rows], -scores[rows, b]))
-            keep = members[prio[: remaining[b]]]
-            spill = members[prio[remaining[b]:]]
+            if w is None:
+                cut = int(remaining[b])
+            else:
+                cw = np.cumsum(w[rows[prio]])
+                cut = int(np.searchsorted(cw, remaining[b],
+                                          side="right"))
+            keep = members[prio[:cut]]
+            spill = members[prio[cut:]]
             assigned[live[keep]] = b
-            remaining[b] = 0
+            remaining[b] -= (cut if w is None
+                             else int(w[live[keep]].sum()))
             placed_mask[keep] = True
             choice_idx[live[spill]] += 1
         live = live[~placed_mask]
-    if live.size:  # cap * k >= (1+eps) * N > N: impossible, but guard
-        raise RuntimeError("waterfill: unplaceable vertices remain")
+    if live.size:
+        if w is None:  # cap * k >= (1+eps) * N > N: impossible
+            raise RuntimeError("waterfill: unplaceable vertices remain")
+        # weighted soft overflow: vid order, largest remainder first
+        for i in live[np.argsort(vids[live], kind="stable")]:
+            b = int(np.argmax(remaining))
+            assigned[i] = b
+            remaining[b] -= int(w[i])
     return assigned
 
 
@@ -114,7 +143,11 @@ def waterfill_assign(scores: np.ndarray, vids: np.ndarray,
 class _LdgShardActor:
     def __init__(self, actor_idx: int, owned: List[int],
                  paths: Dict[int, str], offsets: np.ndarray,
-                 part2actor: np.ndarray, num_actors: int):
+                 part2actor: np.ndarray, num_actors: int,
+                 wpaths: Optional[Dict[int, str]] = None,
+                 bpaths: Optional[Dict[int, str]] = None):
+        import pyarrow.parquet as pq
+
         self.idx = actor_idx
         self.owned = owned
         self.off = offsets
@@ -124,6 +157,28 @@ class _LdgShardActor:
         self.block: Dict[int, np.ndarray] = {
             p: np.full(self.shards[p]["indptr"].size - 1, -1,
                        dtype=np.int32) for p in owned}
+        # warm-start assignment (refinement mode): per-part parquet of
+        # (vid, rank=block) — same routing shape as the weights
+        if bpaths:
+            for p in owned:
+                if p in bpaths:
+                    t = pq.read_table(bpaths[p], columns=["vid", "rank"])
+                    vid = t.column("vid").to_numpy()
+                    self.block[p][vid - self.shards[p]["vid_lo"]] = \
+                        t.column("rank").to_numpy().astype(np.int32)
+        # per-part vertex weights (multilevel coarse levels); parts
+        # absent from wpaths keep implicit all-ones
+        self.w: Dict[int, np.ndarray] = {}
+        if wpaths:
+            for p in owned:
+                if p in wpaths:
+                    t = pq.read_table(wpaths[p], columns=["vid", "rank"])
+                    arr = np.ones(self.shards[p]["indptr"].size - 1,
+                                  dtype=np.int64)
+                    vid = t.column("vid").to_numpy()
+                    arr[vid - self.shards[p]["vid_lo"]] = \
+                        t.column("rank").to_numpy().astype(np.int64)
+                    self.w[p] = arr
         self._pending = None  # (part, lo, hi, rows per neighbor)
 
     def chunk_queries(self, p: int, lo: int, hi: int):
@@ -187,9 +242,83 @@ class _LdgShardActor:
         scores = counts * (1.0 - frozen_sizes / float(cap))
         vids = np.arange(lo, hi, dtype=np.int64) + \
             self.shards[p]["vid_lo"]
-        chosen = waterfill_assign(scores, vids, frozen_sizes, cap)
+        wc = self.w[p][lo:hi] if p in self.w else None
+        chosen = waterfill_assign(scores, vids, frozen_sizes, cap,
+                                  weights=wc)
         self.block[p][lo:hi] = chosen
-        return np.bincount(chosen, minlength=k).astype(np.int64)
+        return np.bincount(chosen, weights=wc,
+                           minlength=k).astype(np.int64)
+
+    def init_sizes(self, k: int) -> np.ndarray:
+        """Weighted per-block sizes of the warm-start assignment over
+        this actor's owned parts (refinement bookkeeping seed)."""
+        out = np.zeros(k, dtype=np.int64)
+        for p in self.owned:
+            blk = self.block[p]
+            valid = blk >= 0
+            wp = self.w.get(p)
+            out += np.bincount(
+                blk[valid], minlength=k,
+                weights=None if wp is None else wp[valid]
+            ).astype(np.int64)
+        return out
+
+    def refine_chunk(self, k: int, cap: int, frozen_sizes: np.ndarray,
+                     *lookups) -> Tuple[np.ndarray, int]:
+        """Uncoarsening refinement step (the KL/FM-lite move pass of
+        the METIS V-cycle, batch-synchronous): every chunk vertex
+        counts its neighbors' CURRENT blocks, proposes a move to the
+        majority block when the gain (neighbor-count delta) is
+        strictly positive, and moves land in deterministic priority
+        order (gain desc, vid asc) against the frozen capacity
+        snapshot — inflow is capped at cap - frozen_size, outflow is
+        credited at the next chunk, so sizes never rise above cap (an
+        over-cap warm start can only drain).  Returns (per-block
+        weighted size delta, n_moves)."""
+        p, lo, hi, row, order, b = self._pending
+        self._pending = None
+        m = hi - lo
+        counts = np.zeros((m, k), dtype=np.int64)
+        if b is not None and order.size:
+            nblk_sorted = np.empty(order.size, dtype=np.int32)
+            for j, lk in enumerate(lookups):
+                if lk is not None:
+                    nblk_sorted[b[j]:b[j + 1]] = lk
+            nblk = np.empty(order.size, dtype=np.int32)
+            nblk[order] = nblk_sorted
+            keep = nblk >= 0
+            if keep.any():
+                np.add.at(counts, (row[keep], nblk[keep]), 1)
+        cur = self.block[p][lo:hi].astype(np.int64)
+        rows_idx = np.arange(m)
+        best = np.argmax(counts, axis=1)  # ties: lowest block id
+        gain = counts[rows_idx, best] - counts[rows_idx, cur]
+        wc = (self.w[p][lo:hi] if p in self.w
+              else np.ones(m, dtype=np.int64))
+        vids = np.arange(lo, hi, dtype=np.int64) + \
+            self.shards[p]["vid_lo"]
+        cand = np.flatnonzero((gain > 0) & (best != cur))
+        delta = np.zeros(k, dtype=np.int64)
+        n_moves = 0
+        if cand.size:
+            remaining = (cap - frozen_sizes).astype(np.int64)
+            for tb in np.unique(best[cand]):
+                mem = cand[best[cand] == tb]
+                if remaining[tb] <= 0:
+                    continue
+                prio = mem[np.lexsort((vids[mem], -gain[mem]))]
+                cw = np.cumsum(wc[prio])
+                cut = int(np.searchsorted(cw, remaining[tb],
+                                          side="right"))
+                movers = prio[:cut]
+                if movers.size == 0:
+                    continue
+                self.block[p][lo + movers] = np.int32(tb)
+                mw = int(wc[movers].sum())
+                delta[tb] += mw
+                np.subtract.at(delta, cur[movers], wc[movers])
+                n_moves += int(movers.size)
+        return delta, n_moves
 
     def result_tables(self):
         out = []
@@ -208,7 +337,8 @@ def ldg_partition(sym_edges, offsets: np.ndarray, workdir: str,
                   cfg: EngineConfig = DEFAULT, *, k: int = 8,
                   eps: float = 0.1, chunk: int = 4096,
                   num_actors: int = 0,
-                  shards_dir: Optional[str] = None
+                  shards_dir: Optional[str] = None,
+                  vertex_weights=None
                   ) -> Tuple["rd.Dataset", Dict]:
     """Batch-synchronous LDG over a SYMMETRIZED edge table.
 
@@ -216,13 +346,34 @@ def ldg_partition(sym_edges, offsets: np.ndarray, workdir: str,
     n_chunks, wall_sec}.  ``chunk`` is a HYPERPARAMETER of the
     assignment (staleness window), not a layout knob; results are
     bitwise layout-independent for fixed (offsets, chunk, k, eps).
+
+    vertex_weights (optional): a (vid, w:int) Dataset — sizes and cap
+    switch to weight units (cap = ceil((1+eps) * W / k)), the
+    multilevel coarse-level contract where a supervertex carries the
+    number of fine vertices it contains.  Weights route to the owner
+    actors as per-part parquet (pagerank's _write_ranks_by_part — the
+    driver never holds the weight vector); vertices missing from the
+    dataset weigh 1.  info gains "W" and "overflow" (total weight
+    above cap from the waterfill's soft-overflow fallback, 0 in the
+    unweighted mode).
     """
     off = np.asarray(offsets, dtype=np.int64)
     N = int(off[-1])
     num_parts = len(off) - 1
     if k < 1:
         raise ValueError("ldg_partition: k must be >= 1")
-    cap = int(np.ceil((1.0 + eps) * N / k)) if N else 0
+    wpaths = None
+    W = N
+    if vertex_weights is not None and N:
+        from .pagerank import _write_ranks_by_part
+
+        vw = vertex_weights.map_batches(
+            lambda b: pa.table({"vid": b.column("vid"),
+                                "rank": b.column("w").cast(pa.float64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        wpaths = _write_ranks_by_part(vw, off, f"{workdir}/ldg_vw")
+        W = int(vertex_weights.sum("w"))
+    cap = int(np.ceil((1.0 + eps) * W / k)) if N else 0
     descs = build_csr_shards(sym_edges, off,
                              shards_dir or f"{workdir}/csr_sym",
                              lineage={"kind": "sym"})
@@ -230,7 +381,8 @@ def ldg_partition(sym_edges, offsets: np.ndarray, workdir: str,
     owned = plan_actors(num_parts, num_actors)
     A = len(owned)
     p2a = part_to_actor_map(owned, num_parts)
-    actors = [_LdgShardActor.remote(i, owned[i], paths, off, p2a, A)
+    actors = [_LdgShardActor.remote(i, owned[i], paths, off, p2a, A,
+                                    wpaths)
               for i in range(A)]
     sizes = np.zeros(k, dtype=np.int64)
     n_chunks = 0
@@ -257,7 +409,101 @@ def ldg_partition(sym_edges, offsets: np.ndarray, workdir: str,
         for a in actors:
             ray.kill(a)
     info = {"k": k, "cap": cap, "sizes": sizes.tolist(),
-            "n_chunks": n_chunks, "n": N,
+            "n_chunks": n_chunks, "n": N, "W": W,
+            "overflow": int(np.maximum(sizes - cap, 0).sum()),
+            "wall_sec": round(time.time() - t0, 4)}
+    tables = [t for t in tables if t.num_rows] or [pa.schema(
+        [pa.field("vid", pa.int64()),
+         pa.field("block", pa.int32())]).empty_table()]
+    return rd.from_arrow(tables), info
+
+
+def refine_partition(sym_edges, offsets: np.ndarray, blocks,
+                     workdir: str, cfg: EngineConfig = DEFAULT, *,
+                     k: int = 8, eps: float = 0.1, cap: int = 0,
+                     chunk: int = 4096, sweeps: int = 3,
+                     num_actors: int = 0,
+                     shards_dir: Optional[str] = None,
+                     vertex_weights=None) -> Tuple["rd.Dataset", Dict]:
+    """Gain-based move refinement of an existing (vid, block)
+    assignment — the uncoarsening half of the METIS V-cycle (Karypis &
+    Kumar 1998), batch-synchronous on the LDG shard actors: up to
+    ``sweeps`` full passes in dense-vid chunk order; a vertex moves to
+    its neighbor-majority block when that strictly reduces its cut
+    edges and the target block has capacity under cap =
+    ceil((1+eps) * W / k).  Early-exits when a sweep makes no moves.
+    Deterministic and actor-layout independent for fixed (offsets,
+    chunk, k, cap, sweeps) — same argument as ldg_partition.
+
+    Returns (ds(vid, block), info) with info = {cap, sizes, sweeps_run,
+    moves_per_sweep, n_moves, wall_sec}.
+    """
+    off = np.asarray(offsets, dtype=np.int64)
+    N = int(off[-1])
+    num_parts = len(off) - 1
+    from .pagerank import _write_ranks_by_part
+
+    wpaths = None
+    W = N
+    if vertex_weights is not None and N:
+        vw = vertex_weights.map_batches(
+            lambda b: pa.table({"vid": b.column("vid"),
+                                "rank": b.column("w").cast(pa.float64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        wpaths = _write_ranks_by_part(vw, off, f"{workdir}/ref_vw")
+        W = int(vertex_weights.sum("w"))
+    if not cap:
+        cap = int(np.ceil((1.0 + eps) * W / k)) if N else 0
+    descs = build_csr_shards(sym_edges, off,
+                             shards_dir or f"{workdir}/csr_sym",
+                             lineage={"kind": "sym"})
+    paths = {dd["part"]: dd["path"] for dd in descs}
+    bds = blocks.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "rank": b.column("block").cast(pa.float64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bpaths = _write_ranks_by_part(bds, off, f"{workdir}/ref_b0")
+    owned = plan_actors(num_parts, num_actors)
+    A = len(owned)
+    p2a = part_to_actor_map(owned, num_parts)
+    actors = [_LdgShardActor.remote(i, owned[i], paths, off, p2a, A,
+                                    wpaths, bpaths)
+              for i in range(A)]
+    t0 = time.time()
+    moves_per_sweep: List[int] = []
+    try:
+        sizes = np.sum(ray.get([a.init_sizes.remote(k) for a in actors]),
+                       axis=0).astype(np.int64)
+        for _ in range(sweeps):
+            moves = 0
+            for p in range(num_parts):
+                owner = actors[p2a[p]]
+                n_local = int(off[p + 1] - off[p])
+                for lo in range(0, n_local, chunk):
+                    hi = min(lo + chunk, n_local)
+                    if A > 1:
+                        qrefs = list(owner.chunk_queries.options(
+                            num_returns=A).remote(p, lo, hi))
+                    else:
+                        qrefs = [owner.chunk_queries.remote(p, lo, hi)]
+                    lrefs = [actors[j].lookup.remote(qrefs[j])
+                             for j in range(A)]
+                    delta, n = ray.get(owner.refine_chunk.remote(
+                        k, cap, sizes, *lrefs))
+                    sizes += delta
+                    moves += n
+            moves_per_sweep.append(moves)
+            if moves == 0:
+                break
+        tables = [t for ref in [a.result_tables.remote() for a in actors]
+                  for t in ray.get(ref)]
+    finally:
+        for a in actors:
+            ray.kill(a)
+    info = {"cap": cap, "sizes": sizes.tolist(),
+            "sweeps_run": len(moves_per_sweep),
+            "moves_per_sweep": moves_per_sweep,
+            "n_moves": int(sum(moves_per_sweep)),
             "wall_sec": round(time.time() - t0, 4)}
     tables = [t for t in tables if t.num_rows] or [pa.schema(
         [pa.field("vid", pa.int64()),

@@ -2100,6 +2100,47 @@ def q_host_backbone_mst(sf_dir: str):
                              zero_copy_batch=True)
 
 
+@_q("q_multilevel_partition")
+def q_multilevel_partition(sf_dir: str):
+    """Multilevel balanced partitioning (graph/multilevel.py: match ->
+    contract -> weighted LDG -> project back -> gain-based move
+    refinement, the full METIS V-cycle): coarsening concentrates
+    connectivity so the streaming partitioner sees cluster-level
+    neighborhoods, cutting the edge-cut below flat LDG at the same
+    fine-level (1+eps) balance (supervertices carry fine-vertex
+    weights).  Rows-only; fine balance/coverage/layout-independence
+    and cut-vs-flat pinned in tests/test_multilevel.py.  Returns
+    (url, block) plus the achieved edge-cut fraction as a constant
+    column (q_ldg_partition's reporting convention)."""
+    from .graph.multilevel import multilevel_partition
+    from .graph.partition import partition_cut
+    from .ops.join import hash_join
+
+    g = graph_for(sf_dir)
+    e = read_layer(g.edges)
+    sym = symmetrize(e, drop_self_loops=True, dedup=False)
+    blocks, info = multilevel_partition(sym, g.offsets, g.workdir,
+                                        k=8, chunk=4096, levels=1)
+    blocks = blocks.materialize()
+    cut = partition_cut(e, blocks, num_parts=DEFAULT.num_parts)
+    cut_x1e9 = int(round(cut["cut_fraction"] * 10**9))
+    b_schema = pa.schema([("vid", pa.int64()), ("block", pa.int32())])
+
+    verts = read_layer(g.vertices, columns=["url", "vid"])
+    out = hash_join(verts, blocks, on="vid", right_on="vid",
+                    num_parts=DEFAULT.num_parts,
+                    left_schema=pa.schema([("url", pa.string()),
+                                           ("vid", pa.int64())]),
+                    right_schema=b_schema)
+    return out.map_batches(
+        lambda b: pa.table({
+            "url": b.column("url"),
+            "block": b.column("block"),
+            "cut_x1e9": pa.array([cut_x1e9] * b.num_rows,
+                                 type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_ldg_partition")
 def q_ldg_partition(sf_dir: str):
     """Streaming balanced graph partitioning (graph/partition.py::
