@@ -107,7 +107,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_landmark_distances", "q_simrank",
     "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_host_backbone_mst",
-    "q_ldg_partition", "q_multilevel_partition",
+    "q_ldg_partition", "q_multilevel_partition", "q_hdrf_partition",
     "q_url_canonical",
     "q_frame_sample", "q_components", "q_triangles",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",

@@ -189,7 +189,8 @@ def run_bench() -> dict:
 
     for name in ["q_louvain", "q_word2vec_embeddings",
                  "q_link_prediction_auc", "q_host_backbone_mst",
-                 "q_ldg_partition", "q_multilevel_partition"]:
+                 "q_ldg_partition", "q_multilevel_partition",
+                 "q_hdrf_partition"]:
         t = time.time()
         res = QG.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):

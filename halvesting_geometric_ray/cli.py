@@ -60,7 +60,7 @@ def main(argv=None) -> int:
                  "sssp", "katz", "eigenvector", "louvain", "node2vec",
                  "localcluster",
                  "embed", "linkpred", "propagate", "salsa", "simrank",
-                 "partition"):
+                 "partition", "hdrf"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -157,6 +157,17 @@ def main(argv=None) -> int:
             sp.add_argument("--relabel", action="store_true",
                             help="also write block-major relabeled "
                                  "vertex/edge layers + offsets")
+            sp.add_argument("--multilevel", type=int, default=0,
+                            metavar="LEVELS",
+                            help="match/contract LEVELS times, "
+                                 "weighted LDG on the coarse graph, "
+                                 "project + refine (0 = flat LDG)")
+            sp.add_argument("--seed", type=int, default=42)
+        if name == "hdrf":
+            sp.add_argument("--k", type=int, default=8)
+            sp.add_argument("--lam", type=float, default=1.1)
+            sp.add_argument("--eps", type=float, default=0.1)
+            sp.add_argument("--chunk", type=int, default=8192)
         if name == "simrank":
             sp.add_argument("--seeds", default=None,
                             help="comma-separated seed vids; default = "
@@ -421,9 +432,17 @@ def main(argv=None) -> int:
                                           relabel_by_blocks)
 
             sym = symmetrize(edges, drop_self_loops=True, dedup=False)
-            blocks, pinfo = ldg_partition(sym, g.offsets, args.workdir,
-                                          cfg, k=args.k, eps=args.eps,
-                                          chunk=args.chunk)
+            if args.multilevel > 0:
+                from .graph.multilevel import multilevel_partition
+
+                blocks, pinfo = multilevel_partition(
+                    sym, g.offsets, args.workdir, cfg, k=args.k,
+                    eps=args.eps, chunk=args.chunk,
+                    levels=args.multilevel, seed=args.seed)
+            else:
+                blocks, pinfo = ldg_partition(
+                    sym, g.offsets, args.workdir, cfg, k=args.k,
+                    eps=args.eps, chunk=args.chunk)
             blocks = blocks.materialize()
             blocks.write_parquet(os.path.join(args.workdir, "blocks"))
             cut = partition_cut(edges, blocks,
@@ -440,6 +459,18 @@ def main(argv=None) -> int:
                 e2.write_parquet(os.path.join(args.workdir,
                                               "edges_bm"))
                 out["partition"]["offsets_bm"] = off2.tolist()
+        if args.cmd == "hdrf":
+            import os
+
+            from .graph.edgepartition import hdrf_partition
+
+            eb, hinfo = hdrf_partition(edges, g.offsets, args.workdir,
+                                       cfg, k=args.k, lam=args.lam,
+                                       eps=args.eps, chunk=args.chunk)
+            eb.write_parquet(os.path.join(args.workdir, "edge_blocks"))
+            out["hdrf"] = {kk: hinfo[kk] for kk in
+                           ("k", "lam", "sizes", "replication_factor",
+                            "n_edges", "max_over_avg", "n_chunks")}
         if args.cmd == "simrank":
             import os
 

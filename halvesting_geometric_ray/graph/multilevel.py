@@ -78,11 +78,15 @@ def multilevel_partition(sym_edges, offsets: np.ndarray, workdir: str,
     cur_w: Optional["rd.Dataset"] = None  # None = all-ones (fine level)
     mappings = []  # per level: (vid_fine_of_level, cid) Dataset
 
+    # level-0 fine sym CSR is shared with the refinement pass below
+    fine_shards = f"{workdir}/csr_sym"
     for L in range(levels):
         wd = f"{workdir}/ml_l{L}"
         mt, mi = maximal_matching(cur_edges.select_columns(["src", "dst"]),
                                   cur_off, wd, cfg,
-                                  seed=seed + L, num_actors=num_actors)
+                                  seed=seed + L, num_actors=num_actors,
+                                  shards_dir=fine_shards if L == 0
+                                  else None)
         coarse_raw, mapping, ci = coarsen_by_matching(
             cur_edges, mt, cfg,
             weight_col="w" if "w" in cur_edges.columns() else None)
@@ -188,7 +192,8 @@ def multilevel_partition(sym_edges, offsets: np.ndarray, workdir: str,
         refined, ri = refine_partition(
             fine_edges, off, blocks, f"{workdir}/ml_refine", cfg,
             k=k, eps=eps, chunk=chunk, sweeps=refine_sweeps,
-            num_actors=num_actors)
+            num_actors=num_actors,
+            shards_dir=fine_shards if levels > 0 else None)
         refined = refined.materialize()
         cut1 = partition_cut(fine_edges, refined, num_parts=num_parts)
         ri["cut_before"] = cut0["cut_fraction"]

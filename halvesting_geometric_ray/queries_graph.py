@@ -2141,6 +2141,53 @@ def q_multilevel_partition(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@_q("q_hdrf_partition")
+def q_hdrf_partition(sf_dir: str):
+    """Streaming vertex-cut edge partitioning (graph/edgepartition.py,
+    HDRF — Petroni et al. CIKM 2015): assigns EDGES to blocks and
+    replicates endpoint vertices, preferring to re-replicate the
+    higher-degree endpoint; the PowerGraph-style dual of q_ldg_
+    partition for power-law web graphs.  Rows-only; replication-
+    factor-vs-hash, balance, determinism and the sequential spec
+    oracle are pinned in tests/test_edgepartition.py.  Returns
+    (src_url, dst_url, block) plus the replication factor as a
+    constant column (x1e9 int, the partitioner reporting
+    convention)."""
+    from .graph.edgepartition import hdrf_partition
+    from .ops.join import hash_join
+
+    g = graph_for(sf_dir)
+    e = read_layer(g.edges)
+    eb, info = hdrf_partition(e, g.offsets, g.workdir, k=8,
+                              chunk=8192)
+    rf_x1e9 = int(round(info["replication_factor"] * 10**9))
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    v_schema = pa.schema([("url", pa.string()), ("vid", pa.int64())])
+    eb_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                           ("block", pa.int32())])
+    j1 = hash_join(eb, v, on="src", right_on="vid",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=eb_schema, right_schema=v_schema)
+    j1 = j1.map_batches(
+        lambda b: pa.table({"dst": b.column("dst"),
+                            "block": b.column("block"),
+                            "src_url": b.column("url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([("dst", pa.int64()), ("block", pa.int32()),
+                           ("src_url", pa.string())])
+    j2 = hash_join(j1, v, on="dst", right_on="vid",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=j1_schema, right_schema=v_schema)
+    return j2.map_batches(
+        lambda b: pa.table({
+            "src_url": b.column("src_url"),
+            "dst_url": b.column("url"),
+            "block": b.column("block"),
+            "rf_x1e9": pa.array([rf_x1e9] * b.num_rows,
+                                type=pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @_q("q_ldg_partition")
 def q_ldg_partition(sf_dir: str):
     """Streaming balanced graph partitioning (graph/partition.py::

@@ -231,3 +231,31 @@ def test_cli_partition(tmp_path, capsys, tiny_pages_dir):
     assert sorted(v2.vid.tolist()) == list(range(len(v2)))
     assert e2.count() > 0
     assert out["offsets_bm"][-1] == len(v2)
+
+
+def test_cli_partition_multilevel_and_hdrf(tmp_path, capsys,
+                                           tiny_pages_dir):
+    """`partition --multilevel N` runs the V-cycle; `hdrf` writes the
+    vertex-cut edge assignment + replication report."""
+    wd = str(tmp_path / "wd_mlh")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["partition", "--workdir", wd, "--k", "4",
+                 "--chunk", "64", "--multilevel", "1"]) == 0
+    out = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["partition"]
+    assert out["k"] == 4
+    assert len(out["levels"]) == 1
+    assert 0.0 <= out["cut_fraction"] <= 1.0
+    blocks = rd.read_parquet(os.path.join(wd, "blocks")).to_pandas()
+    assert blocks.vid.nunique() == len(blocks)
+    assert main(["hdrf", "--workdir", wd, "--k", "4",
+                 "--chunk", "128"]) == 0
+    h = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["hdrf"]
+    assert h["replication_factor"] >= 1.0
+    assert h["max_over_avg"] < 1.2
+    eb = rd.read_parquet(os.path.join(wd, "edge_blocks")).to_pandas()
+    assert len(eb) == h["n_edges"]
+    assert set(eb.columns) == {"src", "dst", "block"}
