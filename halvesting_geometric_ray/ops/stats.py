@@ -1,8 +1,10 @@
-"""Grouped statistical-moment aggregates: mean / var / stddev / covar / corr.
+"""Grouped statistical-moment aggregates: mean / var / stddev / covar /
+corr / skew / kurt (+ exact quantiles and MAD below).
 
-SQL's VAR_SAMP, STDDEV_SAMP, COVAR_SAMP and CORR as ONE pass over the
-data: every statistic decomposes into raw moments (n, sum(x), sum(x*x),
-sum(x*y)) which are sum-mergeable, so the plan is exactly the
+SQL's VAR_SAMP, STDDEV_SAMP, COVAR_SAMP, CORR, SKEWNESS and KURTOSIS as
+ONE pass over the data: every statistic decomposes into raw moments
+(n, sum(x), sum(x^2), sum(x^3), sum(x^4), sum(x*y)) which are
+sum-mergeable, so the plan is exactly the
 grouped_aggregate two-level shape — a polars combiner inside each batch
 shrinks the exchange to ~num_groups x num_blocks moment rows, a
 hash-partitioned final merge sums them, and the closed-form statistics
@@ -38,7 +40,7 @@ from ._util import cast_like, pre_shuffle
 
 _PART = "__mom_part"
 
-_UNARY = {"mean", "var", "std"}
+_UNARY = {"mean", "var", "std", "skew", "kurt"}
 _BINARY = {"covar", "corr", "slope", "intercept", "r2"}
 
 
@@ -47,24 +49,35 @@ def moments_aggregate(ds, keys: List[str],
                       num_parts: int = 16, ddof: int = 1,
                       round_to: int = None):
     """stats: {out_name: (op, col | (x_col, y_col))} with op in
-    mean/var/std (unary) or covar/corr/slope/intercept/r2 (binary).
-    var/covar use the sample (ddof=1) convention matching SQL
-    VAR_SAMP/COVAR_SAMP; pass ddof=0 for the population forms.  The
-    regression ops take src=(x, y) and fit y = slope*x + intercept by
-    ordinary least squares (SQL REGR_SLOPE(y, x) argument order
-    reversed to match covar/corr's (x, y) here); r2 is the squared
-    correlation, SQL REGR_R2.  Groups with n <= ddof get null
-    var/std/covar (SQL semantics); corr/r2 are null when either side
-    has zero variance, slope/intercept when x has zero variance.
+    mean/var/std/skew/kurt (unary) or covar/corr/slope/intercept/r2
+    (binary).  var/covar use the sample (ddof=1) convention matching
+    SQL VAR_SAMP/COVAR_SAMP; pass ddof=0 for the population forms.
+    skew/kurt are the bias-corrected sample forms matching DuckDB
+    SKEWNESS / KURTOSIS (Excel SKEW / KURT: kurt is EXCESS kurtosis);
+    they ignore ddof.  The regression ops take src=(x, y) and fit
+    y = slope*x + intercept by ordinary least squares (SQL
+    REGR_SLOPE(y, x) argument order reversed to match covar/corr's
+    (x, y) here); r2 is the squared correlation, SQL REGR_R2.  Groups
+    with n <= ddof get null var/std/covar (SQL semantics); corr/r2
+    are null when either side has zero variance, slope/intercept when
+    x has zero variance; skew needs n >= 3 and kurt n >= 4, both null
+    on zero variance (DuckDB semantics, pinned in tests).
     round_to rounds every float output (hash-parity discipline for
-    cross-engine comparison)."""
+    cross-engine comparison — the E[x^k] cancellation loss grows with
+    the moment order, so skew/kurt callers should round)."""
     import polars as pl
 
     cols = set()
     pairs = set()
+    need3, need4 = set(), set()
     for name, (op, src) in stats.items():
         if op in _UNARY:
             cols.add(src)
+            if op == "skew":
+                need3.add(src)
+            elif op == "kurt":
+                need3.add(src)
+                need4.add(src)
         elif op in _BINARY:
             x, y = src
             pairs.add((x, y))
@@ -73,12 +86,20 @@ def moments_aggregate(ds, keys: List[str],
             raise ValueError(f"unsupported moment op {op!r} for {name}")
     cols = sorted(cols)
     pairs = sorted(pairs)
+    need3 = sorted(need3)
+    need4 = sorted(need4)
 
     def m_s(c):
         return f"__s_{c}"
 
     def m_q(c):
         return f"__q_{c}"
+
+    def m_c(c):
+        return f"__c_{c}"
+
+    def m_4(c):
+        return f"__f_{c}"
 
     def m_p(x, y):
         return f"__p_{x}__{y}"
@@ -90,6 +111,12 @@ def moments_aggregate(ds, keys: List[str],
             f = pl.col(c).cast(pl.Float64)
             exprs.append(f.sum().alias(m_s(c)))
             exprs.append((f * f).sum().alias(m_q(c)))
+        for c in need3:
+            f = pl.col(c).cast(pl.Float64)
+            exprs.append((f * f * f).sum().alias(m_c(c)))
+        for c in need4:
+            f = pl.col(c).cast(pl.Float64)
+            exprs.append((f * f * f * f).sum().alias(m_4(c)))
         for x, y in pairs:
             exprs.append((pl.col(x).cast(pl.Float64) *
                           pl.col(y).cast(pl.Float64)).sum().alias(m_p(x, y)))
@@ -108,6 +135,8 @@ def moments_aggregate(ds, keys: List[str],
         merged = df.group_by(keys).agg(
             [pl.col("__n").sum()] +
             [pl.col(m).sum() for c in cols for m in (m_s(c), m_q(c))] +
+            [pl.col(m_c(c)).sum() for c in need3] +
+            [pl.col(m_4(c)).sum() for c in need4] +
             [pl.col(m_p(x, y)).sum() for x, y in pairs])
         t = merged.to_arrow()
         n = t.column("__n").to_numpy().astype(np.float64)
@@ -116,6 +145,20 @@ def moments_aggregate(ds, keys: List[str],
             s = t.column(m_s(c)).to_numpy()
             q = t.column(m_q(c)).to_numpy()
             return q - s * s / n
+
+        def cs3(c):  # centered sum of cubes: sum((x-mean)^3)
+            s1 = t.column(m_s(c)).to_numpy()
+            s2 = t.column(m_q(c)).to_numpy()
+            s3 = t.column(m_c(c)).to_numpy()
+            return s3 - 3.0 * s1 * s2 / n + 2.0 * s1 ** 3 / (n * n)
+
+        def cs4(c):  # centered sum of quartics: sum((x-mean)^4)
+            s1 = t.column(m_s(c)).to_numpy()
+            s2 = t.column(m_q(c)).to_numpy()
+            s3 = t.column(m_c(c)).to_numpy()
+            s4 = t.column(m_4(c)).to_numpy()
+            return (s4 - 4.0 * s1 * s3 / n + 6.0 * s1 * s1 * s2 / (n * n)
+                    - 3.0 * s1 ** 4 / (n ** 3))
 
         def cps(x, y):  # centered sum of products
             p = t.column(m_p(x, y)).to_numpy()
@@ -135,6 +178,25 @@ def moments_aggregate(ds, keys: List[str],
             elif op == "std":
                 v = np.sqrt(np.maximum(css(src), 0.0) / denom)
                 mask = denom_ok
+            elif op == "skew":
+                # DuckDB SKEWNESS / Excel SKEW:
+                #   n/((n-1)(n-2)) * sum((x-mean)^3) / s^3,  s = sample std
+                m2 = np.maximum(css(src), 0.0)
+                mask = (n >= 3) & (m2 > 0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s3 = (m2 / np.where(n > 1, n - 1.0, 1.0)) ** 1.5
+                    v = (n / ((n - 1.0) * (n - 2.0))) * cs3(src) / s3
+            elif op == "kurt":
+                # DuckDB KURTOSIS / Excel KURT (sample EXCESS kurtosis):
+                #   n(n+1)/((n-1)(n-2)(n-3)) * sum((x-mean)^4)/s^4
+                #   - 3(n-1)^2/((n-2)(n-3))
+                m2 = np.maximum(css(src), 0.0)
+                mask = (n >= 4) & (m2 > 0)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s4 = (m2 / np.where(n > 1, n - 1.0, 1.0)) ** 2
+                    v = (n * (n + 1.0) / ((n - 1.0) * (n - 2.0) * (n - 3.0))
+                         * cs4(src) / s4
+                         - 3.0 * (n - 1.0) ** 2 / ((n - 2.0) * (n - 3.0)))
             elif op == "covar":
                 v = cps(*src) / denom
                 mask = denom_ok
@@ -249,6 +311,82 @@ def grouped_quantile_exact(ds, keys: List[str], col: str,
                 np.where(frn == crn, vlo,
                          vlo * (crn - rel) + vhi * (rel - frn)),
                 type=pa.float64())
+        return cast_like(pa.table(cols), want)
+
+    prepped = ds.map_batches(local, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))
+
+
+def grouped_mad(ds, keys: List[str], col: str, *, out_col: str = "mad",
+                num_parts: int = 16):
+    """EXACT per-group median absolute deviation — SQL ``mad(col)``
+    (DuckDB): ``median(abs(x - median(x)))`` with continuous median
+    interpolation on both passes, hash-exact against DuckDB on
+    float64.
+
+    Same single exchange as grouped_quantile_exact: every row of a
+    group lands in ONE hash bucket, so both medians are computed
+    bucket-locally — the second pass is a segmented re-sort of the
+    absolute deviations, never another shuffle.  NULLs are dropped;
+    all-NULL groups are omitted (SQL aggregate semantics).
+
+    Scale shape: ships the raw (keys, col) rows once, like the exact
+    quantile — the certification / bounded-group path.  For hub keys
+    use the KLL sketch twice (approximate MAD) instead.
+    """
+    if not keys:
+        raise ValueError("grouped_mad needs at least one key")
+
+    import polars as pl
+
+    def local(b: pa.Table) -> pa.Table:
+        t = b.select(keys + [col])
+        if len(keys) == 1:
+            h = stable_hash64(t.column(keys[0]))
+        else:
+            h = stable_hash_pair64(t.column(keys[0]), t.column(keys[1]))
+            for k in keys[2:]:
+                h = stable_hash_pair64(pa.array(h), t.column(k))
+        return t.append_column(_PART, pa.array(
+            np.asarray(h) % num_parts, type=pa.int32()))
+
+    def _seg_median(v: np.ndarray, starts: np.ndarray,
+                    length: np.ndarray) -> np.ndarray:
+        # continuous median over SORTED per-segment values (DuckDB's
+        # Interpolator at q=0.5, same form as grouped_quantile_exact)
+        rel = 0.5 * (length - 1)
+        frn = np.floor(rel)
+        crn = np.ceil(rel)
+        vlo = v[starts + frn.astype(np.int64)]
+        vhi = v[starts + crn.astype(np.int64)]
+        return np.where(frn == crn, vlo,
+                        vlo * (crn - rel) + vhi * (rel - frn))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        want = pa.schema([g.schema.field(k) for k in keys] +
+                         [pa.field(out_col, pa.float64())])
+        df = (pl.from_arrow(g.drop_columns([_PART]))
+              .drop_nulls(subset=[col]).sort(keys + [col]))
+        if df.height == 0:
+            return want.empty_table()
+        neq = df.select(pl.any_horizontal(
+            [pl.col(k).ne_missing(pl.col(k).shift(1)) for k in keys])
+            .alias("__b")).to_numpy().ravel().astype(bool)
+        neq[0] = True
+        starts = np.flatnonzero(neq)
+        v = df[col].to_numpy().astype(np.float64)
+        length = np.diff(np.append(starts, v.size))
+        med = _seg_median(v, starts, length)
+        gid = np.repeat(np.arange(starts.size, dtype=np.int64), length)
+        dev = np.abs(v - med[gid])
+        order = np.lexsort((dev, gid))  # re-sort deviations per segment
+        mad = _seg_median(dev[order], starts, length)
+        cols = dict(zip(keys, df.select(keys).to_arrow()
+                        .take(starts).columns))
+        cols[out_col] = pa.array(mad, type=pa.float64())
         return cast_like(pa.table(cols), want)
 
     prepped = ds.map_batches(local, batch_format="pyarrow",

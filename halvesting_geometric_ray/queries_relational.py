@@ -1241,6 +1241,40 @@ def q_regr_lineitem(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_shape_stats",
+    "SELECT l_returnflag, "
+    "round(skewness(l_quantity), 6) AS skew_qty, "
+    "round(kurtosis(l_quantity), 6) AS kurt_qty, "
+    "mad(l_quantity) AS mad_qty "
+    "FROM lineitem GROUP BY l_returnflag")
+def q_shape_stats(sf_dir: str):
+    """Distribution-shape statistics: grouped SKEWNESS / KURTOSIS
+    (ops/stats.py::moments_aggregate — same one-pass raw-moment plan
+    extended to sum(x^3)/sum(x^4), bias-corrected Excel/DuckDB forms)
+    and exact MAD (ops/stats.py::grouped_mad — median(abs(x-median)),
+    both medians computed inside ONE hash bucket, hash-exact vs
+    DuckDB).  skew/kurt rounded 6dp on BOTH sides (higher moments
+    amplify summation-order drift); mad is unrounded/exact.
+    SQL-oracled via the demoted _ORACLED_TAIL; DuckDB parity also
+    pinned in tests/test_stats.py."""
+    from .ops.join import broadcast_lookup
+    from .ops.stats import grouped_mad, moments_aggregate
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    shape = moments_aggregate(
+        ds, ["l_returnflag"],
+        {"skew_qty": ("skew", "l_quantity"),
+         "kurt_qty": ("kurt", "l_quantity")},
+        round_to=6)
+    mad = grouped_mad(ds, ["l_returnflag"], "l_quantity",
+                      out_col="mad_qty")
+    # both sides are one-row-per-group: broadcast the mad table
+    mad_t = pa.concat_tables(
+        [b for b in mad.iter_batches(batch_format="pyarrow")])
+    return broadcast_lookup(shape, "l_returnflag", mad_t,
+                            "l_returnflag", ["mad_qty"])
+
+
 @_q("q_quantiles_prices",
     "SELECT l_returnflag, "
     "quantile_cont(l_extendedprice, 0.25) AS p25, "

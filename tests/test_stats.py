@@ -65,6 +65,71 @@ def test_moments_singleton_group_nulls():
     assert out.loc[2, "cov_xy"] == pytest.approx(6.0)
 
 
+def test_skew_kurt_match_duckdb():
+    pdf = _rand(3000, seed=19, groups=11)
+    out = moments_aggregate(
+        rd.from_pandas(pdf), ["g"],
+        {"sk_x": ("skew", "x"), "ku_x": ("kurt", "x"),
+         "sk_y": ("skew", "y"), "mean_x": ("mean", "x")},
+        round_to=7).to_pandas()
+    exp = _duck(pdf, "SELECT g, round(skewness(x), 7) AS sk_x, "
+                     "round(kurtosis(x), 7) AS ku_x, "
+                     "round(skewness(y), 7) AS sk_y, "
+                     "round(avg(x), 7) AS mean_x FROM t GROUP BY g")
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp), check_dtype=False)
+
+
+def test_skew_kurt_null_semantics():
+    # DuckDB: skew NULL for n<3 or zero variance; kurt NULL for n<4 or
+    # zero variance (pinned against duckdb in-run)
+    pdf = pd.DataFrame({"g": [1, 1, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4],
+                        "x": [1.0, 2.0,
+                              1.0, 2.0, 3.0,
+                              1.0, 2.0, 3.0, 4.0,
+                              5.0, 5.0, 5.0, 5.0]})
+    out = moments_aggregate(
+        rd.from_pandas(pdf), ["g"],
+        {"sk": ("skew", "x"), "ku": ("kurt", "x")},
+        round_to=9).to_pandas().set_index("g")
+    exp = _duck(pdf, "SELECT g, round(skewness(x), 9) AS sk, "
+                     "round(kurtosis(x), 9) AS ku FROM t GROUP BY g"
+                ).set_index("g")
+    for g in (1, 2, 3, 4):
+        for c in ("sk", "ku"):
+            e, o = exp.loc[g, c], out.loc[g, c]
+            assert (pd.isna(e) and pd.isna(o)) or e == o, (g, c, e, o)
+    assert pd.isna(out.loc[1, "sk"]) and pd.isna(out.loc[2, "ku"])
+    assert pd.isna(out.loc[4, "sk"]) and pd.isna(out.loc[4, "ku"])
+
+
+def test_grouped_mad_match_duckdb():
+    from halvesting_geometric_ray.ops.stats import grouped_mad
+
+    pdf = _rand(2500, seed=23, groups=9)
+    out = grouped_mad(rd.from_pandas(pdf[["g", "x"]]), ["g"], "x",
+                      out_col="mad_x").to_pandas()
+    exp = _duck(pdf, "SELECT g, mad(x) AS mad_x FROM t GROUP BY g")
+    pd.testing.assert_frame_equal(_norm(out), _norm(exp),
+                                  check_dtype=False, check_exact=True)
+
+
+def test_grouped_mad_nulls_and_layout_invariance():
+    from halvesting_geometric_ray.ops.stats import grouped_mad
+
+    pdf = pd.DataFrame({"g": [1, 1, 1, 2, 2, 3],
+                        "x": [1.0, None, 9.0, 4.0, 4.0, None]})
+    out = grouped_mad(rd.from_pandas(pdf), ["g"], "x").to_pandas()
+    got = out.set_index("g")["mad"]
+    assert got.loc[1] == 4.0  # median 5, devs [4, 4]
+    assert got.loc[2] == 0.0
+    assert 3 not in got.index  # all-NULL group omitted
+    big = _rand(1200, seed=31, groups=5)
+    a = grouped_mad(rd.from_pandas(big), ["g"], "x").to_pandas()
+    b = grouped_mad(rd.from_pandas(big).repartition(13), ["g"],
+                    "x").to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b), check_exact=True)
+
+
 def test_corr_zero_variance_null():
     pdf = pd.DataFrame({"g": [0] * 4, "x": [3.0] * 4,
                         "y": [1.0, 2.0, 3.0, 4.0]})
