@@ -130,6 +130,87 @@ def sessionize(ds, partition_by, order_by, gap_us: int,
                         retry_exceptions=True))
 
 
+def merge_intervals(ds, partition_by, start_col: str, end_col: str, *,
+                    gap: int = 0, num_parts: int = 16,
+                    out_cols=("span_start", "span_end", "n_merged")):
+    """Flatten overlapping intervals per key (SQL gaps-and-islands):
+    sort each key's intervals by (start, end) and chain-merge every
+    interval whose start <= running max(end) + gap; emit one row per
+    merged span with (min start, max end, source-interval count).
+    The classic crawl-window / session-span / IP-range coalescer.
+
+    Exact island semantics (matches the DuckDB window-function oracle
+    bit-for-bit): new island iff the running max of PRIOR ends is null
+    or start > prev_max + gap — so touching intervals (start == prior
+    end) merge at gap=0, and end < start rows degrade gracefully to
+    the same formula.  NULL start/end rows are dropped (SQL aggregate
+    semantics).  start/end may be any numeric type or timestamp[us]
+    (timestamps compute on epoch microseconds internally — ``gap`` is
+    then microseconds — and round-trip to the input dtype).
+
+    Scale shape: one key-partitioned exchange of (keys, start, end)
+    rows; every key's intervals land in ONE hash bucket and the merge
+    is a vectorized segmented cum_max/cum_sum — no per-group loop, no
+    second shuffle.  Output is one row per merged span (<= input).
+    """
+    import polars as pl
+
+    pkeys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    if not pkeys:
+        raise ValueError("merge_intervals needs at least one key")
+    if start_col == end_col:
+        raise ValueError("start_col and end_col must differ")
+    s_out, e_out, n_out = out_cols
+
+    def per_part(g: pa.Table) -> pa.Table:
+        src = g.drop_columns([_PART]).select(pkeys + [start_col, end_col])
+        want = pa.schema(
+            [src.schema.field(k) for k in pkeys] +
+            [pa.field(s_out, src.schema.field(start_col).type),
+             pa.field(e_out, src.schema.field(end_col).type),
+             pa.field(n_out, pa.int64())])
+        df = (pl.from_arrow(src)
+              .drop_nulls(subset=[start_col, end_col]))
+        if df.height == 0:
+            return want.empty_table()
+        temporal = []
+        for c in (start_col, end_col):  # temporal -> epoch us ints
+            if isinstance(df.schema[c], pl.Datetime):
+                temporal.append(c)
+                df = df.with_columns(
+                    pl.col(c).cast(pl.Datetime("us"))
+                    .dt.timestamp("us").alias(c))
+        df = (df.sort(pkeys + [start_col, end_col], maintain_order=True)
+              .with_columns(pl.col(end_col).cum_max().shift(1)
+                            .over(pkeys).alias("__pm"))
+              .with_columns((pl.col(start_col) > pl.col("__pm") + gap)
+                            .fill_null(True).alias("__new"))
+              .with_columns(pl.col("__new").cast(pl.Int64).cum_sum()
+                            .over(pkeys).alias("__isl")))
+        out = (df
+               .group_by(pkeys + ["__isl"], maintain_order=True)
+               .agg(pl.col(start_col).min().alias(s_out),
+                    pl.col(end_col).max().alias(e_out),
+                    pl.len().cast(pl.Int64).alias(n_out))
+               .drop("__isl"))
+        # epoch-us ints back to Datetime("us"); cast_like then widens
+        # to the input's own unit (int64 -> timestamp would otherwise
+        # reinterpret the integers in the target unit)
+        redo = [o for c, o in ((start_col, s_out), (end_col, e_out))
+                if c in temporal]
+        if redo:
+            out = out.with_columns(
+                [pl.col(o).cast(pl.Datetime("us")) for o in redo])
+        return cast_like(out.to_arrow(), want)
+
+    prepped = ds.map_batches(lambda b: _add_part(b, pkeys, num_parts),
+                             batch_format="pyarrow", zero_copy_batch=True)
+    return (pre_shuffle(prepped).groupby(_PART)
+            .map_groups(per_part, batch_format="pyarrow",
+                        retry_exceptions=True))
+
+
 def row_number(ds, partition_by, order_by, descending: bool = False,
                tie_break: Optional[List[str]] = None,
                out_col: str = "rn", num_parts: int = 16,

@@ -925,6 +925,48 @@ def q_sliding_window(sf_dir: str):
     return _to_cents(out, ["value_cents"])
 
 
+@_q("q_merge_intervals",
+    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+    "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
+    "FROM events), "
+    "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "AS pm FROM iv), "
+    "i AS (SELECT user_id, s, e, SUM(CASE WHEN pm IS NULL OR s > pm "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m) "
+    "SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, "
+    "COUNT(*) AS n_merged FROM i GROUP BY user_id, isl")
+def q_merge_intervals(sf_dir: str):
+    """Interval coalescing (ops/window.py::merge_intervals): each
+    event opens an activity window [ts, ts + value minutes]; per user,
+    overlapping/touching windows chain-merge into spans (SQL
+    gaps-and-islands, exact island semantics vs the DuckDB
+    window-function oracle).  Durations floor() to integer
+    microseconds on BOTH sides (double->int cast direction differs
+    between engines otherwise).  SQL-oracled via the demoted
+    _ORACLED_TAIL; crafted-case + parity pytests in
+    tests/test_window.py."""
+    from .ops.window import merge_intervals
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("ts"), pa.int64())  # timestamp[us] -> us
+        dur = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False)
+            * 60_000_000.0).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"), "s": s,
+                         "e": pa.array(s.to_numpy() + dur,
+                                       type=pa.int64())})
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return merge_intervals(iv, "user_id", "s", "e",
+                           out_cols=("span_start", "span_end",
+                                     "n_merged"))
+
+
 @_q("q_sessionize",
     "WITH e AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
     "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "

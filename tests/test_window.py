@@ -206,3 +206,87 @@ def test_sessionize_crafted_gaps():
     with pytest.raises(ValueError, match="one timestamp"):
         sessionize(rd.from_pandas(pdf), "user", ["ts", "eid"],
                    gap_us=30 * US)
+
+
+def test_merge_intervals_crafted():
+    from halvesting_geometric_ray.ops.window import merge_intervals
+
+    # user 1: [0,10] [5,8] (contained) [10,12] (touching) [20,25] (gap)
+    # user 2: single interval
+    # user 3: duplicates merge, count them
+    pdf = pd.DataFrame({
+        "u": np.array([1, 1, 1, 1, 2, 3, 3], dtype=np.int64),
+        "s": np.array([0, 5, 10, 20, 7, 3, 3], dtype=np.int64),
+        "e": np.array([10, 8, 12, 25, 9, 6, 6], dtype=np.int64),
+    })
+    got = (merge_intervals(rd.from_pandas(pdf).repartition(4), "u",
+                           "s", "e").to_pandas()
+           .sort_values(["u", "span_start"]).reset_index(drop=True))
+    exp = pd.DataFrame({
+        "u": [1, 1, 2, 3],
+        "span_start": [0, 20, 7, 3],
+        "span_end": [12, 25, 9, 6],
+        "n_merged": [3, 1, 1, 2],
+    })
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+    # gap=5 bridges [12]..[20]
+    got5 = (merge_intervals(rd.from_pandas(pdf), "u", "s", "e", gap=8)
+            .to_pandas())
+    u1 = got5[got5.u == 1]
+    assert len(u1) == 1 and u1.n_merged.iloc[0] == 4
+
+
+def test_merge_intervals_matches_duckdb():
+    from halvesting_geometric_ray.ops.window import merge_intervals
+
+    rng = np.random.default_rng(17)
+    n = 800
+    pdf = pd.DataFrame({
+        "u": rng.integers(0, 25, n).astype(np.int64),
+        "s": rng.integers(0, 500, n).astype(np.int64),
+    })
+    pdf["e"] = pdf["s"] + rng.integers(0, 30, n).astype(np.int64)
+    got = merge_intervals(rd.from_pandas(pdf).repartition(7), "u",
+                          "s", "e").to_pandas()
+    exp = _duck(pdf, """
+        WITH m AS (SELECT u, s, e, MAX(e) OVER (PARTITION BY u
+            ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+            1 PRECEDING) AS pm FROM e),
+        i AS (SELECT u, s, e, SUM(CASE WHEN pm IS NULL OR s > pm
+            THEN 1 ELSE 0 END) OVER (PARTITION BY u ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM m)
+        SELECT u, MIN(s) AS span_start, MAX(e) AS span_end,
+               COUNT(*) AS n_merged FROM i GROUP BY u, isl""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False, check_exact=True)
+    # layout invariance
+    got2 = merge_intervals(rd.from_pandas(pdf).repartition(13), "u",
+                           "s", "e", num_parts=5).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(got2),
+                                  check_exact=True)
+
+
+def test_merge_intervals_timestamps_and_nulls():
+    from halvesting_geometric_ray.ops.window import merge_intervals
+
+    US = 1_000_000
+    pdf = pd.DataFrame({
+        "u": np.array([1, 1, 1, 2], dtype=np.int64),
+        "s": pd.to_datetime(
+            np.array([0, 30 * US, 100 * US, 0]), unit="us"),
+        "e": pd.to_datetime(
+            np.array([40 * US, 60 * US, 110 * US, 5 * US]), unit="us"),
+    })
+    pdf.loc[3, "e"] = pd.NaT  # null end -> row dropped
+    got = (merge_intervals(rd.from_pandas(pdf), "u", "s", "e")
+           .to_pandas().sort_values(["u", "span_start"])
+           .reset_index(drop=True))
+    assert got.u.tolist() == [1, 1]
+    assert got.span_start.tolist() == [pd.Timestamp(0),
+                                       pd.Timestamp(100 * US * 1000)]
+    assert got.span_end.tolist() == [pd.Timestamp(60 * US * 1000),
+                                     pd.Timestamp(110 * US * 1000)]
+    assert got.n_merged.tolist() == [2, 1]
+    with pytest.raises(ValueError, match="must differ"):
+        merge_intervals(rd.from_pandas(pdf), "u", "s", "s")
