@@ -670,3 +670,175 @@ def cms_query(sketch: "np.ndarray", keys) -> "np.ndarray":
     for i, pos in enumerate(_cms_positions(h, width, depth)):
         est = np.minimum(est, sketch[i][pos])
     return est
+
+
+# ---- KMV / theta sketch: distinct counting with SET OPERATIONS ----
+#
+# HLL answers |A| and (by register max) |A u B|, but intersections via
+# inclusion-exclusion blow up when |A n B| << |A u B|.  The KMV /
+# theta sketch (Beyer et al. SIGMOD 2007; the DataSketches theta
+# family) keeps the k SMALLEST distinct 63-bit hashes: every value
+# below the running threshold theta = U_(k) is a uniform sample of the
+# distinct population, so |A n B|, |A u B| and Jaccard are estimated
+# directly on the sample intersection/union below min(theta_a,
+# theta_b).  Relative error ~ 1/sqrt(k-2); sketches are union-mergeable
+# (concat + dedup + trim) and bitwise partitioning-invariant (the k
+# smallest of a set do not depend on arrival order).  Below k distinct
+# values the sketch IS the exact distinct set (exact regime).
+
+_KMV_SPACE = float(1 << 63)  # stable_hash64 is uniform on [0, 2^63)
+
+
+def _kmv_trim(vals: np.ndarray, k: int) -> np.ndarray:
+    u = np.unique(vals.astype(np.uint64))  # sorted ascending
+    return u[:k] if u.size > k else u
+
+
+def kmv_build(ds, col: str, k: int = 4096, merge_parts: int = 8) -> dict:
+    """KMV sketch of COUNT(DISTINCT col): {"k": k, "vals": sorted
+    uint64 array of the k smallest distinct hashes}.  One pass, one
+    tree merge of k-row partials — no shuffle of the data."""
+    if k < 16:
+        raise ValueError("k >= 16 required")
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = np.asarray(stable_hash64(b.column(col)))
+        return pa.table({"vals": pa.array([_kmv_trim(h, k)],
+                                          type=pa.list_(pa.uint64()))})
+
+    def merge(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"vals": pa.array(
+                [np.empty(0, np.uint64)], type=pa.list_(pa.uint64()))})
+        allv = np.concatenate(
+            [np.asarray(r.values) for r in b.column("vals")])
+        return pa.table({"vals": pa.array([_kmv_trim(allv, k)],
+                                          type=pa.list_(pa.uint64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    reduced = (parts.repartition(merge_parts)
+               .map_batches(merge, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True))
+    acc = np.empty(0, dtype=np.uint64)
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        for row in b.column("vals"):
+            acc = _kmv_trim(np.concatenate([acc, np.asarray(row.values)]),
+                            k)
+    return {"k": k, "vals": acc}
+
+
+def kmv_build_grouped(ds, key: str, col: str, k: int = 4096,
+                      merge_parts: int = 8) -> dict:
+    """One KMV sketch of COUNT(DISTINCT col) PER value of ``key``
+    (bounded group count — e.g. per crawl snapshot / event type):
+    {key_value: sketch}.  Partials carry at most k hashes per observed
+    group per block; merge is the same concat+trim tree."""
+    if k < 16:
+        raise ValueError("k >= 16 required")
+
+    def _per_group(keys: np.ndarray, h: np.ndarray) -> pa.Table:
+        order = np.lexsort((h, keys))
+        ks, hs = keys[order], h[order].astype(np.uint64)
+        # drop duplicate (key, hash) pairs, then take first k per key
+        keep = np.ones(ks.size, dtype=bool)
+        keep[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
+        ks, hs = ks[keep], hs[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        rank = np.arange(ks.size) - np.repeat(
+            starts, np.diff(np.append(starts, ks.size)))
+        sel = rank < k
+        ks, hs = ks[sel], hs[sel]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ks[1:] != ks[:-1]]))
+        length = np.diff(np.append(starts, ks.size))
+        return pa.table({
+            "key": pa.array(ks[starts]),
+            "vals": pa.array(np.split(hs, np.cumsum(length)[:-1]),
+                             type=pa.list_(pa.uint64()))})
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        h = np.asarray(stable_hash64(b.column(col)))
+        if keys.size == 0:
+            return pa.table({"key": pa.array([], type=b.schema.field(key).type),
+                             "vals": pa.array([], type=pa.list_(pa.uint64()))})
+        return _per_group(keys, h)
+
+    def merge(b: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for kv, row in zip(b.column("key").to_pylist(), b.column("vals")):
+            r = np.asarray(row.values)
+            a = acc.get(kv)
+            acc[kv] = r if a is None else _kmv_trim(
+                np.concatenate([a, r]), k)
+        names = sorted(acc)
+        return pa.table({
+            "key": pa.array(names, type=b.schema.field("key").type),
+            "vals": pa.array([_kmv_trim(acc[n], k) for n in names],
+                             type=pa.list_(pa.uint64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    reduced = (parts.repartition(merge_parts)
+               .map_batches(merge, batch_format="pyarrow",
+                            batch_size=None, zero_copy_batch=True))
+    out: dict = {}
+    for b in reduced.iter_batches(batch_format="pyarrow"):
+        for kv, row in zip(b.column("key").to_pylist(), b.column("vals")):
+            r = np.asarray(row.values)
+            a = out.get(kv)
+            out[kv] = r if a is None else _kmv_trim(
+                np.concatenate([a, r]), k)
+    return {kv: {"k": k, "vals": v} for kv, v in out.items()}
+
+
+def _kmv_threshold(sk: dict) -> int:
+    """Sampling threshold in EXACT hash units (int, not float — 63-bit
+    hashes exceed float64 precision): 2^63 while the sketch is exact
+    (fewer than k values), else U_(k) itself (strictly excluded from
+    the sample)."""
+    v = sk["vals"]
+    if v.size < sk["k"]:
+        return 1 << 63
+    return int(v[-1])
+
+
+def kmv_estimate(sk: dict) -> float:
+    """Distinct-count estimate: exact below k, else (k-1)/U_(k)."""
+    v = sk["vals"]
+    if v.size < sk["k"]:
+        return float(v.size)
+    return (sk["k"] - 1) * _KMV_SPACE / float(_kmv_threshold(sk))
+
+
+def kmv_union(*sks: dict) -> dict:
+    """Union sketch (concat + dedup + trim): exactly the sketch of the
+    union stream; composable and commutative."""
+    if not sks:
+        raise ValueError("kmv_union needs at least one sketch")
+    k = min(s["k"] for s in sks)
+    return {"k": k, "vals": _kmv_trim(
+        np.concatenate([s["vals"] for s in sks]), k)}
+
+
+def kmv_set_ops(ska: dict, skb: dict) -> dict:
+    """Theta-sketch set-operation estimates between two sketches:
+    {"est_a", "est_b", "est_union", "est_intersection", "jaccard"}.
+    Both samples are restricted BELOW theta = min(theta_a, theta_b)
+    (strictly — U_(k) itself is the threshold, not a sample member),
+    where they are uniform samples of each distinct population; the
+    intersection/union estimates are sample counts divided by theta."""
+    thr = min(_kmv_threshold(ska), _kmv_threshold(skb))
+    a, b = ska["vals"], skb["vals"]
+    if thr < (1 << 63):
+        lim = np.uint64(thr)
+        a, b = a[a < lim], b[b < lim]
+    inter = np.intersect1d(a, b, assume_unique=True)
+    n_union = a.size + b.size - inter.size
+    theta = float(thr) / _KMV_SPACE
+    return {"est_a": kmv_estimate(ska), "est_b": kmv_estimate(skb),
+            "est_union": n_union / theta,
+            "est_intersection": inter.size / theta,
+            "jaccard": float(inter.size / n_union) if n_union else 0.0}

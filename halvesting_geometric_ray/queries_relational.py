@@ -925,6 +925,59 @@ def q_sliding_window(sf_dir: str):
     return _to_cents(out, ["value_cents"])
 
 
+@_q("q_crawl_overlap",
+    "WITH ud AS (SELECT DISTINCT event_type AS t, "
+    "user_id * 131072 + CAST(floor(epoch_us(ts) / 86400000000) "
+    "AS BIGINT) AS k FROM events), "
+    "c AS (SELECT t, count(*) AS n FROM ud GROUP BY t), "
+    "i AS (SELECT a.t AS ta, b.t AS tb, count(*) AS ni FROM ud a "
+    "JOIN ud b ON a.k = b.k AND a.t < b.t GROUP BY a.t, b.t) "
+    "SELECT ca.t AS type_a, cb.t AS type_b, "
+    "CAST(ca.n AS DOUBLE) AS est_a, CAST(cb.n AS DOUBLE) AS est_b, "
+    "CAST(ca.n + cb.n - COALESCE(i.ni, 0) AS DOUBLE) AS est_union, "
+    "CAST(COALESCE(i.ni, 0) AS DOUBLE) AS est_intersection, "
+    "CAST(COALESCE(i.ni, 0) AS DOUBLE) / "
+    "CAST(ca.n + cb.n - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard "
+    "FROM c ca JOIN c cb ON ca.t < cb.t "
+    "LEFT JOIN i ON i.ta = ca.t AND i.tb = cb.t")
+def q_crawl_overlap(sf_dir: str):
+    """Pairwise distinct-population overlap via KMV / theta sketches
+    (ops/sketch.py::kmv_build_grouped + kmv_set_ops): per event type,
+    sketch the distinct (user, day) activity keys, then estimate
+    |A n B|, |A u B| and Jaccard for every type pair — the cross-crawl
+    /cross-snapshot overlap estimator (inclusion-exclusion on HLL
+    cannot answer small intersections).  At gate scale the sketches
+    sit in the EXACT regime (distinct keys << k=65536), so the SQL
+    self-join oracle matches bitwise; past k the same query returns
+    ~1/sqrt(k) estimates (error bound pinned in tests/test_sketch.py).
+    SQL-oracled via the demoted _ORACLED_TAIL."""
+    from .ops.sketch import kmv_build_grouped, kmv_set_ops
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def keyize(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy()
+        day = us // 86_400_000_000  # day index since epoch
+        uid = b.column("user_id").to_numpy()
+        return pa.table({"event_type": b.column("event_type"),
+                         "k": pa.array(uid * 131072 + day,
+                                       type=pa.int64())})
+
+    keyed = ds.map_batches(keyize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sk = kmv_build_grouped(keyed, "event_type", "k", k=65536)
+    types = sorted(sk)
+    rows = []
+    for idx, ta in enumerate(types):
+        for tb in types[idx + 1:]:
+            ops = kmv_set_ops(sk[ta], sk[tb])
+            rows.append({"type_a": ta, "type_b": tb, **ops})
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "est_a",
+                                       "est_b", "est_union",
+                                       "est_intersection", "jaccard"])
+
+
 @_q("q_merge_intervals",
     "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
     "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "

@@ -375,3 +375,79 @@ def test_cms_validation():
         cms_build(ds, "k", width=1000)
     with pytest.raises(ValueError, match="depth"):
         cms_build(ds, "k", depth=0)
+
+
+# ---- KMV / theta sketch ----
+
+
+def test_kmv_exact_regime_and_set_ops():
+    from halvesting_geometric_ray.ops.sketch import (
+        kmv_build, kmv_estimate, kmv_set_ops, kmv_union)
+
+    a_vals = np.arange(500, dtype=np.int64)
+    b_vals = np.arange(300, 800, dtype=np.int64)
+    dsa = rd.from_pandas(pd.DataFrame({"v": a_vals})).repartition(4)
+    dsb = rd.from_pandas(pd.DataFrame({"v": b_vals})).repartition(3)
+    ska = kmv_build(dsa, "v", k=4096)
+    skb = kmv_build(dsb, "v", k=4096)
+    assert kmv_estimate(ska) == 500.0  # exact below k
+    assert kmv_estimate(skb) == 500.0
+    ops = kmv_set_ops(ska, skb)
+    assert ops["est_intersection"] == 200.0
+    assert ops["est_union"] == 800.0
+    assert ops["jaccard"] == 200.0 / 800.0
+    assert kmv_estimate(kmv_union(ska, skb)) == 800.0
+
+
+def test_kmv_estimate_error_bound():
+    from halvesting_geometric_ray.ops.sketch import kmv_build, kmv_estimate
+
+    n = 200_000
+    ds = rd.from_pandas(pd.DataFrame(
+        {"v": np.arange(n, dtype=np.int64)})).repartition(8)
+    sk = kmv_build(ds, "v", k=1024)
+    assert len(sk["vals"]) == 1024
+    est = kmv_estimate(sk)
+    assert abs(est - n) / n < 0.15  # ~5 sigma at k=1024
+
+
+def test_kmv_intersection_planted_overlap():
+    from halvesting_geometric_ray.ops.sketch import kmv_build, kmv_set_ops
+
+    a = rd.from_pandas(pd.DataFrame(
+        {"v": np.arange(0, 50_000, dtype=np.int64)})).repartition(5)
+    b = rd.from_pandas(pd.DataFrame(
+        {"v": np.arange(25_000, 75_000, dtype=np.int64)})).repartition(7)
+    ops = kmv_set_ops(kmv_build(a, "v", k=2048), kmv_build(b, "v", k=2048))
+    assert abs(ops["est_intersection"] - 25_000) / 25_000 < 0.2
+    assert abs(ops["est_union"] - 75_000) / 75_000 < 0.12
+    assert abs(ops["jaccard"] - 1 / 3) < 0.08
+
+
+def test_kmv_layout_invariance_and_dupes():
+    from halvesting_geometric_ray.ops.sketch import kmv_build
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 30_000, 100_000).astype(np.int64)  # dupes
+    pdf = pd.DataFrame({"v": vals})
+    s1 = kmv_build(rd.from_pandas(pdf).repartition(3), "v", k=512)
+    s2 = kmv_build(rd.from_pandas(pdf).repartition(17), "v", k=512,
+                   merge_parts=3)
+    np.testing.assert_array_equal(s1["vals"], s2["vals"])  # bitwise
+
+
+def test_kmv_grouped_matches_flat():
+    from halvesting_geometric_ray.ops.sketch import (
+        kmv_build, kmv_build_grouped)
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 60_000),
+        "v": rng.integers(0, 20_000, 60_000).astype(np.int64)})
+    grouped = kmv_build_grouped(
+        rd.from_pandas(pdf).repartition(6), "g", "v", k=256)
+    assert set(grouped) == {"x", "y", "z"}
+    for gv in ("x", "y", "z"):
+        flat = kmv_build(
+            rd.from_pandas(pdf[pdf.g == gv][["v"]]), "v", k=256)
+        np.testing.assert_array_equal(grouped[gv]["vals"], flat["vals"])
