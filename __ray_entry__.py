@@ -92,7 +92,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_coloring", "q_densest", "q_diameter",
     "q_label_propagation", "q_louvain", "q_conductance",
     "q_local_cluster",
-    "q_simhash_pairs",
+    "q_simhash_pairs", "q_mirror_pages",
     "q_edge_splits", "q_negative_samples", "q_hll_distinct",
     "q_token_percentiles_sketch", "q_decontaminate_bloom", "q_span_dedup",
     "q_substring_dedup",

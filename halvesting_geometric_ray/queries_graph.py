@@ -1552,6 +1552,24 @@ def q_adamic_adar(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@_q("q_mirror_pages")
+def q_mirror_pages(sf_dir: str):
+    """Structural mirror detection (graph/mirror.py::
+    mirror_candidates): adjacency-MinHash + banded LSH candidates,
+    exact neighbor-Jaccard verify — pages whose OUT-link sets are
+    near-identical (mirror copies / template hubs).  On the synthetic
+    host-uniform corpus the hits are the degenerate-but-real regime:
+    low-out-degree pages sharing the same link targets (jaccard 1.0
+    stars under bucket_cap).  Rows-only at the gate; planted-mirror
+    exactness, sequential-minhash parity and layout invariance are
+    pinned in tests/test_mirror.py.  Gate-pinned corpus."""
+    from .graph.mirror import mirror_candidates
+
+    g = gate_graph()
+    return mirror_candidates(read_layer(g.edges), num_perm=32,
+                             bands=8, min_jaccard=0.8)
+
+
 @_q("q_reciprocity")
 def q_reciprocity(sf_dir: str):
     """Directed-edge reciprocity of the link graph (graph/metrics.py);
