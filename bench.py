@@ -163,7 +163,9 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_relational as QR
 
     for name in ["q_pricing_summary", "q_priority_revenue",
-                 "q_edges_distinct", "q_top_tokens"]:
+                 "q_edges_distinct", "q_top_tokens",
+                 "q_merge_intervals", "q_crawl_overlap",
+                 "q_shape_stats"]:
         t = time.time()
         res = QR.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
@@ -190,7 +192,7 @@ def run_bench() -> dict:
     for name in ["q_louvain", "q_word2vec_embeddings",
                  "q_link_prediction_auc", "q_host_backbone_mst",
                  "q_ldg_partition", "q_multilevel_partition",
-                 "q_hdrf_partition"]:
+                 "q_hdrf_partition", "q_mirror_pages"]:
         t = time.time()
         res = QG.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
