@@ -24,6 +24,25 @@ import sys
 import time
 
 
+
+# query keys timed by run_bench (module-level so tests can pin that
+# every name still resolves in its QUERIES registry)
+BENCH_KEYS_RELATIONAL = ["q_pricing_summary", "q_priority_revenue",
+                         "q_edges_distinct", "q_top_tokens",
+                         "q_merge_intervals", "q_crawl_overlap",
+                         "q_shape_stats"]
+BENCH_KEYS_TEXT = ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
+                   "q_dedup_exact", "q_span_dedup", "q_substring_dedup",
+                   "q_tfidf",
+                   "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
+                   "q_knn_cosine_pq", "q_edit_neardup",
+                   "q_unigram_train", "q_search_bm25"]
+BENCH_KEYS_GRAPH = ["q_louvain", "q_word2vec_embeddings",
+                    "q_link_prediction_auc", "q_host_backbone_mst",
+                    "q_ldg_partition", "q_multilevel_partition",
+                    "q_hdrf_partition", "q_mirror_pages"]
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -162,10 +181,7 @@ def run_bench() -> dict:
     # sample of conformance queries over the sf tables
     from halvesting_geometric_ray import queries_relational as QR
 
-    for name in ["q_pricing_summary", "q_priority_revenue",
-                 "q_edges_distinct", "q_top_tokens",
-                 "q_merge_intervals", "q_crawl_overlap",
-                 "q_shape_stats"]:
+    for name in BENCH_KEYS_RELATIONAL:
         t = time.time()
         res = QR.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
@@ -175,12 +191,7 @@ def run_bench() -> dict:
     # training-data operator suite sample (dedup / hashing / ANN)
     from halvesting_geometric_ray import queries_text as QT
 
-    for name in ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
-                 "q_dedup_exact", "q_span_dedup", "q_substring_dedup",
-                 "q_tfidf",
-                 "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
-                 "q_knn_cosine_pq", "q_edit_neardup",
-                 "q_unigram_train", "q_search_bm25"]:
+    for name in BENCH_KEYS_TEXT:
         t = time.time()
         res = QT.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
@@ -189,10 +200,7 @@ def run_bench() -> dict:
 
     from halvesting_geometric_ray import queries_graph as QG
 
-    for name in ["q_louvain", "q_word2vec_embeddings",
-                 "q_link_prediction_auc", "q_host_backbone_mst",
-                 "q_ldg_partition", "q_multilevel_partition",
-                 "q_hdrf_partition", "q_mirror_pages"]:
+    for name in BENCH_KEYS_GRAPH:
         t = time.time()
         res = QG.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
