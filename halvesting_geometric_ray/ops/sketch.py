@@ -842,3 +842,56 @@ def kmv_set_ops(ska: dict, skb: dict) -> dict:
             "est_union": n_union / theta,
             "est_intersection": inter.size / theta,
             "jaccard": float(inter.size / n_union) if n_union else 0.0}
+
+
+def grouped_mad_sketch(ds, keys, col: str, k: int = 256,
+                       num_parts: int = 16, out_col: str = "mad",
+                       broadcast_cap: int = 20_000_000):
+    """Approximate per-group MAD — the hub-key twin of
+    ops/stats.py::grouped_mad: two KLL passes (grouped median, then
+    grouped median of |x - median|) instead of shipping raw rows.
+    Rank error <1% per pass at k=256; the two errors compose, so this
+    is the scale estimator, not the certification path.
+
+    Pass-1 medians (one row per group) are broadcast via ray.put and
+    joined map-side — bounded by ``broadcast_cap`` rows (raise on
+    overflow: past ~2e7 groups fold the median in with a bucketed
+    hash_join instead).  The raw data is read twice, never shuffled.
+    """
+    import ray as _ray
+    import polars as pl
+
+    kk = [keys] if isinstance(keys, str) else list(keys)
+    med = grouped_quantile_sketch(ds, kk, col, [0.5], k=k,
+                                  num_parts=num_parts)
+    med_t = pa.concat_tables(
+        [b for b in med.iter_batches(batch_format="pyarrow")]) \
+        if med.count() else None
+    if med_t is None or med_t.num_rows == 0:
+        return med  # empty input: empty (keys, p50) table
+    if med_t.num_rows > broadcast_cap:
+        raise ValueError(
+            f"{med_t.num_rows} groups exceed broadcast_cap="
+            f"{broadcast_cap}; use a bucketed join variant")
+    med_t = med_t.select(kk + ["p50"]).rename_columns(kk + ["__med"])
+    ref = _ray.put(med_t)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = pl.from_arrow(_ray.get(ref))
+        df = pl.from_arrow(b.select(kk + [col]))
+        j = df.join(m, on=kk, how="inner")
+        return j.with_columns(
+            (pl.col(col) - pl.col("__med")).abs().alias("__dev")) \
+            .drop("__med").to_arrow()
+
+    dev_ds = ds.map_batches(dev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = grouped_quantile_sketch(dev_ds, kk, "__dev", [0.5], k=k,
+                                  num_parts=num_parts)
+
+    def ren(b: pa.Table) -> pa.Table:
+        b = b.select(kk + ["p50"])
+        return b.rename_columns(kk + [out_col])
+
+    return out.map_batches(ren, batch_format="pyarrow",
+                           zero_copy_batch=True)

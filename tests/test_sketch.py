@@ -451,3 +451,31 @@ def test_kmv_grouped_matches_flat():
         flat = kmv_build(
             rd.from_pandas(pdf[pdf.g == gv][["v"]]), "v", k=256)
         np.testing.assert_array_equal(grouped[gv]["vals"], flat["vals"])
+
+
+def test_grouped_mad_sketch_close_to_exact():
+    from halvesting_geometric_ray.ops.sketch import grouped_mad_sketch
+    from halvesting_geometric_ray.ops.stats import grouped_mad
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({
+        "g": rng.integers(0, 6, 40_000).astype(np.int64),
+        "x": rng.normal(50.0, 12.0, 40_000)})
+    approx = (grouped_mad_sketch(rd.from_pandas(pdf).repartition(8),
+                                 "g", "x").to_pandas()
+              .set_index("g")["mad"])
+    exact = (grouped_mad(rd.from_pandas(pdf), ["g"], "x").to_pandas()
+             .set_index("g")["mad"])
+    for g in exact.index:
+        assert abs(approx.loc[g] - exact.loc[g]) / exact.loc[g] < 0.05
+
+
+def test_grouped_mad_sketch_overflow_guard():
+    from halvesting_geometric_ray.ops.sketch import grouped_mad_sketch
+    import pytest as _pt
+
+    pdf = pd.DataFrame({"g": np.arange(40, dtype=np.int64),
+                        "x": np.ones(40)})
+    with _pt.raises(ValueError, match="broadcast_cap"):
+        grouped_mad_sketch(rd.from_pandas(pdf), "g", "x",
+                           broadcast_cap=10)
