@@ -925,6 +925,48 @@ def q_sliding_window(sf_dir: str):
     return _to_cents(out, ["value_cents"])
 
 
+@_q("q_decayed_activity",
+    "SELECT user_id, round(SUM(exp((epoch_us(ts) - 1709251200000000.0)"
+    " / 604800000000.0)), 6) AS decayed_activity "
+    "FROM events GROUP BY user_id")
+def q_decayed_activity(sf_dir: str):
+    """Exponential time-decay activity score (frecency): per user,
+    SUM(exp((ts - T_ref)/tau)) with tau = 7 days, T_ref = 2024-03-01
+    — the recency weighting a mixture sampler / crawl scheduler uses.
+    Sum-mergeable (one grouped-sum exchange via ops/agg.py::
+    grouped_aggregate, weights computed vectorized per batch); rounded
+    6dp on BOTH sides (exp last-ulp + summation order).  SQL-oracled
+    via the demoted _ORACLED_TAIL."""
+    from .ops.agg import grouped_aggregate
+
+    T_REF = 1_709_251_200_000_000.0  # epoch us of 2024-03-01
+    TAU = 604_800_000_000.0          # 7 days in us
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def weigh(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy()
+        w = np.exp((us - T_REF) / TAU)
+        return pa.table({"user_id": b.column("user_id"),
+                         "w": pa.array(w, type=pa.float64())})
+
+    weighted = ds.map_batches(weigh, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = grouped_aggregate(weighted, ["user_id"],
+                            {"decayed_activity": ("sum", "w")})
+
+    def rounder(b: pa.Table) -> pa.Table:
+        v = np.round(
+            b.column("decayed_activity").to_numpy(zero_copy_only=False),
+            6)
+        i = b.column_names.index("decayed_activity")
+        return b.set_column(i, "decayed_activity",
+                            pa.array(v, type=pa.float64()))
+
+    return out.map_batches(rounder, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 @_q("q_crawl_overlap",
     "WITH ud AS (SELECT DISTINCT event_type AS t, "
     "user_id * 131072 + CAST(floor(epoch_us(ts) / 86400000000) "
