@@ -321,7 +321,8 @@ def grouped_quantile_exact(ds, keys: List[str], col: str,
 
 
 def grouped_mad(ds, keys: List[str], col: str, *, out_col: str = "mad",
-                num_parts: int = 16):
+                num_parts: int = 16, include_median: bool = False,
+                median_col: str = "median"):
     """EXACT per-group median absolute deviation — SQL ``mad(col)``
     (DuckDB): ``median(abs(x - median(x)))`` with continuous median
     interpolation on both passes, hash-exact against DuckDB on
@@ -335,7 +336,10 @@ def grouped_mad(ds, keys: List[str], col: str, *, out_col: str = "mad",
 
     Scale shape: ships the raw (keys, col) rows once, like the exact
     quantile — the certification / bounded-group path.  For hub keys
-    use the KLL sketch twice (approximate MAD) instead.
+    use ops/sketch.py::grouped_mad_sketch (two KLL passes) instead.
+    ``include_median=True`` appends the per-group median (computed
+    anyway) as ``median_col`` — the (median, mad) pair robust_scale
+    consumes.
     """
     if not keys:
         raise ValueError("grouped_mad needs at least one key")
@@ -366,8 +370,11 @@ def grouped_mad(ds, keys: List[str], col: str, *, out_col: str = "mad",
                         vlo * (crn - rel) + vhi * (rel - frn))
 
     def per_part(g: pa.Table) -> pa.Table:
-        want = pa.schema([g.schema.field(k) for k in keys] +
-                         [pa.field(out_col, pa.float64())])
+        fields = [g.schema.field(k) for k in keys]
+        if include_median:
+            fields.append(pa.field(median_col, pa.float64()))
+        fields.append(pa.field(out_col, pa.float64()))
+        want = pa.schema(fields)
         df = (pl.from_arrow(g.drop_columns([_PART]))
               .drop_nulls(subset=[col]).sort(keys + [col]))
         if df.height == 0:
@@ -386,6 +393,8 @@ def grouped_mad(ds, keys: List[str], col: str, *, out_col: str = "mad",
         mad = _seg_median(dev[order], starts, length)
         cols = dict(zip(keys, df.select(keys).to_arrow()
                         .take(starts).columns))
+        if include_median:
+            cols[median_col] = pa.array(med, type=pa.float64())
         cols[out_col] = pa.array(mad, type=pa.float64())
         return cast_like(pa.table(cols), want)
 
@@ -394,6 +403,53 @@ def grouped_mad(ds, keys: List[str], col: str, *, out_col: str = "mad",
     return (pre_shuffle(prepped).groupby(_PART)
             .map_groups(per_part, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def robust_scale(ds, keys: List[str], col: str, *,
+                 out_col: str = "scaled", num_parts: int = 16,
+                 broadcast_cap: int = 20_000_000):
+    """Per-row robust normalization ``(x - median) / mad`` against the
+    row's GROUP statistics — the outlier-insensitive feature scaling a
+    quality-score pipeline applies before thresholding (variance-based
+    z-scores break under heavy-tailed web data).  Rows in zero-MAD
+    groups get null (no spread to scale by); NULL x stays null.
+
+    Exact: the (median, mad) pair comes from grouped_mad
+    (hash-exact vs DuckDB), and the subtraction/division is the same
+    two IEEE ops on both engines — certified check_exact.
+
+    Scale shape: one grouped exchange for the stats (bounded by group
+    count, guarded by ``broadcast_cap``), then a map-side broadcast
+    join — the data itself is read once more, never shuffled.
+    """
+    import ray as _ray
+    import polars as pl
+
+    stats = grouped_mad(ds, keys, col, num_parts=num_parts,
+                        include_median=True, median_col="__med",
+                        out_col="__mad")
+    stats_t = pa.concat_tables(
+        [b for b in stats.iter_batches(batch_format="pyarrow")])
+    if stats_t.num_rows > broadcast_cap:
+        raise ValueError(
+            f"{stats_t.num_rows} groups exceed broadcast_cap="
+            f"{broadcast_cap}; fold the stats in with a bucketed join")
+    ref = _ray.put(stats_t)
+
+    def scale(b: pa.Table) -> pa.Table:
+        m = pl.from_arrow(_ray.get(ref))
+        df = pl.from_arrow(b)
+        j = df.join(m, on=keys, how="left")
+        j = j.with_columns(
+            pl.when(pl.col("__mad") > 0)
+            .then((pl.col(col) - pl.col("__med")) / pl.col("__mad"))
+            .otherwise(None)
+            .alias(out_col)).drop(["__med", "__mad"])
+        want = b.schema.append(pa.field(out_col, pa.float64()))
+        return cast_like(j.to_arrow(), want)
+
+    return ds.map_batches(scale, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def grouped_mode(ds, keys: List[str], col: str, *, out_col: str = "mode",

@@ -925,6 +925,26 @@ def q_sliding_window(sf_dir: str):
     return _to_cents(out, ["value_cents"])
 
 
+@_q("q_robust_scale",
+    "SELECT t.l_returnflag, t.l_extendedprice, "
+    "(t.l_extendedprice - s.m) / NULLIF(s.d, 0) AS scaled "
+    "FROM lineitem t JOIN (SELECT l_returnflag, "
+    "median(l_extendedprice) AS m, mad(l_extendedprice) AS d "
+    "FROM lineitem GROUP BY l_returnflag) s USING (l_returnflag)")
+def q_robust_scale(sf_dir: str):
+    """Robust feature scaling (ops/stats.py::robust_scale): per row,
+    (x - group median) / group MAD — outlier-insensitive normalization
+    for heavy-tailed web features.  Hash-exact vs DuckDB with NO
+    rounding: grouped_mad's (median, mad) are bitwise DuckDB-equal and
+    the scaling is the same two IEEE float64 ops on both engines.
+    SQL-oracled via the demoted _ORACLED_TAIL."""
+    from .ops.stats import robust_scale
+
+    ds = _t(sf_dir, "lineitem", columns=["l_returnflag",
+                                         "l_extendedprice"])
+    return robust_scale(ds, ["l_returnflag"], "l_extendedprice")
+
+
 @_q("q_decayed_activity",
     "SELECT user_id, round(SUM(exp((epoch_us(ts) - 1709251200000000.0)"
     " / 604800000000.0)), 6) AS decayed_activity "

@@ -346,3 +346,30 @@ def test_regression_exact_line():
     assert out["slope"].iloc[0] == pytest.approx(2.0)
     assert out["icept"].iloc[0] == pytest.approx(1.0)
     assert out["r2"].iloc[0] == pytest.approx(1.0)
+
+
+def test_robust_scale_matches_duckdb():
+    from halvesting_geometric_ray.ops.stats import robust_scale
+
+    pdf = _rand(1500, seed=41, groups=7)[["g", "x"]]
+    pdf.loc[3, "x"] = np.nan  # null x -> null scaled
+    got = robust_scale(rd.from_pandas(pdf), ["g"], "x").to_pandas()
+    exp = _duck(pdf, """
+        SELECT t.g, t.x,
+               (t.x - s.m) / NULLIF(s.d, 0) AS scaled
+        FROM t JOIN (SELECT g, median(x) AS m, mad(x) AS d
+                     FROM t GROUP BY g) s USING (g)""")
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp),
+                                  check_dtype=False, check_exact=True)
+
+
+def test_robust_scale_zero_mad_and_caps():
+    from halvesting_geometric_ray.ops.stats import robust_scale
+
+    pdf = pd.DataFrame({"g": [1, 1, 1, 2, 2],
+                        "x": [5.0, 5.0, 5.0, 1.0, 3.0]})
+    got = robust_scale(rd.from_pandas(pdf), ["g"], "x").to_pandas()
+    assert got[got.g == 1].scaled.isna().all()  # zero MAD
+    assert sorted(got[got.g == 2].scaled) == [-1.0, 1.0]
+    with pytest.raises(ValueError, match="broadcast_cap"):
+        robust_scale(rd.from_pandas(pdf), ["g"], "x", broadcast_cap=1)
