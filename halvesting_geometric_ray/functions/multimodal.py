@@ -16,6 +16,13 @@ REALLY decodes several formats with the pure-stdlib codecs below:
   3-component, arbitrary sampling factors, DRI/RSTn restarts —
   certified against an independent spec-following encoder in
   tests/test_jpeg.py),
+- GIF  (87a/89a variable-width LZW with CLEAR/EOI and dictionary
+  reset, global/local color tables, interlace, transparency->alpha;
+  round-trip + hand-packed spec fixtures in tests/test_gif.py),
+
+plus audio ANALYSIS beyond decode: Hann STFT power spectrogram and
+HTK mel filterbank features (``AudioMelStage`` — certified against a
+direct O(n^2) DFT oracle in tests/test_audio.py),
 
 and ``ResizeStage`` / ``FrameSampleStage`` mode="real" really resample
 PNG/BMP/JPEG images (box-filter area average, re-encoded as PNG) and
@@ -451,9 +458,12 @@ class DecodeStage:
         if p.startswith(JPEG_SIG):
             w, h, _, px = decode_jpeg(p)
             return w, h, png_features(px)
+        if p[:6] in GIF_SIGS:
+            w, h, _, px = decode_gif(p)
+            return w, h, png_features(px)
         raise NotImplementedError(
-            "real decode implemented for PNG/BMP/WAV/JPEG only in this "
-            "container (no MP3/video codecs); use mode='fake' for "
+            "real decode implemented for PNG/BMP/WAV/JPEG/GIF only in "
+            "this container (no MP3/video codecs); use mode='fake' for "
             "other formats' plumbing tests")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -532,9 +542,11 @@ class ResizeStage:
             _, _, _, px = decode_bmp(p)
         elif p.startswith(JPEG_SIG):
             _, _, _, px = decode_jpeg(p)
+        elif p[:6] in GIF_SIGS:
+            _, _, _, px = decode_gif(p)
         else:
             raise NotImplementedError(
-                "real resample implemented for PNG/BMP/JPEG only in "
+                "real resample implemented for PNG/BMP/JPEG/GIF only in "
                 "this container")
         return encode_png(box_resize(px, out_w, out_h))
 
@@ -962,3 +974,412 @@ def _assemble(frame, planes) -> Tuple[int, int, int, np.ndarray]:
     b = Y + 1.772 * (Cb - 128.0)
     px = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255)
     return w, h, 3, px.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Audio analysis: STFT power spectrogram + mel filterbank (pure numpy)
+# ---------------------------------------------------------------------------
+#
+# The audio analogue of the image featurizers above: a WAV payload
+# column -> fixed-width log-mel feature vectors, as an actor-pool
+# map_batches stage.  The FFT path is certified against a direct
+# O(n^2) DFT oracle in tests/test_audio.py; the filterbank follows the
+# standard HTK mel construction (triangles over rfft bin centers).
+
+
+def hann_window(n: int) -> np.ndarray:
+    """Periodic Hann window: 0.5 - 0.5 cos(2 pi k / n)."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def frame_signal(mono: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Left-aligned analysis frames (n_frames, n_fft).  Signals shorter
+    than one frame are zero-padded to a single frame; the ragged tail
+    past the last full frame is dropped (deterministic either way)."""
+    x = np.asarray(mono, dtype=np.float64).ravel()
+    if x.size < n_fft:
+        pad = np.zeros(n_fft, dtype=np.float64)
+        pad[: x.size] = x
+        return pad[None, :]
+    n_frames = 1 + (x.size - n_fft) // hop
+    idx = (np.arange(n_frames)[:, None] * hop
+           + np.arange(n_fft)[None, :])
+    return x[idx]
+
+
+def stft_power(mono: np.ndarray, n_fft: int = 512,
+               hop: int = 256) -> np.ndarray:
+    """Hann-windowed power spectrogram |rfft|^2:
+    (n_frames, n_fft // 2 + 1) float64."""
+    frames = frame_signal(mono, n_fft, hop) * hann_window(n_fft)[None, :]
+    spec = np.fft.rfft(frames, axis=1)
+    return (spec.real ** 2 + spec.imag ** 2)
+
+
+def hz_to_mel(f) -> np.ndarray:
+    """HTK mel scale: 2595 log10(1 + f / 700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz(m) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(rate: int, n_fft: int, n_mels: int,
+                   fmin: float = 0.0, fmax: float = None) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangular mel filterbank.  Band edges are
+    n_mels + 2 points equally spaced in mel between fmin and fmax
+    (default Nyquist); each row is the standard rising/falling triangle
+    evaluated at the rfft bin center frequencies."""
+    if fmax is None:
+        fmax = rate / 2.0
+    n_bins = n_fft // 2 + 1
+    freqs = np.arange(n_bins, dtype=np.float64) * rate / n_fft
+    edges = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax),
+                                  n_mels + 2))
+    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for m in range(n_mels):
+        lo, mid, hi = edges[m], edges[m + 1], edges[m + 2]
+        up = (freqs - lo) / max(mid - lo, 1e-12)
+        down = (hi - freqs) / max(hi - mid, 1e-12)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def log_mel_spectrogram(rate: int, mono: np.ndarray, *,
+                        n_fft: int = 512, hop: int = 256,
+                        n_mels: int = 16,
+                        eps: float = 1e-10) -> np.ndarray:
+    """(n_frames, n_mels) log-energy mel spectrogram."""
+    P = stft_power(mono, n_fft, hop)
+    fb = mel_filterbank(rate, n_fft, n_mels)
+    return np.log(P @ fb.T + eps)
+
+
+def audio_mel_features(rate: int, n_ch: int, samples: np.ndarray, *,
+                       n_mels: int = 16, n_fft: int = 512,
+                       hop: int = 256) -> np.ndarray:
+    """Fixed-width clip embedding: time-mean and time-std of the
+    log-mel spectrogram, concatenated -> (2 * n_mels,) float64.
+    Multi-channel audio is averaged to mono first (same convention as
+    ``wav_features``)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    lm = log_mel_spectrogram(rate, mono, n_fft=n_fft, hop=hop,
+                             n_mels=n_mels)
+    return np.concatenate([lm.mean(axis=0), lm.std(axis=0)])
+
+
+class AudioMelStage:
+    """Actor-pool map_batches stage: (id, WAV payload binary) ->
+    (id, rate, n_frames, mel: list<float64>[2 * n_mels]).
+
+    The mel filterbank depends on the sample rate, so per-rate
+    filterbanks are memoized on the actor (built once per distinct
+    rate, reused across every batch the actor sees) — the stateful
+    setup-in-__init__ pattern the other Decode/Resize stages follow."""
+
+    def __init__(self, id_col: str = "url", payload_col: str = "html",
+                 n_mels: int = 16, n_fft: int = 512, hop: int = 256):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.n_mels = n_mels
+        self.n_fft = n_fft
+        self.hop = hop
+        self._fb = {}  # rate -> filterbank
+
+    def _features(self, rate: int, mono: np.ndarray) -> np.ndarray:
+        fb = self._fb.get(rate)
+        if fb is None:
+            fb = self._fb[rate] = mel_filterbank(rate, self.n_fft,
+                                                 self.n_mels)
+        P = stft_power(mono, self.n_fft, self.hop)
+        lm = np.log(P @ fb.T + 1e-10)
+        return np.concatenate([lm.mean(axis=0), lm.std(axis=0)])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads: List[bytes] = batch.column(self.payload_col).to_pylist()
+        n = len(payloads)
+        rates = np.empty(n, dtype=np.int64)
+        frames = np.empty(n, dtype=np.int64)
+        feats = np.empty((n, 2 * self.n_mels), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            rate, n_ch, samples = decode_wav(p)
+            mono = samples.mean(axis=1)
+            rates[i] = rate
+            frames[i] = samples.shape[0]
+            feats[i] = self._features(rate, mono)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "rate": pa.array(rates),
+            "n_frames": pa.array(frames),
+            "mel": pa.array(list(feats),
+                            type=pa.list_(pa.float64(), 2 * self.n_mels)),
+        })
+
+
+def audio_mel(ds, id_col: str = "url", payload_col: str = "html",
+              n_mels: int = 16, n_fft: int = 512, hop: int = 256,
+              batch_size: int = 64, concurrency=(1, 8)):
+    """The actor-pool log-mel featurize stage over a WAV binary column.
+    Small batch_size: audio payloads are large (see module docstring)."""
+    return ds.map_batches(
+        AudioMelStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"id_col": id_col, "payload_col": payload_col,
+                               "n_mels": n_mels, "n_fft": n_fft,
+                               "hop": hop})
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW decode/encode — the last common legacy image format
+# ---------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width min_code+1..12, CLEAR
+    resets the dictionary, EOI terminates.  Returns uint8 index
+    stream of length <= n_pixels (extra codes past n_pixels ignored,
+    per spec tolerance)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # dictionary as (prefix_code, last_byte); first `clear` entries are roots
+    prefix = np.full(4096, -1, dtype=np.int32)
+    last = np.zeros(4096, dtype=np.uint8)
+    last[:clear] = np.arange(clear, dtype=np.uint8)
+
+    def entry_bytes(code: int) -> bytes:
+        buf = bytearray()
+        while code >= 0:
+            buf.append(last[code])
+            code = prefix[code]
+        buf.reverse()
+        return bytes(buf)
+
+    width = min_code + 1
+    next_code = eoi + 1
+    acc = 0
+    n_bits = 0
+    prev = -1
+    pos = 0
+    nd = len(data)
+    while pos < nd or n_bits >= width:
+        while n_bits < width and pos < nd:
+            acc |= data[pos] << n_bits
+            n_bits += 8
+            pos += 1
+        if n_bits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            width = min_code + 1
+            next_code = eoi + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("GIF: first code after CLEAR not a root")
+            if n_out < n_pixels:
+                out[n_out] = code
+            n_out += 1
+            prev = code
+            continue
+        if code < next_code:
+            seq = entry_bytes(code)
+        elif code == next_code:
+            seq = entry_bytes(prev)
+            seq += seq[:1]
+        else:
+            raise ValueError("GIF: LZW code out of range")
+        take = min(len(seq), max(0, n_pixels - n_out))
+        if take:
+            out[n_out:n_out + take] = np.frombuffer(seq[:take],
+                                                    dtype=np.uint8)
+        n_out += len(seq)
+        if next_code < 4096:
+            prefix[next_code] = prev
+            last[next_code] = seq[0] if code == next_code else \
+                entry_bytes(code)[0]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+        if n_out >= n_pixels:
+            # consume until EOI or end; spec allows trailing codes
+            break
+    if n_out < n_pixels:
+        raise ValueError("GIF: LZW stream ended short "
+                         f"({n_out}/{n_pixels} pixels)")
+    return out[:n_pixels]
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(idx: np.ndarray, w: int, h: int) -> np.ndarray:
+    rows = idx.reshape(h, w)
+    out = np.empty_like(rows)
+    src = 0
+    for start, step in _GIF_PASSES:
+        n = len(range(start, h, step))
+        out[start:h:step] = rows[src:src + n]
+        src += n
+    return out.reshape(-1)
+
+
+def decode_gif(data: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Pure-stdlib GIF decode (first image frame): returns
+    (width, height, channels, pixels[h, w, c] uint8) with c = 3, or 4
+    when the frame's graphic-control extension declares a transparent
+    index (alpha 0 there, 255 elsewhere).  Supports 87a/89a, global
+    and local color tables, interlacing, and the full variable-width
+    LZW with CLEAR/EOI handling."""
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = -1
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                flags = data[pos + 1]
+                tidx = data[pos + 4]
+                if flags & 0x01:
+                    transparent = tidx
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        _lx, _ty, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(data[pos:pos + 3 * n],
+                               dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF: image has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(lzw), min_code, w * h)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx, w, h)
+        safe = np.minimum(idx, len(ct) - 1)
+        rgb = ct[safe].reshape(h, w, 3)
+        if transparent >= 0:
+            alpha = np.where(idx.reshape(h, w) == transparent, 0,
+                             255).astype(np.uint8)
+            return w, h, 4, np.dstack([rgb, alpha])
+        return w, h, 3, rgb
+    raise ValueError("GIF: no image descriptor found")
+
+
+def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF-variant LZW encoder (dict-of-tuples; CLEAR emitted at
+    start and on dictionary overflow)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    n_bits = 0
+    width = min_code + 1
+
+    def emit(code: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table = {(-1, i): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev = -1
+    for v in indices.tolist():
+        key = (prev, v)
+        code = table.get(key)
+        if code is not None:
+            prev = code
+            continue
+        emit(prev)
+        table[key] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            width = min_code + 1
+            table = {(-1, i): i for i in range(clear)}
+            next_code = eoi + 1
+        prev = v
+    if prev >= 0:
+        emit(prev)
+    emit(eoi)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False,
+               transparent: int = -1) -> bytes:
+    """Minimal single-frame GIF89a encoder — inverse of ``decode_gif``
+    for palette images.  `indices` is (h, w) uint8, `palette`
+    (n, 3) uint8 with n a power of two >= 2."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, int(n - 1).bit_length())
+    if n != (1 << bits):
+        raise ValueError("palette size must be a power of two")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    if transparent >= 0:
+        out += b"\x21\xf9\x04\x01\x00\x00" + bytes([transparent, 0])
+    ipacked = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    rows = indices
+    if interlace:
+        order = []
+        for start, step in _GIF_PASSES:
+            order.extend(range(start, h, step))
+        rows = indices[np.array(order, dtype=np.int64)]
+    min_code = max(2, bits)
+    out.append(min_code)
+    lzw = _lzw_encode(rows.reshape(-1), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -1931,3 +1931,51 @@ def q_video_frames(sf_dir: str):
 
     return fr.map_batches(luma, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+@_q("q_audio_mel")
+def q_audio_mel(sf_dir: str):
+    """Log-mel audio featurization: synthesize a deterministic PCM clip
+    per document (two-harmonic tone, frequency keyed by doc_id), then
+    run the AudioMelStage actor pool (decode_wav -> Hann STFT -> mel
+    filterbank -> per-clip mean/std).  Output: doc_id, rate, n_frames,
+    the dominant mel band, and the lead feature rounded to 6 dp.
+    Rows-only at the gate; the FFT path is pinned against a direct
+    O(n^2) DFT oracle and the stage against audio_mel_features in
+    tests/test_audio.py."""
+    from .functions.multimodal import audio_mel, encode_wav
+
+    RATE, N = 8000, 2048
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        t = np.arange(N, dtype=np.float64) / RATE
+        wavs = []
+        for i in ids:
+            f0 = 200.0 + 50.0 * float(int(i) % 12)
+            x = (0.6 * np.sin(2 * np.pi * f0 * t)
+                 + 0.3 * np.sin(2 * np.pi * 2 * f0 * t))
+            wavs.append(encode_wav(x[:, None], RATE))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "wav": pa.array(wavs, type=pa.binary())})
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=256)
+    out = audio_mel(docs, id_col="doc_id", payload_col="wav", n_mels=16)
+
+    def head(b: pa.Table) -> pa.Table:
+        mel = np.stack([np.asarray(v) for v in
+                        b.column("mel").to_pylist()])
+        n_mels = mel.shape[1] // 2
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "rate": b.column("rate"),
+            "n_frames": b.column("n_frames"),
+            "dominant_band": pa.array(
+                np.argmax(mel[:, :n_mels], axis=1).astype(np.int64)),
+            "mel0": pa.array(np.round(mel[:, 0], 6)),
+        })
+
+    return out.map_batches(head, batch_format="pyarrow",
+                           zero_copy_batch=True)
