@@ -121,3 +121,73 @@ def pca_whiten(ds, *, id_col: str = "vec_id", col: str = "embedding",
                 if total_var > 0 else 1.0,
             "zca": zca}
     return out, info
+
+
+# ---------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------
+
+def rp_matrix(d_in: int, d_out: int, seed: int = 0,
+              kind: str = "sparse") -> np.ndarray:
+    """Deterministic (d_out, d_in) JL projection matrix.
+
+    kind="gauss": N(0, 1/d_out) entries (the classical construction).
+    kind="sparse": Achlioptas (2003) database-friendly matrix —
+    entries sqrt(3/d_out) * {+1 w.p. 1/6, 0 w.p. 2/3, -1 w.p. 1/6};
+    2/3 of the multiplies vanish while preserving the JL guarantee.
+    Pure function of (d_in, d_out, seed, kind)."""
+    if d_out < 1 or d_in < 1:
+        raise ValueError("dims must be >= 1")
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    if kind == "gauss":
+        return rng.normal(0.0, 1.0, (d_out, d_in)) / np.sqrt(d_out)
+    if kind == "sparse":
+        u = rng.random((d_out, d_in))
+        R = np.zeros((d_out, d_in), dtype=np.float64)
+        R[u < 1.0 / 6.0] = 1.0
+        R[u > 5.0 / 6.0] = -1.0
+        return R * np.sqrt(3.0 / d_out)
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+def random_projection(ds, d_out: int, *, id_col: str = "vec_id",
+                      col: str = "embedding", seed: int = 0,
+                      kind: str = "sparse"):
+    """Project an embedding column to d_out dims with a broadcast JL
+    matrix: x -> R x.  The Johnson-Lindenstrauss scale path for ANN /
+    clustering when d is large — one stateless streaming pass, the
+    (d_out x d) matrix shipped ONCE via ray.put (never per batch).
+
+    Unlike pca_whiten this needs NO stats pass (data-oblivious), so it
+    is the right tool when even one extra pass over 100 TB is too
+    expensive and isotropy is not required.  Returns (Dataset(id_col,
+    col) with d=d_out, info).  Distance-preservation bounds and
+    sequential parity are pinned in tests/test_rp.py."""
+    import ray
+
+    # peek one row for d_in (cheap: first block only)
+    first = ds.take(1)
+    if not first:
+        raise ValueError("random_projection: empty dataset")
+    d_in = len(first[0][col])
+    if d_out > d_in:
+        raise ValueError(f"d_out {d_out} > input dim {d_in}")
+    R = rp_matrix(d_in, d_out, seed=seed, kind=kind)
+    rref = ray.put(np.ascontiguousarray(R))
+
+    def transform(b: pa.Table) -> pa.Table:
+        Rm = ray.get(rref)
+        ids, X = _mat(b, id_col, col)
+        Y = X @ Rm.T
+        return pa.table({
+            id_col: pa.array(ids),
+            col: pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(Y).ravel(),
+                         type=pa.float64()), Y.shape[1]),
+        })
+
+    out = ds.map_batches(transform, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return out, {"d_in": d_in, "d_out": d_out, "seed": seed,
+                 "kind": kind, "nnz_frac":
+                     float((R != 0).mean()) if kind == "sparse" else 1.0}

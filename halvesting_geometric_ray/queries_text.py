@@ -1979,3 +1979,45 @@ def q_audio_mel(sf_dir: str):
 
     return out.map_batches(head, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+@_q("q_rp_distortion")
+def q_rp_distortion(sf_dir: str):
+    """Johnson-Lindenstrauss random projection
+    (functions/whiten.py::random_projection, Achlioptas 2003 sparse
+    construction): project the embedding table 64 -> 32 dims with a
+    broadcast JL matrix and report, for a fixed set of 100 vector
+    pairs, the projected/original Euclidean distance ratio — the
+    quantity the JL lemma bounds.  Ratios concentrate around 1 (pinned
+    with explicit bounds in tests/test_rp.py); deterministic (fixed
+    seed + matrix is a pure function of it).  Rows-only at the gate."""
+    from .functions.clustering import _mat
+    from .functions.whiten import random_projection
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    proj, _ = random_projection(emb, 32, seed=7)
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["vec_id"], 200))
+
+    orig = pa.concat_tables(
+        b for b in emb.map_batches(pick, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    prj = pa.concat_tables(
+        b for b in proj.map_batches(pick, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow"))
+    ids_o, X = _mat(orig, "vec_id", "embedding")
+    ids_p, Y = _mat(prj, "vec_id", "embedding")
+    X = X[np.argsort(ids_o)]
+    Y = Y[np.argsort(ids_p)]
+    a = np.arange(100)
+    b_idx = a + 100
+    d0 = np.linalg.norm(X[a] - X[b_idx], axis=1)
+    d1 = np.linalg.norm(Y[a] - Y[b_idx], axis=1)
+    return pa.table({
+        "pair_id": pa.array(a, type=pa.int64()),
+        "dist_ratio": pa.array(np.round(d1 / d0, 6)),
+    })
