@@ -1547,3 +1547,39 @@ def q_cube_events(sf_dir: str):
                           {"n_events": ("count", None),
                            "cents_sum": ("sum", "cents"),
                            "cents_max": ("max", "cents")})
+
+
+@_q("q_ntile_orders",
+    "SELECT o_orderkey, ntile(4) OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice, o_orderkey) AS tile FROM orders")
+def q_ntile_orders(sf_dir: str):
+    """SQL NTILE (ops/window.py::ntile): orders split into 4 price
+    quartile bands per priority — one key-partitioned exchange, larger
+    bands first per the SQL rule.  o_orderkey tie-break makes the
+    assignment total, so DuckDB parity is exact.  SQL-oracled via the
+    demoted _ORACLED_TAIL; swept by tests/test_queries_relational.py."""
+    from .ops.window import ntile
+
+    ds = _t(sf_dir, "orders",
+            columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    out = ntile(ds, "o_orderpriority", ["o_totalprice"], 4,
+                tie_break=["o_orderkey"], out_col="tile")
+    return out.select_columns(["o_orderkey", "tile"])
+
+
+@_q("q_histogram_prices",
+    "SELECT CAST(least(floor(l_extendedprice / 10000), 10) AS BIGINT) "
+    "AS bucket, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY bucket")
+def q_histogram_prices(sf_dir: str):
+    """Equal-width histogram via ops/bucketize.py::bucketize with
+    EXPLICIT boundaries (the broadcast-searchsorted assignment pass —
+    zero shuffle of the data; only the bucket counts aggregate).
+    Lower-edge-inclusive bins match SQL width_bucket exactly.
+    SQL-oracled via the demoted _ORACLED_TAIL."""
+    from .ops.bucketize import bucketize
+
+    ds = _t(sf_dir, "lineitem", columns=["l_extendedprice"])
+    b = bucketize(ds, "l_extendedprice",
+                  boundaries=np.linspace(10000.0, 100000.0, 10))
+    return (b.groupby("bucket").count()
+            .rename_columns({"count()": "n"}).sort("bucket"))
