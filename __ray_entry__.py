@@ -112,7 +112,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_betweenness", "q_host_graph", "q_host_backbone_mst",
     "q_ldg_partition", "q_multilevel_partition", "q_hdrf_partition",
     "q_url_canonical",
-    "q_frame_sample", "q_components", "q_triangles",
+    "q_frame_sample", "q_video_motion", "q_components", "q_triangles",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
     "q_pca_whiten",
     "q_embed_neardup_lsh", "q_kmeans", "q_semantic_dedup",

@@ -1933,6 +1933,44 @@ def q_video_frames(sf_dir: str):
                           zero_copy_batch=True)
 
 
+@_q("q_video_motion")
+def q_video_motion(sf_dir: str):
+    """REAL video motion path: per-doc YUV4MPEG2 payloads (3..8 mono
+    frames, deterministic from doc_id) -> frame-difference motion
+    features (MotionFeatureStage actor pool: per-transition mean |dY|,
+    hard-cut count) -> keep only non-static clips, the
+    video-curation filter shape.  Diff math pinned against an
+    independent numpy oracle in tests/test_multimodal_real.py; this
+    query certifies the distributed plumbing (synth + parse + diff all
+    inside map_batches)."""
+    import pyarrow.compute as pc
+
+    from .functions.multimodal import motion_features
+
+    docs = _docs(sf_dir, ["doc_id"])
+    y4m = docs.map_batches(lambda b: _synth_media_payloads(b, "y4m"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    mf = motion_features(y4m, id_col="doc_id", payload_col="payload",
+                         mode="real", cut_threshold=48.0, batch_size=256)
+
+    def shape(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b.column("max_motion"), 0.0)
+        b = b.filter(keep)
+        import numpy as np
+
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_frames": b.column("n_frames"),
+            "mean_motion": pa.array(np.round(
+                b.column("mean_motion").to_numpy(), 9)),
+            "max_motion": pa.array(np.round(
+                b.column("max_motion").to_numpy(), 9)),
+            "n_cuts": b.column("n_cuts")})
+
+    return mf.map_batches(shape, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 @_q("q_audio_mel")
 def q_audio_mel(sf_dir: str):
     """Log-mel audio featurization: synthesize a deterministic PCM clip

@@ -294,6 +294,70 @@ def test_frame_sample_real_fewer_frames_than_requested():
     assert len(rows) == 1 and rows[0]["frame_idx"] == 0
 
 
+# ---------------------------------------------------- motion features
+
+def test_motion_energy_matches_numpy_oracle():
+    from halvesting_geometric_ray.functions.multimodal import motion_energy
+
+    rng = np.random.default_rng(7)
+    w, h, n = 6, 4, 5
+    fsize = (w * h * 3) // 2
+    frames = [rng.integers(0, 256, fsize, dtype=np.uint8).tobytes()
+              for _ in range(n)]
+    got = motion_energy(frames, w, h)
+    # independent oracle: luma-plane-only mean abs diff
+    luma = np.stack([np.frombuffer(f[:w * h], dtype=np.uint8)
+                     for f in frames]).astype(np.float64)
+    want = np.abs(luma[1:] - luma[:-1]).mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    assert motion_energy(frames[:1], w, h).shape == (0,)
+
+
+def test_motion_stage_real_cuts_and_chroma_invariance():
+    from halvesting_geometric_ray.functions.multimodal import motion_features
+
+    w, h = 4, 2
+    wh, fsize = w * h, (w * h * 3) // 2
+    # static: constant luma, chroma planes that CHANGE between frames —
+    # motion must stay 0 (luma-only measure)
+    static = [b"\x40" * wh + bytes([i]) * (fsize - wh) for i in range(4)]
+    # hard cut: black -> black -> white -> white (one 255-energy cut)
+    cut = [lv * wh + b"\x00" * (fsize - wh)
+           for lv in (b"\x00", b"\x00", b"\xff", b"\xff")]
+    ds = rd.from_arrow(pa.table({
+        "url": ["static", "cut"],
+        "html": [_y4m_bytes(static, w, h), _y4m_bytes(cut, w, h)]}))
+    rows = {r["url"]: r for r in motion_features(
+        ds, mode="real", concurrency=1).take_all()}
+    s, c = rows["static"], rows["cut"]
+    assert s["n_frames"] == 4 and s["mean_motion"] == 0.0 \
+        and s["max_motion"] == 0.0 and s["n_cuts"] == 0
+    assert c["n_frames"] == 4 and c["max_motion"] == 255.0 \
+        and c["n_cuts"] == 1
+    np.testing.assert_allclose(c["mean_motion"], 255.0 / 3)
+
+
+def test_motion_stage_single_frame_and_fake_oracle():
+    from halvesting_geometric_ray.functions.multimodal import motion_features
+
+    one = _y4m_bytes([b"\x10" * 6], 3, 2, chroma=b"Cmono")
+    ds = rd.from_arrow(pa.table({"url": ["one"], "html": [one]}))
+    r = motion_features(ds, mode="real", concurrency=1).take_all()[0]
+    assert r["n_frames"] == 1 and r["mean_motion"] == 0.0 \
+        and r["n_cuts"] == 0
+
+    payload = bytes(range(16))  # fake mode: 4 chunks of 4 bytes
+    ds = rd.from_arrow(pa.table({"url": ["f"], "html": [payload]}))
+    r = motion_features(ds, mode="fake", fake_frames=4,
+                        concurrency=1).take_all()[0]
+    chunks = np.frombuffer(payload, dtype=np.uint8).reshape(
+        4, 4).astype(np.float64)
+    want = np.abs(np.diff(chunks, axis=0)).mean(axis=1)
+    assert r["n_frames"] == 4
+    np.testing.assert_allclose(r["mean_motion"], want.mean())
+    np.testing.assert_allclose(r["std_motion"], want.std())
+
+
 # ------------------------------------------------- gate query parity
 
 def test_q_audio_features_matches_closed_form():
