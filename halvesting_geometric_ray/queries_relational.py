@@ -1250,6 +1250,37 @@ def q_bloom_join(sf_dir: str):
                              "o_orderpriority"])
 
 
+@_q("q_funnel_events",
+    "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT step, step_name, n_users FROM ("
+    "SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, "
+    "(SELECT count(*) FROM s1) AS n_users "
+    "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2) "
+    "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)) "
+    "ORDER BY step")
+def q_funnel_events(sf_dir: str):
+    """3-step conversion funnel view -> click -> purchase with
+    earliest-completion, strictly-increasing-timestamp semantics
+    (ops/funnel.py) — one user-hash exchange, per-bucket polars
+    join+min chain, suffix-sum over the <= 3-row depth histogram.
+    The SQL oracle is the equivalent min-aggregation join chain;
+    window (within_us) + tie semantics pinned against a pure-Python
+    replay in tests/test_funnel.py."""
+    from .ops.funnel import funnel_counts
+
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, "user_id", "event_type", "ts",
+                         ["view", "click", "purchase"],
+                         num_parts=DEFAULT.num_parts)
+
+
 @_q("q_retention_cohorts",
     "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort "
     "FROM events GROUP BY user_id) "
