@@ -1250,6 +1250,63 @@ def q_bloom_join(sf_dir: str):
                              "o_orderpriority"])
 
 
+@_q("q_event_transitions",
+    "WITH t AS (SELECT event_type AS src, lead(event_type) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), "
+    "c AS (SELECT src, dst, count(*) AS n FROM t "
+    "WHERE dst IS NOT NULL GROUP BY src, dst) "
+    "SELECT src, dst, n, round(n / (sum(n) OVER (PARTITION BY src)), 9) "
+    "AS p FROM c")
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix between event types: per
+    user-session stream, count (type -> next type) adjacencies
+    (certified lead_lag window, event_id tie-break) and row-normalize
+    per source — the behavioral-model fit step.  All-distributed
+    composition: one user-hash window exchange, one (src,dst) count
+    exchange, one src total exchange joined back by hash_join; the
+    transition table is bounded by |types|^2, never by events."""
+    from .ops.join import hash_join
+    from .ops.window import lead_lag
+
+    ev = _t(sf_dir, "events", columns=["user_id", "event_type", "ts",
+                                       "event_id"])
+    nxt = lead_lag(ev, "user_id", "ts", {"dst": ("event_type", -1)},
+                   tie_break=["event_id"], num_parts=DEFAULT.num_parts)
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.is_valid(b.column("dst"))
+        b = b.filter(m)
+        return pa.table({"src": b.column("event_type"),
+                         "dst": b.column("dst")})
+
+    pairs = nxt.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    counts = grouped_aggregate(pairs, ["src", "dst"],
+                               {"n": ("count", "dst")},
+                               num_parts=DEFAULT.num_parts)
+    totals = grouped_aggregate(pairs, ["src"], {"tot": ("count", "dst")},
+                               num_parts=DEFAULT.num_parts)
+    j = hash_join(counts, totals, on="src", right_on="src",
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=pa.schema([("src", pa.string()),
+                                         ("dst", pa.string()),
+                                         ("n", pa.int64())]),
+                  right_schema=pa.schema([("src", pa.string()),
+                                          ("tot", pa.int64())]))
+
+    def norm(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        t = b.column("tot").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                         "n": b.column("n"),
+                         "p": pa.array(np.round(n / t, 9),
+                                       type=pa.float64())})
+
+    return j.map_batches(norm, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 @_q("q_funnel_events",
     "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
     "WHERE event_type = 'view' GROUP BY user_id), "
