@@ -293,6 +293,20 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"(SELECT a AS url FROM tri UNION ALL "
             f"SELECT b AS url FROM tri UNION ALL "
             f"SELECT c AS url FROM tri) GROUP BY url",
+        "q_fourcliques_urls":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), "
+            f"tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM und e1 JOIN und e2 ON e2.u = e1.v "
+            f"JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            f"quad AS (SELECT t.a, t.b, t.c, e4.v AS d FROM tri t "
+            f"JOIN und e4 ON e4.u = t.c "
+            f"JOIN und e5 ON e5.u = t.a AND e5.v = e4.v "
+            f"JOIN und e6 ON e6.u = t.b AND e6.v = e4.v) "
+            f"SELECT url, count(*) AS n_cliques4 FROM "
+            f"(SELECT a AS url FROM quad UNION ALL "
+            f"SELECT b AS url FROM quad UNION ALL "
+            f"SELECT c AS url FROM quad UNION ALL "
+            f"SELECT d AS url FROM quad) GROUP BY url",
         # structural / link-prediction metrics (graph/metrics.py): every
         # float below is ONE double division of exactly-representable
         # integers, computed identically by numpy and DuckDB — bitwise
@@ -1383,6 +1397,32 @@ def q_triangles_urls(sf_dir: str):
     return out.map_batches(
         lambda b: pa.table({"url": b.column("url"),
                             "n_triangles": b.column("triangles")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_fourcliques_urls")
+def q_fourcliques_urls(sf_dir: str):
+    """Per-vertex 4-clique counts mapped to urls — one motif deeper
+    than q_triangles_urls (graph/cliques.py: orientation DAG, bottom-
+    triangle + apex join, each clique found exactly once).  SQL-
+    certified against the canonical 6-way self-join; brute-force
+    parity + partitioning invariance in tests/test_cliques.py."""
+    from .graph.cliques import cliques4_edges
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    per, _total = cliques4_edges(read_layer(g.edges))
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    per_schema = pa.schema([pa.field("vid", pa.int64()),
+                            pa.field("cliques4", pa.int64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    out = hash_join(per, v, on="vid", right_on="vid",
+                    num_parts=DEFAULT.num_parts,
+                    left_schema=per_schema, right_schema=v_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "n_cliques4": b.column("cliques4")}),
         batch_format="pyarrow", zero_copy_batch=True)
 
 

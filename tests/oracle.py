@@ -122,3 +122,29 @@ def labelprop_oracle(n: int, src: np.ndarray, dst: np.ndarray,
                 new[u] = best[0]
         labels = new
     return labels
+
+
+def cliques4_oracle(n: int, src: np.ndarray, dst: np.ndarray):
+    """Exact per-vertex + global 4-clique counts of the undirected
+    simple graph (self-loops ignored): enumerate triangles u<v<w, then
+    apexes x>w adjacent to all three."""
+    adj = defaultdict(set)
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    per = np.zeros(n, dtype=np.int64)
+    total = 0
+    for u in range(n):
+        nbrs = sorted(v for v in adj[u] if v > u)
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                v, w = nbrs[i], nbrs[j]
+                if w not in adj[v]:
+                    continue
+                for x in adj[w]:
+                    if x > w and x in adj[u] and x in adj[v]:
+                        total += 1
+                        for c in (u, v, w, x):
+                            per[c] += 1
+    return per, total
