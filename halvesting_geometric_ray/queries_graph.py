@@ -48,6 +48,52 @@ _DEG_BODY = ("SELECT x AS url, count(*) AS deg FROM "
              "GROUP BY x")
 
 
+def _triad_census_sql(A: str) -> str:
+    """Connected triad census (13 types with >= 2 non-null dyads)
+    oracle: wedge-enumerated distinct connected triples + 6 arc joins
+    + the 64-entry bits->type lookup.  The lookup constants come from
+    graph/triads.py::TRIAD_TABLE, which is itself pinned against an
+    independent exemplar-isomorphism oracle over all 64 patterns in
+    tests/test_triads.py — so the SQL classification is certified,
+    not self-referential."""
+    from .graph.triads import TRIAD_NAMES, TRIAD_TABLE
+
+    lut = ", ".join(f"({b}, '{TRIAD_NAMES[TRIAD_TABLE[b]]}')"
+                    for b in range(64))
+    conn = [n for n in TRIAD_NAMES if n not in ("003", "012", "102")]
+    names = ", ".join(f"('{n}')" for n in conn)
+    return (
+        f"WITH arc AS (SELECT DISTINCT src_url s, dst_url d FROM {A} "
+        f"WHERE src_url <> dst_url), "
+        f"und AS (SELECT least(s, d) u, greatest(s, d) v FROM arc "
+        f"GROUP BY 1, 2), "
+        f"sym AS (SELECT u a, v b FROM und UNION ALL SELECT v, u FROM und), "
+        f"wed AS (SELECT e1.a c, e1.b x, e2.b y FROM sym e1 "
+        f"JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b), "
+        f"tri AS (SELECT DISTINCT least(c, x) v1, "
+        f"CASE WHEN c < x THEN x WHEN c > y THEN y ELSE c END v2, "
+        f"greatest(c, y) v3 FROM wed), "
+        f"bits AS (SELECT "
+        f"CASE WHEN a1.s IS NULL THEN 0 ELSE 1 END "
+        f"+ CASE WHEN a2.s IS NULL THEN 0 ELSE 2 END "
+        f"+ CASE WHEN a3.s IS NULL THEN 0 ELSE 4 END "
+        f"+ CASE WHEN a4.s IS NULL THEN 0 ELSE 8 END "
+        f"+ CASE WHEN a5.s IS NULL THEN 0 ELSE 16 END "
+        f"+ CASE WHEN a6.s IS NULL THEN 0 ELSE 32 END AS b FROM tri t "
+        f"LEFT JOIN arc a1 ON a1.s = t.v1 AND a1.d = t.v2 "
+        f"LEFT JOIN arc a2 ON a2.s = t.v2 AND a2.d = t.v1 "
+        f"LEFT JOIN arc a3 ON a3.s = t.v1 AND a3.d = t.v3 "
+        f"LEFT JOIN arc a4 ON a4.s = t.v3 AND a4.d = t.v1 "
+        f"LEFT JOIN arc a5 ON a5.s = t.v2 AND a5.d = t.v3 "
+        f"LEFT JOIN arc a6 ON a6.s = t.v3 AND a6.d = t.v2), "
+        f"lut(b, name) AS (VALUES {lut}), "
+        f"counts AS (SELECT l.name, count(*) AS n FROM bits "
+        f"JOIN lut l ON l.b = bits.b GROUP BY l.name), "
+        f"allt(name) AS (VALUES {names}) "
+        f"SELECT allt.name AS triad_type, coalesce(c.n, CAST(0 AS BIGINT)) "
+        f"AS n FROM allt LEFT JOIN counts c ON c.name = allt.name")
+
+
 def _q(name: str):
     def deco(fn):
         QUERIES[name] = fn
@@ -293,6 +339,7 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"(SELECT a AS url FROM tri UNION ALL "
             f"SELECT b AS url FROM tri UNION ALL "
             f"SELECT c AS url FROM tri) GROUP BY url",
+        "q_triad_census_urls": _triad_census_sql(A),
         "q_fourcliques_urls":
             f"WITH und AS ({_UND_BODY.format(A=A)}), "
             f"tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
@@ -1398,6 +1445,26 @@ def q_triangles_urls(sf_dir: str):
         lambda b: pa.table({"url": b.column("url"),
                             "n_triangles": b.column("triangles")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_triad_census_urls")
+def q_triad_census_urls(sf_dir: str):
+    """Connected directed triad census of the gate link graph: the 13
+    Holland-Leinhardt types with >= 2 non-null dyads (graph/triads.py
+    — distributed Batagelj-Mrvar; open/null rows 003/012/102 are
+    derived closed-form and certified by the brute-force pytest
+    oracle, not re-counted here).  SQL-certified against wedge-
+    enumerated triple classification via the isomorphism-pinned
+    64-entry lookup."""
+    from .graph.triads import TRIAD_NAMES, triad_census_table
+
+    g = gate_graph()
+    t = triad_census_table(read_layer(g.edges))
+    conn = [n for n in TRIAD_NAMES if n not in ("003", "012", "102")]
+    import pyarrow.compute as pc
+
+    return t.filter(pc.is_in(t.column("triad_type"),
+                             value_set=pa.array(conn)))
 
 
 @_q("q_fourcliques_urls")
