@@ -1933,6 +1933,37 @@ def q_video_frames(sf_dir: str):
                           zero_copy_batch=True)
 
 
+@_q("q_pmi_collocations",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos "
+    "FROM documents), "
+    "tot AS (SELECT CAST(count(*) AS DOUBLE) n FROM toks), "
+    "uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+    "pr AS (SELECT least(t1.tok, t2.tok) a, greatest(t1.tok, t2.tok) b "
+    "FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id "
+    "AND t2.pos > t1.pos AND t2.pos <= t1.pos + 2 "
+    "AND t1.tok <> t2.tok), "
+    "ptot AS (SELECT CAST(count(*) AS DOUBLE) p FROM pr), "
+    "pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b) "
+    "SELECT pc.a, pc.b, pc.n_ab, "
+    "round(ln((pc.n_ab / ptot.p) / ((ua.c / tot.n) * (ub.c / tot.n))), 6) "
+    "AS pmi FROM pc, ptot, tot "
+    "JOIN uni ua ON ua.tok = pc.a JOIN uni ub ON ub.tok = pc.b "
+    "WHERE pc.n_ab >= 5")
+def q_pmi_collocations(sf_dir: str):
+    """PMI collocation mining (functions/collocations.py): windowed
+    (+-2) unordered token-pair pointwise mutual information, pairs
+    with count >= 5 — the phrase-extraction statistic.  In-batch
+    partial counts -> one grouped exchange per count table -> two
+    scalar reduces; the SQL oracle replays the identical definition
+    via a position self-join.  Windowing/count exactness pinned in
+    tests/test_collocations.py."""
+    from .functions.collocations import pmi_pairs
+
+    return pmi_pairs(_docs(sf_dir, ["doc_id", "text"]), text_col="text",
+                     window=2, min_count=5)
+
+
 @_q("q_video_motion")
 def q_video_motion(sf_dir: str):
     """REAL video motion path: per-doc YUV4MPEG2 payloads (3..8 mono
