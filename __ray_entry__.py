@@ -93,7 +93,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_pagerank_mc", "q_hits",
     "q_katz", "q_eigenvector", "q_spam_mass",
     "q_minhash_lsh", "q_edit_neardup", "q_kcore", "q_coreness", "q_sssp",
-    "q_mis", "q_matching", "q_coarsen",
+    "q_mis", "q_matching", "q_coarsen", "q_wl_colors",
     "q_coloring", "q_densest", "q_diameter",
     "q_label_propagation", "q_louvain", "q_conductance",
     "q_local_cluster",

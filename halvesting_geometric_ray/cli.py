@@ -60,7 +60,7 @@ def main(argv=None) -> int:
                  "sssp", "katz", "eigenvector", "louvain", "node2vec",
                  "localcluster",
                  "embed", "linkpred", "propagate", "salsa", "simrank",
-                 "partition", "hdrf"):
+                 "partition", "hdrf", "wl", "triads", "cliques4"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -93,6 +93,8 @@ def main(argv=None) -> int:
             sp.add_argument("--k", type=int, default=3)
         if name in ("mis", "matching", "coloring"):
             sp.add_argument("--seed", type=int, default=42)
+        if name == "wl":
+            sp.add_argument("--max-rounds", type=int, default=20)
         if name == "densest":
             sp.add_argument("--eps", type=float, default=0.1)
         if name == "sssp":
@@ -720,6 +722,29 @@ def main(argv=None) -> int:
             ds.write_parquet(os.path.join(args.workdir, "mis"))
             out["mis"] = {"mis_size": info["mis_size"],
                           "num_rounds": info["num_rounds"]}
+        if args.cmd == "wl":
+            from .graph.wl import wl_refinement
+            import os
+
+            ds, info = wl_refinement(
+                symmetrize(edges, cfg, drop_self_loops=True, dedup=False),
+                g.offsets, args.workdir, cfg,
+                max_rounds=args.max_rounds)
+            ds.write_parquet(os.path.join(args.workdir, "wl"))
+            out["wl"] = {"n_classes": info["n_classes"],
+                         "num_rounds": info["num_rounds"],
+                         "converged": info["converged"]}
+        if args.cmd == "triads":
+            from .graph.triads import triad_census
+
+            out["triads"] = triad_census(edges, cfg)
+        if args.cmd == "cliques4":
+            from .graph.cliques import cliques4_edges
+            import os
+
+            ds, total = cliques4_edges(edges, cfg)
+            ds.write_parquet(os.path.join(args.workdir, "cliques4"))
+            out["cliques4"] = {"total": total}
         if args.cmd == "matching":
             from .graph.matching import maximal_matching
             import os

@@ -2047,6 +2047,24 @@ def q_mis(sf_dir: str):
     return ds.select_columns(["vid", "in_mis"])
 
 
+@_q("q_wl_colors")
+def q_wl_colors(sf_dir: str):
+    """1-WL color refinement of the link graph (graph/wl.py): per-page
+    structural-role labels at the coarsest equitable partition —
+    pages with identical local link structure share a color (the
+    template/mirror-family signal one level beyond degree, and the
+    WL-kernel feature map).  Shares the sym CSR cache with
+    q_mis/q_coloring.  Rows-only; sequential-replay + classic-WL
+    partition oracles in tests/test_wl.py."""
+    from .graph.wl import wl_refinement
+
+    g = graph_for(sf_dir)
+    ds, _ = wl_refinement(
+        symmetrize(read_layer(g.edges), drop_self_loops=True, dedup=False),
+        g.offsets, g.workdir)
+    return ds
+
+
 @_q("q_matching")
 def q_matching(sf_dir: str):
     """Greedy maximal matching of the link graph (graph/matching.py,

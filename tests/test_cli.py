@@ -259,3 +259,27 @@ def test_cli_partition_multilevel_and_hdrf(tmp_path, capsys,
     eb = rd.read_parquet(os.path.join(wd, "edge_blocks")).to_pandas()
     assert len(eb) == h["n_edges"]
     assert set(eb.columns) == {"src", "dst", "block"}
+
+
+def test_cli_wl_triads_cliques(tmp_path, capsys, tiny_pages_dir):
+    """`wl` / `triads` / `cliques4`: structural-analysis family."""
+    wd = str(tmp_path / "wd_struct")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["wl", "--workdir", wd]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["wl"]
+    assert out["converged"] and out["n_classes"] > 1
+    lab = rd.read_parquet(os.path.join(wd, "wl")).to_pandas()
+    assert lab.wl_color.nunique() == out["n_classes"]
+    assert main(["triads", "--workdir", wd]) == 0
+    tc = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["triads"]
+    assert len(tc) == 16 and sum(tc.values()) > 0
+    assert main(["cliques4", "--workdir", wd]) == 0
+    c4 = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["cliques4"]
+    # tiny corpus plants 5-cliques: C(5,4)=5 four-cliques each
+    assert c4["total"] >= 5
+    per = rd.read_parquet(os.path.join(wd, "cliques4")).to_pandas()
+    assert per.cliques4.sum() == 4 * c4["total"]
