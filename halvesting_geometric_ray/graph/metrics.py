@@ -356,6 +356,81 @@ def degree_assortativity(edges, cfg: EngineConfig = DEFAULT) -> dict:
     return {"m": m, "sx": sx, "sxy": sxy, "sxx": sxx, "assortativity": r}
 
 
+def rich_club(edges, ks, cfg: EngineConfig = DEFAULT):
+    """Rich-club coefficients of the canonical undirected graph (Zhou
+    & Mondragon 2004): phi(k) = 2*E_k / (N_k*(N_k-1)) with N_k the
+    vertices of degree > k and E_k the edges between them — the
+    hub-interconnection statistic (do high-degree pages link each
+    other more than chance?).
+
+    Scale shape: degrees attach via the same two bucketed joins as
+    degree_assortativity, then EVERYTHING reduces to two degree-
+    bounded histograms — counts of min(deg_u, deg_v) per edge and of
+    deg per vertex — whose suffix sums answer ALL thresholds at once
+    on the driver (O(max_degree) state, no per-k passes).  Returns a
+    pyarrow Table (k, n_k:int64, e_k:int64, phi:float64 rounded 9dp;
+    phi = 0.0 when n_k < 2)."""
+    import pyarrow.compute as _pc
+
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 0:
+        raise ValueError("ks must be non-negative ints")
+    und = canonical_undirected(edges, cfg).materialize()
+    deg = _degrees_canonical(und).materialize()
+
+    j = hash_join(und, deg, on="src", right_on="vid",
+                  num_parts=cfg.num_parts, right_cols=["deg"],
+                  left_schema=_E_SCHEMA, right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(["src", "dst",
+                                                  "deg_src"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([pa.field("src", pa.int64()),
+                           pa.field("dst", pa.int64()),
+                           pa.field("deg_src", pa.int64())])
+    j = hash_join(j, deg, on="dst", right_on="vid",
+                  num_parts=cfg.num_parts, right_cols=["deg"],
+                  left_schema=j1_schema, right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["dst", "src", "deg_src", "deg_dst"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def min_hist(b: pa.Table) -> pa.Table:
+        m = np.minimum(b.column("deg_src").to_numpy(),
+                       b.column("deg_dst").to_numpy())
+        v, c = np.unique(m, return_counts=True)
+        return pa.table({"m": pa.array(v, type=pa.int64()),
+                         "n": pa.array(c, type=pa.int64())})
+
+    from ..ops.agg import grouped_aggregate
+
+    ehist = grouped_aggregate(
+        j.map_batches(min_hist, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["m"], {"n": ("sum", "n")}, num_parts=cfg.num_parts).to_pandas()
+    dhist = grouped_aggregate(
+        deg.map_batches(lambda b: pa.table({
+            "d": b.column("deg"),
+            "n": pa.array(np.ones(len(b), dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["d"], {"n": ("sum", "n")}, num_parts=cfg.num_parts).to_pandas()
+
+    em = ehist["m"].to_numpy()
+    en = ehist["n"].to_numpy()
+    dm = dhist["d"].to_numpy()
+    dn = dhist["n"].to_numpy()
+    rows = []
+    for k in ks:
+        n_k = int(dn[dm > k].sum())
+        e_k = int(en[em > k].sum())
+        phi = round(2.0 * e_k / (n_k * (n_k - 1)), 9) if n_k >= 2 else 0.0
+        rows.append((k, n_k, e_k, phi))
+    return pa.table({
+        "k": pa.array([r[0] for r in rows], type=pa.int64()),
+        "n_k": pa.array([r[1] for r in rows], type=pa.int64()),
+        "e_k": pa.array([r[2] for r in rows], type=pa.int64()),
+        "phi": pa.array([r[3] for r in rows], type=pa.float64())})
+
+
 def modularity(edges, labels, cfg: EngineConfig = DEFAULT):
     """Newman modularity Q of a community labeling over an UNDIRECTED
     canonical edge list (each edge once): Q = sum_c [e_c/m -

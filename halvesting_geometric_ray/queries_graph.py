@@ -339,6 +339,21 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"(SELECT a AS url FROM tri UNION ALL "
             f"SELECT b AS url FROM tri UNION ALL "
             f"SELECT c AS url FROM tri) GROUP BY url",
+        "q_rich_club":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), "
+            f"deg AS ({_DEG_BODY}), "
+            f"e AS (SELECT least(da.deg, db.deg) AS m FROM und "
+            f"JOIN deg da ON da.url = und.u "
+            f"JOIN deg db ON db.url = und.v), "
+            f"ks(k) AS (VALUES (CAST(1 AS BIGINT)), (2), (4), (8), (16)) "
+            f"SELECT k, "
+            f"(SELECT count(*) FROM deg WHERE deg > k) AS n_k, "
+            f"(SELECT count(*) FROM e WHERE m > k) AS e_k, "
+            f"CASE WHEN (SELECT count(*) FROM deg WHERE deg > k) >= 2 "
+            f"THEN round(2.0 * (SELECT count(*) FROM e WHERE m > k) / "
+            f"((SELECT count(*) FROM deg WHERE deg > k) * "
+            f"((SELECT count(*) FROM deg WHERE deg > k) - 1)), 9) "
+            f"ELSE 0.0 END AS phi FROM ks",
         "q_triad_census_urls": _triad_census_sql(A),
         "q_fourcliques_urls":
             f"WITH und AS ({_UND_BODY.format(A=A)}), "
@@ -1445,6 +1460,19 @@ def q_triangles_urls(sf_dir: str):
         lambda b: pa.table({"url": b.column("url"),
                             "n_triangles": b.column("triangles")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_rich_club")
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficients phi(k) of the link graph at k in
+    {1,2,4,8,16} (graph/metrics.py::rich_club) — the hub-
+    interconnection statistic, reduced to two degree-bounded
+    histograms + driver suffix sums.  SQL-certified; brute-force
+    parity in tests/test_metrics.py."""
+    from .graph.metrics import rich_club
+
+    g = gate_graph()
+    return rich_club(read_layer(g.edges), ks=(1, 2, 4, 8, 16))
 
 
 @_q("q_triad_census_urls")

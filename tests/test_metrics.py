@@ -280,3 +280,36 @@ def test_conductance_brute_force():
         assert df.volume.loc[c] == vol, c
         assert df.cut.loc[c] == cut, c
         assert np.isclose(df.conductance.loc[c], exp), c
+
+
+def test_rich_club_matches_bruteforce():
+    import pandas as pd
+
+    from halvesting_geometric_ray.config import EngineConfig
+    from halvesting_geometric_ray.graph.metrics import rich_club
+
+    rng = np.random.default_rng(13)
+    n, m = 50, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    # brute force on the canonical simple graph
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    deg = np.zeros(n, dtype=np.int64)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    ds = rd.from_pandas(pd.DataFrame({"src": src.astype(np.int64),
+                                      "dst": dst.astype(np.int64)}))
+    ks = (0, 1, 2, 4, 8, 16, 64)
+    got = rich_club(ds, ks=ks, cfg=EngineConfig(num_parts=4)).to_pandas()
+    for r in got.itertuples():
+        keep = np.flatnonzero(deg > r.k)
+        n_k = len(keep)
+        ks_set = set(keep.tolist())
+        e_k = sum(1 for a, b in pairs if a in ks_set and b in ks_set)
+        assert (r.n_k, r.e_k) == (n_k, e_k), r.k
+        want = round(2.0 * e_k / (n_k * (n_k - 1)), 9) if n_k >= 2 else 0.0
+        assert r.phi == want
+    # monotone coverage: n_k decreasing, k=64 empties on this fixture
+    assert (np.diff(got.n_k.to_numpy()) <= 0).all()
+    assert got.n_k.iloc[-1] == 0 and got.phi.iloc[-1] == 0.0
