@@ -117,6 +117,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_url_canonical",
     "q_frame_sample", "q_video_motion", "q_components", "q_triangles",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
+    "q_knn_cosine_sq",
     "q_pca_whiten",
     "q_embed_neardup_lsh", "q_kmeans", "q_semantic_dedup",
     "q_component_sizes", "q_graph_vertices", "q_graph_edges",

@@ -164,3 +164,133 @@ def knn_cosine_pq(embeddings, query_table: pa.Table, k: int = 5, *,
 
     return partial.groupby("query_id").map_groups(
         final, batch_format="pyarrow", retry_exceptions=True)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the uniform per-dimension baseline
+# ---------------------------------------------------------------------------
+
+def sq_train(embeddings, *, col: str = "embedding") -> Tuple[np.ndarray,
+                                                             np.ndarray]:
+    """Per-dimension (lo, hi) ranges of the L2-NORMALIZED vectors from
+    one exact streaming min/max pass (per-batch partials folded on the
+    driver — O(d) state, no sample needed, deterministic)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, mat = _mat(b, col)
+        x = _norm(mat)
+        return pa.table({
+            "lo": pa.array([x.min(axis=0).tobytes()]),
+            "hi": pa.array([x.max(axis=0).tobytes()]),
+            "d": pa.array([x.shape[1]], type=pa.int64())})
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+    d = int(parts["d"].iloc[0])
+    los = np.stack([np.frombuffer(v, dtype=np.float64)
+                    for v in parts["lo"]])
+    his = np.stack([np.frombuffer(v, dtype=np.float64)
+                    for v in parts["hi"]])
+    assert los.shape[1] == d
+    return los.min(axis=0), his.max(axis=0)
+
+
+def sq_encode(embeddings, lo: np.ndarray, hi: np.ndarray, *,
+              col: str = "embedding", id_col: str = "vec_id",
+              out_col: str = "code"):
+    """One streaming pass: normalized vector -> d uint8 codes, uniform
+    per-dim grid code = round((x - lo) / (hi - lo) * 255); constant
+    dims (hi == lo) encode 0.  8x smaller than float64 storage with a
+    reconstruction error <= step/2 per dim (pinned in tests)."""
+    lo = np.asarray(lo, dtype=np.float64)
+    span = np.asarray(hi, dtype=np.float64) - lo
+    inv = np.where(span > 0, 255.0 / np.where(span > 0, span, 1.0), 0.0)
+    ref = ray.put((lo, inv))
+    d = len(lo)
+
+    def enc(b: pa.Table) -> pa.Table:
+        lo_, inv_ = ray.get(ref)
+        _, mat = _mat(b, col)
+        x = _norm(mat)
+        codes = np.clip(np.rint((x - lo_) * inv_), 0, 255).astype(np.uint8)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), type=pa.uint8()), d)
+        return pa.table({id_col: b.column(id_col), out_col: arr})
+
+    return embeddings.map_batches(enc, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+
+def sq_decode(codes: np.ndarray, lo: np.ndarray,
+              hi: np.ndarray) -> np.ndarray:
+    """uint8 codes -> reconstructed float64 vectors (grid midpoints of
+    the encode rule's rounding — i.e. the code's grid point)."""
+    lo = np.asarray(lo, dtype=np.float64)
+    span = np.asarray(hi, dtype=np.float64) - lo
+    return lo + codes.astype(np.float64) * (span / 255.0)
+
+
+def knn_cosine_sq(embeddings, query_table: pa.Table, k: int = 5, *,
+                  col: str = "embedding",
+                  ranges: Optional[Tuple[np.ndarray, np.ndarray]] = None):
+    """Approximate top-k cosine neighbors over SQ8 codes: corpus codes
+    are decoded per batch (vectorized) and scored with one matmul
+    against the broadcast normalized query matrix — the asymmetric-
+    distance plan (queries stay exact).  Same output contract as
+    knn_cosine_pq: (query_id, neighbor_id, rnk), self-matches
+    excluded; recall vs the exact baseline pinned in
+    tests/test_quantization.py."""
+    lo, hi = ranges if ranges is not None else sq_train(embeddings,
+                                                        col=col)
+    codes = sq_encode(embeddings, lo, hi, col=col)
+    q_ids, q_mat = _mat(query_table, col)
+    qn = _norm(q_mat)
+    ref = ray.put((q_ids, qn, lo, hi))
+
+    def partial_fn(b: pa.Table) -> pa.Table:
+        qi, qm, lo_, hi_ = ray.get(ref)
+        ids = b.column("vec_id").to_numpy()
+        code_col = b.column("code")
+        if isinstance(code_col, pa.ChunkedArray):
+            code_col = code_col.combine_chunks()
+        codes_np = np.asarray(code_col.flatten(), dtype=np.uint8) \
+            .reshape(len(ids), -1)
+        rec = sq_decode(codes_np, lo_, hi_)
+        sim_all = qm @ rec.T                         # (nq, batch)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, len(ids))
+        for qj, qid in enumerate(qi):
+            sim = sim_all[qj]
+            top = np.argpartition(-sim, kk - 1)[:kk] if len(ids) > kk \
+                else np.arange(len(ids))
+            out_q.append(np.full(len(top), qid, dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(sim[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+    partial = codes.map_batches(partial_fn, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=4096)
+
+    def final(g: pa.Table) -> pa.Table:
+        qid = g.column("query_id").to_numpy()
+        nid = g.column("neighbor_id").to_numpy()
+        sim = g.column("sim").to_numpy()
+        sel = nid != qid[0]
+        nid, sim = nid[sel], sim[sel]
+        order = np.lexsort((nid, -sim))[:k]
+        return pa.table({
+            "query_id": pa.array(np.full(len(order), qid[0],
+                                         dtype=np.int64)),
+            "neighbor_id": pa.array(nid[order]),
+            "rnk": pa.array(np.arange(1, len(order) + 1,
+                                      dtype=np.int64)),
+        })
+
+    return partial.groupby("query_id").map_groups(
+        final, batch_format="pyarrow", retry_exceptions=True)

@@ -1251,6 +1251,23 @@ def q_knn_cosine_pq(sf_dir: str):
     return knn_cosine_pq(emb, qt, k=5, m=8, n_codes=32)
 
 
+@_q("q_knn_cosine_sq")
+def q_knn_cosine_sq(sf_dir: str):
+    """Scalar-quantized (SQ8) ANN: per-dim uniform uint8 grid from one
+    exact min/max pass, asymmetric search (exact queries x decoded
+    codes) — the 8x-compression baseline between exact and PQ.
+    Rows-only; reconstruction bound + recall + layout invariance in
+    tests/test_quantization.py."""
+    from .functions.quantization import knn_cosine_sq
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 10)])
+    return knn_cosine_sq(emb, qt, k=5)
+
+
 @_q("q_learned_filter")
 def q_learned_filter(sf_dir: str):
     """Train-a-filter-on-the-engine demo (functions/linear.py +

@@ -114,3 +114,50 @@ def test_dim_validation():
         pq_train(rd.from_arrow(t), m=4, n_codes=8)
     with pytest.raises(ValueError, match="uint8"):
         pq_train(rd.from_arrow(t), m=2, n_codes=300)
+
+
+# -------------------------------------------------- scalar (SQ8)
+
+def test_sq_reconstruction_bound_and_determinism():
+    from halvesting_geometric_ray.functions.quantization import (
+        sq_decode, sq_encode, sq_train)
+    from halvesting_geometric_ray.functions.similarity import _mat, _norm
+
+    t, _ = _emb_table(400, 24, seed=7)
+    ds = rd.from_arrow(t)
+    lo, hi = sq_train(ds)
+    lo2, hi2 = sq_train(ds)
+    assert (lo == lo2).all() and (hi == hi2).all()
+    codes = sq_encode(ds, lo, hi).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    _, mat = _mat(t, "embedding")
+    x = _norm(mat)
+    c = np.stack([np.asarray(v, dtype=np.uint8) for v in codes.code])
+    rec = sq_decode(c, lo, hi)
+    step = (hi - lo) / 255.0
+    # encode rounds to the nearest grid point -> error <= step/2
+    assert (np.abs(rec - x) <= step / 2 + 1e-12).all()
+
+
+def test_sq_recall_vs_exact_and_layout_invariance():
+    from halvesting_geometric_ray.functions.quantization import knn_cosine_sq
+    from halvesting_geometric_ray.functions.similarity import knn_cosine
+
+    t, _ = _spread_table(600, 16, seed=5)
+    ds = rd.from_arrow(t)
+    qt = t.slice(0, 8)
+    exact = knn_cosine(ds, qt, k=5).to_pandas()
+    approx = knn_cosine_sq(ds, qt, k=5).to_pandas()
+    recalls = []
+    for qid in exact.query_id.unique():
+        e = set(exact.loc[exact.query_id == qid, "neighbor_id"])
+        a = set(approx.loc[approx.query_id == qid, "neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    # 8-bit uniform grid on 16-dim: near-exact
+    assert np.mean(recalls) >= 0.9, recalls
+    assert not (approx.query_id == approx.neighbor_id).any()
+    # layout invariance: same result from a repartitioned corpus
+    approx2 = knn_cosine_sq(ds.repartition(7), qt, k=5).to_pandas()
+    a1 = approx.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    a2 = approx2.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    assert a1.equals(a2)
