@@ -356,6 +356,24 @@ def degree_assortativity(edges, cfg: EngineConfig = DEFAULT) -> dict:
     return {"m": m, "sx": sx, "sxy": sxy, "sxx": sxx, "assortativity": r}
 
 
+def degree_histogram(edges, cfg: EngineConfig = DEFAULT):
+    """Canonical undirected degree histogram as a SORTED list of
+    (degree, n_vertices) tuples — the O(#distinct degrees) summary
+    that answers Gini / rich-club / power-law questions without a
+    global sort."""
+    und = canonical_undirected(edges, cfg)
+    deg = _degrees_canonical(und)
+    from ..ops.agg import grouped_aggregate
+
+    hist = grouped_aggregate(
+        deg.map_batches(lambda b: pa.table({
+            "d": b.column("deg"),
+            "n": pa.array(np.ones(len(b), dtype=np.int64))}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["d"], {"n": ("sum", "n")}, num_parts=cfg.num_parts).to_pandas()
+    return sorted(zip(hist["d"].astype(int), hist["n"].astype(int)))
+
+
 def rich_club(edges, ks, cfg: EngineConfig = DEFAULT):
     """Rich-club coefficients of the canonical undirected graph (Zhou
     & Mondragon 2004): phi(k) = 2*E_k / (N_k*(N_k-1)) with N_k the

@@ -339,6 +339,15 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"(SELECT a AS url FROM tri UNION ALL "
             f"SELECT b AS url FROM tri UNION ALL "
             f"SELECT c AS url FROM tri) GROUP BY url",
+        "q_degree_gini":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), "
+            f"deg AS ({_DEG_BODY}), "
+            f"ranked AS (SELECT deg AS d, row_number() OVER "
+            f"(ORDER BY deg, url) AS i FROM deg) "
+            f"SELECT count(*) AS n_vertices, "
+            f"CAST(sum(d) AS BIGINT) AS total_deg, "
+            f"round((2.0 * sum(i * d)) / (count(*) * sum(d)) "
+            f"- (count(*) + 1.0) / count(*), 9) AS gini FROM ranked",
         "q_rich_club":
             f"WITH und AS ({_UND_BODY.format(A=A)}), "
             f"deg AS ({_DEG_BODY}), "
@@ -1460,6 +1469,37 @@ def q_triangles_urls(sf_dir: str):
         lambda b: pa.table({"url": b.column("url"),
                             "n_triangles": b.column("triangles")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_degree_gini")
+def q_degree_gini(sf_dir: str):
+    """Gini coefficient of the undirected degree distribution — the
+    link-mass inequality scalar (how hub-dominated is the graph).
+    Computed from the degree HISTOGRAM alone: grouped (deg, count)
+    exchange, then the sorted-rank identity
+    G = 2*sum(i*d_i)/(n*sum(d)) - (n+1)/n evaluated with arithmetic-
+    series block sums per distinct degree — O(#distinct degrees)
+    driver state, no global sort.  SQL-certified against the
+    row_number formulation (tie ranks are interchangeable within a
+    block, the weighted sum is tie-invariant)."""
+    from .graph.metrics import degree_histogram
+
+    g = gate_graph()
+    hist = degree_histogram(read_layer(g.edges))
+    n = 0
+    tot = 0
+    s_id = 0
+    cum = 0
+    for d, cnt in hist:
+        # ranks cum+1 .. cum+cnt all carry degree d
+        s_id += d * (cnt * cum + cnt * (cnt + 1) // 2)
+        cum += cnt
+        n += cnt
+        tot += d * cnt
+    gini = round((2.0 * s_id) / (n * tot) - (n + 1.0) / n, 9)
+    return pa.table({"n_vertices": pa.array([n], type=pa.int64()),
+                     "total_deg": pa.array([tot], type=pa.int64()),
+                     "gini": pa.array([gini], type=pa.float64())})
 
 
 @_q("q_rich_club")
