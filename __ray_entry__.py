@@ -86,7 +86,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_ntile_orders", "q_histogram_prices",
                  "q_funnel_events", "q_event_transitions",
                  "q_fourcliques_urls", "q_triad_census_urls",
-                 "q_pmi_collocations", "q_rich_club", "q_degree_gini"]
+                 "q_pmi_collocations", "q_rich_club", "q_degree_gini",
+                 "q_scan_edges", "q_avg_neighbor_degree"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

@@ -651,3 +651,138 @@ def community_conductance(edges, labels, cfg: EngineConfig = DEFAULT):
                     "volume": pa.array(deg[order]),
                     "conductance": pa.array(phi[order].astype(np.float64))})
     return rd.from_arrow(out), {"q": q, "m": m2 // 2}
+
+
+def scan_similarity(edges, cfg: EngineConfig = DEFAULT):
+    """SCAN structural similarity per undirected edge (Xu et al., KDD
+    2007): sigma(u, v) = |G(u) n G(v)| / sqrt(|G(u)| * |G(v)|) with
+    CLOSED neighborhoods G(x) = N(x) u {x}.  For an edge (u, v) of a
+    simple graph the closed intersection is the edge's triangle support
+    plus the two endpoints themselves, so
+
+        sigma = (support(u,v) + 2) / sqrt((deg_u + 1) * (deg_v + 1))
+
+    and everything reduces to machinery we already have: the k-truss
+    per-edge support pass (graph/truss.py::_edge_support — one oriented
+    wedge/semi-join triangle plan) plus two degree joins.  Returns a
+    Dataset (src, dst, support, sigma) over every canonical undirected
+    edge; sigma is rounded to 9 dp (one sqrt + one division of
+    exactly-representable integers, then round — the same SQL-parity
+    recipe as rich_club/degree_gini).
+
+    This is the classic community/hub/outlier edge scorer: thresholding
+    sigma >= eps gives the eps-neighborhood graph SCAN clusters on, and
+    unlike modularity methods it separates hubs (low sigma to every
+    cluster) from members.  Scale shape: support is the triangle plan
+    (orientation-bounded wedges), joins are bucketed — no new physics.
+    """
+    from .truss import _edge_support
+
+    und = canonical_undirected(edges, cfg).materialize()
+    deg = _degrees_canonical(und).materialize()
+    sup = _edge_support(und, cfg)
+    sup_schema = pa.schema([pa.field("src", pa.int64()),
+                            pa.field("dst", pa.int64()),
+                            pa.field("support", pa.int64())])
+    # left join: edges in no triangle carry support 0
+    j = hash_join(und, sup, on=["src", "dst"], right_on=["src", "dst"],
+                  join_type="left", num_parts=cfg.num_parts,
+                  left_schema=_E_SCHEMA, right_schema=sup_schema)
+
+    def fill(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                         "support": pc.fill_null(b.column("support"),
+                                                 0).cast(pa.int64())})
+
+    j = j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = sup_schema
+    j = hash_join(j, deg, on="src", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"], left_schema=j_schema,
+                  right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["src", "dst", "support", "deg_u"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = pa.schema([pa.field("src", pa.int64()),
+                          pa.field("dst", pa.int64()),
+                          pa.field("support", pa.int64()),
+                          pa.field("deg_u", pa.int64())])
+    j = hash_join(j, deg, on="dst", right_on="vid", num_parts=cfg.num_parts,
+                  right_cols=["deg"], left_schema=j_schema,
+                  right_schema=_DEG_SCHEMA)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["dst", "src", "support", "deg_u", "deg_v"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(b: pa.Table) -> pa.Table:
+        s = b.column("support").to_numpy()
+        du = b.column("deg_u").to_numpy()
+        dv = b.column("deg_v").to_numpy()
+        # (du+1)*(dv+1) is an exact int64; sqrt and the division are
+        # single correctly-rounded IEEE ops; round(9) matches DuckDB
+        sig = np.round((s + 2).astype(np.float64)
+                       / np.sqrt(((du + 1) * (dv + 1)).astype(np.float64)),
+                       9)
+        return pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                         "support": b.column("support"),
+                         "sigma": pa.array(sig, type=pa.float64())})
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def avg_neighbor_degree(edges, cfg: EngineConfig = DEFAULT):
+    """Degree-correlation curve knn(k) (Pastor-Satorras et al. 2001):
+    for each undirected degree value k, the mean degree of the
+    neighbors of degree-k vertices, averaged over EDGE ENDPOINTS
+    (stub-weighted: knn(k) = sum over degree-k vertices of
+    sum-of-neighbor-degrees, divided by k * n_k).  The stub-weighted
+    form keeps the sufficient statistics exact int64s so the final
+    value is ONE double division — bitwise SQL-certifiable, and the
+    standard form used for assortativity-curve plots.
+
+    Returns a Dataset (deg, n_vertices, sum_neighbor_deg, knn) with knn
+    rounded to 9 dp.  Scale shape: one symmetrize pass, one bucketed
+    degree join, two grouped integer aggregations — no per-vertex state
+    on the driver.
+    """
+    und = canonical_undirected(edges, cfg).materialize()
+    deg = _degrees_canonical(und).materialize()
+
+    def sym(b: pa.Table) -> pa.Table:
+        s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    half = und.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(half, deg, on="dst", right_on="vid",
+                  num_parts=cfg.num_parts, right_cols=["deg"],
+                  left_schema=_E_SCHEMA, right_schema=_DEG_SCHEMA)
+    # (src, nbr_deg) -> per-vertex sum of neighbor degrees
+    per_v = grouped_aggregate(
+        j.map_batches(lambda b: b.rename_columns(["dst", "src", "nbr_deg"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["src", "nbr_deg"]),
+        ["src"], {"sum_nbr": ("sum", "nbr_deg")}, num_parts=cfg.num_parts)
+    pv_schema = pa.schema([pa.field("src", pa.int64()),
+                           pa.field("sum_nbr", pa.int64())])
+    pv = hash_join(per_v, deg, on="src", right_on="vid",
+                   num_parts=cfg.num_parts, right_cols=["deg"],
+                   left_schema=pv_schema, right_schema=_DEG_SCHEMA)
+    curve = grouped_aggregate(
+        pv.select_columns(["deg", "sum_nbr"]), ["deg"],
+        {"n_vertices": ("count", None),
+         "sum_neighbor_deg": ("sum", "sum_nbr")}, num_parts=cfg.num_parts)
+
+    def fin(b: pa.Table) -> pa.Table:
+        k = b.column("deg").to_numpy()
+        n = b.column("n_vertices").to_numpy()
+        s = b.column("sum_neighbor_deg").to_numpy()
+        knn = np.round(s.astype(np.float64) / (k * n).astype(np.float64), 9)
+        return pa.table({"deg": b.column("deg"),
+                         "n_vertices": b.column("n_vertices"),
+                         "sum_neighbor_deg": b.column("sum_neighbor_deg"),
+                         "knn": pa.array(knn, type=pa.float64())})
+
+    return curve.map_batches(fin, batch_format="pyarrow",
+                             zero_copy_batch=True)

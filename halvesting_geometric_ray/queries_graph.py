@@ -439,6 +439,38 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"SELECT m, sx, sxy, sxx, "
             f"CAST(m * sxy - sx * sx AS DOUBLE) / (m * sxx - sx * sx) "
             f"AS assortativity FROM s",
+        # SCAN sigma per edge: open common neighbors (= triangle
+        # support) via the symmetric wedge join, then
+        # (support+2)/sqrt((du+1)(dv+1)) — exact ints into one sqrt +
+        # one division, rounded 9 dp on both sides
+        "q_scan_edges":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), deg AS ({_DEG_BODY}), "
+            f"sym AS (SELECT u AS a, v AS b FROM und "
+            f"UNION ALL SELECT v, u FROM und), "
+            f"sup AS (SELECT e.u, e.v, count(*) AS s FROM und e "
+            f"JOIN sym n1 ON n1.a = e.u JOIN sym n2 "
+            f"ON n2.a = e.v AND n2.b = n1.b GROUP BY e.u, e.v) "
+            f"SELECT e.u AS url_a, e.v AS url_b, "
+            f"coalesce(sup.s, CAST(0 AS BIGINT)) AS support, "
+            f"round((coalesce(sup.s, 0) + 2) / "
+            f"sqrt(CAST((da.deg + 1) * (db.deg + 1) AS DOUBLE)), 9) "
+            f"AS sigma "
+            f"FROM und e LEFT JOIN sup ON sup.u = e.u AND sup.v = e.v "
+            f"JOIN deg da ON da.url = e.u JOIN deg db ON db.url = e.v",
+        # stub-weighted knn(k): per degree value the exact int sum of
+        # neighbor degrees over degree-k endpoints, ONE division
+        "q_avg_neighbor_degree":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), deg AS ({_DEG_BODY}), "
+            f"sym AS (SELECT u AS a, v AS b FROM und "
+            f"UNION ALL SELECT v, u FROM und), "
+            f"per_v AS (SELECT s.a AS url, CAST(sum(d.deg) AS BIGINT) "
+            f"AS sum_nbr FROM sym s JOIN deg d ON d.url = s.b "
+            f"GROUP BY s.a) "
+            f"SELECT dg.deg, count(*) AS n_vertices, "
+            f"CAST(sum(p.sum_nbr) AS BIGINT) AS sum_neighbor_deg, "
+            f"round(CAST(sum(p.sum_nbr) AS DOUBLE) / "
+            f"(dg.deg * count(*)), 9) AS knn "
+            f"FROM per_v p JOIN deg dg ON dg.url = p.url GROUP BY dg.deg",
     }
 
 
@@ -2435,3 +2467,64 @@ def q_ldg_partition(sf_dir: str):
             "cut_x1e9": pa.array([cut_x1e9] * b.num_rows,
                                  type=pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_scan_edges")
+def q_scan_edges(sf_dir: str):
+    """SCAN structural similarity per undirected url edge
+    (graph/metrics.py::scan_similarity — Xu et al. 2007): sigma =
+    (triangle support + 2) / sqrt((deg_u+1)(deg_v+1)) with closed
+    neighborhoods.  SQL-certified (exact int support + one sqrt + one
+    division, rounded 9 dp), gate-pinned corpus."""
+    from .graph.metrics import scan_similarity
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    sc = scan_similarity(read_layer(g.edges))
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    sc_schema = pa.schema([pa.field("src", pa.int64()),
+                           pa.field("dst", pa.int64()),
+                           pa.field("support", pa.int64()),
+                           pa.field("sigma", pa.float64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    j = hash_join(sc, v, on="src", right_on="vid",
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=sc_schema, right_schema=v_schema)
+    j = j.map_batches(lambda b: b.rename_columns(
+        ["src", "dst", "support", "sigma", "url_u"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = pa.schema([pa.field("src", pa.int64()),
+                          pa.field("dst", pa.int64()),
+                          pa.field("support", pa.int64()),
+                          pa.field("sigma", pa.float64()),
+                          pa.field("url_u", pa.string())])
+    j = hash_join(j, v, on="dst", right_on="vid",
+                  num_parts=DEFAULT.num_parts,
+                  left_schema=j_schema, right_schema=v_schema)
+
+    def fin(b: pa.Table) -> pa.Table:
+        ua = b.column("url_u").to_numpy(zero_copy_only=False)
+        ub = b.column("url").to_numpy(zero_copy_only=False)
+        # edge identity is the unordered pair; canonicalize by url so
+        # rows line up with the oracle's least/greatest form
+        m = ua < ub
+        return pa.table({
+            "url_a": pa.array(np.where(m, ua, ub), type=pa.string()),
+            "url_b": pa.array(np.where(m, ub, ua), type=pa.string()),
+            "support": b.column("support"),
+            "sigma": b.column("sigma")})
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_avg_neighbor_degree")
+def q_avg_neighbor_degree(sf_dir: str):
+    """knn(k) degree-correlation curve
+    (graph/metrics.py::avg_neighbor_degree, stub-weighted): per degree
+    value, exact int64 (n_vertices, sum_neighbor_deg) and the one-
+    division knn.  SQL-certified, gate-pinned corpus."""
+    from .graph.metrics import avg_neighbor_degree
+
+    g = gate_graph()
+    return avg_neighbor_degree(read_layer(g.edges))
