@@ -105,6 +105,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_pack_sequences", "q_bpe_train", "q_unigram_train",
     "q_unigram_encode", "q_search_bm25", "q_normalize_text",
     "q_mixture_resample",
+    "q_textrank_keywords",
     "q_lm_score", "q_lm_score_bigram", "q_dsir_sample", "q_learned_filter",
     "q_learned_filter_auc", "q_split_leakage_free",
     "q_adamic_adar", "q_anf", "q_random_walks", "q_node2vec_walks",

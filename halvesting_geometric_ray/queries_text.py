@@ -2107,3 +2107,22 @@ def q_rp_distortion(sf_dir: str):
         "pair_id": pa.array(a, type=pa.int64()),
         "dist_ratio": pa.array(np.round(d1 / d0, 6)),
     })
+
+
+@_q("q_textrank_keywords")
+def q_textrank_keywords(sf_dir: str):
+    """TextRank keyword scores (functions/textrank.py): tokens ->
+    windowed co-occurrence edges (exact counts) -> the engine's own
+    WEIGHTED PageRank over the token graph -> (token, rank).  The
+    text-to-graph capstone; rows-only at the gate (iterative).  NumPy
+    sequential-replay parity (allclose 1e-6) + layout invariance in
+    tests/test_textrank.py."""
+    import os
+
+    from .functions.textrank import textrank_keywords
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    wd = os.path.join("/tmp/hgr_textrank",
+                      os.path.basename(os.path.normpath(sf_dir)))
+    out, _info = textrank_keywords(docs, wd, window=2)
+    return out
