@@ -96,7 +96,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_minhash_lsh", "q_edit_neardup", "q_kcore", "q_coreness", "q_sssp",
     "q_mis", "q_matching", "q_coarsen", "q_wl_colors",
     "q_coloring", "q_densest", "q_diameter",
-    "q_label_propagation", "q_louvain", "q_conductance",
+    "q_label_propagation", "q_louvain", "q_conductance", "q_scan_clusters",
     "q_local_cluster",
     "q_simhash_pairs", "q_mirror_pages",
     "q_edge_splits", "q_negative_samples", "q_hll_distinct",

@@ -2528,3 +2528,33 @@ def q_avg_neighbor_degree(sf_dir: str):
 
     g = gate_graph()
     return avg_neighbor_degree(read_layer(g.edges))
+
+
+@_q("q_scan_clusters")
+def q_scan_clusters(sf_dir: str):
+    """SCAN structural clustering of the link graph (graph/scan.py —
+    Xu et al. 2007): eps-similarity cores -> CC clusters -> border
+    attach -> hub/outlier split.  The deterministic hub-vs-community
+    separator Louvain can't express.  Rows-only at the gate
+    (iterative CC inside); sequential-oracle parity + layout
+    invariance in tests/test_scan.py."""
+    from .graph.scan import scan_clusters
+    from .ops.join import hash_join
+
+    g = graph_for(sf_dir)
+    labs, _info = scan_clusters(read_layer(g.edges), g.offsets, g.workdir,
+                                eps=0.4, mu=3)
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    l_schema = pa.schema([pa.field("vid", pa.int64()),
+                          pa.field("label", pa.int64()),
+                          pa.field("role", pa.string())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    out = hash_join(labs, v, on="vid", right_on="vid",
+                    num_parts=DEFAULT.num_parts,
+                    left_schema=l_schema, right_schema=v_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "label": b.column("label"),
+                            "role": b.column("role")}),
+        batch_format="pyarrow", zero_copy_batch=True)
