@@ -87,7 +87,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_funnel_events", "q_event_transitions",
                  "q_fourcliques_urls", "q_triad_census_urls",
                  "q_pmi_collocations", "q_rich_club", "q_degree_gini",
-                 "q_scan_edges", "q_avg_neighbor_degree"]
+                 "q_scan_edges", "q_avg_neighbor_degree",
+                 "q_redirect_resolution"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

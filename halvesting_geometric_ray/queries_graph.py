@@ -471,6 +471,21 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"round(CAST(sum(p.sum_nbr) AS DOUBLE) / "
             f"(dg.deg * count(*)), 9) AS knn "
             f"FROM per_v p JOIN deg dg ON dg.url = p.url GROUP BY dg.deg",
+        # redirect resolution: min-outlink functional mapping chased by
+        # a 32-hop-bounded recursive closure; the engine's pointer
+        # doubling lands on the identical (position, hops) rows
+        "q_redirect_resolution":
+            f"WITH RECURSIVE "
+            f"m AS (SELECT src_url AS k, min(dst_url) AS t FROM {A} "
+            f"GROUP BY src_url), "
+            f"mm AS (SELECT k, t FROM m WHERE k <> t), "
+            f"walk AS (SELECT k, t AS cur, CAST(1 AS BIGINT) AS h "
+            f"FROM mm UNION ALL "
+            f"SELECT w.k, n.t, w.h + 1 FROM walk w "
+            f"JOIN mm n ON n.k = w.cur WHERE w.h < 32), "
+            f"fin AS (SELECT k, max(h) AS mh FROM walk GROUP BY k) "
+            f"SELECT w.k AS url, w.cur AS final, w.h AS hops "
+            f"FROM walk w JOIN fin f ON f.k = w.k AND f.mh = w.h",
     }
 
 
@@ -2557,4 +2572,32 @@ def q_scan_clusters(sf_dir: str):
         lambda b: pa.table({"url": b.column("url"),
                             "label": b.column("label"),
                             "role": b.column("role")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_redirect_resolution")
+def q_redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution (graph/redirects.py): each page's
+    "redirect" is its lexicographic-min outlink (a deterministic
+    functional mapping over the gate corpus); pointer DOUBLING resolves
+    every source to its position after min(32, hops-to-terminal) steps
+    with the hop count carried along — 5 bucketed self-joins, never a
+    per-hop pass.  SQL-certified against a bounded recursive closure,
+    gate-pinned corpus."""
+    import ray.data as rd
+
+    from .fixtures import ensure_anchors_parquet
+    from .graph.redirects import resolve_pointers
+    from .ops.agg import grouped_aggregate
+
+    anchors = rd.read_parquet(ensure_anchors_parquet(_GATE_N, _SEED),
+                              columns=["src_url", "dst_url"])
+    mapping = grouped_aggregate(anchors, ["src_url"],
+                                {"dst": ("min", "dst_url")},
+                                num_parts=DEFAULT.num_parts)
+    out = resolve_pointers(mapping, key="src_url", val="dst")
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("k"),
+                            "final": b.column("final"),
+                            "hops": b.column("hops")}),
         batch_format="pyarrow", zero_copy_batch=True)
