@@ -88,7 +88,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_fourcliques_urls", "q_triad_census_urls",
                  "q_pmi_collocations", "q_rich_club", "q_degree_gini",
                  "q_scan_edges", "q_avg_neighbor_degree",
-                 "q_redirect_resolution"]
+                 "q_redirect_resolution", "q_event_entropy",
+                 "q_host_homophily", "q_outlink_host_entropy"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

@@ -573,3 +573,50 @@ def roc_auc(ds, score_col: str, label_col: str) -> float:
     if P == 0 or Nn == 0:
         raise ValueError("roc_auc undefined: need both classes present")
     return (rank_sum_pos - P * (P + 1) / 2.0) / (P * Nn)
+
+
+def grouped_entropy(ds, keys, col, *, num_parts: int = 16,
+                    round_to: int = 9):
+    """Per-group Shannon entropy of a categorical column — the
+    diversity diagnostic of a crawl (event-type mix per user, outlink-
+    host spread per page, language mix per domain).
+
+    H(g) = ln(n_g) - (sum over categories c of cnt_c * ln(cnt_c)) / n_g
+
+    computed from EXACT int64 category counts (two grouped exchanges:
+    one per (keys, col), one per keys), so the only float work is the
+    closed-form finish — rounded to ``round_to`` dp for cross-engine
+    hash parity (ln of exact ints; the category ln-sum is the one
+    order-sensitive term, identical to last-ulp across engines in
+    practice at 9 dp).  Returns (keys..., n:int64, n_distinct:int64,
+    entropy:float64)."""
+    from .agg import grouped_aggregate
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    cnt = grouped_aggregate(ds.select_columns(keys + [col]), keys + [col],
+                            {"cnt": ("count", None)}, num_parts=num_parts)
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = b.column("cnt").to_numpy().astype(np.float64)
+        cols = {k: b.column(k) for k in keys}
+        cols["cnt"] = b.column("cnt")
+        cols["clnc"] = pa.array(c * np.log(c), type=pa.float64())
+        return pa.table(cols)
+
+    g = grouped_aggregate(
+        cnt.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys, {"n": ("sum", "cnt"), "n_distinct": ("count", None),
+               "s": ("sum", "clnc")}, num_parts=num_parts)
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.float64)
+        s = b.column("s").to_numpy()
+        h = np.round(np.log(n) - s / n, round_to)
+        cols = {k: b.column(k) for k in keys}
+        cols["n"] = b.column("n")
+        cols["n_distinct"] = b.column("n_distinct")
+        cols["entropy"] = pa.array(h, type=pa.float64())
+        return pa.table(cols)
+
+    return g.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

@@ -486,6 +486,26 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"fin AS (SELECT k, max(h) AS mh FROM walk GROUP BY k) "
             f"SELECT w.k AS url, w.cur AS final, w.h AS hops "
             f"FROM walk w JOIN fin f ON f.k = w.k AND f.mh = w.h",
+        # intra-host fraction over distinct directed edges: exact ints,
+        # one division
+        "q_host_homophily":
+            f"WITH de AS (SELECT DISTINCT src_url, dst_url FROM {A}) "
+            f"SELECT count(*) AS n_edges, "
+            f"CAST(sum(CASE WHEN string_split(src_url, '/')[3] = "
+            f"string_split(dst_url, '/')[3] THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_intra, "
+            f"CAST(sum(CASE WHEN string_split(src_url, '/')[3] = "
+            f"string_split(dst_url, '/')[3] THEN 1 ELSE 0 END) AS DOUBLE) "
+            f"/ count(*) AS homophily FROM de",
+        # per-page outlink-host Shannon entropy from exact counts
+        "q_outlink_host_entropy":
+            f"WITH c AS (SELECT src_url, string_split(dst_url, '/')[3] "
+            f"AS dst_host, count(*) AS cnt FROM {A} GROUP BY 1, 2), "
+            f"g AS (SELECT src_url, CAST(sum(cnt) AS BIGINT) AS n, "
+            f"count(*) AS n_distinct, sum(cnt * ln(cnt)) AS s FROM c "
+            f"GROUP BY src_url) "
+            f"SELECT src_url, n, n_distinct, "
+            f"round(ln(n) - s / n, 9) AS entropy FROM g",
     }
 
 
@@ -2601,3 +2621,61 @@ def q_redirect_resolution(sf_dir: str):
                             "final": b.column("final"),
                             "hops": b.column("hops")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_host_homophily")
+def q_host_homophily(sf_dir: str):
+    """Host homophily of the link graph: fraction of distinct directed
+    edges whose endpoints share a host — the intra-site vs cross-site
+    link-mass split every crawler/partitioner reasons about.  Exact
+    integer counts + ONE division; SQL-certified, gate-pinned corpus."""
+    import ray.data as rd
+
+    from .fixtures import ensure_anchors_parquet
+    from .graph.hostgraph import hosts_of
+    from .ops.agg import grouped_aggregate
+
+    anchors = rd.read_parquet(ensure_anchors_parquet(_GATE_N, _SEED),
+                              columns=["src_url", "dst_url"])
+    de = grouped_aggregate(anchors, ["src_url", "dst_url"],
+                           {"c": ("count", None)},
+                           num_parts=DEFAULT.num_parts)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hs = hosts_of(b.column("src_url")).to_numpy(zero_copy_only=False)
+        hd = hosts_of(b.column("dst_url")).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_edges": pa.array([b.num_rows], type=pa.int64()),
+            "n_intra": pa.array([int((hs == hd).sum())], type=pa.int64())})
+
+    parts = de.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    n, i = int(parts["n_edges"].sum()), int(parts["n_intra"].sum())
+    return pd.DataFrame({"n_edges": pd.Series([n], dtype="int64"),
+                         "n_intra": pd.Series([i], dtype="int64"),
+                         "homophily": pd.Series([i / n], dtype="float64")})
+
+
+@_q("q_outlink_host_entropy")
+def q_outlink_host_entropy(sf_dir: str):
+    """Per-page Shannon entropy of outlink TARGET HOSTS
+    (ops/stats.py::grouped_entropy over the raw anchor rows) — the
+    outlink-diversity signal separating navigation/boilerplate pages
+    (one host) from genuine hub pages.  SQL-certified, gate-pinned
+    corpus."""
+    import ray.data as rd
+
+    from .fixtures import ensure_anchors_parquet
+    from .graph.hostgraph import hosts_of
+    from .ops.stats import grouped_entropy
+
+    anchors = rd.read_parquet(ensure_anchors_parquet(_GATE_N, _SEED),
+                              columns=["src_url", "dst_url"])
+
+    def with_host(b: pa.Table) -> pa.Table:
+        return pa.table({"src_url": b.column("src_url"),
+                         "dst_host": hosts_of(b.column("dst_url"))})
+
+    h = anchors.map_batches(with_host, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return grouped_entropy(h, "src_url", "dst_host")

@@ -1671,3 +1671,25 @@ def q_histogram_prices(sf_dir: str):
                   boundaries=np.linspace(10000.0, 100000.0, 10))
     return (b.groupby("bucket").count()
             .rename_columns({"count()": "n"}).sort("bucket"))
+
+
+@_q("q_event_entropy",
+    "WITH c AS (SELECT user_id, event_type, count(*) AS cnt "
+    "FROM events GROUP BY 1, 2), "
+    "g AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n, "
+    "count(*) AS n_distinct, sum(cnt * ln(cnt)) AS s FROM c "
+    "GROUP BY user_id) "
+    "SELECT user_id, n, n_distinct, round(ln(n) - s / n, 9) AS entropy "
+    "FROM g")
+def q_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix
+    (ops/stats.py::grouped_entropy) — the behavioral-diversity
+    diagnostic a mixture sampler / bot filter reads.  Exact int64
+    category counts; the closed-form finish is ln of exact ints plus
+    one short ln-sum, rounded 9dp on both sides.  SQL-oracled via the
+    demoted _ORACLED_TAIL."""
+    from .ops.stats import grouped_entropy
+
+    return grouped_entropy(_t(sf_dir, "events",
+                              columns=["user_id", "event_type"]),
+                           "user_id", "event_type")
