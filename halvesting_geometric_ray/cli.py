@@ -60,7 +60,8 @@ def main(argv=None) -> int:
                  "sssp", "katz", "eigenvector", "louvain", "node2vec",
                  "localcluster",
                  "embed", "linkpred", "propagate", "salsa", "simrank",
-                 "partition", "hdrf", "wl", "triads", "cliques4"):
+                 "partition", "hdrf", "wl", "triads", "cliques4",
+                 "scan", "redirects"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -95,6 +96,12 @@ def main(argv=None) -> int:
             sp.add_argument("--seed", type=int, default=42)
         if name == "wl":
             sp.add_argument("--max-rounds", type=int, default=20)
+        if name == "scan":
+            sp.add_argument("--eps", type=float, default=0.5)
+            sp.add_argument("--mu", type=int, default=3)
+        if name == "redirects":
+            sp.add_argument("--rounds", type=int, default=5,
+                            help="squarings; hop bound = 2^rounds")
         if name == "densest":
             sp.add_argument("--eps", type=float, default=0.1)
         if name == "sssp":
@@ -734,6 +741,29 @@ def main(argv=None) -> int:
             out["wl"] = {"n_classes": info["n_classes"],
                          "num_rounds": info["num_rounds"],
                          "converged": info["converged"]}
+        if args.cmd == "scan":
+            from .graph.scan import scan_clusters
+            import os
+
+            ds, info = scan_clusters(edges, g.offsets, args.workdir, cfg,
+                                     eps=args.eps, mu=args.mu)
+            ds.write_parquet(os.path.join(args.workdir, "scan"))
+            out["scan"] = {"eps": info["eps"], "mu": info["mu"],
+                           "n_cores": info["n_cores"],
+                           "n_members": info["n_members"]}
+        if args.cmd == "redirects":
+            from .graph.redirects import resolve_pointers
+            from .ops.agg import grouped_aggregate
+            import os
+
+            m = grouped_aggregate(edges, ["src"], {"dst": ("min", "dst")},
+                                  num_parts=cfg.num_parts)
+            ds = resolve_pointers(m, cfg, key="src", val="dst",
+                                  rounds=args.rounds)
+            ds.write_parquet(os.path.join(args.workdir, "redirects"))
+            out["redirects"] = {"rounds": args.rounds,
+                                "hop_bound": 2 ** args.rounds,
+                                "n_resolved": ds.count()}
         if args.cmd == "triads":
             from .graph.triads import triad_census
 

@@ -283,3 +283,28 @@ def test_cli_wl_triads_cliques(tmp_path, capsys, tiny_pages_dir):
     assert c4["total"] >= 5
     per = rd.read_parquet(os.path.join(wd, "cliques4")).to_pandas()
     assert per.cliques4.sum() == 4 * c4["total"]
+
+
+def test_cli_scan_redirects(tmp_path, capsys, tiny_pages_dir):
+    """`scan` / `redirects`: structural-similarity clustering and
+    functional-mapping resolution over a built workdir."""
+    wd = str(tmp_path / "wd_scanred")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["scan", "--workdir", wd, "--eps", "0.5",
+                 "--mu", "3"]) == 0
+    sc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["scan"]
+    assert sc["n_members"] >= sc["n_cores"] >= 0
+    lab = rd.read_parquet(os.path.join(wd, "scan")).to_pandas()
+    assert set(lab.columns) == {"vid", "label", "role"}
+    assert set(lab.role.unique()) <= {"core", "border", "hub", "outlier"}
+    assert lab.vid.is_unique
+
+    assert main(["redirects", "--workdir", wd, "--rounds", "4"]) == 0
+    rr = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["redirects"]
+    assert rr["hop_bound"] == 16 and rr["n_resolved"] > 0
+    res = rd.read_parquet(os.path.join(wd, "redirects")).to_pandas()
+    assert (res.hops >= 1).all() and (res.hops <= 16).all()
+    assert rr["n_resolved"] == len(res)
