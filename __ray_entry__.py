@@ -89,7 +89,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_pmi_collocations", "q_rich_club", "q_degree_gini",
                  "q_scan_edges", "q_avg_neighbor_degree",
                  "q_redirect_resolution", "q_event_entropy",
-                 "q_host_homophily", "q_outlink_host_entropy"]
+                 "q_host_homophily", "q_outlink_host_entropy",
+                 "q_intra_host_components"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",
@@ -98,7 +99,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_minhash_lsh", "q_edit_neardup", "q_kcore", "q_coreness", "q_sssp",
     "q_mis", "q_matching", "q_coarsen", "q_wl_colors",
     "q_coloring", "q_densest", "q_diameter",
-    "q_label_propagation", "q_louvain", "q_conductance", "q_scan_clusters",
+    "q_label_propagation", "q_louvain", "q_louvain_leiden",
+    "q_conductance", "q_scan_clusters",
     "q_local_cluster",
     "q_simhash_pairs", "q_mirror_pages",
     "q_edge_splits", "q_negative_samples", "q_hll_distinct",

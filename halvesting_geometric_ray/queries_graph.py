@@ -506,6 +506,25 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"GROUP BY src_url) "
             f"SELECT src_url, n, n_distinct, "
             f"round(ln(n) - s / n, 9) AS entropy FROM g",
+        # Leiden connectivity-refinement kernel certified exactly:
+        # connected components RESTRICTED to same-host edges (labels =
+        # host classes), per-vertex rep = min url over the intra-host
+        # piece.  Recursive closure over the host-filtered undirected
+        # anchor graph
+        "q_intra_host_components":
+            f"WITH RECURSIVE "
+            f"he AS (SELECT src_url AS a, dst_url AS b FROM {A} "
+            f"WHERE string_split(src_url, '/')[3] = "
+            f"string_split(dst_url, '/')[3] "
+            f"UNION SELECT dst_url, src_url FROM {A} "
+            f"WHERE string_split(src_url, '/')[3] = "
+            f"string_split(dst_url, '/')[3]), "
+            f"verts AS {vert}, "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, he.b AS reach FROM walk w "
+            f"JOIN he ON he.a = w.reach) "
+            f"SELECT v AS url, min(reach) AS component_url "
+            f"FROM walk GROUP BY v",
     }
 
 
@@ -2679,3 +2698,86 @@ def q_outlink_host_entropy(sf_dir: str):
     h = anchors.map_batches(with_host, batch_format="pyarrow",
                             zero_copy_batch=True)
     return grouped_entropy(h, "src_url", "dst_host")
+
+
+@_q("q_intra_host_components")
+def q_intra_host_components(sf_dir: str):
+    """Leiden refinement kernel certified at the gate: connected
+    components of the subgraph induced by HOST classes (labels = one
+    community per host; graph/leiden.py::refine_connectivity), each
+    vertex paired with min(url) over its intra-host piece — the site-
+    section structure of the crawl.  Oracle: recursive closure over
+    the host-filtered anchor graph.  Scale shape: two bucketed label
+    joins + the min-label CC engine + the q_components_urls
+    decoration joins; hosts get collision-free dense ids (never a
+    hash-as-label shortcut)."""
+    from .graph.hostgraph import hosts_of
+    from .graph.leiden import refine_connectivity
+    from .ops.agg import grouped_aggregate
+    from .ops.ids import assign_dense_ids_hash
+    from .ops.join import hash_join
+
+    i64, str_t = pa.int64(), pa.string()
+    g = gate_graph()
+    v = read_layer(g.vertices, columns=["url", "vid"])
+
+    def with_host(b: pa.Table) -> pa.Table:
+        return pa.table({"vid": b.column("vid").cast(pa.int64()),
+                         "host": hosts_of(b.column("url"))})
+
+    vh = v.map_batches(with_host, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    host_ids, _hoff = assign_dense_ids_hash(
+        vh.select_columns(["host"]), "host", DEFAULT.num_parts,
+        id_col="hid")
+    labels = hash_join(
+        vh, host_ids.select_columns(["host", "hid"]), on="host",
+        num_parts=DEFAULT.num_parts,
+        left_schema=pa.schema([("vid", i64), ("host", str_t)]),
+        right_schema=pa.schema([("host", str_t), ("hid", i64)])
+    ).map_batches(
+        lambda b: pa.table({"vid": b.column("vid"),
+                            "community": b.column("hid")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    refined, _ = refine_connectivity(
+        read_layer(g.edges), labels, g.offsets, g.workdir,
+        job="intrahost", stats=False)
+    # decorate with urls: rep = min url per refined piece (the
+    # q_components_urls tail)
+    lab_schema = pa.schema([("vid", i64), ("community", i64)])
+    v_schema = pa.schema([("url", str_t), ("vid", i64)])
+    withurl = hash_join(refined, v, on="vid", right_on="vid",
+                        num_parts=DEFAULT.num_parts,
+                        left_schema=lab_schema,
+                        right_schema=v_schema).materialize()
+    rep = grouped_aggregate(withurl.select_columns(["community", "url"]),
+                            ["community"],
+                            {"component_url": ("min", "url")})
+    wu_schema = pa.schema([("vid", i64), ("community", i64),
+                           ("url", str_t)])
+    rep_schema = pa.schema([("community", i64),
+                            ("component_url", str_t)])
+    out = hash_join(withurl, rep, on="community", right_on="community",
+                    num_parts=DEFAULT.num_parts, left_cols=["url"],
+                    left_schema=wu_schema, right_schema=rep_schema)
+    return out.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "component_url": b.column("component_url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_louvain_leiden")
+def q_louvain_leiden(sf_dir: str):
+    """Louvain + Leiden connectivity refinement
+    (graph/leiden.py::louvain_leiden): every returned community's
+    induced subgraph is connected — the guarantee plain Louvain lacks
+    (Traag 2019).  Rows-only at the gate (hash-scheduled moves);
+    induced-subgraph-CC oracle, modularity monotonicity and the
+    connectivity guarantee are pinned in tests/test_leiden.py, and the
+    refinement kernel is SQL-certified by q_intra_host_components."""
+    from .graph.leiden import louvain_leiden
+
+    g = graph_for(sf_dir)
+    labels, _ = louvain_leiden(read_layer(g.edges), g.offsets,
+                               g.workdir)
+    return labels
