@@ -122,6 +122,9 @@ def main(argv=None) -> int:
             sp.add_argument("--resolution", type=float, default=1.0)
             sp.add_argument("--max-levels", type=int, default=6)
             sp.add_argument("--seed", type=int, default=42)
+            sp.add_argument("--refine", action="store_true",
+                            help="Leiden connectivity refinement: split "
+                                 "disconnected communities (graph/leiden)")
         if name == "node2vec":
             sp.add_argument("--p", type=float, default=1.0)
             sp.add_argument("--q", type=float, default=1.0)
@@ -644,9 +647,20 @@ def main(argv=None) -> int:
                                    resolution=args.resolution,
                                    max_levels=args.max_levels,
                                    seed=args.seed, checkpoint=True)
+            if args.refine:
+                from .graph.leiden import refine_connectivity
+
+                ds, rinfo = refine_connectivity(
+                    edges, ds.materialize(), g.offsets, args.workdir,
+                    cfg, job="leiden")
+                info["refine"] = rinfo
             ds.write_parquet(os.path.join(args.workdir, "louvain"))
             out["louvain"] = {"n_communities": info["n_communities"],
                               "levels": info["levels"]}
+            if args.refine:
+                out["louvain"]["refine"] = {
+                    k: info["refine"][k]
+                    for k in ("n_before", "n_after", "n_split")}
         if args.cmd == "anf":
             from .graph.anf import anf
             import os

@@ -308,3 +308,18 @@ def test_cli_scan_redirects(tmp_path, capsys, tiny_pages_dir):
     res = rd.read_parquet(os.path.join(wd, "redirects")).to_pandas()
     assert (res.hops >= 1).all() and (res.hops <= 16).all()
     assert rr["n_resolved"] == len(res)
+
+
+def test_cli_louvain_refine(tmp_path, capsys, tiny_pages_dir):
+    wd = str(tmp_path / "wdlr")
+    assert main(["build", "--pages", tiny_pages_dir, "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["louvain", "--workdir", wd, "--refine"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ref = out["louvain"]["refine"]
+    assert ref["n_after"] >= ref["n_before"] - ref["n_split"]
+    assert ref["n_split"] >= 0
+    labs = rd.read_parquet(os.path.join(wd, "louvain")).to_pandas()
+    # min-vid canonical refined labels
+    g = labs.groupby("community").vid.min()
+    assert (g.index.values == g.values).all()
