@@ -100,6 +100,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_mis", "q_matching", "q_coarsen", "q_wl_colors",
     "q_coloring", "q_densest", "q_diameter",
     "q_label_propagation", "q_louvain", "q_louvain_leiden",
+    "q_spectral_clusters",
     "q_conductance", "q_scan_clusters",
     "q_local_cluster",
     "q_simhash_pairs", "q_mirror_pages",

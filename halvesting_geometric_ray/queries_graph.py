@@ -2781,3 +2781,20 @@ def q_louvain_leiden(sf_dir: str):
     labels, _ = louvain_leiden(read_layer(g.edges), g.offsets,
                                g.workdir)
     return labels
+
+
+@_q("q_spectral_clusters")
+def q_spectral_clusters(sf_dir: str):
+    """Ng-Jordan-Weiss spectral clustering of the link graph
+    (graph/spectral.py: distributed block orthogonal iteration on
+    D^{-1/2} A D^{-1/2} -> row-normalized eigenvector geometry -> the
+    engine's certified k-means).  Rows-only at the gate; dense-eigh
+    Ritz parity, layout invariance and planted-block recovery pinned
+    in tests/test_spectral.py."""
+    from .graph.spectral import spectral_clustering
+
+    g = graph_for(sf_dir)
+    labels, _ = spectral_clustering(
+        read_layer(g.edges), g.offsets, g.workdir,
+        n_clusters=8, dim=8, tol=1e-8, max_iters=60, kmeans_iters=12)
+    return labels
