@@ -525,6 +525,21 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"JOIN he ON he.a = w.reach) "
             f"SELECT v AS url, min(reach) AS component_url "
             f"FROM walk GROUP BY v",
+        # disparity-filter backbone of the host graph: null-model
+        # p-value pow(1 - w/s, k-1) from the source host's
+        # degree/strength over link-multiplicity weights (distinct
+        # url-level edges -> host-pair counts, self-pairs included)
+        "q_host_backbone_disparity":
+            f"WITH de AS (SELECT DISTINCT src_url, dst_url FROM {A}), "
+            f"he AS (SELECT string_split(src_url, '/')[3] AS sh, "
+            f"string_split(dst_url, '/')[3] AS dh, "
+            f"count(*) AS n_links FROM de GROUP BY 1, 2), "
+            f"g AS (SELECT sh, count(*) AS k, "
+            f"CAST(sum(n_links) AS DOUBLE) AS s FROM he GROUP BY sh) "
+            f"SELECT he.sh AS src_host, he.dh AS dst_host, "
+            f"he.n_links, "
+            f"round(pow(1 - he.n_links / g.s, g.k - 1), 9) AS p "
+            f"FROM he JOIN g ON g.sh = he.sh",
     }
 
 
@@ -2798,3 +2813,52 @@ def q_spectral_clusters(sf_dir: str):
         read_layer(g.edges), g.offsets, g.workdir,
         n_clusters=8, dim=8, tol=1e-8, max_iters=60, kmeans_iters=12)
     return labels
+
+
+@_q("q_host_backbone_disparity")
+def q_host_backbone_disparity(sf_dir: str):
+    """Disparity-filter backbone of the host graph (graph/backbone.py,
+    Serrano 2009): per-edge null-model p-value from the source host's
+    degree/strength over link-multiplicity weights.  SQL-certified
+    (DuckDB pow() oracle), gate-pinned corpus; host names attached by
+    bucketed joins (the host table never lands on the driver)."""
+    from .graph.backbone import disparity_filter
+    from .graph.hostgraph import host_graph
+    from .ops.join import hash_join
+
+    i64, f64, str_t = pa.int64(), pa.float64(), pa.string()
+    g = gate_graph()
+    hv, he, _hoff = host_graph(read_layer(g.vertices),
+                               read_layer(g.edges))
+    hv = hv.materialize()  # feeds both name joins
+    scored = disparity_filter(he, DEFAULT, src_col="src_h",
+                              dst_col="dst_h", weight_col="n_links",
+                              alpha=0.05, mode="directed")
+    sc_schema = pa.schema([("src", i64), ("dst", i64), ("w", f64),
+                           ("p", f64), ("keep", pa.bool_())])
+    hv_schema = pa.schema([("host", str_t), ("hid", i64)])
+    j1 = hash_join(scored, hv, on="src", right_on="hid",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=sc_schema, right_schema=hv_schema)
+    j1 = j1.map_batches(
+        lambda b: pa.table({"dst": b.column("dst"),
+                            "src_host": b.column("host"),
+                            "w": b.column("w"), "p": b.column("p")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([("dst", i64), ("src_host", str_t),
+                           ("w", f64), ("p", f64)])
+    j2 = hash_join(j1, hv, on="dst", right_on="hid",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=j1_schema, right_schema=hv_schema)
+
+    def fin(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src_host": b.column("src_host"),
+            "dst_host": b.column("host"),
+            "n_links": pc.cast(b.column("w"), i64),
+            "p": pa.array(np.round(b.column("p").to_numpy(), 9))})
+
+    return j2.map_batches(fin, batch_format="pyarrow",
+                          zero_copy_batch=True)
