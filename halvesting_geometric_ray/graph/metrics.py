@@ -786,3 +786,39 @@ def avg_neighbor_degree(edges, cfg: EngineConfig = DEFAULT):
 
     return curve.map_batches(fin, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def categorical_assortativity(pairs, col_a: str = "la",
+                              col_b: str = "lb",
+                              cfg: EngineConfig = DEFAULT) -> dict:
+    """Newman's discrete assortativity coefficient (Newman 2003,
+    "Mixing patterns in networks" eq. 2) over a dataset of per-edge
+    endpoint attribute pairs (one row per directed edge):
+
+        r = (sum_i e_ii - sum_i a_i b_i) / (1 - sum_i a_i b_i)
+
+    with e the normalized mixing matrix, a/b its row/column sums.
+    r = 1 is perfect homophily, 0 random mixing, negative
+    disassortative.  Computed from EXACT integer counts: the grouped
+    mixing matrix reduces distributedly to |categories|^2 rows (tiny:
+    languages, TLDs, ...), the scalar folds on the driver as
+    (tr*t - sab) / (t*t - sab) — integer products, ONE division, so
+    any SQL engine reproduces it bitwise at gate scale.
+
+    Returns {"n_edges", "n_same", "assortativity"}.
+    """
+    m = grouped_aggregate(pairs.select_columns([col_a, col_b]),
+                          [col_a, col_b], {"n": ("count", col_a)},
+                          num_parts=cfg.num_parts).to_pandas()
+    if not len(m):
+        return {"n_edges": 0, "n_same": 0, "assortativity": 0.0}
+    t = int(m["n"].sum())
+    tr = int(m.loc[m[col_a] == m[col_b], "n"].sum())
+    a = m.groupby(col_a)["n"].sum()
+    b = m.groupby(col_b)["n"].sum()
+    cats = a.index.union(b.index)
+    sab = int((a.reindex(cats, fill_value=0).astype(object)
+               * b.reindex(cats, fill_value=0).astype(object)).sum())
+    denom = t * t - sab
+    r = float(tr * t - sab) / float(denom) if denom else 1.0
+    return {"n_edges": t, "n_same": tr, "assortativity": r}

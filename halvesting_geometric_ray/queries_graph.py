@@ -540,6 +540,26 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"he.n_links, "
             f"round(pow(1 - he.n_links / g.s, g.k - 1), 9) AS p "
             f"FROM he JOIN g ON g.sh = he.sh",
+        # Newman discrete (language) assortativity from the exact
+        # integer mixing matrix; r = (tr*t - sab)/(t*t - sab) — int
+        # products, ONE division, bitwise cross-engine
+        "q_lang_assortativity":
+            f"WITH de AS (SELECT DISTINCT src_url, dst_url FROM {A}), "
+            f"m AS (SELECT p1.lang AS la, p2.lang AS lb, "
+            f"count(*) AS n FROM de "
+            f"JOIN {P} p1 ON p1.url = de.src_url "
+            f"JOIN {P} p2 ON p2.url = de.dst_url GROUP BY 1, 2), "
+            f"tot AS (SELECT sum(n) AS t, "
+            f"sum(CASE WHEN la = lb THEN n ELSE 0 END) AS tr FROM m), "
+            f"ai AS (SELECT la, sum(n) AS a FROM m GROUP BY la), "
+            f"bi AS (SELECT lb, sum(n) AS b FROM m GROUP BY lb), "
+            f"ab AS (SELECT sum(ai.a * bi.b) AS sab FROM ai "
+            f"JOIN bi ON bi.lb = ai.la) "
+            f"SELECT CAST(tot.t AS BIGINT) AS n_edges, "
+            f"CAST(tot.tr AS BIGINT) AS n_same, "
+            f"round(CAST(tot.tr * tot.t - ab.sab AS DOUBLE) / "
+            f"CAST(tot.t * tot.t - ab.sab AS DOUBLE), 9) "
+            f"AS assortativity FROM tot CROSS JOIN ab",
     }
 
 
@@ -2862,3 +2882,49 @@ def q_host_backbone_disparity(sf_dir: str):
 
     return j2.map_batches(fin, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+@_q("q_lang_assortativity")
+def q_lang_assortativity(sf_dir: str):
+    """Language assortativity of the link graph: Newman's discrete
+    mixing coefficient over (lang(src), lang(dst)) of distinct edges
+    whose BOTH endpoints are crawled pages (outlink-only vertices
+    carry no lang).  Exact integer mixing matrix; the scalar is one
+    division of exact int products, bitwise vs DuckDB.  Gate-pinned
+    corpus."""
+    from .fixtures import pages_dir
+    from .graph.metrics import categorical_assortativity
+    from .ops.dedup import distinct
+
+    str_t = pa.string()
+    anchors = rd.read_parquet(ensure_anchors_parquet(_GATE_N, _SEED),
+                              columns=["src_url", "dst_url"])
+    de = distinct(anchors, ["src_url", "dst_url"],
+                  num_parts=DEFAULT.num_parts)
+    pages = rd.read_parquet(pages_dir(_GATE_N, _SEED),
+                            columns=["url", "lang"])
+    from .ops.join import hash_join
+
+    de_schema = pa.schema([("src_url", str_t), ("dst_url", str_t)])
+    pg_schema = pa.schema([("url", str_t), ("lang", str_t)])
+    j1 = hash_join(de, pages, on="src_url", right_on="url",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=de_schema, right_schema=pg_schema)
+    j1 = j1.map_batches(
+        lambda b: pa.table({"dst_url": b.column("dst_url"),
+                            "la": b.column("lang")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j1_schema = pa.schema([("dst_url", str_t), ("la", str_t)])
+    j2 = hash_join(j1, pages, on="dst_url", right_on="url",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=j1_schema, right_schema=pg_schema)
+    pairs = j2.map_batches(
+        lambda b: pa.table({"la": b.column("la"),
+                            "lb": b.column("lang")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    res = categorical_assortativity(pairs)
+    return pd.DataFrame({
+        "n_edges": pd.Series([res["n_edges"]], dtype="int64"),
+        "n_same": pd.Series([res["n_same"]], dtype="int64"),
+        "assortativity": pd.Series([round(res["assortativity"], 9)],
+                                   dtype="float64")})

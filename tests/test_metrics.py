@@ -313,3 +313,37 @@ def test_rich_club_matches_bruteforce():
     # monotone coverage: n_k decreasing, k=64 empties on this fixture
     assert (np.diff(got.n_k.to_numpy()) <= 0).all()
     assert got.n_k.iloc[-1] == 0 and got.phi.iloc[-1] == 0.0
+
+
+def test_categorical_assortativity_oracle():
+    """Newman eq.2 vs a dense mixing-matrix numpy replay + the
+    perfect/anti cases."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.graph.metrics import \
+        categorical_assortativity
+
+    rng = np.random.default_rng(7)
+    cats = np.array(["en", "fr", "de"])
+    la = cats[rng.integers(0, 3, 300)]
+    lb = cats[rng.integers(0, 3, 300)]
+    ds = rd.from_pandas(pd.DataFrame({"la": la, "lb": lb}))
+    got = categorical_assortativity(ds)
+    e = np.zeros((3, 3))
+    for x, y in zip(la, lb):
+        e[list(cats).index(x), list(cats).index(y)] += 1
+    e /= e.sum()
+    exp = (np.trace(e) - (e.sum(1) * e.sum(0)).sum()) / \
+        (1.0 - (e.sum(1) * e.sum(0)).sum())
+    assert abs(got["assortativity"] - exp) < 1e-12
+    assert got["n_edges"] == 300
+    # perfect homophily -> r == 1 (two categories so denominator != 0)
+    same = rd.from_pandas(pd.DataFrame(
+        {"la": ["en"] * 5 + ["fr"] * 5, "lb": ["en"] * 5 + ["fr"] * 5}))
+    assert categorical_assortativity(same)["assortativity"] == 1.0
+    # perfect disassortativity on balanced two-category mixing -> -1
+    anti = rd.from_pandas(pd.DataFrame(
+        {"la": ["en"] * 5 + ["fr"] * 5, "lb": ["fr"] * 5 + ["en"] * 5}))
+    assert categorical_assortativity(anti)["assortativity"] == -1.0
