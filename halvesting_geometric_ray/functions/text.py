@@ -226,3 +226,71 @@ def compressibility_batch(batch: pa.Table, level: int = 6) -> pa.Table:
                      "n_bytes": pa.array(nb),
                      "z_bytes": pa.array(zb),
                      "ratio_pct": pa.array(ratio)})
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_rules_batch(batch: pa.Table, *, min_words: int = 20,
+                       max_words: int = 100_000,
+                       min_mean_len: float = 3.0,
+                       max_mean_len: float = 10.0,
+                       max_symbol_ratio: float = 0.1,
+                       min_alpha_frac: float = 0.8,
+                       min_stop_hits: int = 2) -> pa.Table:
+    """Gopher quality rules (Rae et al. 2021, 'Scaling Language
+    Models', table A1) as one vectorized pass: word count band, mean
+    word length band, symbol-to-word ratio ('#' + '...'), fraction of
+    words with an alphabetic character, and >= min_stop_hits of the 8
+    Gopher stopwords present.  Tokenization is the repo single-space
+    convention (== DuckDB string_split).  Counts are exact integers;
+    the two ratios are one division each, so the SQL oracle
+    (q_gopher_rules) compares hash-exact after fixed rounding.
+    min_words defaults to 20 (not the paper's 50) so the synthetic
+    gate corpus exercises both branches; the paper thresholds are one
+    kwarg away."""
+    import polars as pl
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = pl.col("text").str.split(" ")
+    stats = df.select(
+        pl.col("doc_id"),
+        toks.list.len().cast(pl.Int64).alias("n_words"),
+        pl.col("text").str.replace_all(" ", "", literal=True)
+        .str.len_chars().cast(pl.Int64).alias("word_chars"),
+        pl.col("text").str.count_matches("#", literal=True)
+        .cast(pl.Int64).alias("n_hash"),
+        pl.col("text").str.count_matches("...", literal=True)
+        .cast(pl.Int64).alias("n_ellipsis"),
+        toks.list.eval(
+            pl.element().str.contains("[A-Za-z]").cast(pl.Int64))
+        .list.sum().cast(pl.Int64).alias("n_alpha_words"),
+        pl.sum_horizontal(*[
+            toks.list.contains(w).cast(pl.Int64)
+            for w in GOPHER_STOPWORDS]).cast(pl.Int64)
+        .alias("stop_hits"),
+    )
+    n = stats["n_words"].to_numpy()
+    wc = stats["word_chars"].to_numpy()
+    sym = stats["n_hash"].to_numpy() + stats["n_ellipsis"].to_numpy()
+    alpha = stats["n_alpha_words"].to_numpy()
+    hits = stats["stop_hits"].to_numpy()
+    nn = np.maximum(n, 1)
+    mean_len = wc / nn
+    sym_ratio = sym / nn
+    alpha_frac = alpha / nn
+    keep = ((n >= min_words) & (n <= max_words)
+            & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+            & (sym_ratio < max_symbol_ratio)
+            & (alpha_frac > min_alpha_frac)
+            & (hits >= min_stop_hits))
+    return pa.table({
+        "doc_id": stats["doc_id"].to_numpy(),
+        "n_words": n,
+        "mean_word_len": np.round(mean_len, 6),
+        "symbol_ratio": np.round(sym_ratio, 9),
+        "alpha_frac": np.round(alpha_frac, 9),
+        "stop_hits": hits,
+        "keep": pa.array(keep),
+    })

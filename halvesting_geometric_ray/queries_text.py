@@ -2126,3 +2126,49 @@ def q_textrank_keywords(sf_dir: str):
                       os.path.basename(os.path.normpath(sf_dir)))
     out, _info = textrank_keywords(docs, wd, window=2)
     return out
+
+
+_GOPHER_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    "len(string_split(text, ' ')) AS n_words, "
+    "length(replace(text, ' ', '')) AS word_chars, "
+    "length(text) - length(replace(text, '#', '')) AS n_hash, "
+    "(length(text) - length(replace(text, '...', ''))) // 3 "
+    "AS n_ellipsis, "
+    "len(list_filter(string_split(text, ' '), "
+    "x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha, "
+    "(CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END "
+    "+ CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END "
+    "+ CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END "
+    "+ CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END "
+    "+ CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END "
+    "+ CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END "
+    "+ CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END "
+    "+ CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END"
+    ") AS stop_hits FROM documents) "
+    "SELECT doc_id, n_words, "
+    "round(CAST(word_chars AS DOUBLE) / greatest(n_words, 1), 6) "
+    "AS mean_word_len, "
+    "round(CAST(n_hash + n_ellipsis AS DOUBLE) / greatest(n_words, 1), 9) "
+    "AS symbol_ratio, "
+    "round(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1), 9) "
+    "AS alpha_frac, stop_hits, "
+    "(n_words BETWEEN 20 AND 100000 "
+    "AND CAST(word_chars AS DOUBLE) / greatest(n_words, 1) >= 3.0 "
+    "AND CAST(word_chars AS DOUBLE) / greatest(n_words, 1) <= 10.0 "
+    "AND CAST(n_hash + n_ellipsis AS DOUBLE) / greatest(n_words, 1) < 0.1 "
+    "AND CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) > 0.8 "
+    "AND stop_hits >= 2) AS keep FROM s")
+
+
+@_q("q_gopher_rules", _GOPHER_SQL)
+def q_gopher_rules(sf_dir: str):
+    """Gopher quality-rule filter (functions/text.py::
+    gopher_rules_batch; Rae et al. 2021 table A1): word-count band,
+    mean word length, symbol ratio, alphabetic-word fraction,
+    stopword presence — one vectorized polars pass per batch,
+    SQL-certified hash-exact (exact integer counts; each ratio is one
+    division of identical ints on both sides)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FT.gopher_rules_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
