@@ -109,6 +109,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_token_percentiles_sketch", "q_decontaminate_bloom", "q_span_dedup",
     "q_substring_dedup",
     "q_pack_sequences", "q_bpe_train", "q_unigram_train",
+    "q_wordpiece_train", "q_wordpiece_encode",
     "q_unigram_encode", "q_search_bm25", "q_normalize_text",
     "q_mixture_resample",
     "q_textrank_keywords",

@@ -68,8 +68,11 @@ def disparity_filter(edges, cfg: EngineConfig = DEFAULT, *,
             "dst": b.column(dst_col).cast(_I64),
             "w": b.column(weight_col).cast(_F64)})
 
+    # e feeds the stats aggregate AND the scoring join (twice in
+    # undirected mode) — materialize once or every reference re-runs
+    # the caller's upstream plan (host_graph's joins, typically)
     e = edges.map_batches(canon, batch_format="pyarrow",
-                          zero_copy_batch=True)
+                          zero_copy_batch=True).materialize()
     if mode == "undirected":
         # strength/degree over the symmetrized view: each endpoint
         # sees all its incident edges
@@ -83,6 +86,8 @@ def disparity_filter(edges, cfg: EngineConfig = DEFAULT, *,
     stats = grouped_aggregate(
         both.select_columns(["src", "w"]), ["src"],
         {"k": ("count", "w"), "s": ("sum", "w")}, num_parts=np_)
+    if mode == "undirected":
+        stats = stats.materialize()  # referenced by both side joins
 
     e_schema = pa.schema([("src", _I64), ("dst", _I64), ("w", _F64)])
     st_schema = pa.schema([("src", _I64), ("k", _I64), ("s", _F64)])

@@ -2172,3 +2172,49 @@ def q_gopher_rules(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         FT.gopher_rules_batch, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+@_q("q_wordpiece_train")
+def q_wordpiece_train(sf_dir: str):
+    """WordPiece vocabulary learned over the documents corpus
+    (functions/wordpiece.py: word-count-table trainer, likelihood
+    score n_ab/(n_a*n_b), exact-integer tie resolution).  Rows-only at
+    the gate; sequential pure-Python reference parity + layout
+    invariance in tests/test_wordpiece.py."""
+    from .functions.wordpiece import train_wordpiece
+
+    vocab, info = train_wordpiece(_docs(sf_dir, ["doc_id", "text"]),
+                                  64, num_parts=DEFAULT.num_parts)
+    return pd.DataFrame({
+        "piece_id": pd.Series(range(len(vocab)), dtype="int64"),
+        "piece": pd.Series(vocab, dtype="object")})
+
+
+@_q("q_wordpiece_encode")
+def q_wordpiece_encode(sf_dir: str):
+    """Greedy longest-match WordPiece encoding of the corpus with the
+    trained vocab (per-unique-word memoized trie walk).  Rows-only;
+    encode semantics pinned in tests/test_wordpiece.py."""
+    from .functions.wordpiece import apply_wordpiece, train_wordpiece
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    vocab, _ = train_wordpiece(docs, 64, num_parts=DEFAULT.num_parts)
+    enc = apply_wordpiece(docs, vocab)
+
+    def stats(b: pa.Table) -> pa.Table:
+        c = b.column("pieces").combine_chunks()
+        offs = np.asarray(c.offsets, dtype=np.int64)
+        vals = np.asarray(c.values, dtype=np.int32)
+        lo = offs[0]
+        n = np.diff(offs)
+        unk = np.add.reduceat(
+            (vals[lo:offs[-1]] == 0).astype(np.int64),
+            (offs[:-1] - lo)) if len(vals) and len(offs) > 1 else \
+            np.zeros(0, dtype=np.int64)
+        unk[n == 0] = 0
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_pieces": pa.array(n),
+                         "n_unk": pa.array(unk)})
+
+    return enc.map_batches(stats, batch_format="pyarrow",
+                           zero_copy_batch=True)
