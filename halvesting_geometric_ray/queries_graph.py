@@ -2928,3 +2928,26 @@ def q_lang_assortativity(sf_dir: str):
         "n_same": pd.Series([res["n_same"]], dtype="int64"),
         "assortativity": pd.Series([round(res["assortativity"], 9)],
                                    dtype="float64")})
+
+
+@_q("q_triangles_apx")
+def q_triangles_apx(sf_dir: str):
+    """Wedge-sampling triangle estimate (graph/apxtriangles.py,
+    Seshadhri 2013) — the 100 TB companion to the exact counter:
+    degree pass + K hash-drawn wedges + one bucketed closure
+    semi-join; stderr(kappa) <= 1/(2 sqrt(K)) independent of graph
+    size.  Rows-only; 5-sigma accuracy envelope vs the exact count
+    and fixed-layout bitwise determinism in
+    tests/test_apxtriangles.py."""
+    from .graph.apxtriangles import approx_triangles
+
+    g = graph_for(sf_dir)
+    info, _ = approx_triangles(read_layer(g.edges), g.offsets,
+                               g.workdir, k_samples=50_000, seed=42)
+    return pd.DataFrame({
+        "n_wedges": pd.Series([info["n_wedges"]], dtype="float64"),
+        "k_samples": pd.Series([info["k_samples"]], dtype="int64"),
+        "n_closed": pd.Series([info["n_closed"]], dtype="int64"),
+        "kappa": pd.Series([info["kappa"]], dtype="float64"),
+        "triangles_est": pd.Series([info["triangles_est"]],
+                                   dtype="float64")})
