@@ -2218,3 +2218,105 @@ def q_wordpiece_encode(sf_dir: str):
 
     return enc.map_batches(stats, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+_CONTAINMENT_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+g AS (SELECT DISTINCT doc_id, gram FROM tri),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT i.a AS doc_a, i.b AS doc_b,
+       CAST(floor(1000.0 * i.c / sa.n) AS BIGINT) AS containment_x1000
+FROM inter i JOIN sz sa ON sa.doc_id = i.a
+WHERE 5 * i.c >= 4 * sa.n
+"""
+
+
+@_q("q_containment_pairs", _CONTAINMENT_SQL)
+def q_containment_pairs(sf_dir: str):
+    """Broder CONTAINMENT detection: directional
+    C(A in B) = |grams(A) n grams(B)| / |grams(A)| >= 0.8 — catches
+    partial inclusion (quoting, page-in-page templating) that the
+    symmetric Jaccard screen structurally misses (a short doc fully
+    quoted inside a long one has low Jaccard but containment 1).
+    Same inverted-index plan as q_neardup_jaccard; the threshold
+    compares EXACT integers (5c >= 4n_a) on both engines."""
+    return containment_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def containment_pairs(ds, t_num: int = 4, t_den: int = 5):
+    """Directional trigram-containment pairs with
+    c / n_a >= t_num / t_den, via the inverted-index join (one gram
+    exchange + one size join; int64 gram hashes).  Returns
+    ds(doc_a, doc_b, containment_x1000) — doc_a is the contained
+    side.  Threshold compares exact integers: t_den * c >= t_num *
+    n_a."""
+    from .ops._util import cast_like
+    from .ops.dedup import distinct
+
+    if not (0 < t_num <= t_den):
+        raise ValueError("threshold must satisfy 0 < t_num <= t_den")
+
+    def grams(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ids, keys = FD.trigram_hash_batch(b.column("doc_id").to_numpy(),
+                                          b.column("text"))
+        t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                      "gram": pa.array(keys, type=pa.int64())})
+        return cast_like(
+            pl.from_arrow(t).unique(keep="any").to_arrow(), t.schema)
+
+    g = ds.map_batches(grams, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    g = distinct(g, ["doc_id", "gram"],
+                 num_parts=DEFAULT.num_parts).materialize()
+    sizes = grouped_aggregate(g, ["doc_id"],
+                              {"n": ("count", None)}).materialize()
+    i64 = pa.int64()
+    sizes_schema = pa.schema([pa.field("doc_id", i64),
+                              pa.field("n", i64)])
+    ga = g.map_batches(lambda b: b.rename_columns(["a", "gram"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    gb = g.map_batches(lambda b: b.rename_columns(["b", "gram"]),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(ga, gb, on="gram", num_parts=DEFAULT.num_parts,
+                  left_schema=pa.schema([pa.field("a", i64),
+                                         pa.field("gram", i64)]),
+                  right_schema=pa.schema([pa.field("b", i64),
+                                          pa.field("gram", i64)]))
+
+    def offdiag(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        m = a != bb
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(bb[m])})
+
+    pairs = grouped_aggregate(
+        j.map_batches(offdiag, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["a", "b"], {"c": ("count", None)})
+    pairs = hash_join(pairs, sizes, on="a", right_on="doc_id",
+                      num_parts=DEFAULT.num_parts,
+                      left_schema=pa.schema([pa.field("a", i64),
+                                             pa.field("b", i64),
+                                             pa.field("c", i64)]),
+                      right_schema=sizes_schema)
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        c = b.column("c").to_numpy()
+        na = b.column("n").to_numpy()
+        m = t_den * c >= t_num * na
+        cx = np.floor(1000.0 * c[m] / na[m]).astype(np.int64)
+        return pa.table({"doc_a": pa.array(a[m]),
+                         "doc_b": pa.array(bb[m]),
+                         "containment_x1000": pa.array(cx)})
+
+    return pairs.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -561,3 +561,35 @@ def test_boilerplate_strip_partitioning_invariant():
     assert (outs[0].doc_id.to_numpy() == outs[1].doc_id.to_numpy()).all()
     assert (outs[0].text_clean.to_numpy()
             == outs[1].text_clean.to_numpy()).all()
+
+
+def test_containment_directional():
+    """A short doc quoted inside a long one: containment(short in
+    long) = 1.0 while Jaccard stays below the near-dup bar; the long
+    side is NOT flagged as contained."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.queries_text import (
+        containment_pairs, neardup_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    long = filler + " " + short + " " + " ".join(
+        f"v{i}" for i in range(40))
+    other = " ".join(f"x{i}" for i in range(30))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([1, 2, 3], dtype=np.int64),
+         "text": [short, long, other]}))
+    got = containment_pairs(ds).to_pandas()
+    rows = {(r.doc_a, r.doc_b): r.containment_x1000
+            for r in got.itertuples()}
+    assert rows == {(1, 2): 1000}  # short fully contained; no reverse
+    jac = neardup_jaccard_pairs(ds).to_pandas()
+    assert len(jac) == 0  # symmetric screen misses the inclusion
+    # threshold validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        containment_pairs(ds, t_num=3, t_den=2)
