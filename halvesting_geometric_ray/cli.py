@@ -61,7 +61,8 @@ def main(argv=None) -> int:
                  "localcluster",
                  "embed", "linkpred", "propagate", "salsa", "simrank",
                  "partition", "hdrf", "wl", "triads", "cliques4",
-                 "scan", "redirects"):
+                 "scan", "redirects", "spectral", "backbone",
+                 "triangles-apx"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -102,6 +103,21 @@ def main(argv=None) -> int:
         if name == "redirects":
             sp.add_argument("--rounds", type=int, default=5,
                             help="squarings; hop bound = 2^rounds")
+        if name == "spectral":
+            sp.add_argument("--k", type=int, default=8)
+            sp.add_argument("--tol", type=float, default=1e-8)
+            sp.add_argument("--max-iters", type=int, default=100)
+            sp.add_argument("--seed", type=int, default=42)
+            sp.add_argument("--clusters", type=int, default=0,
+                            help="also run spectral k-means with this "
+                                 "many clusters (0 = embedding only)")
+        if name == "backbone":
+            sp.add_argument("--alpha", type=float, default=0.05)
+            sp.add_argument("--mode", default="undirected",
+                            choices=["directed", "undirected"])
+        if name == "triangles-apx":
+            sp.add_argument("--k-samples", type=int, default=100_000)
+            sp.add_argument("--seed", type=int, default=42)
         if name == "densest":
             sp.add_argument("--eps", type=float, default=0.1)
         if name == "sssp":
@@ -755,6 +771,67 @@ def main(argv=None) -> int:
             out["wl"] = {"n_classes": info["n_classes"],
                          "num_rounds": info["num_rounds"],
                          "converged": info["converged"]}
+        if args.cmd == "spectral":
+            from .graph.spectral import spectral_clustering, \
+                spectral_embedding
+            import os
+
+            if args.clusters > 0:
+                ds, info = spectral_clustering(
+                    edges, g.offsets, args.workdir, cfg,
+                    n_clusters=args.clusters, dim=args.k,
+                    tol=args.tol, max_iters=args.max_iters,
+                    seed=args.seed)
+                ds.write_parquet(os.path.join(args.workdir,
+                                              "spectral_clusters"))
+            else:
+                ds, info = spectral_embedding(
+                    edges, g.offsets, args.workdir, cfg, k=args.k,
+                    tol=args.tol, max_iters=args.max_iters,
+                    seed=args.seed)
+                ds.write_parquet(os.path.join(args.workdir,
+                                              "spectral_embedding"))
+            out["spectral"] = {
+                "num_iters": info["num_iters"],
+                "converged": info["converged"],
+                "eigenvalues": [round(e, 9)
+                                for e in info["eigenvalues"]]}
+        if args.cmd == "backbone":
+            from .graph.backbone import disparity_filter
+            from .graph.hostgraph import host_graph
+            import os
+            import pyarrow as _pa
+
+            hv, he, _hoff = host_graph(
+                read_layer(g.vertices), edges, cfg)
+            sc = disparity_filter(he, cfg, src_col="src_h",
+                                  dst_col="dst_h",
+                                  weight_col="n_links",
+                                  alpha=args.alpha, mode=args.mode)
+            sc = sc.materialize()
+            sc.write_parquet(os.path.join(args.workdir, "backbone"))
+
+            def _agg(b):
+                k = b.column("keep").to_numpy(zero_copy_only=False)
+                return _pa.table({"n": _pa.array([b.num_rows]),
+                                  "kept": _pa.array([int(k.sum())])})
+
+            parts = sc.map_batches(
+                _agg, batch_format="pyarrow").to_pandas()
+            out["backbone"] = {"alpha": args.alpha, "mode": args.mode,
+                               "n_edges": int(parts.n.sum()),
+                               "kept": int(parts.kept.sum())}
+        if args.cmd == "triangles-apx":
+            from .graph.apxtriangles import approx_triangles
+
+            info, _ = approx_triangles(
+                edges, g.offsets, args.workdir, cfg,
+                k_samples=args.k_samples, seed=args.seed)
+            out["triangles_apx"] = {
+                "n_wedges": info["n_wedges"],
+                "n_closed": info.get("n_closed", 0),
+                "kappa": info.get("kappa", 0.0),
+                "triangles_est": info.get("triangles_est", 0.0)}
         if args.cmd == "scan":
             from .graph.scan import scan_clusters
             import os

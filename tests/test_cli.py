@@ -323,3 +323,24 @@ def test_cli_louvain_refine(tmp_path, capsys, tiny_pages_dir):
     # min-vid canonical refined labels
     g = labs.groupby("community").vid.min()
     assert (g.index.values == g.values).all()
+
+
+def test_cli_spectral_backbone_apx(tmp_path, capsys, tiny_pages_dir):
+    wd = str(tmp_path / "wdsp")
+    assert main(["build", "--pages", tiny_pages_dir, "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["spectral", "--workdir", wd, "--k", "4",
+                 "--max-iters", "30"]) == 0
+    sp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(sp["spectral"]["eigenvalues"]) == 4
+    assert abs(sp["spectral"]["eigenvalues"][0] - 1.0) < 1e-6
+    assert rd.read_parquet(
+        os.path.join(wd, "spectral_embedding")).count() > 0
+    assert main(["backbone", "--workdir", wd, "--alpha", "0.1"]) == 0
+    bb = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bb["backbone"]["n_edges"] > 0
+    assert 0 <= bb["backbone"]["kept"] <= bb["backbone"]["n_edges"]
+    assert main(["triangles-apx", "--workdir", wd,
+                 "--k-samples", "2000"]) == 0
+    ta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ta["triangles_apx"]["n_wedges"] > 0
