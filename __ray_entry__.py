@@ -130,7 +130,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
     "q_knn_cosine_sq",
     "q_pca_whiten",
-    "q_embed_neardup_lsh", "q_kmeans", "q_semantic_dedup",
+    "q_embed_neardup_lsh", "q_kmeans", "q_kmeans_pp", "q_semantic_dedup",
     "q_component_sizes", "q_graph_vertices", "q_graph_edges",
     "q_pagerank_top20", "q_binary_decode", "q_simhash",
 ]

@@ -65,14 +65,18 @@ def _hash_init(ds, k: int, id_col: str, col: str, seed: int) -> np.ndarray:
 
 def kmeans(embeddings, k: int, *, col: str = "embedding",
            id_col: str = "vec_id", max_iters: int = 20,
-           tol: float = 1e-6, seed: int = 13
+           tol: float = 1e-6, seed: int = 13,
+           init: "np.ndarray" = None
            ) -> Tuple[np.ndarray, Dict]:
     """Lloyd k-means; returns (centroids (k, d) float64, info) with
     info["iters"] = per-round {shift, inertia}.  Empty clusters keep
-    their previous centroid.  Assign the corpus with kmeans_assign."""
+    their previous centroid.  Assign the corpus with kmeans_assign.
+    ``init``: optional (k, d) start centroids (kmeans_parallel_init's
+    k-means|| seeding); default is the stable-hash row pick."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    cent = _hash_init(embeddings, k, id_col, col, seed)
+    cent = _hash_init(embeddings, k, id_col, col, seed) \
+        if init is None else np.asarray(init, dtype=np.float64)
     k_eff = len(cent)
     if k_eff < k:
         raise ValueError(f"corpus has only {k_eff} rows for k={k}")
@@ -210,3 +214,117 @@ def semantic_dedup(embeddings, *, k: int = 64, threshold: float = 0.9,
     return (pre_shuffle(withc).groupby("cluster")
             .map_groups(per_cluster, batch_format="pyarrow",
                         retry_exceptions=True))
+
+
+def kmeans_parallel_init(embeddings, k: int, *,
+                         col: str = "embedding",
+                         id_col: str = "vec_id",
+                         rounds: int = 5,
+                         oversample: float = None,
+                         seed: int = 13) -> np.ndarray:
+    """k-means|| seeding (Bahmani et al. 2012, "Scalable k-means++"):
+    ``rounds`` distributed oversampling passes, each keeping every row
+    independently with probability min(1, l * d^2(x, C) / phi(C))
+    (l = ``oversample``, default 2k), then weighted sequential
+    k-means++ over the <= ~l*rounds candidates on the driver.
+
+    Two streaming passes per round (phi reduce + hash-draw sample) +
+    one final weighting pass; driver state is the candidate set only.
+    All draws are stateless splitmix hashes of (row id, round, seed)
+    — deterministic and layout-independent.  Returns (k, d) centroids
+    for kmeans(init=...).
+    """
+    from .hashing import stable_hash64
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ell = 2.0 * k if oversample is None else float(oversample)
+
+    # first center: the stable-hash row pick (same rule as _hash_init
+    # at k=1) — deterministic, no data-order dependence
+    cand = _hash_init(embeddings, 1, id_col, col, seed)
+
+    def d2_parts(b: pa.Table, c) -> pa.Table:
+        _, m = _mat(b, id_col, col)
+        cc = 0.5 * (c * c).sum(axis=1)
+        s = cc[None, :] - m @ c.T
+        best = s.min(axis=1)
+        d2 = np.maximum((m * m).sum(axis=1) + 2.0 * best, 0.0)
+        return pa.table({"phi": pa.array([float(d2.sum())])})
+
+    def sample(b: pa.Table, c, phi, r) -> pa.Table:
+        ids, m = _mat(b, id_col, col)
+        cc = 0.5 * (c * c).sum(axis=1)
+        s = cc[None, :] - m @ c.T
+        best = s.min(axis=1)
+        d2 = np.maximum((m * m).sum(axis=1) + 2.0 * best, 0.0)
+        p = np.minimum(1.0, ell * d2 / phi) if phi > 0 else \
+            np.zeros(len(ids))
+        h = stable_hash64(pa.array(ids), seed=seed + 1000 * (r + 1))
+        u = (h.astype(np.uint64) >> np.uint64(11)).astype(
+            np.float64) * 2.0 ** -53
+        keep = u < p
+        d = m.shape[1]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(m[keep].ravel(), type=pa.float64()), d)
+        return pa.table({id_col: pa.array(ids[keep]), col: arr})
+
+    for r in range(rounds):
+        c = cand
+        phi = float(embeddings.map_batches(
+            lambda b, c=c: d2_parts(b, c), batch_format="pyarrow",
+            zero_copy_batch=True).to_pandas()["phi"].sum())
+        if phi <= 0.0:
+            break  # every row is already a candidate (exact cover)
+        picked = embeddings.map_batches(
+            lambda b, c=c, phi=phi, r=r: sample(b, c, phi, r),
+            batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        if len(picked):
+            new = np.vstack([np.asarray(v, dtype=np.float64)
+                             for v in picked[col]])
+            ids = picked[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            cand = np.vstack([cand, new[order]])
+
+    # weight candidates by the size of their nearest-assignment cell
+    c = cand
+    cc = 0.5 * (c * c).sum(axis=1)
+
+    def wparts(b: pa.Table) -> pa.Table:
+        _, m = _mat(b, id_col, col)
+        a = (cc[None, :] - m @ c.T).argmin(axis=1)
+        w = np.bincount(a, minlength=len(c)).astype(np.int64)
+        return pa.table({"cid": pa.array(np.arange(len(c),
+                                                   dtype=np.int64)),
+                         "w": pa.array(w)})
+
+    wp = embeddings.map_batches(wparts, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    w = wp.groupby("cid", sort=True)["w"].sum().to_numpy()
+
+    # sequential weighted k-means++ over the tiny candidate set
+    if len(cand) <= k:
+        return cand
+    rng_u = lambda i, salt: (  # stateless draws, candidate-indexed
+        (stable_hash64(pa.array(np.asarray([i], dtype=np.int64)),
+                       seed=seed + 7777 + salt).astype(np.uint64)
+         >> np.uint64(11)).astype(np.float64) * 2.0 ** -53)[0]
+    chosen = [int(np.argmax(w))]  # heaviest candidate first
+    d2c = ((cand - cand[chosen[0]]) ** 2).sum(axis=1)
+    for t in range(1, k):
+        probs = w * d2c
+        tot = probs.sum()
+        if tot <= 0:
+            # degenerate: all remaining mass at chosen points — take
+            # heaviest unchosen
+            rest = [i for i in range(len(cand)) if i not in chosen]
+            chosen.append(int(rest[int(np.argmax(w[rest]))]))
+        else:
+            u = rng_u(t, 0) * tot
+            nxt = int(np.searchsorted(np.cumsum(probs), u,
+                                      side="right"))
+            nxt = min(nxt, len(cand) - 1)
+            chosen.append(nxt)
+        d2c = np.minimum(d2c,
+                         ((cand - cand[chosen[-1]]) ** 2).sum(axis=1))
+    return cand[np.asarray(chosen, dtype=np.int64)]

@@ -2320,3 +2320,20 @@ def containment_pairs(ds, t_num: int = 4, t_den: int = 5):
 
     return pairs.map_batches(finish, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+@_q("q_kmeans_pp")
+def q_kmeans_pp(sf_dir: str):
+    """k-means with k-means|| seeding (Bahmani 2012;
+    functions/clustering.py::kmeans_parallel_init): distributed
+    d^2-oversampling rounds + driver-side weighted k-means++ over the
+    candidate set, then Lloyd.  Rows-only; seeding quality/
+    determinism/layout invariance pinned in tests/test_clustering.py."""
+    from .functions.clustering import (kmeans, kmeans_assign,
+                                       kmeans_parallel_init)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).materialize()
+    init = kmeans_parallel_init(emb, 8, rounds=3, seed=13)
+    cent, _ = kmeans(emb, 8, max_iters=12, seed=13, init=init)
+    return kmeans_assign(emb, cent)

@@ -122,3 +122,47 @@ def test_hash_join_fixed_size_list_regression():
     assert (out.cluster.to_numpy() == np.arange(25) % 3).all()
     got = np.stack([np.asarray(v) for v in out.embedding])
     assert np.allclose(got, x)
+
+
+def test_kmeans_parallel_init_quality_and_determinism():
+    """k-means|| seeding: all centers are corpus rows or their
+    k-means++ picks; planted well-separated clusters are each hit by
+    at least one seed; seeded Lloyd reaches the planted optimum;
+    deterministic across reruns and layouts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.clustering import (
+        kmeans, kmeans_assign, kmeans_parallel_init)
+
+    rng = np.random.default_rng(4)
+    k, d, per = 6, 8, 80
+    centers = rng.normal(0, 30.0, (k, d))   # far-separated blobs
+    x = np.vstack([centers[i] + rng.normal(0, 0.5, (per, d))
+                   for i in range(k)])
+    ids = np.arange(len(x), dtype=np.int64)
+
+    def ds_of(nparts):
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(x.ravel(), type=pa.float64()), d)
+        t = pa.table({"vec_id": pa.array(ids), "embedding": arr})
+        return rd.from_arrow(t).repartition(nparts)
+
+    init1 = kmeans_parallel_init(ds_of(1), k, seed=3)
+    init4 = kmeans_parallel_init(ds_of(4), k, seed=3)
+    assert init1.shape == (k, d)
+    assert np.allclose(init1, init4)  # layout-independent draws
+    # every planted blob owns exactly one seed (separation >> sigma)
+    owner = ((init1[:, None, :] - centers[None, :, :]) ** 2) \
+        .sum(axis=2).argmin(axis=1)
+    assert sorted(owner) == list(range(k))
+    # seeded Lloyd lands on the planted structure
+    cent, info = kmeans(ds_of(2), k, init=init1, max_iters=10)
+    assign = kmeans_assign(ds_of(2), cent).to_pandas() \
+        .sort_values("vec_id")["cluster"].to_numpy()
+    for i in range(k):
+        blob = assign[i * per:(i + 1) * per]
+        assert len(set(blob)) == 1
+    assert info["iters"][-1]["inertia"] < per * k * d * 0.5 ** 2 * 3
