@@ -191,3 +191,108 @@ def random_projection(ds, d_out: int, *, id_col: str = "vec_id",
     return out, {"d_in": d_in, "d_out": d_out, "seed": seed,
                  "kind": kind, "nnz_frac":
                      float((R != 0).mean()) if kind == "sparse" else 1.0}
+
+
+# ---- Frequent Directions: the matrix sketch ----------------------------
+
+def _fd_shrink(m: np.ndarray, ell: int):
+    """One FD shrink step: SVD + spectral subtraction down to < ell
+    rows.  Returns (B, delta) with delta = the squared singular value
+    subtracted (the step's contribution to the error budget)."""
+    if m.shape[0] < ell:
+        return m, 0.0
+    try:
+        _, s, vt = np.linalg.svd(m, full_matrices=False)
+    except np.linalg.LinAlgError:
+        _, s, vt = np.linalg.svd(m + 1e-12, full_matrices=False)
+    if s.size < ell:
+        pad = np.zeros(ell - s.size)
+        s = np.concatenate([s, pad])
+    delta = float(s[ell - 1] ** 2)
+    s2 = np.maximum(s[:ell] ** 2 - delta, 0.0)
+    keep = s2 > 0.0
+    b = (np.sqrt(s2[keep])[:, None] * vt[:ell][keep])
+    return b, delta
+
+
+def frequent_directions(ds, ell: int, *, col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Frequent Directions matrix sketch (Liberty 2013; Ghashami et
+    al. 2016): a (<= ell-1, d) matrix B with the deterministic
+    guarantee
+
+        0  <=  x^T (A^T A - B^T B) x  <=  total_shrink      (all |x|=1)
+
+    — the streaming-PCA scale path when d is too large for the exact
+    d^2 covariance pass (functions/whiten.py::whitening_stats): sketch
+    state is ell x d regardless of corpus size.
+
+    Distributed shape: one map_batches pass emits a per-block FD
+    sketch (each block's rows shrunk to < ell) + its shrink budget;
+    the driver folds the <= num_blocks sketches SEQUENTIALLY in
+    stable block order (stack + shrink per fold — FD sketches are
+    mergeable with additive error budgets; Ghashami Thm. 3.1).  The
+    merge ORDER changes B (not the guarantee): fixed layout reruns
+    are bitwise, layout is a sketch hyperparameter, and the
+    certificate (the quadratic-form sandwich above) holds for every
+    layout (pinned in tests/test_whiten.py).
+
+    Returns (B, info) with info = {"total_shrink", "n_rows",
+    "frob_sq"} — frob_sq = ||A||_F^2, so the classic bound
+    total_shrink <= frob_sq / (ell - rank-ish) is checkable by the
+    caller."""
+    if ell < 2:
+        raise ValueError("ell must be >= 2")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy()
+        emb = b.column(col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        if len(ids) == 0:
+            return pa.table({
+                "blk": pa.array([], type=pa.int64()),
+                "row": pa.array([], type=pa.list_(pa.float64())),
+                "delta": pa.array([], type=pa.float64()),
+                "frob": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64())})
+        m = np.asarray(emb.flatten(),
+                       dtype=np.float64).reshape(len(ids), -1)
+        # deterministic in-block order
+        order = np.argsort(ids, kind="stable")
+        m = m[order]
+        frob = float((m * m).sum())
+        bs, delta = _fd_shrink(m, ell)
+        d = m.shape[1]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(bs.ravel(), type=pa.float64()), d)
+        return pa.table({
+            "blk": pa.array(np.full(len(bs), int(ids.min())
+                                    if len(ids) else 0,
+                                    dtype=np.int64)),
+            "row": arr,
+            "delta": pa.array(np.full(len(bs), delta)),
+            "frob": pa.array(np.full(len(bs), frob)),
+            "n": pa.array(np.full(len(bs), len(ids),
+                                  dtype=np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return np.zeros((0, 0)), {"total_shrink": 0.0, "n_rows": 0,
+                                  "frob_sq": 0.0}
+    total_shrink = 0.0
+    frob_sq = 0.0
+    n_rows = 0
+    b = None
+    # stable fold order: by block key
+    for blk, grp in parts.groupby("blk", sort=True):
+        rows = np.vstack([np.asarray(r) for r in grp["row"]])
+        total_shrink += float(grp["delta"].iloc[0])
+        frob_sq += float(grp["frob"].iloc[0])
+        n_rows += int(grp["n"].iloc[0])
+        b = rows if b is None else np.vstack([b, rows])
+        b, d2 = _fd_shrink(b, ell)
+        total_shrink += d2
+    return b, {"total_shrink": total_shrink, "n_rows": n_rows,
+               "frob_sq": frob_sq}

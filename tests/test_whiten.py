@@ -102,3 +102,55 @@ def test_validation():
         "embedding": pa.array([], type=pa.list_(pa.float64(), 4))}))
     with pytest.raises(ValueError, match="empty"):
         whitening_stats(empty)
+
+
+def test_frequent_directions_certificate():
+    """The FD sandwich 0 <= x'(A'A - B'B)x <= total_shrink holds for
+    every layout; top-subspace recovery on low-rank + noise; fixed
+    layout reruns bitwise; frob accounting exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.whiten import \
+        frequent_directions
+
+    rng = np.random.default_rng(2)
+    n, d, ell = 400, 24, 10
+    # rank-3 signal + small noise
+    u = rng.normal(0, 1, (n, 3))
+    v = rng.normal(0, 1, (3, d)) * 5.0
+    a = u @ v + rng.normal(0, 0.1, (n, d))
+    ids = np.arange(n, dtype=np.int64)
+
+    def ds_of(nparts):
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(a.ravel(), type=pa.float64()), d)
+        return rd.from_arrow(pa.table(
+            {"vec_id": pa.array(ids), "embedding": arr})) \
+            .repartition(nparts)
+
+    for nparts in (1, 4):
+        b, info = frequent_directions(ds_of(nparts), ell)
+        assert b.shape[0] < ell and b.shape[1] == d
+        diff = a.T @ a - b.T @ b
+        w = np.linalg.eigvalsh(diff)
+        assert w.min() > -1e-6 * info["frob_sq"]   # PSD side
+        assert w.max() <= info["total_shrink"] + 1e-6 * info["frob_sq"]
+        assert info["n_rows"] == n
+        assert np.isclose(info["frob_sq"], (a * a).sum())
+        # the rank-3 signal survives: top-3 singular directions of B
+        # align with the planted ones
+        _, _, vt_b = np.linalg.svd(b, full_matrices=False)
+        _, _, vt_a = np.linalg.svd(a, full_matrices=False)
+        sv = np.linalg.svd(vt_a[:3] @ vt_b[:3].T, compute_uv=False)
+        assert sv.min() > 0.99
+    # fixed layout: bitwise rerun
+    b1, i1 = frequent_directions(ds_of(4), ell)
+    b2, i2 = frequent_directions(ds_of(4), ell)
+    assert np.array_equal(b1, b2)
+    assert i1 == i2
+    import pytest
+
+    with pytest.raises(ValueError):
+        frequent_directions(ds_of(1), 1)
