@@ -123,6 +123,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_landmark_distances", "q_simrank",
     "q_bowtie", "q_ktruss",
     "q_betweenness", "q_host_graph", "q_host_backbone_mst",
+    "q_host_rank_denoised",
     "q_ldg_partition", "q_multilevel_partition", "q_hdrf_partition",
     "q_url_canonical",
     "q_frame_sample", "q_video_motion", "q_components", "q_triangles",

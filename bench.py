@@ -40,7 +40,9 @@ BENCH_KEYS_TEXT = ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
 BENCH_KEYS_GRAPH = ["q_louvain", "q_word2vec_embeddings",
                     "q_link_prediction_auc", "q_host_backbone_mst",
                     "q_ldg_partition", "q_multilevel_partition",
-                    "q_hdrf_partition", "q_mirror_pages"]
+                    "q_hdrf_partition", "q_mirror_pages",
+                    "q_spectral_clusters", "q_triangles_apx",
+                    "q_host_backbone_disparity"]
 
 
 def run_bench() -> dict:

@@ -2951,3 +2951,53 @@ def q_triangles_apx(sf_dir: str):
         "kappa": pd.Series([info["kappa"]], dtype="float64"),
         "triangles_est": pd.Series([info["triangles_est"]],
                                    dtype="float64")})
+
+
+@_q("q_host_rank_denoised")
+def q_host_rank_denoised(sf_dir: str):
+    """Denoised host ranking — the backbone capstone composition:
+    host-graph contraction -> disparity filter (graph/backbone.py,
+    directed, alpha=0.1) -> WEIGHTED PageRank on only the surviving
+    significant edges (dangling mass handles hosts that lose every
+    edge).  The classic answer to link-spam inflation: insignificant
+    promiscuous links stop transferring rank mass.  Rows-only
+    (iterative float fixpoint); every stage is individually certified
+    (q_host_backbone_disparity hash-exact, pagerank NumPy 1e-6)."""
+    from .graph.backbone import disparity_filter
+    from .graph.hostgraph import host_graph
+    from .graph.pagerank import pagerank
+    from .ops.join import hash_join
+
+    i64, f64, str_t = pa.int64(), pa.float64(), pa.string()
+    g = gate_graph()
+    hv, he, hoff = host_graph(read_layer(g.vertices),
+                              read_layer(g.edges))
+    hv = hv.materialize()
+    scored = disparity_filter(he, DEFAULT, src_col="src_h",
+                              dst_col="dst_h", weight_col="n_links",
+                              alpha=0.1, mode="directed")
+
+    def kept(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = b.filter(b.column("keep"))
+        return pa.table({"src": t.column("src"),
+                         "dst": t.column("dst"),
+                         "w": t.column("w")})
+
+    backbone = scored.map_batches(kept, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    ranks, _ = pagerank(backbone, hoff,
+                        f"{g.workdir}/host_backbone_rank",
+                        job="host_bb_rank", weight_col="w")
+    r_schema = pa.schema([("vid", i64), ("rank", f64)])
+    hv_schema = pa.schema([("host", str_t), ("hid", i64)])
+    named = hash_join(ranks.select_columns(["vid", "rank"]), hv,
+                      on="vid", right_on="hid",
+                      num_parts=DEFAULT.num_parts,
+                      left_schema=r_schema, right_schema=hv_schema)
+    return named.map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "rank": pa.array(np.round(
+                                b.column("rank").to_numpy(), 9))}),
+        batch_format="pyarrow", zero_copy_batch=True)
