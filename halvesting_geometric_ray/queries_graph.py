@@ -560,6 +560,32 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"round(CAST(tot.tr * tot.t - ab.sab AS DOUBLE) / "
             f"CAST(tot.t * tot.t - ab.sab AS DOUBLE), 9) "
             f"AS assortativity FROM tot CROSS JOIN ab",
+        # hub-knockout robustness: remove top-10 undirected-degree
+        # hubs (ties -> smallest url), then component census of the
+        # survivors via recursive closure
+        "q_hub_robustness":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT src_url AS a, dst_url AS b FROM {A} "
+            f"UNION SELECT dst_url, src_url FROM {A}), "
+            f"dg AS (SELECT a, count(*) AS deg FROM e GROUP BY a), "
+            f"top AS (SELECT a FROM dg ORDER BY deg DESC, a ASC "
+            f"LIMIT 10), "
+            f"fe AS (SELECT a, b FROM e WHERE "
+            f"a NOT IN (SELECT a FROM top) "
+            f"AND b NOT IN (SELECT a FROM top)), "
+            f"verts AS {vert}, "
+            f"remain AS (SELECT url AS v FROM verts "
+            f"WHERE url NOT IN (SELECT a FROM top)), "
+            f"walk AS (SELECT v, v AS reach FROM remain "
+            f"UNION SELECT w.v, fe.b AS reach FROM walk w "
+            f"JOIN fe ON fe.a = w.reach), "
+            f"comp AS (SELECT v, min(reach) AS c FROM walk "
+            f"GROUP BY v), "
+            f"sz AS (SELECT c, count(*) AS n FROM comp GROUP BY c) "
+            f"SELECT 10 AS k_removed, "
+            f"CAST(sum(n) AS BIGINT) AS n_remaining, "
+            f"count(*) AS n_components, "
+            f"CAST(max(n) AS BIGINT) AS largest_cc FROM sz",
     }
 
 
@@ -3001,3 +3027,95 @@ def q_host_rank_denoised(sf_dir: str):
                             "rank": pa.array(np.round(
                                 b.column("rank").to_numpy(), 9))}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_hub_robustness")
+def q_hub_robustness(sf_dir: str):
+    """Attack-robustness of the link graph (Albert-Jeong-Barabasi
+    2000 'Error and attack tolerance'): remove the top-10 hubs by
+    undirected distinct-neighbor degree (ties -> smallest url, so the
+    removal set is engine-independent), then measure what survives —
+    remaining vertices, number of components, giant-component size.
+    One degree aggregate + a 10-row broadcast anti-filter + the
+    certified CC engine; SQL oracle = recursive closure over the
+    hub-filtered anchor graph."""
+    from .ops.agg import grouped_aggregate
+    from .ops.join import hash_join
+
+    i64, str_t = pa.int64(), pa.string()
+    K = 10
+    g = gate_graph()
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    sym = symmetrize(read_layer(g.edges), dedup=True)
+    deg = grouped_aggregate(sym.select_columns(["src"]), ["src"],
+                            {"deg": ("count", None)},
+                            num_parts=DEFAULT.num_parts)
+    dd = hash_join(deg, v, on="src", right_on="vid",
+                   num_parts=DEFAULT.num_parts,
+                   left_schema=pa.schema([("src", i64), ("deg", i64)]),
+                   right_schema=pa.schema([("url", str_t),
+                                           ("vid", i64)]))
+    from .ops.topk import grouped_top_k
+
+    # global top-k: single-group top-k (two-level candidate pruning)
+    dd = dd.map_batches(
+        lambda b: pa.table({"one": pa.array(
+            np.zeros(b.num_rows, dtype=np.int64)),
+            "src": b.column("src"), "deg": b.column("deg"),
+            "url": b.column("url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    top = grouped_top_k(dd, ["one"], "deg", k=K, tie_break=["url"],
+                        num_parts=DEFAULT.num_parts).to_pandas()
+    removed = set(top["src"].astype(int))
+    import ray as _ray
+
+    rref = _ray.put(np.asarray(sorted(removed), dtype=np.int64))
+
+    def drop(b: pa.Table) -> pa.Table:
+        r = _ray.get(rref)
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        m = ~(np.isin(s, r) | np.isin(d, r))
+        return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
+
+    from .graph.components import connected_components
+
+    filt = read_layer(g.edges).map_batches(
+        drop, batch_format="pyarrow", zero_copy_batch=True)
+    labels, _ = connected_components(
+        symmetrize(filt, dedup=False), g.offsets, g.workdir,
+        job="cc_knockout", shards_dir=f"{g.workdir}/csr_knockout")
+
+    def surv(b: pa.Table) -> pa.Table:
+        r = _ray.get(rref)
+        vid = b.column("vid").to_numpy()
+        lab = b.column("label").to_numpy()
+        m = ~np.isin(vid, r)
+        return pa.table({"label": pa.array(lab[m])})
+
+    sizes = grouped_aggregate(
+        labels.map_batches(surv, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["label"], {"n": ("count", None)}, num_parts=DEFAULT.num_parts)
+
+    def fold(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = b.column("n")
+        return pa.table({
+            "n_remaining": pa.array([int(pc.sum(n).as_py() or 0)],
+                                    type=i64),
+            "n_components": pa.array([b.num_rows], type=i64),
+            "largest_cc": pa.array([int(pc.max(n).as_py() or 0)],
+                                   type=i64)})
+
+    parts = sizes.map_batches(fold, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({
+        "k_removed": pd.Series([K], dtype="int64"),
+        "n_remaining": pd.Series([int(parts.n_remaining.sum())],
+                                 dtype="int64"),
+        "n_components": pd.Series([int(parts.n_components.sum())],
+                                  dtype="int64"),
+        "largest_cc": pd.Series([int(parts.largest_cc.max())],
+                                dtype="int64")})
