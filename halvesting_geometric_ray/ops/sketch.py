@@ -895,3 +895,39 @@ def grouped_mad_sketch(ds, keys, col: str, k: int = 256,
 
     return out.map_batches(ren, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def cms_inner_product(a: "np.ndarray", b: "np.ndarray") -> int:
+    """Equi-join SIZE estimate from two Count-Min sketches built with
+    the SAME (width, depth) (Cormode & Muthukrishnan 2005, section
+    4.2): |A join B on k| = sum_k f_A(k) * f_B(k) is estimated by
+
+        est = min_i  dot(rows_A[i], rows_B[i])
+
+    never underestimating, with overshoot <= (e / width) * N_A * N_B
+    w.p. 1 - e^-depth.  This is the classic cardinality-planning
+    primitive: size a bucketed join (and pick salt / broadcast
+    strategy) from two width*depth-byte summaries without touching
+    either table again."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if a.shape != b.shape:
+        raise ValueError(f"sketch shapes differ: {a.shape} vs {b.shape}")
+    # int64 row dots can overflow at web scale — use python ints
+    return min(int(np.multiply(ra, rb, dtype=object).sum())
+               for ra, rb in zip(a, b))
+
+
+def cms_join_size(left, left_col: str, right, right_col: str, *,
+                  width: int = 1 << 14, depth: int = 4) -> dict:
+    """Estimate |left JOIN right| on an equi-key: two streaming
+    cms_build passes + one driver dot.  Returns {"estimate",
+    "bound_excess"} where bound_excess = (e/width) * N_l * N_r is the
+    99%+ overshoot bound (depth >= 4)."""
+    sa = cms_build(left, left_col, width=width, depth=depth)
+    sb = cms_build(right, right_col, width=width, depth=depth)
+    nl = int(sa[0].sum())
+    nr = int(sb[0].sum())
+    return {"estimate": cms_inner_product(sa, sb),
+            "n_left": nl, "n_right": nr,
+            "bound_excess": float(np.e / width) * nl * nr}

@@ -479,3 +479,44 @@ def test_grouped_mad_sketch_overflow_guard():
     with _pt.raises(ValueError, match="broadcast_cap"):
         grouped_mad_sketch(rd.from_pandas(pdf), "g", "x",
                            broadcast_cap=10)
+
+
+def test_cms_join_size_estimate():
+    """CMS inner product: never underestimates the true equi-join
+    size, overshoot within the (e/width)*N_l*N_r bound; exact on
+    disjoint key sets (0) and on narrow sketches it degrades
+    gracefully."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from halvesting_geometric_ray.ops.sketch import (cms_build,
+                                                     cms_inner_product,
+                                                     cms_join_size)
+
+    rng = np.random.default_rng(8)
+    lk = rng.zipf(1.5, 4000) % 500
+    rk = rng.zipf(1.5, 3000) % 500
+    true = 0
+    from collections import Counter
+
+    cl, cr = Counter(lk.tolist()), Counter(rk.tolist())
+    true = sum(cl[k] * cr.get(k, 0) for k in cl)
+    L = rd.from_pandas(pd.DataFrame({"k": lk.astype(np.int64)}))
+    R = rd.from_pandas(pd.DataFrame({"k": rk.astype(np.int64)}))
+    got = cms_join_size(L, "k", R, "k", width=1 << 12)
+    assert got["n_left"] == 4000 and got["n_right"] == 3000
+    assert got["estimate"] >= true
+    assert got["estimate"] <= true + got["bound_excess"]
+    # disjoint keys -> near-zero (bounded by collisions only)
+    R2 = rd.from_pandas(pd.DataFrame(
+        {"k": (rng.integers(10**6, 10**7, 2000)).astype(np.int64)}))
+    d = cms_join_size(L, "k", R2, "k", width=1 << 12)
+    assert d["estimate"] <= d["bound_excess"]
+    # shape mismatch refuses
+    import pytest
+
+    sa = cms_build(L, "k", width=1 << 10)
+    sb = cms_build(R, "k", width=1 << 11)
+    with pytest.raises(ValueError):
+        cms_inner_product(sa, sb)
