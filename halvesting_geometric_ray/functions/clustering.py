@@ -261,8 +261,10 @@ def kmeans_parallel_init(embeddings, k: int, *,
         p = np.minimum(1.0, ell * d2 / phi) if phi > 0 else \
             np.zeros(len(ids))
         h = stable_hash64(pa.array(ids), seed=seed + 1000 * (r + 1))
+        # stable_hash64 is 63-bit (top bit clear): >>11 leaves 52
+        # random bits, so the scale is 2^-52 for U[0,1)
         u = (h.astype(np.uint64) >> np.uint64(11)).astype(
-            np.float64) * 2.0 ** -53
+            np.float64) * 2.0 ** -52
         keep = u < p
         d = m.shape[1]
         arr = pa.FixedSizeListArray.from_arrays(
@@ -308,7 +310,7 @@ def kmeans_parallel_init(embeddings, k: int, *,
     rng_u = lambda i, salt: (  # stateless draws, candidate-indexed
         (stable_hash64(pa.array(np.asarray([i], dtype=np.int64)),
                        seed=seed + 7777 + salt).astype(np.uint64)
-         >> np.uint64(11)).astype(np.float64) * 2.0 ** -53)[0]
+         >> np.uint64(11)).astype(np.float64) * 2.0 ** -52)[0]
     chosen = [int(np.argmax(w))]  # heaviest candidate first
     d2c = ((cand - cand[chosen[0]]) ** 2).sum(axis=1)
     for t in range(1, k):

@@ -205,13 +205,14 @@ def _fd_shrink(m: np.ndarray, ell: int):
         _, s, vt = np.linalg.svd(m, full_matrices=False)
     except np.linalg.LinAlgError:
         _, s, vt = np.linalg.svd(m + 1e-12, full_matrices=False)
-    if s.size < ell:
-        pad = np.zeros(ell - s.size)
-        s = np.concatenate([s, pad])
-    delta = float(s[ell - 1] ** 2)
-    s2 = np.maximum(s[:ell] ** 2 - delta, 0.0)
+    # rank <= d: when d < ell the ell-th singular value is 0 -> the
+    # fold is a LOSSLESS compression to <= d rows (delta 0)
+    delta = float(s[ell - 1] ** 2) if s.size >= ell else 0.0
+    s2 = np.maximum(s ** 2 - delta, 0.0)
     keep = s2 > 0.0
-    b = (np.sqrt(s2[keep])[:, None] * vt[:ell][keep])
+    b = (np.sqrt(s2[keep])[:, None] * vt[keep])
+    if b.shape[0] >= ell:  # all-equal spectrum edge: force < ell rows
+        b = b[:ell - 1]
     return b, delta
 
 
@@ -264,11 +265,15 @@ def frequent_directions(ds, ell: int, *, col: str = "embedding",
         frob = float((m * m).sum())
         bs, delta = _fd_shrink(m, ell)
         d = m.shape[1]
+        if len(bs) == 0:
+            # an all-equal-spectrum block can shrink to zero rows; a
+            # zero row is Gram-neutral and carries the block's stats
+            # (dropping them would under-report the error budget)
+            bs = np.zeros((1, d), dtype=np.float64)
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(bs.ravel(), type=pa.float64()), d)
         return pa.table({
-            "blk": pa.array(np.full(len(bs), int(ids.min())
-                                    if len(ids) else 0,
+            "blk": pa.array(np.full(len(bs), int(ids.min()),
                                     dtype=np.int64)),
             "row": arr,
             "delta": pa.array(np.full(len(bs), delta)),

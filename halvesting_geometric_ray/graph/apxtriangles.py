@@ -151,7 +151,8 @@ def approx_triangles(edges, offsets: np.ndarray, workdir: str,
     info: Dict = {"n_wedges": w_total, "k_samples": k_samples,
                   "seed": seed}
     if w_total <= 0.0:
-        info.update(kappa=0.0, triangles_est=0.0, stderr_kappa=0.0)
+        info.update(n_closed=0, kappa=0.0, triangles_est=0.0,
+                    stderr_kappa=0.0)
         import ray.data as rd
 
         return info, rd.from_arrow(pa.table(

@@ -14,6 +14,12 @@ least one of its endpoints; the backbone keeps exactly the
 significant edges.  Degree-1 vertices can never certify their single
 edge (p = (1-1)^0 = 1), per the paper.
 
+``mode="undirected"`` operates on the paper's object — the
+UNDIRECTED simple graph: reciprocal (u, v)/(v, u) input rows are
+folded to canonical (min, max) pairs with summed weights before any
+degree/strength statistics, and the output has one row per
+undirected edge (src < dst except self-loops).
+
 Plan shape: one grouped (count, sum) aggregate per direction + one
 bucketed hash_join per direction + a vectorized pow — no driver
 state, no iteration.  ``mode="directed"`` scores each edge from its
@@ -74,13 +80,36 @@ def disparity_filter(edges, cfg: EngineConfig = DEFAULT, *,
     e = edges.map_batches(canon, batch_format="pyarrow",
                           zero_copy_batch=True).materialize()
     if mode == "undirected":
-        # strength/degree over the symmetrized view: each endpoint
-        # sees all its incident edges
+        # FOLD to the undirected simple graph first (the paper's
+        # object): reciprocal (u,v)/(v,u) rows canonicalize to
+        # (min, max) and SUM their weights — without this fold,
+        # reciprocal pairs double k, split w across two rows, and the
+        # two orientations can get inconsistent keep decisions.
+        def canonical(b: pa.Table) -> pa.Table:
+            s = b.column("src").to_numpy()
+            d = b.column("dst").to_numpy()
+            return pa.table({
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+                "w": b.column("w")})
+
+        e = grouped_aggregate(
+            e.map_batches(canonical, batch_format="pyarrow",
+                          zero_copy_batch=True),
+            ["src", "dst"], {"w": ("sum", "w")},
+            num_parts=np_).materialize()
+        # endpoint incidence: each folded edge once per endpoint
+        # (self-loops once)
+        def swapped_nonself(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.not_equal(b.column("src"),
+                                      b.column("dst")))
+            return pa.table({"src": t.column("dst"),
+                             "dst": t.column("src"),
+                             "w": t.column("w")})
+
         both = e.union(e.map_batches(
-            lambda b: pa.table({"src": b.column("dst"),
-                                "dst": b.column("src"),
-                                "w": b.column("w")}),
-            batch_format="pyarrow", zero_copy_batch=True))
+            swapped_nonself, batch_format="pyarrow",
+            zero_copy_batch=True))
     else:
         both = e
     stats = grouped_aggregate(

@@ -123,6 +123,10 @@ def refine_connectivity(edges, labels, offsets: np.ndarray, workdir: str,
     from .components import connected_components
 
     t0 = time.time()
+    # labels feeds two joins (three with stats=True): materialize or
+    # every reference re-runs the caller's upstream plan (the repo's
+    # materialize-twice-referenced-inputs rule)
+    labels = labels.materialize()
     intra = intra_community_edges(edges, labels, cfg,
                                   label_col=label_col)
     cc, cc_info = connected_components(

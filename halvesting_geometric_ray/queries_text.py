@@ -2207,11 +2207,11 @@ def q_wordpiece_encode(sf_dir: str):
         vals = np.asarray(c.values, dtype=np.int32)
         lo = offs[0]
         n = np.diff(offs)
-        unk = np.add.reduceat(
-            (vals[lo:offs[-1]] == 0).astype(np.int64),
-            (offs[:-1] - lo)) if len(vals) and len(offs) > 1 else \
-            np.zeros(0, dtype=np.int64)
-        unk[n == 0] = 0
+        # prefix-sum form: robust to empty rows (incl. a trailing one,
+        # where reduceat would index past the end)
+        cs = np.concatenate([[0], np.cumsum(
+            (vals[lo:offs[-1]] == 0).astype(np.int64))])
+        unk = cs[offs[1:] - lo] - cs[offs[:-1] - lo]
         return pa.table({"doc_id": b.column("doc_id"),
                          "n_pieces": pa.array(n),
                          "n_unk": pa.array(unk)})

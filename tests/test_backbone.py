@@ -18,19 +18,30 @@ def wedges_ds(rows):
 
 
 def oracle(rows, mode):
-    out_k, out_s = {}, {}
-    inc = rows if mode == "directed" else \
-        rows + [(d, s, w) for s, d, w in rows]
-    for s, d, w in inc:
-        out_k[s] = out_k.get(s, 0) + 1
-        out_s[s] = out_s.get(s, 0.0) + w
-    res = {}
+    if mode == "directed":
+        out_k, out_s = {}, {}
+        for s, d, w in rows:
+            out_k[s] = out_k.get(s, 0) + 1
+            out_s[s] = out_s.get(s, 0.0) + w
+        return {(s, d): (1.0 - w / out_s[s]) ** (out_k[s] - 1)
+                for s, d, w in rows}
+    # undirected: fold reciprocal rows to canonical (min, max) with
+    # summed weights, THEN per-endpoint degree/strength
+    fold = {}
     for s, d, w in rows:
-        p = (1.0 - w / out_s[s]) ** (out_k[s] - 1)
-        if mode == "undirected":
-            p2 = (1.0 - w / out_s[d]) ** (out_k[d] - 1)
-            p = min(p, p2)
-        res[(s, d)] = p
+        key = (min(s, d), max(s, d))
+        fold[key] = fold.get(key, 0.0) + w
+    out_k, out_s = {}, {}
+    for (u, v), w in fold.items():
+        ends = (u,) if u == v else (u, v)
+        for x in ends:
+            out_k[x] = out_k.get(x, 0) + 1
+            out_s[x] = out_s.get(x, 0.0) + w
+    res = {}
+    for (u, v), w in fold.items():
+        p = (1.0 - w / out_s[u]) ** (out_k[u] - 1)
+        p2 = (1.0 - w / out_s[v]) ** (out_k[v] - 1)
+        res[(u, v)] = min(p, p2)
     return res
 
 
@@ -49,7 +60,7 @@ def test_matches_numpy_oracle(mode, seed):
     got = disparity_filter(wedges_ds(rows), DEFAULT, alpha=0.05,
                            mode=mode).to_pandas()
     exp = oracle(rows, mode)
-    assert len(got) == len(rows)
+    assert len(got) == len(exp)  # undirected: one row per folded edge
     for r in got.itertuples():
         assert np.isclose(r.p, exp[(r.src, r.dst)], atol=1e-12), \
             (r.src, r.dst, mode)
@@ -86,3 +97,26 @@ def test_mode_validation():
     with pytest.raises(ValueError):
         disparity_filter(wedges_ds([(0, 1, 1.0)]), DEFAULT,
                          mode="bogus")
+
+
+def test_undirected_folds_reciprocal_pairs():
+    """(A,B,w1) + (B,A,w2) must behave exactly like one undirected
+    edge of weight w1+w2 — one output row, consistent keep."""
+    # triangle with one reciprocal pair + a pendant
+    rows = [(0, 1, 10.0), (1, 0, 30.0), (1, 2, 5.0), (2, 0, 5.0),
+            (0, 3, 1.0)]
+    got = disparity_filter(wedges_ds(rows), DEFAULT,
+                           mode="undirected").to_pandas()
+    assert len(got) == 4  # (0,1) folded
+    r01 = got[(got.src == 0) & (got.dst == 1)].iloc[0]
+    assert r01.w == 40.0
+    exp = oracle(rows, "undirected")
+    for r in got.itertuples():
+        assert np.isclose(r.p, exp[(r.src, r.dst)], atol=1e-12)
+    # equivalent single-row input gives identical p values
+    folded_rows = [(0, 1, 40.0), (1, 2, 5.0), (0, 2, 5.0), (0, 3, 1.0)]
+    got2 = disparity_filter(wedges_ds(folded_rows), DEFAULT,
+                            mode="undirected").to_pandas()
+    m1 = {(r.src, r.dst): r.p for r in got.itertuples()}
+    m2 = {(r.src, r.dst): r.p for r in got2.itertuples()}
+    assert m1 == m2

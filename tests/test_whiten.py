@@ -154,3 +154,45 @@ def test_frequent_directions_certificate():
 
     with pytest.raises(ValueError):
         frequent_directions(ds_of(1), 1)
+
+
+def test_frequent_directions_edge_cases():
+    """ell > d (lossless fold regime) and the all-equal-spectrum
+    block (zero surviving rows) keep the certificate honest."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from halvesting_geometric_ray.functions.whiten import (
+        _fd_shrink, frequent_directions)
+
+    # d < ell: SVD fold is lossless, delta == 0
+    m = np.random.default_rng(0).normal(size=(10, 4))
+    b, delta = _fd_shrink(m, 8)
+    assert delta == 0.0
+    assert np.allclose(b.T @ b, m.T @ m, atol=1e-9)
+    # all-equal spectrum: shrink kills every row but must report delta
+    eye = 3.0 * np.eye(4)
+    b2, d2 = _fd_shrink(eye, 4)
+    assert d2 == 9.0 and b2.shape[0] == 0
+    # end-to-end with such a block: budget still certified
+    a = np.vstack([eye, np.random.default_rng(1).normal(
+        0, 1, (30, 4))])
+    ids = np.arange(len(a), dtype=np.int64)
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(a.ravel(), type=pa.float64()), 4)
+    ds = rd.from_arrow(pa.table(
+        {"vec_id": pa.array(ids), "embedding": arr}))
+    bb, info = frequent_directions(ds, 4)
+    assert info["n_rows"] == len(a)
+    assert np.isclose(info["frob_sq"], (a * a).sum())
+    diff = a.T @ a - bb.T @ bb
+    w = np.linalg.eigvalsh(diff)
+    assert w.min() > -1e-8
+    assert w.max() <= info["total_shrink"] + 1e-8
+    # ell > d end-to-end
+    b3, i3 = frequent_directions(ds, 12)
+    assert b3.shape[1] == 4
+    d3 = a.T @ a - b3.T @ b3
+    w3 = np.linalg.eigvalsh(d3)
+    assert w3.max() <= i3["total_shrink"] + 1e-8
