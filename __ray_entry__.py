@@ -92,7 +92,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_host_homophily", "q_outlink_host_entropy",
                  "q_intra_host_components", "q_host_backbone_disparity",
                  "q_lang_assortativity", "q_gopher_rules",
-                 "q_containment_pairs", "q_hub_robustness"]
+                 "q_containment_pairs", "q_hub_robustness",
+                 "q_chi2_lang_source", "q_ks_drift"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

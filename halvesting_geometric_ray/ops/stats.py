@@ -34,6 +34,7 @@ from typing import Dict, List, Tuple, Union
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import stable_hash64, stable_hash_pair64
 from ._util import cast_like, pre_shuffle
@@ -620,3 +621,179 @@ def grouped_entropy(ds, keys, col, *, num_parts: int = 16,
         return pa.table(cols)
 
     return g.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chi2_independence(ds, col_a: str, col_b: str, *, num_parts: int = 16,
+                      round_to: int = 9):
+    """Pearson chi-square test of independence between two CATEGORICAL
+    columns (language vs source, lang vs host bucket) + Cramer's V —
+    the drift / association diagnostic a corpus-mixture audit reads.
+
+    chi2 = sum over the FULL marginal grid (including zero-observed
+    cells) of (o - e)^2 / e with e = row_total * col_total / n;
+    dof = (R-1)(C-1); cramers_v = sqrt(chi2 / (n * min(R-1, C-1))).
+
+    Scale shape: one grouped count exchange over (col_a, col_b); the
+    closed-form finish runs on the contingency table, which is bounded
+    by |A| x |B| CATEGORIES (the documented contract — pass bucketed
+    columns for high-cardinality dimensions), not by row count.
+    Returns a one-row Dataset (chi2, dof, cramers_v, n); cramers_v is
+    NULL when either side has a single category.
+
+    Reference anchor: the reference audits per-language corpus balance
+    by eyeballing pandas value_counts (link_prediction_metadata.py:
+    200-230); this is the inferential version of that check.
+    """
+    from .agg import grouped_aggregate
+
+    cnt = grouped_aggregate(ds.select_columns([col_a, col_b]),
+                            [col_a, col_b], {"cnt": ("count", None)},
+                            num_parts=num_parts)
+    pdf = cnt.to_pandas()  # post-reduction: |A| x |B| cells only
+    pivot = pdf.pivot_table(index=col_a, columns=col_b, values="cnt",
+                            fill_value=0, aggfunc="sum")
+    o = pivot.to_numpy().astype(np.float64)
+    n = o.sum()
+    rt = o.sum(axis=1, keepdims=True)
+    ct = o.sum(axis=0, keepdims=True)
+    e = rt @ ct / n
+    chi2 = float(((o - e) ** 2 / e).sum())
+    r, c = o.shape
+    dof = (r - 1) * (c - 1)
+    denom = n * min(r - 1, c - 1)
+    v = math.sqrt(chi2 / denom) if denom > 0 else None
+    import pandas as pd
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "chi2": [round(chi2, round_to)],
+        "dof": pd.array([dof], dtype="int64"),
+        "cramers_v": [None if v is None else round(v, round_to)],
+        "n": pd.array([int(n)], dtype="int64")}))
+
+
+def ks_two_sample(ds, group_col: str, value_col: str, a, b, *,
+                  num_parts: int = 16, round_to: int = 9):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of groups ``a`` and ``b`` — the
+    distribution-drift gate between two crawl snapshots / sources
+    (doc-length drift, score drift after a pipeline change).
+
+    D = max over x of |F_a(x) - F_b(x)|, evaluated at every distinct
+    value.  Plan: grouped (value, group) counts -> (x, ca, cb) rows ->
+    range-partition on x -> per-part sort + local cumsum -> tiny
+    per-part totals to the driver -> prefix offsets broadcast back ->
+    the CDF gap per distinct value.  Driver state is num_parts rows;
+    the distinct-value table is never materialized whole.  Exact-int
+    cumulative counts divided by exact totals give bitwise-identical
+    doubles across engines, so ks_d at 9 dp is hash-stable.
+
+    Returns a one-row Dataset (ks_d, x_at_max, n_a, n_b) with x_at_max
+    the SMALLEST x attaining the max gap (deterministic tie-break).
+    """
+    import polars as pl
+
+    from .agg import grouped_aggregate
+
+    ds = ds.select_columns([group_col, value_col])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[group_col],
+                                    value_set=pa.array([a, b]))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cnt = grouped_aggregate(ds, [value_col, group_col],
+                            {"cnt": ("count", None)}, num_parts=num_parts)
+
+    def split(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        c = t.column("cnt").to_numpy()
+        isa = pc.equal(g, pa.scalar(a)).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": t.column(value_col),
+            "ca": pa.array(np.where(isa, c, 0), type=pa.int64()),
+            "cb": pa.array(np.where(isa, 0, c), type=pa.int64())})
+
+    xc = grouped_aggregate(
+        cnt.map_batches(split, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["x"], {"ca": ("sum", "ca"), "cb": ("sum", "cb")},
+        num_parts=num_parts)
+
+    lo = xc.min("x")
+    hi = xc.max("x")
+    if lo is None:  # both groups empty
+        import pandas as pd
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"ks_d": [None], "x_at_max": [None],
+             "n_a": pd.array([0], dtype="int64"),
+             "n_b": pd.array([0], dtype="int64")}))
+    width = (float(hi) - float(lo)) or 1.0
+
+    def part_of(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy().astype(np.float64)
+        p = np.minimum(((x - float(lo)) / width * num_parts).astype(np.int32),
+                       num_parts - 1)
+        return t.append_column("__ks_part", pa.array(p, type=pa.int32()))
+
+    parted = xc.map_batches(part_of, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def local_cum(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).sort("x")
+        df = df.with_columns(pl.col("ca").cum_sum().alias("cum_a"),
+                             pl.col("cb").cum_sum().alias("cum_b"))
+        return df.to_arrow().cast(pa.schema(
+            list(g.schema) + [pa.field("cum_a", pa.int64()),
+                              pa.field("cum_b", pa.int64())]))
+
+    cum = (parted.groupby("__ks_part")
+           .map_groups(local_cum, batch_format="pyarrow",
+                       retry_exceptions=True).materialize())
+
+    # tiny per-part totals -> driver prefix offsets
+    tot = grouped_aggregate(cum.select_columns(["__ks_part", "ca", "cb"]),
+                            ["__ks_part"],
+                            {"sa": ("sum", "ca"), "sb": ("sum", "cb")},
+                            num_parts=4).to_pandas()
+    off_a = np.zeros(num_parts + 1, dtype=np.int64)
+    off_b = np.zeros(num_parts + 1, dtype=np.int64)
+    sa = np.zeros(num_parts, dtype=np.int64)
+    sb = np.zeros(num_parts, dtype=np.int64)
+    if len(tot):
+        idx = tot["__ks_part"].to_numpy()
+        sa[idx] = tot["sa"].to_numpy()
+        sb[idx] = tot["sb"].to_numpy()
+    np.cumsum(sa, out=off_a[1:])
+    np.cumsum(sb, out=off_b[1:])
+    n_a, n_b = int(off_a[-1]), int(off_b[-1])
+    if n_a == 0 or n_b == 0:
+        import pandas as pd
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"ks_d": [None], "x_at_max": [None],
+             "n_a": pd.array([n_a], dtype="int64"),
+             "n_b": pd.array([n_b], dtype="int64")}))
+
+    def gap(t: pa.Table) -> pa.Table:
+        p = t.column("__ks_part").to_numpy()
+        f1 = (t.column("cum_a").to_numpy() + off_a[p]) / n_a
+        f2 = (t.column("cum_b").to_numpy() + off_b[p]) / n_b
+        return pa.table({"x": t.column("x"),
+                         "d": pa.array(np.abs(f1 - f2),
+                                       type=pa.float64())})
+
+    gaps = cum.map_batches(gap, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    ks = gaps.max("d")
+    x_star = gaps.map_batches(
+        lambda t: t.filter(pc.equal(t["d"], pa.scalar(float(ks)))),
+        batch_format="pyarrow", zero_copy_batch=True).min("x")
+    import pandas as pd
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"ks_d": [round(float(ks), round_to)], "x_at_max": [x_star],
+         "n_a": pd.array([n_a], dtype="int64"),
+         "n_b": pd.array([n_b], dtype="int64")}))

@@ -1693,3 +1693,62 @@ def q_event_entropy(sf_dir: str):
     return grouped_entropy(_t(sf_dir, "events",
                               columns=["user_id", "event_type"]),
                            "user_id", "event_type")
+
+
+@_q("q_chi2_lang_source",
+    "WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o "
+    "FROM documents GROUP BY 1, 2), "
+    "r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1), "
+    "k AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1), "
+    "t AS (SELECT sum(o) AS nn FROM c), "
+    "grid AS (SELECT r.lang, k.source, r.rt * k.ct / t.nn AS e "
+    "FROM r CROSS JOIN k CROSS JOIN t), "
+    "j AS (SELECT grid.lang, grid.source, coalesce(c.o, 0) AS o, grid.e "
+    "FROM grid LEFT JOIN c ON grid.lang = c.lang "
+    "AND grid.source = c.source) "
+    "SELECT round(sum((o - e) * (o - e) / e), 9) AS chi2, "
+    "CAST(((SELECT count(*) FROM r) - 1) "
+    "* ((SELECT count(*) FROM k) - 1) AS BIGINT) AS dof, "
+    "round(sqrt(sum((o - e) * (o - e) / e) / ((SELECT nn FROM t) "
+    "* least((SELECT count(*) FROM r) - 1, "
+    "(SELECT count(*) FROM k) - 1))), 9) AS cramers_v, "
+    "CAST((SELECT nn FROM t) AS BIGINT) AS n FROM j")
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence test lang x source + Cramer's V
+    (ops/stats.py::chi2_independence) — is the language mix uniform
+    across crawl sources?  One grouped count exchange; the closed-form
+    finish runs on the category-bounded contingency table."""
+    from .ops.stats import chi2_independence
+
+    return chi2_independence(
+        _t(sf_dir, "documents", columns=["lang", "source"]),
+        "lang", "source")
+
+
+@_q("q_ks_drift",
+    "WITH u AS (SELECT n_chars AS x, "
+    "CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia, "
+    "CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ib "
+    "FROM documents WHERE source IN ('src0', 'src1')), "
+    "g AS (SELECT x, sum(ia) AS ca, sum(ib) AS cb FROM u GROUP BY x), "
+    "w AS (SELECT x, "
+    "CAST(sum(ca) OVER (ORDER BY x) AS DOUBLE) "
+    "/ (SELECT sum(ia) FROM u) AS f1, "
+    "CAST(sum(cb) OVER (ORDER BY x) AS DOUBLE) "
+    "/ (SELECT sum(ib) FROM u) AS f2 FROM g), "
+    "m AS (SELECT max(abs(f1 - f2)) AS d FROM w) "
+    "SELECT round(m.d, 9) AS ks_d, "
+    "(SELECT min(x) FROM w WHERE abs(f1 - f2) = m.d) AS x_at_max, "
+    "(SELECT CAST(sum(ia) AS BIGINT) FROM u) AS n_a, "
+    "(SELECT CAST(sum(ib) AS BIGINT) FROM u) AS n_b FROM m")
+def q_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov doc-length drift between two
+    crawl sources (ops/stats.py::ks_two_sample) — the distribution-
+    drift gate between snapshots.  Distinct-value CDFs via range-
+    partitioned prefix sums; exact-int cumulatives over exact totals
+    make the statistic hash-stable at 9 dp."""
+    from .ops.stats import ks_two_sample
+
+    return ks_two_sample(
+        _t(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars", "src0", "src1")

@@ -1,0 +1,154 @@
+"""chi2_independence / ks_two_sample vs DuckDB and closed-form
+oracles (the sf0.01 paths are swept by the gate replica)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.ops.stats import (chi2_independence,
+                                                ks_two_sample)
+
+
+def _duck(pdf, sql):
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return con.execute(sql).fetchdf()
+
+
+def _cat_frame(n=3000, seed=11):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "fr", "de", "es"])
+    srcs = np.array(["s0", "s1", "s2"])
+    # dependent: source skews the language mix
+    p = np.array([[.5, .2, .2, .1], [.2, .5, .1, .2], [.1, .1, .4, .4]])
+    s = rng.integers(0, 3, n)
+    l = np.array([rng.choice(4, p=p[i]) for i in s])
+    return pd.DataFrame({"lang": langs[l], "source": srcs[s]})
+
+
+def test_chi2_matches_duckdb():
+    pdf = _cat_frame()
+    out = chi2_independence(rd.from_pandas(pdf), "lang",
+                            "source").to_pandas()
+    exp = _duck(pdf, """
+      WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+                 FROM t GROUP BY 1, 2),
+      r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1),
+      k AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1),
+      tt AS (SELECT sum(o) AS nn FROM c),
+      grid AS (SELECT r.lang, k.source, r.rt * k.ct / tt.nn AS e
+               FROM r CROSS JOIN k CROSS JOIN tt),
+      j AS (SELECT coalesce(c.o, 0) AS o, grid.e FROM grid
+            LEFT JOIN c ON grid.lang = c.lang AND grid.source = c.source)
+      SELECT round(sum((o-e)*(o-e)/e), 9) AS chi2,
+             CAST(((SELECT count(*) FROM r)-1)
+                  * ((SELECT count(*) FROM k)-1) AS BIGINT) AS dof,
+             round(sqrt(sum((o-e)*(o-e)/e) / ((SELECT nn FROM tt)
+                  * least((SELECT count(*) FROM r)-1,
+                          (SELECT count(*) FROM k)-1))), 9) AS cramers_v,
+             CAST((SELECT nn FROM tt) AS BIGINT) AS n FROM j""")
+    assert out["chi2"][0] == pytest.approx(exp["chi2"][0], abs=2e-9)
+    assert out["dof"][0] == exp["dof"][0] == 6
+    assert out["cramers_v"][0] == pytest.approx(exp["cramers_v"][0],
+                                                abs=2e-9)
+    assert out["n"][0] == exp["n"][0] == len(pdf)
+
+
+def test_chi2_matches_scipy_formula():
+    # independent closed-form check on a hand contingency table,
+    # including a zero-observed cell
+    pdf = pd.DataFrame({"a": ["x"] * 30 + ["y"] * 20 + ["x"] * 10,
+                        "b": ["u"] * 30 + ["u"] * 20 + ["v"] * 10})
+    out = chi2_independence(rd.from_pandas(pdf), "a", "b").to_pandas()
+    o = np.array([[30.0, 10.0], [20.0, 0.0]])
+    e = o.sum(1, keepdims=True) @ o.sum(0, keepdims=True) / o.sum()
+    chi2 = ((o - e) ** 2 / e).sum()
+    assert out["chi2"][0] == pytest.approx(chi2, abs=1e-9)
+    assert out["dof"][0] == 1
+    v = np.sqrt(chi2 / (o.sum() * 1))
+    assert out["cramers_v"][0] == pytest.approx(v, abs=1e-9)
+
+
+def test_chi2_single_category_null_v():
+    pdf = pd.DataFrame({"a": ["x"] * 5, "b": ["u", "v", "u", "v", "u"]})
+    out = chi2_independence(rd.from_pandas(pdf), "a", "b").to_pandas()
+    assert out["dof"][0] == 0
+    assert pd.isna(out["cramers_v"][0])
+    assert out["chi2"][0] == pytest.approx(0.0, abs=1e-12)
+
+
+def _ks_frame(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    g = np.where(rng.random(n) < 0.5, "a", "b")
+    x = np.where(g == "a",
+                 rng.integers(0, 400, n),
+                 rng.integers(30, 460, n)).astype(np.int64)
+    return pd.DataFrame({"g": g, "x": x})
+
+
+def test_ks_matches_duckdb():
+    pdf = _ks_frame()
+    out = ks_two_sample(rd.from_pandas(pdf), "g", "x", "a",
+                        "b").to_pandas()
+    exp = _duck(pdf, """
+      WITH u AS (SELECT x, CASE WHEN g='a' THEN 1 ELSE 0 END AS ia,
+                 CASE WHEN g='b' THEN 1 ELSE 0 END AS ib FROM t
+                 WHERE g IN ('a','b')),
+      gg AS (SELECT x, sum(ia) AS ca, sum(ib) AS cb FROM u GROUP BY x),
+      w AS (SELECT x,
+            CAST(sum(ca) OVER (ORDER BY x) AS DOUBLE)
+              / (SELECT sum(ia) FROM u) AS f1,
+            CAST(sum(cb) OVER (ORDER BY x) AS DOUBLE)
+              / (SELECT sum(ib) FROM u) AS f2 FROM gg),
+      m AS (SELECT max(abs(f1-f2)) AS d FROM w)
+      SELECT round(m.d, 9) AS ks_d,
+             (SELECT min(x) FROM w WHERE abs(f1-f2) = m.d) AS x_at_max,
+             (SELECT CAST(sum(ia) AS BIGINT) FROM u) AS n_a,
+             (SELECT CAST(sum(ib) AS BIGINT) FROM u) AS n_b FROM m""")
+    assert out["ks_d"][0] == exp["ks_d"][0]  # bitwise-stable doubles
+    assert out["x_at_max"][0] == exp["x_at_max"][0]
+    assert out["n_a"][0] == exp["n_a"][0]
+    assert out["n_b"][0] == exp["n_b"][0]
+
+
+def test_ks_matches_scipy_style_oracle():
+    # exact reference: evaluate both ECDFs at every distinct value
+    pdf = _ks_frame(900, seed=21)
+    out = ks_two_sample(rd.from_pandas(pdf), "g", "x", "a",
+                        "b").to_pandas()
+    xa = np.sort(pdf.loc[pdf.g == "a", "x"].to_numpy())
+    xb = np.sort(pdf.loc[pdf.g == "b", "x"].to_numpy())
+    grid = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(xa, grid, side="right") / len(xa)
+    fb = np.searchsorted(xb, grid, side="right") / len(xb)
+    d = np.abs(fa - fb)
+    assert out["ks_d"][0] == pytest.approx(d.max(), abs=1e-9)
+    assert out["x_at_max"][0] == grid[np.argmax(d)]
+
+
+def test_ks_identical_distributions_zero():
+    pdf = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50,
+                        "x": list(range(50)) * 2})
+    out = ks_two_sample(rd.from_pandas(pdf), "g", "x", "a",
+                        "b").to_pandas()
+    assert out["ks_d"][0] == 0.0
+    assert out["n_a"][0] == out["n_b"][0] == 50
+
+
+def test_ks_empty_group_null():
+    pdf = pd.DataFrame({"g": ["a"] * 5, "x": [1, 2, 3, 4, 5]})
+    out = ks_two_sample(rd.from_pandas(pdf), "g", "x", "a",
+                        "b").to_pandas()
+    assert pd.isna(out["ks_d"][0])
+    assert out["n_a"][0] == 5 and out["n_b"][0] == 0
+
+
+def test_ks_partitioning_invariance():
+    pdf = _ks_frame(1200, seed=5)
+    a = ks_two_sample(rd.from_pandas(pdf), "g", "x", "a", "b",
+                      num_parts=3).to_pandas()
+    b = ks_two_sample(rd.from_pandas(pdf).repartition(7), "g", "x",
+                      "a", "b", num_parts=19).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
