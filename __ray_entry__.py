@@ -93,7 +93,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_intra_host_components", "q_host_backbone_disparity",
                  "q_lang_assortativity", "q_gopher_rules",
                  "q_containment_pairs", "q_hub_robustness",
-                 "q_chi2_lang_source", "q_ks_drift"]
+                 "q_chi2_lang_source", "q_ks_drift",
+                 "q_fourcycles", "q_butterflies"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

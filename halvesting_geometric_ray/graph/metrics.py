@@ -822,3 +822,129 @@ def categorical_assortativity(pairs, col_a: str = "la",
     denom = t * t - sab
     r = float(tr * t - sab) / float(denom) if denom else 1.0
     return {"n_edges": t, "n_same": tr, "assortativity": r}
+
+
+def _codeg_stats(cn, *, pair_mult: int):
+    """Reduce a (.., cn) codegree table to one row of motif statistics:
+    sum(cn*(cn-1)) // (2*pair_mult) closed pairs-of-pairs, pair count,
+    max codegree.  Per-block partials (3 ints each) -> driver finish."""
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b.column("cn").to_numpy()
+        s = int((c.astype(np.int64) * (c - 1)).sum()) if len(c) else 0
+        return pa.table({"s": pa.array([s], type=pa.int64()),
+                         "n": pa.array([len(c)], type=pa.int64()),
+                         "m": pa.array([int(c.max()) if len(c) else 0],
+                                       type=pa.int64())})
+
+    p = cn.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True).to_pandas()
+    s = int(p["s"].sum()) if len(p) else 0
+    n = int(p["n"].sum()) if len(p) else 0
+    m = int(p["m"].max()) if len(p) else 0
+    return rd.from_pandas(pd.DataFrame({
+        "count": pd.array([s // (2 * pair_mult)], dtype="int64"),
+        "n_codeg_pairs": pd.array([n], dtype="int64"),
+        "max_codeg": pd.array([m], dtype="int64")}))
+
+
+def four_cycle_stats(edges, cfg: EngineConfig = DEFAULT, *,
+                     max_center_degree: Optional[int] = None):
+    """Exact global 4-cycle (rectangle) count over the DIRECTED edge
+    table's canonical undirected graph — the next motif after triangles
+    (q_triangles_urls) and 4-cliques (q_fourcliques_urls); rectangles
+    dominated by mirror/template pages are a crawl-quality signal.
+
+    C4 = (1/2) * sum over unordered vertex pairs {a,b} of
+    C(codeg(a,b), 2): each 4-cycle a-x-b-y is determined by a diagonal
+    pair plus two of its common neighbors, and has exactly 2 diagonals.
+    Codegrees reuse the triangles.py wedge generator (center = shared
+    neighbor, pair volume sum over centers of deg^2/2);
+    ``max_center_degree`` is the same explicit hub guard as
+    common_neighbor_scores.  Returns a one-row Dataset
+    (n_cycles4, n_codeg_pairs, max_codeg) — n_codeg_pairs is the number
+    of unordered pairs sharing >= 1 neighbor.
+    """
+    und = canonical_undirected(edges, cfg).materialize()
+
+    def sym(b: pa.Table) -> pa.Table:
+        s, d = b.column("src").to_numpy(), b.column("dst").to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    centers = und.map_batches(sym, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if max_center_degree is not None:
+        deg = _degrees_canonical(und).materialize()
+        small = deg.filter(expr=f"deg <= {int(max_center_degree)}")
+        centers = hash_join(centers, small, on="src", right_on="vid",
+                            join_type="semi", num_parts=cfg.num_parts,
+                            left_schema=_E_SCHEMA,
+                            right_schema=_DEG_SCHEMA)
+    ordered = centers.map_batches(
+        lambda b: pa.table({"src": b.column("src"), "dst": b.column("dst"),
+                            "deg_dst": b.column("dst")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = _wedges(ordered, cfg)
+    cn = grouped_aggregate(pairs.select_columns(["a", "b"]), ["a", "b"],
+                           {"cn": ("count", None)},
+                           num_parts=cfg.num_parts)
+    out = _codeg_stats(cn, pair_mult=2)
+    return out.map_batches(
+        lambda b: b.rename_columns(["n_cycles4", "n_codeg_pairs",
+                                    "max_codeg"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def butterfly_stats(ds, left_col: str, right_col: str,
+                    cfg: EngineConfig = DEFAULT, *,
+                    max_center_degree: Optional[int] = None):
+    """Exact butterfly (2x2 biclique) count over a BIPARTITE relation
+    given as (left, right) rows — co-purchase structure in an
+    order x part table, co-visit structure in a user x page log.
+
+    Parallel (left, right) duplicates collapse first (distinct).
+    Butterflies = sum over unordered left-pairs of C(codeg, 2), with
+    codeg the number of shared right-vertices; each butterfly is
+    counted exactly once (its two left corners form one pair).  Pair
+    generation centers on the RIGHT side (volume sum over right
+    vertices of deg^2/2); ``max_center_degree`` excludes hot right
+    vertices (documented cap, not silent truncation).  Returns a
+    one-row Dataset (n_butterflies, n_codeg_pairs, max_codeg).
+    """
+    from ..ops.dedup import distinct
+
+    pq_ = distinct(ds.select_columns([left_col, right_col]),
+                   [left_col, right_col], num_parts=cfg.num_parts)
+
+    def orient(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(right_col).cast(pa.int64()),
+                         "dst": b.column(left_col).cast(pa.int64()),
+                         "deg_dst": b.column(left_col).cast(pa.int64())})
+
+    centers = pq_.map_batches(orient, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if max_center_degree is not None:
+        deg = grouped_aggregate(centers.select_columns(["src"]), ["src"],
+                                {"deg": ("count", None)},
+                                num_parts=cfg.num_parts)
+        small = deg.filter(expr=f"deg <= {int(max_center_degree)}")
+        centers = hash_join(
+            centers, small, on="src", right_on="src", join_type="semi",
+            num_parts=cfg.num_parts,
+            left_schema=pa.schema([pa.field("src", pa.int64()),
+                                   pa.field("dst", pa.int64()),
+                                   pa.field("deg_dst", pa.int64())]),
+            right_schema=pa.schema([pa.field("src", pa.int64()),
+                                    pa.field("deg", pa.int64())]))
+    pairs = _wedges(centers, cfg)
+    cn = grouped_aggregate(pairs.select_columns(["a", "b"]), ["a", "b"],
+                           {"cn": ("count", None)},
+                           num_parts=cfg.num_parts)
+    out = _codeg_stats(cn, pair_mult=1)
+    return out.map_batches(
+        lambda b: b.rename_columns(["n_butterflies", "n_codeg_pairs",
+                                    "max_codeg"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -586,6 +586,19 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"CAST(sum(n) AS BIGINT) AS n_remaining, "
             f"count(*) AS n_components, "
             f"CAST(max(n) AS BIGINT) AS largest_cc FROM sz",
+        # exact 4-cycle census: C4 = sum over unordered pairs of
+        # C(codeg, 2) / 2 (each rectangle has two diagonals)
+        "q_fourcycles":
+            f"WITH und AS ({_UND_BODY.format(A=A)}), "
+            f"sym AS (SELECT u AS a, v AS b FROM und "
+            f"UNION ALL SELECT v, u FROM und), "
+            f"wed AS (SELECT e1.b AS pa, e2.b AS pb, count(*) AS cn "
+            f"FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b "
+            f"GROUP BY 1, 2) "
+            f"SELECT CAST(coalesce(sum(cn * (cn - 1)), 0) // 4 "
+            f"AS BIGINT) AS n_cycles4, "
+            f"count(*) AS n_codeg_pairs, "
+            f"coalesce(max(cn), 0) AS max_codeg FROM wed",
     }
 
 
@@ -3119,3 +3132,16 @@ def q_hub_robustness(sf_dir: str):
                                   dtype="int64"),
         "largest_cc": pd.Series([int(parts.largest_cc.max())],
                                 dtype="int64")})
+
+
+@_q("q_fourcycles")
+def q_fourcycles(sf_dir: str):
+    """Exact global 4-cycle (rectangle) census of the link graph
+    (graph/metrics.py::four_cycle_stats) — the motif family's C4 entry
+    next to triangles / 4-cliques / triads.  SQL-certified against the
+    wedge-enumerated codegree closure; brute-force parity in
+    tests/test_fourcycles.py."""
+    from .graph.metrics import four_cycle_stats
+
+    g = gate_graph()
+    return four_cycle_stats(read_layer(g.edges))

@@ -1752,3 +1752,24 @@ def q_ks_drift(sf_dir: str):
     return ks_two_sample(
         _t(sf_dir, "documents", columns=["source", "n_chars"]),
         "source", "n_chars", "src0", "src1")
+
+
+@_q("q_butterflies",
+    "WITH pq AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "FROM lineitem), "
+    "wed AS (SELECT a.o AS o1, b.o AS o2, count(*) AS cn "
+    "FROM pq a JOIN pq b ON a.p = b.p AND a.o < b.o GROUP BY 1, 2) "
+    "SELECT CAST(coalesce(sum(cn * (cn - 1)), 0) // 2 AS BIGINT) "
+    "AS n_butterflies, count(*) AS n_codeg_pairs, "
+    "coalesce(max(cn), 0) AS max_codeg FROM wed")
+def q_butterflies(sf_dir: str):
+    """Exact butterfly (2x2 biclique) count of the order x part
+    co-purchase bipartite graph (graph/metrics.py::butterfly_stats) —
+    the bipartite analogue of the 4-cycle census; butterfly density is
+    the standard cohesion measure for two-mode graphs (user x page,
+    order x part)."""
+    from .graph.metrics import butterfly_stats
+
+    return butterfly_stats(
+        _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
+        "l_orderkey", "l_partkey")
