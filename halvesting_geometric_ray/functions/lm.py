@@ -362,3 +362,101 @@ def dsir_log_weights(docs, target_ref, raw_ref, id_col: str = "doc_id",
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def kneser_ney_bigrams(docs, text_col: str = "text", *,
+                       discount: float = 0.75, min_count: int = 3,
+                       num_parts: int = 16, round_to: int = 9):
+    """Interpolated Kneser-Ney bigram probability table estimated
+    distributed — the smoothing the n-gram LM literature settled on
+    (Kneser & Ney 1995; Chen & Goodman 1998) and the MapReduce LM
+    estimation shape of Brants et al. 2007 ("Large language models in
+    machine translation"):
+
+        P_KN(w2 | w1) = max(c(w1,w2) - D, 0) / c(w1 .)
+                      + D * N1+(w1, .) / c(w1 .) * Pcont(w2)
+        Pcont(w2)     = N1+(. , w2) / N1+(. , .)
+
+    where c(w1 .) is the left-context bigram mass, N1+(w1, .) the
+    distinct-successor count, N1+(., w2) the distinct-predecessor
+    (continuation) count and N1+(.,.) the number of bigram types.
+
+    Tokenization is the repo convention text.split(' ') == DuckDB
+    string_split (bigrams never cross documents).  Plan: one grouped
+    bigram-count exchange (in-batch polars combine first), then two
+    vocab-bounded grouped sums off the materialized bigram layer, one
+    scalar type count, and two bucketed joins back onto the
+    ``min_count``-filtered bigrams.  All inputs to the probability are
+    exact int64 counts; the finish follows the oracle's literal
+    left-to-right float evaluation, rounded ``round_to`` dp on both
+    sides.  Returns (w1, w2, c, p_kn).
+    """
+    import polars as pl
+
+    from ..ops.join import hash_join
+
+    if not (0.0 < discount < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([text_col]))
+        df = df.with_columns(pl.col(text_col).str.split(" ").alias("__l"))
+        df = df.select(
+            pl.col("__l").list.slice(
+                0, pl.col("__l").list.len() - 1).alias("w1"),
+            pl.col("__l").list.slice(1).alias("w2"))
+        df = df.explode(["w1", "w2"]).drop_nulls()
+        out = df.group_by(["w1", "w2"]).len(name="n")
+        return out.to_arrow().cast(pa.schema(
+            [pa.field("w1", pa.string()), pa.field("w2", pa.string()),
+             pa.field("n", pa.int64())]))
+
+    bg = grouped_aggregate(
+        docs.map_batches(pair_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w1", "w2"], {"c": ("sum", "n")},
+        num_parts=num_parts).materialize()  # referenced 4x below
+
+    lt = grouped_aggregate(bg, ["w1"],
+                           {"cw1": ("sum", "c"),
+                            "n1p_fwd": ("count", None)},
+                           num_parts=num_parts)
+    rt = grouped_aggregate(bg.select_columns(["w2"]), ["w2"],
+                           {"n1p_rev": ("count", None)},
+                           num_parts=num_parts)
+    n_types = float(bg.count())
+
+    bgf = bg.filter(expr=f"c >= {int(min_count)}")
+    bg_schema = pa.schema([pa.field("w1", pa.string()),
+                           pa.field("w2", pa.string()),
+                           pa.field("c", pa.int64())])
+    lt_schema = pa.schema([pa.field("w1", pa.string()),
+                           pa.field("cw1", pa.int64()),
+                           pa.field("n1p_fwd", pa.int64())])
+    rt_schema = pa.schema([pa.field("w2", pa.string()),
+                           pa.field("n1p_rev", pa.int64())])
+    j = hash_join(bgf, lt, on="w1", right_on="w1",
+                  right_cols=["cw1", "n1p_fwd"], num_parts=num_parts,
+                  left_schema=bg_schema, right_schema=lt_schema)
+    j_schema = pa.schema(list(bg_schema) + [pa.field("cw1", pa.int64()),
+                                            pa.field("n1p_fwd", pa.int64())])
+    j = hash_join(j, rt, on="w2", right_on="w2", right_cols=["n1p_rev"],
+                  num_parts=num_parts, left_schema=j_schema,
+                  right_schema=rt_schema)
+
+    D = float(discount)
+
+    def fin(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy().astype(np.float64)
+        cw1 = b.column("cw1").to_numpy().astype(np.float64)
+        nf = b.column("n1p_fwd").to_numpy().astype(np.float64)
+        nr = b.column("n1p_rev").to_numpy().astype(np.float64)
+        # literal oracle evaluation order (left-to-right):
+        # max(c-D,0)/cw1 + D*nf/cw1*(nr/n_types)
+        p = np.maximum(c - D, 0.0) / cw1 + D * nf / cw1 * (nr / n_types)
+        return pa.table({"w1": b.column("w1"), "w2": b.column("w2"),
+                         "c": b.column("c"),
+                         "p_kn": pa.array(np.round(p, round_to),
+                                          type=pa.float64())})
+
+    return j.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)

@@ -2337,3 +2337,32 @@ def q_kmeans_pp(sf_dir: str):
     init = kmeans_parallel_init(emb, 8, rounds=3, seed=13)
     cent, _ = kmeans(emb, 8, max_iters=12, seed=13, init=init)
     return kmeans_assign(emb, cent)
+
+
+@_q("q_kneser_ney",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos "
+    "FROM documents), "
+    "bg AS (SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS c "
+    "FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id "
+    "AND t2.pos = t1.pos + 1 GROUP BY 1, 2), "
+    "lt AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS cw1, "
+    "count(*) AS n1p_fwd FROM bg GROUP BY w1), "
+    "rt AS (SELECT w2, count(*) AS n1p_rev FROM bg GROUP BY w2), "
+    "tt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bg) "
+    "SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c, "
+    "round(greatest(bg.c - 0.75, 0) / lt.cw1 "
+    "+ 0.75 * lt.n1p_fwd / lt.cw1 * (rt.n1p_rev / tt.n_types), 9) "
+    "AS p_kn "
+    "FROM bg JOIN lt USING (w1) JOIN rt USING (w2) CROSS JOIN tt "
+    "WHERE bg.c >= 3")
+def q_kneser_ney(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM estimation
+    (functions/lm.py::kneser_ney_bigrams) — the distributed analogue of
+    the Brants et al. 2007 MapReduce n-gram pipeline, with absolute
+    discounting and continuation-count backoff.  All probability inputs
+    are exact int64 counts; the float finish replays the oracle's
+    literal evaluation order, rounded 9 dp on both sides."""
+    from .functions.lm import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(_docs(sf_dir, ["text"]))
