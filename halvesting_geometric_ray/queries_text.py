@@ -2366,3 +2366,28 @@ def q_kneser_ney(sf_dir: str):
     from .functions.lm import kneser_ney_bigrams
 
     return kneser_ney_bigrams(_docs(sf_dir, ["text"]))
+
+
+@_q("q_blocklist",
+    "WITH pats AS (SELECT * FROM (VALUES ('table'), ('tab'), ('an'), "
+    "('scan')) v(pat)), "
+    "pos AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i "
+    "FROM documents), "
+    "hits AS (SELECT pos.doc_id, pats.pat FROM pos JOIN pats "
+    "ON substr(pos.text, CAST(pos.i AS INTEGER), len(pats.pat)) "
+    "= pats.pat), "
+    "agg AS (SELECT doc_id, count(*) AS n, count(DISTINCT pat) AS k "
+    "FROM hits GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(agg.n, 0) AS n_matches, "
+    "coalesce(agg.k, 0) AS n_patterns, coalesce(agg.n, 0) > 0 "
+    "AS blocked FROM documents d LEFT JOIN agg USING (doc_id)")
+def q_blocklist(sf_dir: str):
+    """Aho-Corasick multi-pattern blocklist scan
+    (functions/acscan.py::blocklist_scan) — ALL occurrences
+    (overlapping included) of a nested/overlapping pattern list, per
+    document, as one stateless actor-pool pass.  The SQL oracle replays
+    the same counting with a substr position scan."""
+    from .functions.acscan import blocklist_scan
+
+    return blocklist_scan(_docs(sf_dir, ["doc_id", "text"]),
+                          ["table", "tab", "an", "scan"])
