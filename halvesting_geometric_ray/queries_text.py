@@ -2391,3 +2391,56 @@ def q_blocklist(sf_dir: str):
 
     return blocklist_scan(_docs(sf_dir, ["doc_id", "text"]),
                           ["table", "tab", "an", "scan"])
+
+
+@_q("q_outlier_scores")
+def q_outlier_scores(sf_dir: str):
+    """Isolation-forest outlier scoring over the embedding table
+    (functions/outliers.py) — the junk-vector filter after SemDeDup:
+    hash-subsample train, broadcast forest, stateless vectorized
+    scoring.  Rows-only (sequential-replay parity + planted-outlier
+    tests in tests/test_outliers.py); returns the top-25 most isolated
+    vectors."""
+    from .functions.outliers import (isolation_forest_scores,
+                                     isolation_forest_train)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).materialize()
+    ref, _info = isolation_forest_train(emb, n_trees=32,
+                                        sample_size=128, seed=7)
+    s = isolation_forest_scores(emb, ref)
+    return s.sort(["iso_score", "vec_id"], descending=[True, False]) \
+        .limit(25)
+
+
+@_q("q_mmr_rerank")
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-marginal-relevance diversification of an exact top-40
+    cosine retrieval (functions/outliers.py::mmr_diversify) — the
+    redundancy-aware re-ranker over a bounded candidate set.  Rows-only
+    (greedy-replay parity in tests/test_outliers.py)."""
+    import pandas as pd
+
+    from .functions.outliers import mmr_diversify
+    from .functions.similarity import _mat, _norm, knn_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).materialize()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "=", 0)])
+    top = knn_cosine(emb, qt, k=40)
+    cand_ids = top.to_pandas()["neighbor_id"].to_numpy()
+    cand = (emb.map_batches(
+        lambda b: b.filter(pa.compute.is_in(
+            b["vec_id"], value_set=pa.array(cand_ids))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas())
+    ids = cand["vec_id"].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64)
+                      for v in cand["embedding"]])
+    _qids, qmat = _mat(qt, "embedding")
+    sel, scores = mmr_diversify(qmat[0], ids, mat, k=10, lam=0.7)
+    return pd.DataFrame({"rnk": np.arange(1, len(sel) + 1,
+                                          dtype=np.int64),
+                         "vec_id": sel,
+                         "mmr": np.round(scores, 9)})
