@@ -599,6 +599,20 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"AS BIGINT) AS n_cycles4, "
             f"count(*) AS n_codeg_pairs, "
             f"coalesce(max(cn), 0) AS max_codeg FROM wed",
+        # time-respecting earliest arrival from the min-url seed at t=0:
+        # edge usable iff its (src-crawl) timestamp >= arrival(src);
+        # recursive closure bounded by the (v, ts) state space
+        "q_temporal_reach":
+            f"WITH RECURSIVE "
+            f"e AS (SELECT a.src_url AS s, a.dst_url AS d, "
+            f"epoch_us(p.warc_ts) AS ts FROM {A} a "
+            f"JOIN {P} p ON p.url = a.src_url), "
+            f"seeds AS (SELECT DISTINCT s FROM e ORDER BY s LIMIT 10), "
+            f"walk AS (SELECT s AS v, CAST(0 AS BIGINT) AS t "
+            f"FROM seeds "
+            f"UNION SELECT e.d, e.ts FROM walk w "
+            f"JOIN e ON e.s = w.v AND e.ts >= w.t) "
+            f"SELECT v AS url, min(t) AS arrival FROM walk GROUP BY v",
     }
 
 
@@ -3145,3 +3159,43 @@ def q_fourcycles(sf_dir: str):
 
     g = gate_graph()
     return four_cycle_stats(read_layer(g.edges))
+
+
+@_q("q_temporal_reach")
+def q_temporal_reach(sf_dir: str):
+    """Time-respecting earliest-arrival reachability from the
+    lexicographic-min-url seed (graph/temporal.py::earliest_arrival):
+    a link is traversable only if its source page was crawled at or
+    after the crawler reached it.  SQL-certified against the recursive
+    temporal closure; fixpoint semantics pinned in
+    tests/test_temporal.py."""
+    from .fixtures import ensure_anchors_parquet, ensure_pages_parquet
+    from .graph.temporal import earliest_arrival
+    from .ops.join import hash_join
+
+    anchors = rd.read_parquet(ensure_anchors_parquet(_GATE_N, _SEED),
+                              columns=["src_url", "dst_url"])
+    pages = rd.read_parquet(ensure_pages_parquet(_GATE_N, _SEED),
+                            columns=["url", "warc_ts"])
+    pages_ts = pages.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "ts": b.column("warc_ts").cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    a_schema = pa.schema([pa.field("src_url", pa.string()),
+                          pa.field("dst_url", pa.string())])
+    p_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("ts", pa.int64())])
+    e = hash_join(anchors, pages_ts, on="src_url", right_on="url",
+                  right_cols=["ts"], num_parts=DEFAULT.num_parts,
+                  left_schema=a_schema, right_schema=p_schema).materialize()
+    from .ops.dedup import distinct
+
+    seed_urls = (distinct(e.select_columns(["src_url"]), ["src_url"])
+                 .sort("src_url").limit(10).to_pandas()["src_url"])
+    arr, _info = earliest_arrival(e, [(s, 0) for s in seed_urls],
+                                  src_col="src_url",
+                                  dst_col="dst_url", ts_col="ts")
+    return arr.map_batches(
+        lambda b: pa.table({"url": b.column("v"),
+                            "arrival": b.column("arrival")}),
+        batch_format="pyarrow", zero_copy_batch=True)
