@@ -1773,3 +1773,64 @@ def q_butterflies(sf_dir: str):
     return butterfly_stats(
         _t(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]),
         "l_orderkey", "l_partkey")
+
+
+@_q("q_validate_lineitem",
+    "SELECT 'not_null' AS rule, 'l_orderkey' AS col, "
+    "count(*) AS n_checked, "
+    "CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) "
+    "AS n_violations, "
+    "count(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS ok "
+    "FROM lineitem "
+    "UNION ALL SELECT 'in_range', 'l_discount', count(l_discount), "
+    "CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.08) "
+    "AS BIGINT), "
+    "count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.08) = 0 "
+    "FROM lineitem "
+    "UNION ALL SELECT 'accepted_values', 'l_returnflag', "
+    "count(l_returnflag), "
+    "CAST(count(*) FILTER (WHERE l_returnflag IS NOT NULL "
+    "AND l_returnflag NOT IN ('A', 'N')) AS BIGINT), "
+    "count(*) FILTER (WHERE l_returnflag IS NOT NULL "
+    "AND l_returnflag NOT IN ('A', 'N')) = 0 FROM lineitem "
+    "UNION ALL SELECT 'matches_regex', 'l_linestatus', "
+    "count(l_linestatus), "
+    "CAST(count(*) FILTER (WHERE l_linestatus IS NOT NULL "
+    "AND NOT regexp_matches(l_linestatus, '^[OF]$')) AS BIGINT), "
+    "count(*) FILTER (WHERE l_linestatus IS NOT NULL "
+    "AND NOT regexp_matches(l_linestatus, '^[OF]$')) = 0 FROM lineitem "
+    "UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', count(*), "
+    "(SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM "
+    "(SELECT count(*) AS n FROM lineitem "
+    "GROUP BY l_orderkey, l_linenumber) WHERE n > 1), "
+    "(SELECT coalesce(sum(n - 1), 0) FROM (SELECT count(*) AS n "
+    "FROM lineitem GROUP BY l_orderkey, l_linenumber) WHERE n > 1) = 0 "
+    "FROM lineitem "
+    "UNION ALL SELECT 'foreign_key', 'l_orderkey', count(l_orderkey), "
+    "(SELECT CAST(count(*) AS BIGINT) FROM lineitem "
+    "WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN "
+    "(SELECT o_orderkey FROM orders)), "
+    "(SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL "
+    "AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 "
+    "FROM lineitem")
+def q_validate_lineitem(sf_dir: str):
+    """Declarative data-contract validation (ops/validate.py) — the
+    dbt-test / expectations pass over lineitem: null / range /
+    accepted-values / regex / uniqueness / referential integrity, all
+    row-local rules folded into ONE streaming pass.  The in_range rule
+    is deliberately tighter than the data (discount <= 0.08) so the
+    violation path is certified non-trivially."""
+    from .ops.validate import validate
+
+    li = _t(sf_dir, "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_discount",
+                     "l_returnflag", "l_linestatus"])
+    orders = _t(sf_dir, "orders", columns=["o_orderkey"])
+    return validate(li, [
+        ("not_null", "l_orderkey"),
+        ("in_range", "l_discount", 0.0, 0.08),
+        ("accepted_values", "l_returnflag", ["A", "N"]),
+        ("matches_regex", "l_linestatus", "^[OF]$"),
+        ("unique", ["l_orderkey", "l_linenumber"]),
+        ("foreign_key", "l_orderkey", orders, "o_orderkey"),
+    ])
