@@ -2444,3 +2444,41 @@ def q_mmr_rerank(sf_dir: str):
                                           dtype=np.int64),
                          "vec_id": sel,
                          "mmr": np.round(scores, 9)})
+
+
+@_q("q_fuzzy_token_pairs",
+    "WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) "
+    "AS t FROM documents UNION SELECT DISTINCT source FROM documents), "
+    "v AS (SELECT t FROM toks WHERE len(t) >= 3) "
+    "SELECT a.t AS a, b.t AS b, "
+    "CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist "
+    "FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 1")
+def q_fuzzy_token_pairs(sf_dir: str):
+    """SymSpell deletion-neighborhood fuzzy matching
+    (functions/fuzzyjoin.py::symspell_pairs): every distinct-token pair
+    within Levenshtein 1, found by variant blocking + banded verify —
+    the vocabulary-folding / record-linkage primitive.  The SQL oracle
+    brute-forces levenshtein over the (bounded) vocabulary; the Ray
+    plan only ever compares deletion-blocked candidates."""
+    import pyarrow.compute as pc
+
+    from .functions.fuzzyjoin import symspell_pairs
+    from .ops.dedup import distinct
+
+    def toks(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(b["text"], pattern=" "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(
+            pc.greater_equal(pc.utf8_length(flat), 3))
+        return pa.table({"token": flat.unique()})
+
+    srcs = _docs(sf_dir, ["source"]).map_batches(
+        lambda b: pa.table({"token": b.column("source")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    vocab = distinct(
+        _docs(sf_dir, ["text"]).map_batches(
+            toks, batch_format="pyarrow", zero_copy_batch=True)
+        .union(srcs),
+        ["token"])
+    return symspell_pairs(vocab, "token", max_dist=1)
