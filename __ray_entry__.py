@@ -138,7 +138,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_embed_neardup_lsh", "q_kmeans", "q_kmeans_pp", "q_semantic_dedup",
     "q_component_sizes", "q_graph_vertices", "q_graph_edges",
     "q_pagerank_top20", "q_binary_decode", "q_simhash",
-    "q_outlier_scores", "q_mmr_rerank",
+    "q_outlier_scores", "q_mmr_rerank", "q_bridges",
 ]
 
 

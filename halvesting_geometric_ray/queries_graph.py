@@ -3199,3 +3199,38 @@ def q_temporal_reach(sf_dir: str):
         lambda b: pa.table({"url": b.column("v"),
                             "arrival": b.column("arrival")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_bridges")
+def q_bridges(sf_dir: str):
+    """Bridge (cut-edge) census of the link graph
+    (graph/bridges.py): BFS spanning forest + XOR-tag subtree coverage
+    — the parallel replacement for sequential Tarjan low-link; exact
+    w.h.p. (63-bit tags).  Rows-only: bridge edges at the url level;
+    sequential Tarjan parity pinned in tests/test_bridges.py."""
+    from .graph.bridges import bridges
+    from .ops.join import hash_join
+
+    g = gate_graph()
+    b, _l2, _info = bridges(read_layer(g.edges), g.offsets,
+                            f"{g.workdir}/bridges")
+    v = read_layer(g.vertices, columns=["url", "vid"])
+    b_schema = pa.schema([pa.field("u", pa.int64()),
+                          pa.field("v", pa.int64())])
+    v_schema = pa.schema([pa.field("url", pa.string()),
+                          pa.field("vid", pa.int64())])
+    j = hash_join(b, v, on="u", right_on="vid", right_cols=["url"],
+                  num_parts=DEFAULT.num_parts, left_schema=b_schema,
+                  right_schema=v_schema)
+    j = j.map_batches(lambda t: t.rename_columns(["u", "v", "url_u"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = pa.schema([pa.field("u", pa.int64()),
+                          pa.field("v", pa.int64()),
+                          pa.field("url_u", pa.string())])
+    j = hash_join(j, v, on="v", right_on="vid", right_cols=["url"],
+                  num_parts=DEFAULT.num_parts, left_schema=j_schema,
+                  right_schema=v_schema)
+    return j.map_batches(
+        lambda t: pa.table({"url_u": t.column("url_u"),
+                            "url_v": t.column("url")}),
+        batch_format="pyarrow", zero_copy_batch=True)
