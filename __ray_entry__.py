@@ -96,7 +96,8 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_chi2_lang_source", "q_ks_drift",
                  "q_fourcycles", "q_butterflies", "q_kneser_ney",
                  "q_blocklist", "q_temporal_reach",
-                 "q_validate_lineitem", "q_fuzzy_token_pairs"]
+                 "q_validate_lineitem", "q_fuzzy_token_pairs",
+                 "q_anova_doclen"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

@@ -797,3 +797,60 @@ def ks_two_sample(ds, group_col: str, value_col: str, a, b, *,
         {"ks_d": [round(float(ks), round_to)], "x_at_max": [x_star],
          "n_a": pd.array([n_a], dtype="int64"),
          "n_b": pd.array([n_b], dtype="int64")}))
+
+
+def anova_oneway(ds, group_col: str, value_col: str, *,
+                 num_parts: int = 16, round_to: int = 9):
+    """One-way ANOVA F statistic of ``value_col`` across the groups of
+    ``group_col`` — the k-sample companion to ks_two_sample (is the
+    doc-length distribution's MEAN the same across sources?).
+
+    F = (SSB / (k-1)) / (SSW / (N-k)) from exact integer sufficient
+    statistics (count, sum, sum of squares) per group — one grouped
+    exchange; the float finish runs on the k-row group table with the
+    same literal expression order as the SQL oracle, rounded
+    ``round_to`` dp.  Returns a one-row Dataset
+    (f_stat, df_between, df_within, n); f_stat NULL when k < 2 or the
+    within-group variance is zero.
+    """
+    from .agg import grouped_aggregate
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table({group_col: b.column(group_col),
+                         "v": pa.array(v.astype(np.int64)),
+                         "sq": pa.array((v.astype(np.int64)
+                                         * v.astype(np.int64)))})
+
+    g = grouped_aggregate(
+        ds.select_columns([group_col, value_col]).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col], {"n": ("count", None), "s": ("sum", "v"),
+                      "ss": ("sum", "sq")},
+        num_parts=num_parts).to_pandas()  # k rows, post-reduction
+
+    import pandas as pd
+    import ray.data as rd
+
+    k = len(g)
+    N = int(g["n"].sum())
+    if k < 2 or N <= k:
+        return rd.from_pandas(pd.DataFrame(
+            {"f_stat": [None],
+             "df_between": pd.array([max(k - 1, 0)], dtype="int64"),
+             "df_within": pd.array([max(N - k, 0)], dtype="int64"),
+             "n": pd.array([N], dtype="int64")}))
+    n_g = g["n"].to_numpy().astype(np.float64)
+    s_g = g["s"].to_numpy().astype(np.float64)
+    ss_g = g["ss"].to_numpy().astype(np.float64)
+    S = float(g["s"].sum())
+    M = S / N
+    ssw = float((ss_g - s_g * s_g / n_g).sum())
+    m_g = s_g / n_g
+    ssb = float((n_g * ((m_g - M) * (m_g - M))).sum())
+    f = (ssb / (k - 1)) / (ssw / (N - k)) if ssw > 0 else None
+    return rd.from_pandas(pd.DataFrame(
+        {"f_stat": [None if f is None else round(f, round_to)],
+         "df_between": pd.array([k - 1], dtype="int64"),
+         "df_within": pd.array([N - k], dtype="int64"),
+         "n": pd.array([N], dtype="int64")}))

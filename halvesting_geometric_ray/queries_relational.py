@@ -1834,3 +1834,29 @@ def q_validate_lineitem(sf_dir: str):
         ("unique", ["l_orderkey", "l_linenumber"]),
         ("foreign_key", "l_orderkey", orders, "o_orderkey"),
     ])
+
+
+@_q("q_anova_doclen",
+    "WITH g AS (SELECT source, count(*) AS n, sum(n_chars) AS s, "
+    "sum(n_chars * n_chars) AS ss FROM documents GROUP BY source), "
+    "t AS (SELECT CAST(sum(s) AS DOUBLE) AS st, "
+    "CAST(sum(n) AS BIGINT) AS nt, count(*) AS k FROM g), "
+    "p AS (SELECT sum(CAST(g.ss AS DOUBLE) "
+    "- CAST(g.s AS DOUBLE) * g.s / g.n) AS ssw, "
+    "sum(g.n * ((CAST(g.s AS DOUBLE) / g.n - t.st / t.nt) "
+    "* (CAST(g.s AS DOUBLE) / g.n - t.st / t.nt))) AS ssb "
+    "FROM g CROSS JOIN t) "
+    "SELECT round((p.ssb / (t.k - 1)) / (p.ssw / (t.nt - t.k)), 9) "
+    "AS f_stat, CAST(t.k - 1 AS BIGINT) AS df_between, "
+    "CAST(t.nt - t.k AS BIGINT) AS df_within, t.nt AS n "
+    "FROM p CROSS JOIN t")
+def q_anova_doclen(sf_dir: str):
+    """One-way ANOVA F test of doc length across crawl sources
+    (ops/stats.py::anova_oneway) — the k-sample mean-drift companion
+    to q_ks_drift.  Exact integer sufficient statistics; float finish
+    replays the oracle's literal expression order, rounded 9 dp."""
+    from .ops.stats import anova_oneway
+
+    return anova_oneway(
+        _t(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars")

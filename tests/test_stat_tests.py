@@ -152,3 +152,37 @@ def test_ks_partitioning_invariance():
     b = ks_two_sample(rd.from_pandas(pdf).repartition(7), "g", "x",
                       "a", "b", num_parts=19).to_pandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_anova_matches_closed_form():
+    from halvesting_geometric_ray.ops.stats import anova_oneway
+
+    rng = np.random.default_rng(12)
+    g = rng.integers(0, 4, 900)
+    x = (rng.integers(50, 500, 900) + g * 40).astype(np.int64)
+    pdf = pd.DataFrame({"g": [f"s{int(i)}" for i in g], "x": x})
+    out = anova_oneway(rd.from_pandas(pdf), "g", "x").to_pandas()
+    # independent closed form
+    groups = [x[g == i] for i in range(4)]
+    N = len(x)
+    k = 4
+    M = x.mean()
+    ssb = sum(len(gr) * (gr.mean() - M) ** 2 for gr in groups)
+    ssw = sum(((gr - gr.mean()) ** 2).sum() for gr in groups)
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    assert out["f_stat"][0] == pytest.approx(f, rel=1e-8)
+    assert out["df_between"][0] == 3
+    assert out["df_within"][0] == N - 4
+    assert out["n"][0] == N
+
+
+def test_anova_degenerate_cases():
+    from halvesting_geometric_ray.ops.stats import anova_oneway
+
+    one = pd.DataFrame({"g": ["a"] * 5, "x": [1, 2, 3, 4, 5]})
+    out = anova_oneway(rd.from_pandas(one), "g", "x").to_pandas()
+    assert pd.isna(out["f_stat"][0]) and out["df_between"][0] == 0
+    const = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                          "x": [3, 3, 3, 3]})
+    out = anova_oneway(rd.from_pandas(const), "g", "x").to_pandas()
+    assert pd.isna(out["f_stat"][0])  # zero within-variance
