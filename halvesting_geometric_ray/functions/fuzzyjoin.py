@@ -33,7 +33,6 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-from ..ops.agg import grouped_aggregate
 from .dedup import edit_distance_bound
 
 
@@ -58,8 +57,6 @@ def symspell_pairs(tokens, col: str = "token", *, max_dist: int = 1,
     """All unordered pairs of DISTINCT input tokens with
     lev(a, b) <= max_dist.  Returns (a, b, dist) with a < b.
     ``tokens`` must be one row per distinct token (dedup upstream)."""
-    import polars as pl
-
     from ..ops.dedup import distinct
 
     if max_dist < 1:

@@ -48,11 +48,6 @@ from ..ops.join import hash_join
 from .build import symmetrize
 from .triangles import canonical_undirected
 
-_ST_SCHEMA = pa.schema([pa.field("vid", pa.int64()),
-                        pa.field("parent", pa.int64()),
-                        pa.field("dist", pa.int64()),
-                        pa.field("acc", pa.int64())])
-
 
 def _grouped_merge(ds, num_parts: int):
     """By-vid merge: acc -> XOR, parent -> max, dist -> max.  Two-level
@@ -61,6 +56,12 @@ def _grouped_merge(ds, num_parts: int):
 
     def level(b: pa.Table, add_part: bool) -> pa.Table:
         vid = b.column("vid").to_numpy()
+        if len(vid) == 0:  # reduceat rejects empty inputs
+            out = b.select(["vid", "parent", "dist", "acc"])
+            if add_part:
+                out = out.append_column("__p", pa.array(
+                    np.array([], dtype=np.int32)))
+            return out
         order = np.argsort(vid, kind="stable")
         vid_s = vid[order]
         bounds = np.flatnonzero(np.r_[True, vid_s[1:] != vid_s[:-1]])
@@ -102,10 +103,15 @@ def bridges(edges, offsets: np.ndarray, workdir: str,
     und = canonical_undirected(edges, cfg).materialize()
     sym = symmetrize(und, dedup=False).materialize()
 
+    from ..ops.dedup import distinct
+
     labels, _ = connected_components(sym, offsets, workdir,
                                      job="cc_bridges")
-    roots = np.unique(labels.select_columns(["label"]).to_pandas()
-                      ["label"].to_numpy())
+    # distributed distinct first: driver state = component count only
+    roots = np.unique(
+        distinct(labels.select_columns(["label"]), ["label"],
+                 num_parts=cfg.num_parts).to_pandas()
+        ["label"].to_numpy())
     dist, _ = bfs(sym, offsets, workdir, roots)
     dist = dist.select_columns(["vid", "dist"]).materialize()
 

@@ -67,9 +67,15 @@ def earliest_arrival(edges, seeds: Sequence[Tuple[object, int]], *,
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     key_type = edges.schema().base_schema.field("s").type
 
+    # duplicate seed vertices min-merge up front (one row per vertex)
+    seed_min: dict = {}
+    for sv, st in seeds:
+        st = int(st)
+        if sv not in seed_min or st < seed_min[sv]:
+            seed_min[sv] = st
     seed_tbl = pa.table({
-        "v": pa.array([s for s, _t in seeds], type=key_type),
-        "t": pa.array([int(t) for _s, t in seeds], type=pa.int64())})
+        "v": pa.array(list(seed_min), type=key_type),
+        "t": pa.array(list(seed_min.values()), type=pa.int64())})
     arrival = rd.from_arrow(seed_tbl).materialize()
     frontier = arrival
     e_schema = pa.schema([pa.field("s", key_type),

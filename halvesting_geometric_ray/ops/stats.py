@@ -646,10 +646,24 @@ def chi2_independence(ds, col_a: str, col_b: str, *, num_parts: int = 16,
     """
     from .agg import grouped_aggregate
 
-    cnt = grouped_aggregate(ds.select_columns([col_a, col_b]),
-                            [col_a, col_b], {"cnt": ("count", None)},
+    # complete-cases contract: rows with a null category on either
+    # side are excluded (the standard chi2 convention; the SQL oracle
+    # filters the same way)
+    ds = ds.select_columns([col_a, col_b]).map_batches(
+        lambda t: t.filter(pc.and_(pc.is_valid(t[col_a]),
+                                   pc.is_valid(t[col_b]))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cnt = grouped_aggregate(ds, [col_a, col_b],
+                            {"cnt": ("count", None)},
                             num_parts=num_parts)
     pdf = cnt.to_pandas()  # post-reduction: |A| x |B| cells only
+    import pandas as pd
+    import ray.data as rd
+
+    if len(pdf) == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"chi2": [None], "dof": pd.array([0], dtype="int64"),
+             "cramers_v": [None], "n": pd.array([0], dtype="int64")}))
     pivot = pdf.pivot_table(index=col_a, columns=col_b, values="cnt",
                             fill_value=0, aggfunc="sum")
     o = pivot.to_numpy().astype(np.float64)
@@ -662,9 +676,6 @@ def chi2_independence(ds, col_a: str, col_b: str, *, num_parts: int = 16,
     dof = (r - 1) * (c - 1)
     denom = n * min(r - 1, c - 1)
     v = math.sqrt(chi2 / denom) if denom > 0 else None
-    import pandas as pd
-    import ray.data as rd
-
     return rd.from_pandas(pd.DataFrame({
         "chi2": [round(chi2, round_to)],
         "dof": pd.array([dof], dtype="int64"),
@@ -716,7 +727,7 @@ def ks_two_sample(ds, group_col: str, value_col: str, a, b, *,
         cnt.map_batches(split, batch_format="pyarrow",
                         zero_copy_batch=True),
         ["x"], {"ca": ("sum", "ca"), "cb": ("sum", "cb")},
-        num_parts=num_parts)
+        num_parts=num_parts).materialize()  # referenced 3x below
 
     lo = xc.min("x")
     hi = xc.max("x")

@@ -34,9 +34,8 @@ contract.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -68,8 +67,6 @@ def validate(ds, rules: Sequence[Tuple], *, num_parts: int = 16):
 
     # ---- one shared streaming pass for every row-local rule --------
     if local:
-        cols = sorted({r[1] for _i, r in local})
-
         def partial(b: pa.Table) -> pa.Table:
             out_i, out_c, out_v = [], [], []
             for i, r in local:
@@ -139,10 +136,10 @@ def validate(ds, rules: Sequence[Tuple], *, num_parts: int = 16):
         _kind, col, ref, ref_col = r
         vals = ds.select_columns([col]).map_batches(
             lambda b, c=col: b.filter(pc.is_valid(b.column(c))),
-            batch_format="pyarrow", zero_copy_batch=True)
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
         n_checked = vals.count()
         refd = distinct(ref.select_columns([ref_col]), [ref_col],
-                        num_parts=num_parts)
+                        num_parts=num_parts).materialize()
         missing = hash_join(vals, refd, on=col, right_on=ref_col,
                             join_type="anti", num_parts=num_parts)
         results[i] = (int(n_checked), int(missing.count()))

@@ -1697,7 +1697,8 @@ def q_event_entropy(sf_dir: str):
 
 @_q("q_chi2_lang_source",
     "WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o "
-    "FROM documents GROUP BY 1, 2), "
+    "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+    "GROUP BY 1, 2), "
     "r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1), "
     "k AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1), "
     "t AS (SELECT sum(o) AS nn FROM c), "

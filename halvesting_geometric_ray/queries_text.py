@@ -2473,9 +2473,12 @@ def q_fuzzy_token_pairs(sf_dir: str):
             pc.greater_equal(pc.utf8_length(flat), 3))
         return pa.table({"token": flat.unique()})
 
+    def src_toks(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(pc.utf8_length(b["source"]), 3))
+        return pa.table({"token": t.column("source")})
+
     srcs = _docs(sf_dir, ["source"]).map_batches(
-        lambda b: pa.table({"token": b.column("source")}),
-        batch_format="pyarrow", zero_copy_batch=True)
+        src_toks, batch_format="pyarrow", zero_copy_batch=True)
     vocab = distinct(
         _docs(sf_dir, ["text"]).map_batches(
             toks, batch_format="pyarrow", zero_copy_batch=True)
