@@ -75,3 +75,85 @@ def json_field(ds, col: str, path: str, out_col: str = "value",
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def json_schema_profile(ds, col: str, *, max_depth: int = 3,
+                        num_parts: int = 16):
+    """Schema inference over a semi-structured JSON column — the
+    ingest-time profiling pass that tells you what a scraped/event
+    payload actually contains before you write extraction rules:
+    one row per (path, type) with its observation count.
+
+    Paths are JSONPath-ish ('$', '$.a', '$.a.b', '$.a[]' for array
+    elements), truncated at ``max_depth`` levels; types are
+    {object, array, string, number_int, number_float, boolean, null};
+    a malformed document counts under ('$', 'invalid').  A key whose
+    values disagree across rows yields MULTIPLE rows for the same path
+    — that disagreement count is exactly the signal schema inference
+    exists to surface.
+
+    Scale shape: per-batch Counter partials (rows proportional to the
+    number of DISTINCT (path, type) pairs per batch, not row count)
+    -> one grouped sum.  Parsing is per-row json.loads by necessity —
+    heterogeneous JSON has no vectorized parse; this is a diagnostic
+    pass, not a hot-loop transform (the hot path extracts known fields
+    via json_field's vectorized json_path_match above).
+
+    Reference anchor: the reference hand-assumes its JSON metadata
+    shape at read time (pd_read_jsons + json_normalize,
+    build_metadata.py:50-68); this operator derives that shape, with
+    evidence, from the data.
+    """
+    import json
+    from collections import Counter
+
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+
+    def walk(v, path: str, depth: int, out: Counter):
+        if isinstance(v, dict):
+            out[(path, "object")] += 1
+            if depth < max_depth:
+                for k, sub in v.items():
+                    walk(sub, f"{path}.{k}", depth + 1, out)
+        elif isinstance(v, list):
+            out[(path, "array")] += 1
+            if depth < max_depth:
+                for sub in v:
+                    walk(sub, f"{path}[]", depth + 1, out)
+        elif isinstance(v, bool):  # before int (bool is int subclass)
+            out[(path, "boolean")] += 1
+        elif isinstance(v, int):
+            out[(path, "number_int")] += 1
+        elif isinstance(v, float):
+            out[(path, "number_float")] += 1
+        elif isinstance(v, str):
+            out[(path, "string")] += 1
+        elif v is None:
+            out[(path, "null")] += 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in b.column(col).to_pylist():
+            if s is None:
+                c[("$", "null")] += 1
+                continue
+            try:
+                v = json.loads(s)
+            except (ValueError, TypeError):
+                c[("$", "invalid")] += 1
+                continue
+            walk(v, "$", 1, c)
+        paths = [p for p, _t in c]
+        types = [t for _p, t in c]
+        return pa.table({"path": pa.array(paths, type=pa.string()),
+                         "type": pa.array(types, type=pa.string()),
+                         "n": pa.array([c[k] for k in c],
+                                       type=pa.int64())})
+
+    from .agg import grouped_aggregate
+
+    return grouped_aggregate(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["path", "type"], {"n": ("sum", "n")}, num_parts=num_parts)

@@ -1861,3 +1861,30 @@ def q_anova_doclen(sf_dir: str):
     return anova_oneway(
         _t(sf_dir, "documents", columns=["source", "n_chars"]),
         "source", "n_chars")
+
+
+@_q("q_json_schema",
+    "WITH kv AS (SELECT props, unnest(json_keys(props)) AS k "
+    "FROM events), "
+    "typed AS (SELECT '$.' || k AS path, "
+    "CASE json_type(props, '$.' || k) "
+    "WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' "
+    "WHEN 'VARCHAR' THEN 'string' WHEN 'UBIGINT' THEN 'number_int' "
+    "WHEN 'BIGINT' THEN 'number_int' "
+    "WHEN 'DOUBLE' THEN 'number_float' "
+    "WHEN 'BOOLEAN' THEN 'boolean' ELSE 'null' END AS type FROM kv) "
+    "SELECT path, type, CAST(count(*) AS BIGINT) AS n FROM typed "
+    "GROUP BY 1, 2 "
+    "UNION ALL SELECT '$', 'object', CAST(count(*) AS BIGINT) "
+    "FROM events")
+def q_json_schema(sf_dir: str):
+    """JSON schema inference over the event props payload
+    (ops/strings.py::json_schema_profile) — per-(path, type)
+    observation counts, the ingest-time profiling pass.  Gate depth 2
+    (root + keys) matches the DuckDB json_keys/json_type oracle; the
+    deep/heterogeneous semantics (nested objects, arrays, type
+    conflicts, malformed docs) are pinned in tests/test_json_schema.py."""
+    from .ops.strings import json_schema_profile
+
+    return json_schema_profile(_t(sf_dir, "events", columns=["props"]),
+                               "props", max_depth=2)
