@@ -2485,3 +2485,53 @@ def q_fuzzy_token_pairs(sf_dir: str):
         .union(srcs),
         ["token"])
     return symspell_pairs(vocab, "token", max_dist=1)
+
+
+@_q("q_ccnet_buckets")
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek 2020): score every doc
+    under the corpus unigram LM, then split each LANGUAGE into
+    head/middle/tail by the exact per-language score terciles — the
+    quality-stratification capstone composed entirely from certified
+    operators (functions/lm.py::unigram_model/lm_scores +
+    ops/stats.py::grouped_quantile_exact).  Rows-only; per-lang
+    tercile fractions + ordering pinned in tests/test_ccnet.py."""
+    from .functions.lm import lm_scores, unigram_model
+    from .ops.join import hash_join
+    from .ops.stats import grouped_quantile_exact
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"]).materialize()
+    model_ref, _info = unigram_model(docs)
+    scores = lm_scores(docs, model_ref).map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "score": b.column("cross_entropy")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    s_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                          pa.field("score", pa.float64())])
+    d_schema = pa.schema([pa.field("doc_id", pa.int64()),
+                          pa.field("lang", pa.string())])
+    j = hash_join(scores, docs.select_columns(["doc_id", "lang"]),
+                  on="doc_id", right_on="doc_id", right_cols=["lang"],
+                  num_parts=DEFAULT.num_parts, left_schema=s_schema,
+                  right_schema=d_schema).materialize()
+    # per-lang terciles: lang dimension is bounded -> broadcast dict
+    q = grouped_quantile_exact(j.select_columns(["lang", "score"]),
+                               ["lang"], "score", [1 / 3, 2 / 3],
+                               out_cols=["q1", "q2"]).to_pandas()
+    cuts = {r.lang: (r.q1, r.q2) for r in q.itertuples()}
+
+    def label(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pylist()
+        s = b.column("score").to_numpy()
+        q1 = np.array([cuts[l][0] for l in lang])
+        q2 = np.array([cuts[l][1] for l in lang])
+        # CCNet convention: LOW perplexity = head (best)
+        bucket = np.where(s <= q1, "head",
+                          np.where(s <= q2, "middle", "tail"))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang": b.column("lang"),
+                         "score": pa.array(np.round(s, 6)),
+                         "bucket": pa.array(bucket, type=pa.string())})
+
+    return j.map_batches(label, batch_format="pyarrow",
+                         zero_copy_batch=True)
