@@ -865,3 +865,143 @@ def anova_oneway(ds, group_col: str, value_col: str, *,
          "df_between": pd.array([k - 1], dtype="int64"),
          "df_within": pd.array([N - k], dtype="int64"),
          "n": pd.array([N], dtype="int64")}))
+
+
+def _avg_ranks(ds, col: str, *, num_parts: int = 16):
+    """(value, avg_rank) over the non-null values of ``col``: the
+    tie-averaged rank  n_less + (n_eq + 1) / 2  per DISTINCT value —
+    the same range-partitioned prefix-sum plan as ks_two_sample.
+    Returns (rank_ds, n_total)."""
+    import polars as pl
+
+    from .agg import grouped_aggregate
+
+    cnt = grouped_aggregate(
+        ds.select_columns([col]).map_batches(
+            lambda t: t.filter(pc.is_valid(t[col])),
+            batch_format="pyarrow", zero_copy_batch=True),
+        [col], {"cnt": ("count", None)},
+        num_parts=num_parts).materialize()
+    lo = cnt.min(col)
+    hi = cnt.max(col)
+    if lo is None:
+        return None, 0
+    width = (float(hi) - float(lo)) or 1.0
+
+    def part_of(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy().astype(np.float64)
+        p = np.minimum(((x - float(lo)) / width * num_parts).astype(
+            np.int32), num_parts - 1)
+        return t.append_column("__rk_part", pa.array(p, type=pa.int32()))
+
+    def local_cum(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).sort(col)
+        df = df.with_columns(pl.col("cnt").cum_sum().alias("cum"))
+        return df.to_arrow().cast(pa.schema(
+            list(g.schema) + [pa.field("cum", pa.int64())]))
+
+    cum = (cnt.map_batches(part_of, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("__rk_part")
+           .map_groups(local_cum, batch_format="pyarrow",
+                       retry_exceptions=True).materialize())
+    tot = grouped_aggregate(cum.select_columns(["__rk_part", "cnt"]),
+                            ["__rk_part"], {"s": ("sum", "cnt")},
+                            num_parts=4).to_pandas()
+    off = np.zeros(num_parts + 1, dtype=np.int64)
+    sizes = np.zeros(num_parts, dtype=np.int64)
+    if len(tot):
+        sizes[tot["__rk_part"].to_numpy()] = tot["s"].to_numpy()
+    np.cumsum(sizes, out=off[1:])
+    n_total = int(off[-1])
+
+    def fin(t: pa.Table) -> pa.Table:
+        p = t.column("__rk_part").to_numpy()
+        cum = t.column("cum").to_numpy() + off[p]
+        c = t.column("cnt").to_numpy()
+        n_less = (cum - c).astype(np.float64)
+        avg = n_less + (c.astype(np.float64) + 1.0) / 2.0
+        return pa.table({col: t.column(col),
+                         "avg_rank": pa.array(avg, type=pa.float64())})
+
+    return cum.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True), n_total
+
+
+def spearman_corr(ds, x_col: str, y_col: str, *, num_parts: int = 16,
+                  round_to: int = 9):
+    """Spearman rank correlation of two numeric columns — the
+    monotone-association statistic (robust to outliers and nonlinear
+    scalings, the drift/association companion to Pearson corr):
+    Pearson correlation of the tie-averaged ranks.
+
+    Plan: one grouped count + prefix-sum pass per column for the
+    distinct-value average ranks, two bucketed joins to decorate rows,
+    then a 6-sum moment reduce (no exchange).  Rows with a null in
+    EITHER column are excluded (complete-cases, matching SQL window
+    behavior in the oracle).  Returns a one-row Dataset
+    (spearman_rho, n); NULL rho when n < 2 or either side is constant.
+    """
+    from .join import hash_join
+
+    ds = ds.select_columns([x_col, y_col]).map_batches(
+        lambda t: t.filter(pc.and_(pc.is_valid(t[x_col]),
+                                   pc.is_valid(t[y_col]))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    rx, _n = _avg_ranks(ds, x_col, num_parts=num_parts)
+    ry, _m = _avg_ranks(ds, y_col, num_parts=num_parts)
+    import pandas as pd
+    import ray.data as rd
+
+    if rx is None or ry is None:
+        return rd.from_pandas(pd.DataFrame(
+            {"spearman_rho": [None],
+             "n": pd.array([0], dtype="int64")}))
+
+    base = ds.schema().base_schema
+    xt = base.field(x_col).type
+    yt = base.field(y_col).type
+    d_schema = pa.schema([pa.field(x_col, xt), pa.field(y_col, yt)])
+    rx_schema = pa.schema([pa.field(x_col, xt),
+                           pa.field("avg_rank", pa.float64())])
+    j = hash_join(ds, rx, on=x_col, right_on=x_col,
+                  right_cols=["avg_rank"], num_parts=num_parts,
+                  left_schema=d_schema, right_schema=rx_schema)
+    j = j.map_batches(
+        lambda t: t.rename_columns([x_col, y_col, "rx"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j_schema = pa.schema([pa.field(x_col, xt), pa.field(y_col, yt),
+                          pa.field("rx", pa.float64())])
+    ry_schema = pa.schema([pa.field(y_col, yt),
+                           pa.field("avg_rank", pa.float64())])
+    j = hash_join(j, ry, on=y_col, right_on=y_col,
+                  right_cols=["avg_rank"], num_parts=num_parts,
+                  left_schema=j_schema, right_schema=ry_schema)
+
+    def part(t: pa.Table) -> pa.Table:
+        a = t.column("rx").to_numpy()
+        b = t.column("avg_rank").to_numpy()
+        return pa.table({
+            "n": pa.array([len(a)], type=pa.int64()),
+            "sa": pa.array([a.sum()]), "sb": pa.array([b.sum()]),
+            "saa": pa.array([(a * a).sum()]),
+            "sbb": pa.array([(b * b).sum()]),
+            "sab": pa.array([(a * b).sum()])})
+
+    p = j.map_batches(part, batch_format="pyarrow",
+                      zero_copy_batch=True).to_pandas()
+    n = int(p["n"].sum())
+    if n < 2:
+        return rd.from_pandas(pd.DataFrame(
+            {"spearman_rho": [None],
+             "n": pd.array([n], dtype="int64")}))
+    sa, sb = float(p["sa"].sum()), float(p["sb"].sum())
+    saa, sbb = float(p["saa"].sum()), float(p["sbb"].sum())
+    sab = float(p["sab"].sum())
+    ca = saa - sa * sa / n
+    cb = sbb - sb * sb / n
+    cab = sab - sa * sb / n
+    rho = cab / math.sqrt(ca * cb) if ca > 0 and cb > 0 else None
+    return rd.from_pandas(pd.DataFrame(
+        {"spearman_rho": [None if rho is None else round(rho, round_to)],
+         "n": pd.array([n], dtype="int64")}))

@@ -1888,3 +1888,26 @@ def q_json_schema(sf_dir: str):
 
     return json_schema_profile(_t(sf_dir, "events", columns=["props"]),
                                "props", max_depth=2)
+
+
+@_q("q_spearman_lineitem",
+    "WITH r AS (SELECT "
+    "rank() OVER (ORDER BY l_quantity) "
+    "+ (CAST(count(*) OVER (PARTITION BY l_quantity) AS DOUBLE) - 1) "
+    "/ 2 AS rx, "
+    "rank() OVER (ORDER BY l_extendedprice) "
+    "+ (CAST(count(*) OVER (PARTITION BY l_extendedprice) AS DOUBLE) "
+    "- 1) / 2 AS ry FROM lineitem) "
+    "SELECT round(corr(rx, ry), 9) AS spearman_rho, "
+    "CAST(count(*) AS BIGINT) AS n FROM r")
+def q_spearman_lineitem(sf_dir: str):
+    """Spearman rank correlation of quantity vs extended price
+    (ops/stats.py::spearman_corr) — tie-averaged ranks via the
+    range-partitioned prefix-sum plan, rank decoration by two bucketed
+    joins, one moment reduce.  Rounded 9 dp on both sides."""
+    from .ops.stats import spearman_corr
+
+    return spearman_corr(
+        _t(sf_dir, "lineitem",
+           columns=["l_quantity", "l_extendedprice"]),
+        "l_quantity", "l_extendedprice")

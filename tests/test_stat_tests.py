@@ -186,3 +186,50 @@ def test_anova_degenerate_cases():
                           "x": [3, 3, 3, 3]})
     out = anova_oneway(rd.from_pandas(const), "g", "x").to_pandas()
     assert pd.isna(out["f_stat"][0])  # zero within-variance
+
+
+def test_spearman_matches_scipy_formula():
+    from halvesting_geometric_ray.ops.stats import spearman_corr
+
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, 60, 800).astype(np.int64)  # heavy ties
+    y = (x * 3 + rng.integers(0, 40, 800)).astype(np.int64)
+    pdf = pd.DataFrame({"x": x, "y": y})
+    out = spearman_corr(rd.from_pandas(pdf), "x", "y").to_pandas()
+    # reference: Pearson corr of tie-averaged ranks
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert out["spearman_rho"][0] == pytest.approx(rho, abs=1e-9)
+    assert out["n"][0] == 800
+
+
+def test_spearman_matches_duckdb_window_oracle():
+    from halvesting_geometric_ray.ops.stats import spearman_corr
+
+    rng = np.random.default_rng(30)
+    pdf = pd.DataFrame({"x": rng.integers(0, 25, 500),
+                        "y": rng.normal(0, 1, 500).round(2)})
+    out = spearman_corr(rd.from_pandas(pdf), "x", "y").to_pandas()
+    exp = _duck(pdf, """
+      WITH r AS (SELECT
+        rank() OVER (ORDER BY x)
+          + (CAST(count(*) OVER (PARTITION BY x) AS DOUBLE) - 1)/2 AS rx,
+        rank() OVER (ORDER BY y)
+          + (CAST(count(*) OVER (PARTITION BY y) AS DOUBLE) - 1)/2 AS ry
+        FROM t)
+      SELECT round(corr(rx, ry), 9) AS rho FROM r""")
+    assert out["spearman_rho"][0] == pytest.approx(exp["rho"][0],
+                                                   abs=2e-9)
+
+
+def test_spearman_perfect_monotone_and_degenerate():
+    from halvesting_geometric_ray.ops.stats import spearman_corr
+
+    pdf = pd.DataFrame({"x": [1, 2, 3, 4, 5],
+                        "y": [10, 100, 1000, 10000, 100000]})
+    out = spearman_corr(rd.from_pandas(pdf), "x", "y").to_pandas()
+    assert out["spearman_rho"][0] == 1.0
+    const = pd.DataFrame({"x": [1, 1, 1], "y": [1, 2, 3]})
+    out = spearman_corr(rd.from_pandas(const), "x", "y").to_pandas()
+    assert pd.isna(out["spearman_rho"][0])
