@@ -2535,3 +2535,19 @@ def q_ccnet_buckets(sf_dir: str):
 
     return j.map_batches(label, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+@_q("q_coreset_select")
+def q_coreset_select(sf_dir: str):
+    """Facility-location coreset selection
+    (functions/coreset.py::facility_location_select): the k=16 most
+    REPRESENTATIVE embedding vectors by greedy submodular coverage —
+    the selection-side complement of SemDeDup's redundancy removal.
+    Rows-only; sequential-greedy parity + coverage-dominance tests in
+    tests/test_coreset.py."""
+    from .functions.coreset import facility_location_select
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out, _info = facility_location_select(emb, 16)
+    return out

@@ -1,0 +1,84 @@
+"""facility_location_select vs a sequential greedy oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.functions.coreset import (
+    facility_location_select)
+
+
+def _emb_ds(mat, ids=None):
+    ids = np.arange(len(mat)) if ids is None else np.asarray(ids)
+    t = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                  "embedding": pa.array(
+                      [list(map(float, r)) for r in mat],
+                      type=pa.list_(pa.float32()))})
+    return rd.from_arrow(t)
+
+
+def _seq_greedy(mat, ids, k):
+    c = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                         1e-300)
+    sims = np.clip(c @ c.T, 0.0, None)
+    best = np.zeros(len(ids))
+    chosen = []
+    gains = []
+    avail = set(range(len(ids)))
+    for _ in range(k):
+        g = np.maximum(sims - best[:, None], 0.0).sum(axis=0)
+        cand = sorted(avail, key=lambda j: (-g[j], ids[j]))
+        j = cand[0]
+        chosen.append(ids[j])
+        gains.append(g[j])
+        best = np.maximum(best, sims[:, j])
+        avail.discard(j)
+    return chosen, gains
+
+
+def test_matches_sequential_greedy():
+    rng = np.random.default_rng(3)
+    # float32 then back to float64: both paths see identical values
+    mat = rng.normal(0, 1, (80, 6)).astype(np.float32).astype(
+        np.float64)
+    ids = np.arange(100, 180)
+    out, info = facility_location_select(_emb_ds(mat, ids), 8)
+    exp_ids, exp_gains = _seq_greedy(mat, ids, 8)
+    assert list(out.vec_id) == exp_ids
+    assert np.allclose(out.gain, np.round(exp_gains, 9), atol=1e-6)
+    assert info["k"] == 8 and info["n"] == 80
+
+
+def test_cluster_coverage():
+    # 3 tight clusters: the first 3 picks land in 3 DIFFERENT clusters
+    rng = np.random.default_rng(9)
+    centers = np.array([[10, 0, 0], [0, 10, 0], [0, 0, 10]],
+                       dtype=float)
+    mat = np.vstack([c + rng.normal(0, .1, (30, 3)) for c in centers])
+    out, _ = facility_location_select(_emb_ds(mat), 3)
+    cluster = (out.vec_id // 30).to_numpy()
+    assert len(set(cluster)) == 3
+
+
+def test_stochastic_greedy_layout_invariant():
+    rng = np.random.default_rng(21)
+    mat = rng.normal(0, 1, (120, 5)).astype(np.float32).astype(
+        np.float64)
+    a, _ = facility_location_select(_emb_ds(mat), 5,
+                                    candidates_per_round=30, seed=2)
+    ds_b = _emb_ds(mat).repartition(7)
+    b, _ = facility_location_select(ds_b, 5,
+                                    candidates_per_round=30, seed=2)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_gain_monotone_nonincreasing_and_validation():
+    rng = np.random.default_rng(4)
+    mat = rng.normal(0, 1, (50, 4))
+    out, _ = facility_location_select(_emb_ds(mat), 6)
+    g = out.gain.to_numpy()
+    assert (np.diff(g) <= 1e-9).all()  # submodularity
+    with pytest.raises(ValueError):
+        facility_location_select(_emb_ds(mat), 0)
