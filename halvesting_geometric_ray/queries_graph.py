@@ -613,6 +613,43 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"UNION SELECT e.d, e.ts FROM walk w "
             f"JOIN e ON e.s = w.v AND e.ts >= w.t) "
             f"SELECT v AS url, min(t) AS arrival FROM walk GROUP BY v",
+        # one-row structural profile: every float reuses the exact
+        # expression of its standalone certified oracle (bitwise)
+        "q_graph_profile":
+            f"WITH RECURSIVE "
+            f"se AS (SELECT src_url AS a, dst_url AS b FROM {A} "
+            f"UNION SELECT dst_url, src_url FROM {A}), "
+            # NB: under WITH RECURSIVE a bare A-UNION-B CTE iterates
+            # with per-branch dedup only (the overlap double-counts) —
+            # wrap in an explicit DISTINCT
+            f"verts AS (SELECT DISTINCT url FROM {vert} vv), "
+            f"walk AS (SELECT url AS v, url AS reach FROM verts "
+            f"UNION SELECT w.v, se.b FROM walk w "
+            f"JOIN se ON se.a = w.reach), "
+            f"comp AS (SELECT v, min(reach) AS c FROM walk GROUP BY v), "
+            f"sz AS (SELECT c, count(*) AS n FROM comp GROUP BY c), "
+            f"und AS ({_UND_BODY.format(A=A)}), deg AS ({_DEG_BODY}), "
+            f"tri AS (SELECT count(*) AS t FROM und e1 "
+            f"JOIN und e2 ON e2.u = e1.v "
+            f"JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v), "
+            f"de AS (SELECT DISTINCT src_url AS s, dst_url AS d "
+            f"FROM {A} WHERE src_url <> dst_url), "
+            f"rec AS (SELECT count(*) AS ne, count(r.s) AS nr "
+            f"FROM de x LEFT JOIN de r ON x.s = r.d AND x.d = r.s), "
+            f"ed AS (SELECT da.deg AS x, db.deg AS y FROM und e "
+            f"JOIN deg da ON da.url = e.u JOIN deg db ON db.url = e.v), "
+            f"st AS (SELECT CAST(2 * count(*) AS BIGINT) AS m, "
+            f"CAST(sum(x) + sum(y) AS BIGINT) AS sx, "
+            f"CAST(2 * sum(x * y) AS BIGINT) AS sxy, "
+            f"CAST(sum(x * x) + sum(y * y) AS BIGINT) AS sxx FROM ed) "
+            f"SELECT (SELECT count(*) FROM verts) AS n_vertices, "
+            f"(SELECT count(*) FROM de) AS n_edges, "
+            f"(SELECT count(*) FROM sz) AS n_components, "
+            f"(SELECT CAST(max(n) AS BIGINT) FROM sz) AS largest_cc, "
+            f"(SELECT t FROM tri) AS n_triangles, "
+            f"(SELECT CAST(nr AS DOUBLE) / ne FROM rec) AS reciprocity, "
+            f"(SELECT CAST(m * sxy - sx * sx AS DOUBLE) "
+            f"/ (m * sxx - sx * sx) FROM st) AS assortativity",
     }
 
 
@@ -3234,3 +3271,41 @@ def q_bridges(sf_dir: str):
         lambda t: pa.table({"url_u": t.column("url_u"),
                             "url_v": t.column("url")}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+@_q("q_graph_profile")
+def q_graph_profile(sf_dir: str):
+    """One-row graph profile capstone: the structural summary a user
+    reads FIRST on any new crawl — vertex/edge counts, component
+    census, triangles, reciprocity, degree assortativity — composed
+    entirely from the individually gate-certified operators; every
+    float is the same single division of exact ints as its standalone
+    oracle (bitwise)."""
+    import pandas as pd
+
+    from .graph.components import connected_components
+    from .graph.metrics import degree_assortativity, reciprocity
+    from .graph.triangles import triangles_edges
+    from .ops.agg import grouped_aggregate
+
+    g = gate_graph()
+    edges = read_layer(g.edges)
+    n_vertices = read_layer(g.vertices, columns=["vid"]).count()
+    rec = reciprocity(edges)
+    assort = degree_assortativity(edges)
+    _per, n_tri = triangles_edges(edges)
+    labels, _ = connected_components(
+        symmetrize(edges, dedup=False), g.offsets, g.workdir)
+    sz = grouped_aggregate(labels.select_columns(["label"]), ["label"],
+                           {"n": ("count", None)},
+                           num_parts=DEFAULT.num_parts).materialize()
+    n_components = sz.count()
+    largest = int(sz.max("n"))
+    return pd.DataFrame({
+        "n_vertices": pd.array([n_vertices], dtype="int64"),
+        "n_edges": pd.array([rec["n_edges"]], dtype="int64"),
+        "n_components": pd.array([n_components], dtype="int64"),
+        "largest_cc": pd.array([largest], dtype="int64"),
+        "n_triangles": pd.array([int(n_tri)], dtype="int64"),
+        "reciprocity": [rec["reciprocity"]],
+        "assortativity": [assort["assortativity"]]})
