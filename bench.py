@@ -32,7 +32,8 @@ BENCH_KEYS_RELATIONAL = ["q_pricing_summary", "q_priority_revenue",
                          "q_merge_intervals", "q_crawl_overlap",
                          "q_shape_stats", "q_validate_lineitem",
                          "q_ks_drift", "q_chi2_lang_source",
-                         "q_butterflies"]
+                         "q_butterflies", "q_spearman_lineitem",
+                         "q_anova_doclen", "q_json_schema"]
 BENCH_KEYS_TEXT = ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
                    "q_dedup_exact", "q_span_dedup", "q_substring_dedup",
                    "q_tfidf",
@@ -40,14 +41,15 @@ BENCH_KEYS_TEXT = ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
                    "q_knn_cosine_pq", "q_edit_neardup",
                    "q_unigram_train", "q_search_bm25",
                    "q_kneser_ney", "q_blocklist",
-                   "q_fuzzy_token_pairs", "q_outlier_scores"]
+                   "q_fuzzy_token_pairs", "q_outlier_scores",
+                   "q_ccnet_buckets", "q_coreset_select"]
 BENCH_KEYS_GRAPH = ["q_louvain", "q_word2vec_embeddings",
                     "q_link_prediction_auc", "q_host_backbone_mst",
                     "q_ldg_partition", "q_multilevel_partition",
                     "q_hdrf_partition", "q_mirror_pages",
                     "q_spectral_clusters", "q_triangles_apx",
                     "q_host_backbone_disparity", "q_fourcycles",
-                    "q_temporal_reach"]
+                    "q_temporal_reach", "q_graph_profile"]
 
 
 def run_bench() -> dict:
