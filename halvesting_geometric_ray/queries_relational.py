@@ -1911,3 +1911,34 @@ def q_spearman_lineitem(sf_dir: str):
         _t(sf_dir, "lineitem",
            columns=["l_quantity", "l_extendedprice"]),
         "l_quantity", "l_extendedprice")
+
+
+@_q("q_psi_drift",
+    "WITH u AS (SELECT CASE WHEN n_chars < 50 THEN 0 ELSE "
+    "least(CAST(floor((n_chars - 50) / 50.0) AS BIGINT) + 1, 11) END "
+    "AS b, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ia, "
+    "CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS ib "
+    "FROM documents WHERE source IN ('src0', 'src1')), "
+    "g AS (SELECT b, sum(ia) AS ca, sum(ib) AS cb FROM u GROUP BY b), "
+    "t AS (SELECT CAST(sum(ia) AS DOUBLE) AS na, "
+    "CAST(sum(ib) AS DOUBLE) AS nb FROM u) "
+    "SELECT round(sum(CASE WHEN ca > 0 AND cb > 0 THEN "
+    "(ca / t.na - cb / t.nb) * ln((ca / t.na) / (cb / t.nb)) "
+    "ELSE 0 END), 9) AS psi, "
+    "CAST(count(*) FILTER (WHERE ca > 0 AND cb > 0) AS BIGINT) "
+    "AS n_bins_used, "
+    "CAST(count(*) FILTER (WHERE ca = 0 OR cb = 0) AS BIGINT) "
+    "AS n_bins_skipped, "
+    "CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b "
+    "FROM g CROSS JOIN t GROUP BY t.na, t.nb")
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index between two crawl sources over
+    explicit doc-length bins (ops/stats.py::psi_drift) — the
+    production drift monitor next to q_ks_drift/q_chi2; exact-int bin
+    fractions, empty-bin skip convention, 9 dp both sides."""
+    from .ops.stats import psi_drift
+
+    return psi_drift(
+        _t(sf_dir, "documents", columns=["source", "n_chars"]),
+        "source", "n_chars", "src0", "src1",
+        boundaries=np.linspace(50.0, 550.0, 11))

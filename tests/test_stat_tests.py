@@ -233,3 +233,47 @@ def test_spearman_perfect_monotone_and_degenerate():
     const = pd.DataFrame({"x": [1, 1, 1], "y": [1, 2, 3]})
     out = spearman_corr(rd.from_pandas(const), "x", "y").to_pandas()
     assert pd.isna(out["spearman_rho"][0])
+
+
+def test_psi_matches_reference_formula():
+    from halvesting_geometric_ray.ops.stats import psi_drift
+
+    rng = np.random.default_rng(15)
+    n = 2000
+    g = np.where(rng.random(n) < 0.5, "a", "b")
+    x = np.where(g == "a", rng.normal(100, 20, n),
+                 rng.normal(115, 25, n)).astype(np.int64)
+    pdf = pd.DataFrame({"g": g, "x": x})
+    edges = np.linspace(40.0, 200.0, 9)
+    out = psi_drift(rd.from_pandas(pdf), "g", "x", "a", "b",
+                    boundaries=edges).to_pandas()
+    # reference: same lower-edge-inclusive binning
+    def bins(v):
+        return np.searchsorted(edges, v, side="right")
+
+    xa, xb = x[g == "a"], x[g == "b"]
+    psi = 0.0
+    used = 0
+    for bin_ in range(len(edges) + 1):
+        p = (bins(xa) == bin_).sum() / len(xa)
+        q = (bins(xb) == bin_).sum() / len(xb)
+        if p > 0 and q > 0:
+            psi += (p - q) * np.log(p / q)
+            used += 1
+    assert out["psi"][0] == pytest.approx(psi, abs=1e-9)
+    assert out["n_bins_used"][0] == used
+    assert out["n_a"][0] == len(xa) and out["n_b"][0] == len(xb)
+
+
+def test_psi_identical_zero_and_validation():
+    from halvesting_geometric_ray.ops.stats import psi_drift
+
+    pdf = pd.DataFrame({"g": ["a"] * 100 + ["b"] * 100,
+                        "x": list(range(100)) * 2})
+    out = psi_drift(rd.from_pandas(pdf), "g", "x", "a", "b",
+                    boundaries=[0.0, 25.0, 50.0, 75.0, 100.0]
+                    ).to_pandas()
+    assert out["psi"][0] == 0.0
+    with pytest.raises(ValueError):
+        psi_drift(rd.from_pandas(pdf), "g", "x", "a", "b",
+                  boundaries=[1.0])
