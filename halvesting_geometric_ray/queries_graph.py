@@ -3309,3 +3309,24 @@ def q_graph_profile(sf_dir: str):
         "n_triangles": pd.array([int(n_tri)], dtype="int64"),
         "reciprocity": [rec["reciprocity"]],
         "assortativity": [assort["assortativity"]]})
+
+
+@_q("q_motif_significance")
+def q_motif_significance(sf_dir: str):
+    """Triangle significance vs the configuration-model null
+    (graph/nullmodel.py): degree-preserving deterministic rewiring,
+    then the exact triangle counter on both graphs — is the link
+    graph's clustering explained by its degree sequence alone?
+    Rows-only; degree-preservation/determinism/clustering-destruction
+    pinned in tests/test_nullmodel.py."""
+    import pandas as pd
+
+    from .graph.nullmodel import motif_significance
+
+    g = gate_graph()
+    sig = motif_significance(read_layer(g.edges))
+    return pd.DataFrame({
+        "n_triangles": pd.array([sig["n_triangles"]], dtype="int64"),
+        "n_triangles_null": pd.array([sig["n_triangles_null"]],
+                                     dtype="int64"),
+        "ratio": [sig["ratio"]]})
