@@ -2551,3 +2551,86 @@ def q_coreset_select(sf_dir: str):
                           columns=["vec_id", "embedding"])
     out, _info = facility_location_select(emb, 16)
     return out
+
+
+@_q("q_knn_classifier",
+    "WITH e AS (SELECT vec_id, embedding, label FROM embeddings), "
+    "s AS (SELECT a.vec_id AS q, b.vec_id AS nb, b.label AS nl, "
+    "list_cosine_similarity(a.embedding, b.embedding) AS sim "
+    "FROM e a JOIN e b ON a.vec_id <> b.vec_id), "
+    "r AS (SELECT q, nl, row_number() OVER "
+    "(PARTITION BY q ORDER BY sim DESC, nb) AS rk FROM s), "
+    "votes AS (SELECT q, nl, count(*) AS c FROM r WHERE rk <= 5 "
+    "GROUP BY 1, 2), "
+    "pred AS (SELECT q, nl AS predicted FROM "
+    "(SELECT q, nl, c, row_number() OVER "
+    "(PARTITION BY q ORDER BY c DESC, nl) AS vr FROM votes) "
+    "WHERE vr = 1) "
+    "SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, "
+    "CAST(p.predicted AS BIGINT) AS predicted, "
+    "e.label = p.predicted AS correct "
+    "FROM e JOIN pred p ON p.q = e.vec_id")
+def q_knn_classifier(sf_dir: str):
+    """Leave-one-out 5-NN majority-label classification over the
+    embedding table — the standard embedding-quality probe (does the
+    space cluster by label?).  Composes the exact knn_cosine operator
+    with a broadcast label lookup + deterministic majority (ties ->
+    smallest label).  SQL-oracled via DuckDB list_cosine_similarity
+    + window ranks."""
+    import polars as pl
+
+    from .functions.similarity import knn_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).materialize()
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    labels_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "label"])
+    lab = dict(zip(labels_t.column("vec_id").to_pylist(),
+                   labels_t.column("label").to_pylist()))
+    top = knn_cosine(emb, full, k=5)  # (query_id, neighbor_id, rnk)
+
+    def vote(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        df = df.with_columns(pl.col("neighbor_id")
+                             .replace_strict(lab).alias("nl"))
+        v = (df.group_by(["query_id", "nl"]).len(name="c")
+             .sort(["query_id", "c", "nl"],
+                   descending=[False, True, False])
+             .group_by("query_id", maintain_order=True).first())
+        return v.select(
+            pl.col("query_id").alias("vec_id"),
+            pl.col("nl").alias("predicted")).to_arrow().cast(
+            pa.schema([pa.field("vec_id", pa.int64()),
+                       pa.field("predicted", pa.int64())]))
+
+    # per-query votes need all 5 neighbor rows of a query together:
+    # knn_cosine's groupby(query_id) output blocks already satisfy
+    # that, but make it explicit with one key-grouped pass
+    from .ops._util import pre_shuffle
+
+    def addkey(b: pa.Table) -> pa.Table:
+        h = (b.column("query_id").to_numpy() % 16).astype(np.int32)
+        return b.append_column("__vk", pa.array(h))
+
+    voted = (pre_shuffle(top.map_batches(addkey, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+             .groupby("__vk")
+             .map_groups(lambda g: vote(g.drop_columns(["__vk"])),
+                         batch_format="pyarrow",
+                         retry_exceptions=True))
+
+    def fin(b: pa.Table) -> pa.Table:
+        vid = b.column("vec_id").to_pylist()
+        true = pa.array([lab[v] for v in vid], type=pa.int64())
+        pred = b.column("predicted")
+        import pyarrow.compute as pc_
+
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "label": true,
+                         "predicted": pred,
+                         "correct": pc_.equal(true, pred)})
+
+    return voted.map_batches(fin, batch_format="pyarrow",
+                             zero_copy_batch=True)

@@ -82,3 +82,35 @@ def test_gain_monotone_nonincreasing_and_validation():
     assert (np.diff(g) <= 1e-9).all()  # submodularity
     with pytest.raises(ValueError):
         facility_location_select(_emb_ds(mat), 0)
+
+
+def test_knn_classifier_matches_bruteforce():
+    """q_knn_classifier vs a numpy leave-one-out 5-NN majority oracle
+    on the sf0.001 fixture (the fixture labels are NOT clustered —
+    accuracy is chance; the contract is exact prediction parity)."""
+    import pyarrow.parquet as pq
+
+    from halvesting_geometric_ray.queries_text import QUERIES
+
+    out = (QUERIES["q_knn_classifier"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    lab = np.asarray(t.column("label").to_pylist())
+    mat = np.asarray([np.asarray(v, dtype=np.float64)
+                      for v in t.column("embedding").to_pylist()])
+    c = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                         1e-300)
+    sims = c @ c.T
+    order = np.argsort(ids)
+    assert (ids[order] == out.vec_id.to_numpy()).all()
+    for row_i, i in enumerate(order):
+        s = sims[i].copy()
+        s[i] = -np.inf
+        top = np.lexsort((ids, -s))[:5]
+        votes = {}
+        for j in top:
+            votes[lab[j]] = votes.get(lab[j], 0) + 1
+        pred = sorted(votes, key=lambda l: (-votes[l], l))[0]
+        assert out.predicted.iloc[row_i] == pred, ids[i]
+    assert out.vec_id.is_unique
