@@ -931,3 +931,58 @@ def cms_join_size(left, left_col: str, right, right_col: str, *,
     return {"estimate": cms_inner_product(sa, sb),
             "n_left": nl, "n_right": nr,
             "bound_excess": float(np.e / width) * nl * nr}
+
+
+# ---- AMS F2 (second frequency moment / self-join size) -----------------
+
+def ams_f2_build(ds, col: str, *, width: int = 64, depth: int = 5,
+                 seed: int = 42) -> np.ndarray:
+    """AMS second-moment sketch (Alon-Matias-Szegedy 1996): a
+    (depth*width,) int64 counter vector; counter i accumulates
+    sum over rows of sign_i(key) with sign_i a stable +-1 hash.
+    E[Z_i^2] = F2 = sum over keys of count^2 (the SELF-JOIN size);
+    the estimator is a median-of-means over the independent counters
+    (Var[Z^2] <= 2*F2^2 per counter -> relative error ~sqrt(2/width)
+    w.h.p. after the depth-median).
+
+    Mergeable: counters SUM across blocks/partitions (the tree-merge
+    law every sketch here obeys), so the pass is one per-block partial
+    + driver vector sum — bitwise partitioning-invariant.
+    """
+    from ..functions.hashing import stable_hash64
+
+    r = width * depth
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = stable_hash64(b.column(col), seed=seed).astype(np.uint64)
+        z = np.zeros(r, dtype=np.int64)
+        for i in range(r):
+            # per-counter sign: parity of a mixed (h, i) hash
+            x = h * np.uint64(0x9E3779B97F4A7C15) ^ np.uint64(
+                (0xD1B54A32D192ED03 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            sign = ((x >> np.uint64(63)).astype(np.int64) * 2) - 1
+            z[i] = int(sign.sum())
+        return pa.table({"i": pa.array(np.arange(r, dtype=np.int64)),
+                         "z": pa.array(z)})
+
+    p = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = np.zeros(r, dtype=np.int64)
+    if len(p):
+        agg = p.groupby("i")["z"].sum()
+        out[agg.index.to_numpy()] = agg.to_numpy()
+    return out
+
+
+def ams_f2_estimate(sketch: np.ndarray, *, width: int = 64,
+                    depth: int = 5) -> float:
+    """Median over depth groups of the mean over width counters of
+    Z^2 — the F2 / self-join-size estimate."""
+    z = np.asarray(sketch, dtype=np.float64)
+    if z.size != width * depth:
+        raise ValueError("sketch shape mismatch")
+    means = (z.reshape(depth, width) ** 2).mean(axis=1)
+    return float(np.median(means))

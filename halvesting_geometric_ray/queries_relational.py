@@ -1942,3 +1942,34 @@ def q_psi_drift(sf_dir: str):
         _t(sf_dir, "documents", columns=["source", "n_chars"]),
         "source", "n_chars", "src0", "src1",
         boundaries=np.linspace(50.0, 550.0, 11))
+
+
+@_q("q_selfjoin_size",
+    "SELECT CAST(sum(c * c) AS BIGINT) AS selfjoin_size, "
+    "count(*) AS n_keys FROM "
+    "(SELECT count(*) AS c FROM events GROUP BY user_id)")
+def q_selfjoin_size(sf_dir: str):
+    """Exact self-join size F2 = sum of squared key frequencies over
+    the event stream — the join-planning statistic the AMS sketch
+    (ops/sketch.py::ams_f2_build) estimates in sublinear space; the
+    sketch's error bound is pinned against this exact value in
+    tests/test_sketch_f2.py."""
+    import pandas as pd
+
+    from .ops.agg import grouped_aggregate
+
+    cnt = grouped_aggregate(
+        _t(sf_dir, "events", columns=["user_id"]), ["user_id"],
+        {"c": ("count", None)})
+
+    def part(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy()
+        return pa.table({"s": pa.array([int((c * c).sum())],
+                                       type=pa.int64()),
+                         "k": pa.array([len(c)], type=pa.int64())})
+
+    p = cnt.map_batches(part, batch_format="pyarrow",
+                        zero_copy_batch=True).to_pandas()
+    return pd.DataFrame({
+        "selfjoin_size": pd.array([int(p["s"].sum())], dtype="int64"),
+        "n_keys": pd.array([int(p["k"].sum())], dtype="int64")})
