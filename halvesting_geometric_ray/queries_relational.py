@@ -1973,3 +1973,41 @@ def q_selfjoin_size(sf_dir: str):
     return pd.DataFrame({
         "selfjoin_size": pd.array([int(p["s"].sum())], dtype="int64"),
         "n_keys": pd.array([int(p["k"].sum())], dtype="int64")})
+
+
+@_q("q_window_distinct_users",
+    "SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) "
+    "AS day_bucket, count(DISTINCT user_id) AS n_users, "
+    "count(*) AS n_events FROM events GROUP BY day_bucket")
+def q_window_distinct_users(sf_dir: str):
+    """Daily-window distinct active users — the DAU panel: tumbling
+    bucket assignment (stateless map) + exact grouped COUNT DISTINCT
+    (ops/distinct.py::grouped_count_distinct, in-batch dedup before
+    the exchange) + event counts, one pass."""
+    from .ops.distinct import grouped_count_distinct
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({
+            "day_bucket": pa.array(ts // 86400000000, type=pa.int64()),
+            "user_id": b.column("user_id")})
+
+    bd = ds.map_batches(bucket, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+    du = grouped_count_distinct(bd, "day_bucket", "user_id",
+                                out_col="n_users")
+    ev = grouped_aggregate(bd.select_columns(["day_bucket"]),
+                           ["day_bucket"],
+                           {"n_events": ("count", None)})
+    from .ops.join import hash_join
+
+    du_schema = pa.schema([pa.field("day_bucket", pa.int64()),
+                           pa.field("n_users", pa.int64())])
+    ev_schema = pa.schema([pa.field("day_bucket", pa.int64()),
+                           pa.field("n_events", pa.int64())])
+    return hash_join(du, ev, on="day_bucket", right_on="day_bucket",
+                     right_cols=["n_events"],
+                     num_parts=DEFAULT.num_parts,
+                     left_schema=du_schema, right_schema=ev_schema)
