@@ -143,7 +143,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_component_sizes", "q_graph_vertices", "q_graph_edges",
     "q_pagerank_top20", "q_binary_decode", "q_simhash",
     "q_outlier_scores", "q_mmr_rerank", "q_bridges", "q_ccnet_buckets",
-    "q_coreset_select", "q_motif_significance",
+    "q_coreset_select", "q_motif_significance", "q_dbscan_embeddings",
 ]
 
 

@@ -330,3 +330,125 @@ def kmeans_parallel_init(embeddings, k: int, *,
         d2c = np.minimum(d2c,
                          ((cand - cand[chosen[-1]]) ** 2).sum(axis=1))
     return cand[np.asarray(chosen, dtype=np.int64)]
+
+
+def dbscan_cosine(embeddings, *, threshold: float = 0.8,
+                  min_pts: int = 4, col: str = "embedding",
+                  pair_cap: int = 2_000_000, num_parts: int = 16):
+    """DBSCAN over the cosine eps-neighbor graph (Ester 1996), the
+    density companion to kmeans/SemDeDup: arbitrary-shape clusters +
+    an explicit NOISE class (kmeans forces every junk vector into some
+    cluster; DBSCAN names it).
+
+    eps-neighborhood = cosine >= ``threshold``; a point is CORE when
+    its neighborhood (itself included) holds >= ``min_pts`` points;
+    clusters = connected components of the core-core graph, labeled by
+    min core vec_id; non-core points with a core neighbor are BORDER
+    (assigned the min label among their core neighbors — the
+    deterministic resolution of DBSCAN's border ambiguity); the rest
+    is NOISE (cluster = -1).
+
+    Plan: one exact pair pass (functions/similarity.py::cosine_pairs —
+    swap in the LSH variant for the 100 TB path), one degree
+    aggregation, core-core CC via the driver union-find under
+    ``pair_cap`` (the curation-pipeline regime split; past the cap the
+    shard-actor CC engine takes over), one border join.  Returns a
+    Dataset (vec_id, cluster, role).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..ops.agg import grouped_aggregate
+    from ..ops.join import broadcast_lookup
+    from .similarity import cosine_pairs
+
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+
+    emb = embeddings.select_columns(["vec_id", col]).materialize()
+    pairs = cosine_pairs(emb, threshold, col=col).materialize()
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        return pa.table({"v": pa.array(np.concatenate([a, bb])),
+                         "w": pa.array(np.concatenate([bb, a]))})
+
+    adj = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    deg = grouped_aggregate(adj.select_columns(["v"]), ["v"],
+                            {"deg": ("count", None)},
+                            num_parts=num_parts).to_pandas()
+    # neighborhood includes the point itself
+    core_ids = np.sort(deg.loc[deg["deg"] >= min_pts - 1, "v"]
+                       .to_numpy().astype(np.int64))
+
+    # core-core CC (driver union-find under the cap, as in curation)
+    n_pairs = pairs.count()
+    if n_pairs > pair_cap:
+        raise NotImplementedError(
+            "pair volume past pair_cap: wire the shard-actor CC "
+            "engine as in pipelines/curation.py (documented regime)")
+    if n_pairs:
+        tbl = pa.concat_tables([t for t in map(ray.get,
+                                               pairs.to_arrow_refs())
+                                if t.num_rows])
+        a = tbl.column("a").to_numpy()
+        b2 = tbl.column("b").to_numpy()
+    else:
+        a = b2 = np.array([], dtype=np.int64)
+    is_core_a = np.isin(a, core_ids)
+    is_core_b = np.isin(b2, core_ids)
+    cc_a, cc_b = a[is_core_a & is_core_b], b2[is_core_a & is_core_b]
+    parent = np.arange(len(core_ids))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ia = np.searchsorted(core_ids, cc_a)
+    ib = np.searchsorted(core_ids, cc_b)
+    for x, y in zip(ia, ib):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    core_label = core_ids[np.array([find(i)
+                                    for i in range(len(core_ids))],
+                                   dtype=np.int64)] \
+        if len(core_ids) else np.array([], dtype=np.int64)
+    lab = dict(zip(core_ids.tolist(), core_label.tolist()))
+
+    # border: min core-neighbor label per non-core endpoint
+    border: dict = {}
+    for v, w in zip(np.concatenate([a, b2]), np.concatenate([b2, a])):
+        if v not in lab and w in lab:
+            cand = lab[int(w)]
+            if int(v) not in border or cand < border[int(v)]:
+                border[int(v)] = cand
+
+    lab_ref = ray.put((lab, border))
+
+    def assign(b: pa.Table) -> pa.Table:
+        labs, borders = ray.get(lab_ref)
+        vid = b.column("vec_id").to_pylist()
+        cl = np.empty(len(vid), dtype=np.int64)
+        role = []
+        for i, v in enumerate(vid):
+            if v in labs:
+                cl[i] = labs[v]
+                role.append("core")
+            elif v in borders:
+                cl[i] = borders[v]
+                role.append("border")
+            else:
+                cl[i] = -1
+                role.append("noise")
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "cluster": pa.array(cl),
+                         "role": pa.array(role, type=pa.string())})
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)

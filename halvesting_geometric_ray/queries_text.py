@@ -2634,3 +2634,16 @@ def q_knn_classifier(sf_dir: str):
 
     return voted.map_batches(fin, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+@_q("q_dbscan_embeddings")
+def q_dbscan_embeddings(sf_dir: str):
+    """Density clustering with an explicit noise class over the
+    embedding table (functions/clustering.py::dbscan_cosine) — the
+    arbitrary-shape companion to q_kmeans/q_semantic_dedup.  Rows-only;
+    brute-force DBSCAN parity in tests/test_dbscan.py."""
+    from .functions.clustering import dbscan_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return dbscan_cosine(emb, threshold=0.5, min_pts=4)
