@@ -62,7 +62,7 @@ def main(argv=None) -> int:
                  "embed", "linkpred", "propagate", "salsa", "simrank",
                  "partition", "hdrf", "wl", "triads", "cliques4",
                  "scan", "redirects", "spectral", "backbone",
-                 "triangles-apx"):
+                 "triangles-apx", "bridges", "summary"):
         sp = sub.add_parser(name)
         common(sp)
         if name == "anf":
@@ -832,6 +832,31 @@ def main(argv=None) -> int:
                 "n_closed": info.get("n_closed", 0),
                 "kappa": info.get("kappa", 0.0),
                 "triangles_est": info.get("triangles_est", 0.0)}
+        if args.cmd == "bridges":
+            from .graph.bridges import bridges as _bridges
+            import os
+
+            bds, l2, binfo = _bridges(edges, g.offsets, args.workdir,
+                                      cfg)
+            bds.write_parquet(os.path.join(args.workdir, "bridges"))
+            l2.write_parquet(os.path.join(args.workdir, "twoecc"))
+            out["bridges"] = {"n_bridges": binfo["n_bridges"],
+                              "max_depth": binfo["max_depth"],
+                              "n_roots": binfo["n_roots"]}
+        if args.cmd == "summary":
+            from .graph.metrics import (degree_assortativity,
+                                        reciprocity)
+            from .graph.triangles import triangles_edges
+
+            rec = reciprocity(edges, cfg)
+            assort = degree_assortativity(edges, cfg)
+            _pt, ntri = triangles_edges(edges, cfg)
+            out["summary"] = {
+                "n_vertices": g.num_vertices,
+                "n_edges": rec["n_edges"],
+                "n_triangles": int(ntri),
+                "reciprocity": rec["reciprocity"],
+                "assortativity": assort["assortativity"]}
         if args.cmd == "scan":
             from .graph.scan import scan_clusters
             import os

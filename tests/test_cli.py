@@ -344,3 +344,23 @@ def test_cli_spectral_backbone_apx(tmp_path, capsys, tiny_pages_dir):
                  "--k-samples", "2000"]) == 0
     ta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ta["triangles_apx"]["n_wedges"] > 0
+
+
+def test_cli_bridges_summary(tmp_path, capsys, tiny_pages_dir):
+    """`bridges` / `summary`: cut-edge census + one-shot profile."""
+    wd = str(tmp_path / "wd_br")
+    assert main(["build", "--pages", tiny_pages_dir,
+                 "--workdir", wd]) == 0
+    capsys.readouterr()
+    assert main(["bridges", "--workdir", wd]) == 0
+    br = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["bridges"]
+    assert br["n_bridges"] >= 0 and br["n_roots"] >= 1
+    if br["n_bridges"]:  # empty datasets write no parquet files
+        b = rd.read_parquet(os.path.join(wd, "bridges")).to_pandas()
+        assert len(b) == br["n_bridges"]
+    assert main(["summary", "--workdir", wd]) == 0
+    sm = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["summary"]
+    assert sm["n_vertices"] > 0 and sm["n_edges"] > 0
+    assert 0.0 <= sm["reciprocity"] <= 1.0
