@@ -49,8 +49,8 @@ def entry() -> Any:
 # q_components/q_triangles by the gate-certified *_urls versions,
 # q_knn_cosine_lsh/_ivf by pytest recall tests + the exact q_knn_cosine).
 # Oracled queries demoted to the overflow position when the oracled set
-# exceeds the driver's ~50-entry recording window: 135 oracled queries,
-# so the 85 listed here land outside the recorded window.  Every one
+# exceeds the driver's ~50-entry recording window: 141 oracled queries,
+# so the 91 listed here land outside the recorded window.  Every one
 # still registers its SQL in oracle_sql() AND carries an exact
 # DuckDB-parity pytest oracle (tests/test_window.py, test_pivot.py,
 # test_outer_join.py, test_tfidf.py, test_distinct.py,

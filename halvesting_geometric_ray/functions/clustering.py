@@ -359,8 +359,6 @@ def dbscan_cosine(embeddings, *, threshold: float = 0.8,
     import ray
     import ray.data as rd
 
-    from ..ops.agg import grouped_aggregate
-    from ..ops.join import broadcast_lookup
     from .similarity import cosine_pairs
 
     if min_pts < 1:
@@ -369,22 +367,7 @@ def dbscan_cosine(embeddings, *, threshold: float = 0.8,
     emb = embeddings.select_columns(["vec_id", col]).materialize()
     pairs = cosine_pairs(emb, threshold, col=col).materialize()
 
-    def both_dirs(b: pa.Table) -> pa.Table:
-        a = b.column("a").to_numpy()
-        bb = b.column("b").to_numpy()
-        return pa.table({"v": pa.array(np.concatenate([a, bb])),
-                         "w": pa.array(np.concatenate([bb, a]))})
-
-    adj = pairs.map_batches(both_dirs, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-    deg = grouped_aggregate(adj.select_columns(["v"]), ["v"],
-                            {"deg": ("count", None)},
-                            num_parts=num_parts).to_pandas()
-    # neighborhood includes the point itself
-    core_ids = np.sort(deg.loc[deg["deg"] >= min_pts - 1, "v"]
-                       .to_numpy().astype(np.int64))
-
-    # core-core CC (driver union-find under the cap, as in curation)
+    # cap check FIRST (before any work proportional to pair volume)
     n_pairs = pairs.count()
     if n_pairs > pair_cap:
         raise NotImplementedError(
@@ -398,6 +381,17 @@ def dbscan_cosine(embeddings, *, threshold: float = 0.8,
         b2 = tbl.column("b").to_numpy()
     else:
         a = b2 = np.array([], dtype=np.int64)
+    # degrees on the (under-cap) driver arrays — the distributed
+    # aggregate would duplicate this exact work
+    ends, cnts = np.unique(np.concatenate([a, b2]),
+                           return_counts=True)
+    if min_pts <= 1:
+        # every point's neighborhood (itself included) >= 1: ALL
+        # points are core — including isolated ones absent from pairs
+        core_ids = np.sort(emb.select_columns(["vec_id"]).to_pandas()
+                           ["vec_id"].to_numpy().astype(np.int64))
+    else:
+        core_ids = np.sort(ends[cnts >= min_pts - 1].astype(np.int64))
     is_core_a = np.isin(a, core_ids)
     is_core_b = np.isin(b2, core_ids)
     cc_a, cc_b = a[is_core_a & is_core_b], b2[is_core_a & is_core_b]

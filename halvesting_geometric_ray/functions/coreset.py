@@ -59,9 +59,7 @@ def facility_location_select(embeddings, k: int, *,
     if k < 1:
         raise ValueError("k must be >= 1")
 
-    emb = embeddings.select_columns(["vec_id", col]).map_batches(
-        lambda b: b, batch_format="pyarrow",
-        zero_copy_batch=True).materialize()
+    emb = embeddings.select_columns(["vec_id", col]).materialize()
     n = emb.count()
     if n == 0:
         raise ValueError("empty embedding table")
@@ -87,7 +85,7 @@ def facility_location_select(embeddings, k: int, *,
             def draw(b: pa.Table, r=rnd) -> pa.Table:
                 h = stable_hash64(b.column("vec_id"),
                                   seed=seed + 1000 * r)
-                keep = h % max(1, n // m + 1) == 0
+                keep = h % max(1, round(n / m)) == 0
                 return b.filter(pa.array(keep))
 
             cand_pool = cache.map_batches(

@@ -1864,10 +1864,18 @@ def q_anova_doclen(sf_dir: str):
 
 
 @_q("q_json_schema",
-    "WITH kv AS (SELECT props, unnest(json_keys(props)) AS k "
-    "FROM events), "
+    "WITH dt AS (SELECT CASE WHEN j IS NULL THEN 'null' "
+    "WHEN NOT json_valid(j) THEN 'invalid' "
+    "ELSE CASE json_type(j) WHEN 'OBJECT' THEN 'object' "
+    "WHEN 'ARRAY' THEN 'array' WHEN 'VARCHAR' THEN 'string' "
+    "WHEN 'UBIGINT' THEN 'number_int' WHEN 'BIGINT' "
+    "THEN 'number_int' WHEN 'DOUBLE' THEN 'number_float' "
+    "WHEN 'BOOLEAN' THEN 'boolean' ELSE 'null' END END AS rt, j "
+    "FROM (SELECT props AS j FROM events) raw), "
+    "kv AS (SELECT j, unnest(json_keys(j)) AS k FROM dt "
+    "WHERE rt = 'object'), "
     "typed AS (SELECT '$.' || k AS path, "
-    "CASE json_type(props, '$.' || k) "
+    "CASE json_type(j, '$.' || k) "
     "WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array' "
     "WHEN 'VARCHAR' THEN 'string' WHEN 'UBIGINT' THEN 'number_int' "
     "WHEN 'BIGINT' THEN 'number_int' "
@@ -1875,15 +1883,18 @@ def q_anova_doclen(sf_dir: str):
     "WHEN 'BOOLEAN' THEN 'boolean' ELSE 'null' END AS type FROM kv) "
     "SELECT path, type, CAST(count(*) AS BIGINT) AS n FROM typed "
     "GROUP BY 1, 2 "
-    "UNION ALL SELECT '$', 'object', CAST(count(*) AS BIGINT) "
-    "FROM events")
+    "UNION ALL SELECT '$', rt, CAST(count(*) AS BIGINT) FROM dt "
+    "GROUP BY rt")
 def q_json_schema(sf_dir: str):
     """JSON schema inference over the event props payload
     (ops/strings.py::json_schema_profile) — per-(path, type)
     observation counts, the ingest-time profiling pass.  Gate depth 2
     (root + keys) matches the DuckDB json_keys/json_type oracle; the
     deep/heterogeneous semantics (nested objects, arrays, type
-    conflicts, malformed docs) are pinned in tests/test_json_schema.py."""
+    conflicts, malformed docs) are pinned in tests/test_json_schema.py.
+    Known oracle caveat (NOT an operator limit): keys containing
+    JSONPath-special characters ('.', '[') break the SQL side's
+    '$.'||k path lookup — the Python walk counts them correctly."""
     from .ops.strings import json_schema_profile
 
     return json_schema_profile(_t(sf_dir, "events", columns=["props"]),

@@ -2581,14 +2581,12 @@ def q_knn_classifier(sf_dir: str):
 
     from .functions.similarity import knn_cosine
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"]).materialize()
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    labels_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                             columns=["vec_id", "label"])
-    lab = dict(zip(labels_t.column("vec_id").to_pylist(),
-                   labels_t.column("label").to_pylist()))
+    all_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    full = all_t.select(["vec_id", "embedding"])
+    emb = rd.from_arrow(full).materialize()
+    lab = dict(zip(all_t.column("vec_id").to_pylist(),
+                   all_t.column("label").to_pylist()))
     top = knn_cosine(emb, full, k=5)  # (query_id, neighbor_id, rnk)
 
     def vote(b: pa.Table) -> pa.Table:

@@ -102,3 +102,14 @@ def test_layout_invariance_and_validation():
                                   b.reset_index(drop=True))
     with pytest.raises(ValueError):
         dbscan_cosine(_emb_ds(mat), min_pts=0)
+
+
+def test_min_pts_one_isolated_is_core_singleton():
+    # regression: an isolated point has NO pair rows but with
+    # min_pts=1 its self-inclusive neighborhood qualifies it as core
+    mat = np.array([[1.0, 0.0, 0.0], [1.0, 0.01, 0.0],
+                    [0.0, 1.0, 0.0]])
+    _check(mat, np.arange(3), 0.9, 1)
+    out = dbscan_cosine(_emb_ds(mat), threshold=0.9,
+                        min_pts=1).to_pandas().set_index("vec_id")
+    assert out.loc[2, "role"] == "core" and out.loc[2, "cluster"] == 2
