@@ -2645,3 +2645,25 @@ def q_dbscan_embeddings(sf_dir: str):
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return dbscan_cosine(emb, threshold=0.5, min_pts=4)
+
+
+@_q("q_chunk_documents",
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS tok, unnest(range(1, len(string_split(text, ' ')) + 1)) "
+    "AS pos FROM documents WHERE text <> ''), "
+    "ch AS (SELECT doc_id, "
+    "CAST(floor((pos - 1) / 16) AS BIGINT) AS chunk_idx, tok, pos "
+    "FROM toks) "
+    "SELECT doc_id, chunk_idx, "
+    "string_agg(tok, ' ' ORDER BY pos) AS text, "
+    "count(*) AS n_tokens FROM ch GROUP BY 1, 2")
+def q_chunk_documents(sf_dir: str):
+    """Fixed-budget document chunking
+    (functions/chunking.py::chunk_documents, 16-token chunks, no
+    overlap at the gate — overlap semantics pinned in
+    tests/test_chunking.py) — the window-policy operator between
+    curation and sequence packing."""
+    from .functions.chunking import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           chunk_tokens=16)
