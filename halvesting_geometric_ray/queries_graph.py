@@ -650,6 +650,26 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"(SELECT CAST(nr AS DOUBLE) / ne FROM rec) AS reciprocity, "
             f"(SELECT CAST(m * sxy - sx * sx AS DOUBLE) "
             f"/ (m * sxx - sx * sx) FROM st) AS assortativity",
+        # robots longest-match: rank matching rules per url by
+        # (len DESC, allow DESC, prefix ASC); no match -> allowed
+        "q_robots_filter":
+            f"WITH p AS (SELECT url, split_part(url, '/', 3) AS host, "
+            f"'/' || split_part(url, '/', 4) || '/' "
+            f"|| split_part(url, '/', 5) AS path FROM {P}), "
+            f"hosts AS (SELECT DISTINCT host FROM p), "
+            f"rules AS (SELECT host, false AS allow, '/p/1' AS prefix "
+            f"FROM hosts UNION ALL SELECT host, true, '/p/12' "
+            f"FROM hosts UNION ALL SELECT host, false, '/x/' "
+            f"FROM hosts), "
+            f"m AS (SELECT p.url, r.allow, r.prefix, "
+            f"row_number() OVER (PARTITION BY p.url "
+            f"ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix) "
+            f"AS rk FROM p JOIN rules r ON r.host = p.host "
+            f"AND starts_with(p.path, r.prefix)), "
+            f"best AS (SELECT url, allow, prefix FROM m WHERE rk = 1) "
+            f"SELECT p.url, coalesce(b.allow, true) AS allowed, "
+            f"coalesce(b.prefix, '') AS rule_prefix "
+            f"FROM p LEFT JOIN best b USING (url)",
     }
 
 
@@ -3330,3 +3350,29 @@ def q_motif_significance(sf_dir: str):
         "n_triangles_null": pd.array([sig["n_triangles_null"]],
                                      dtype="int64"),
         "ratio": [sig["ratio"]]})
+
+
+@_q("q_robots_filter")
+def q_robots_filter(sf_dir: str):
+    """Robots-exclusion admission filter (functions/robots.py, RFC
+    9309 longest-match, allow-wins ties) over the crawled page table
+    with a deterministic synthetic rule set (every host: disallow
+    /p/1, allow /p/12, disallow /x/) — which urls SHOULD the crawler
+    have fetched?  SQL-certified vs a starts_with + window-rank
+    oracle; rule semantics pinned in tests/test_robots.py."""
+    import ray
+
+    from .functions.robots import robots_decide, split_host_path
+
+    pages = rd.read_parquet(ensure_pages_parquet(_GATE_N, _SEED),
+                            columns=["url"]).materialize()
+    host_pdf = pages.map_batches(
+        lambda b: pa.table({"host": pa.array(sorted(set(
+            split_host_path(np.asarray(b.column("url").to_pylist(),
+                                       dtype=object))[0].tolist())),
+            type=pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    hosts = sorted(set(host_pdf["host"]))
+    rules = {h: [("/p/1", False), ("/p/12", True), ("/x/", False)]
+             for h in hosts}
+    return robots_decide(pages, ray.put(rules))

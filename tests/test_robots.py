@@ -1,0 +1,50 @@
+"""Robots longest-match decision semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+import ray.data as rd
+
+from halvesting_geometric_ray.functions.robots import (robots_decide,
+                                                       split_host_path)
+
+
+def _decide(urls, rules):
+    ds = rd.from_pandas(pd.DataFrame({"url": urls}))
+    out = robots_decide(ds, ray.put(rules)).to_pandas()
+    return {r.url: (bool(r.allowed), r.rule_prefix)
+            for r in out.itertuples()}
+
+
+def test_longest_match_and_allow_wins():
+    rules = {"h.example": [("/a", False), ("/a/b", True),
+                           ("/a/b/c", False)]}
+    got = _decide(["http://h.example/a/x", "http://h.example/a/b",
+                   "http://h.example/a/b/c", "http://h.example/z/1"],
+                  rules)
+    assert got["http://h.example/a/x"] == (False, "/a")
+    assert got["http://h.example/a/b"] == (True, "/a/b")
+    assert got["http://h.example/a/b/c"] == (False, "/a/b/c")
+    assert got["http://h.example/z/1"] == (True, "")  # no match
+
+
+def test_equal_length_tie_allow_wins():
+    rules = {"h.example": [("/ab", False), ("/a" + "b", True)]}
+    # identical prefixes with conflicting verdicts: allow wins (REP)
+    got = _decide(["http://h.example/ab/1"], rules)
+    assert got["http://h.example/ab/1"][0] is True
+
+
+def test_unknown_host_allowed():
+    rules = {"other.example": [("/", False)]}
+    got = _decide(["http://h.example/a/b"], rules)
+    assert got["http://h.example/a/b"] == (True, "")
+
+
+def test_split_host_path():
+    h, p = split_host_path(np.asarray(
+        ["https://x.example/p/1", "https://y.example/a/b"],
+        dtype=object))
+    assert list(h) == ["x.example", "y.example"]
+    assert list(p) == ["/p/1", "/a/b"]
