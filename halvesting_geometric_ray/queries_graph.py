@@ -670,6 +670,20 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
             f"SELECT p.url, coalesce(b.allow, true) AS allowed, "
             f"coalesce(b.prefix, '') AS rule_prefix "
             f"FROM p LEFT JOIN best b USING (url)",
+        # largest-remainder (Hamilton) apportionment of 10k slots
+        "q_crawl_budget":
+            f"WITH h AS (SELECT split_part(url, '/', 3) AS host, "
+            f"count(*) AS n FROM {P} GROUP BY 1), "
+            f"t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM h), "
+            f"ex AS (SELECT host, n, n * 10000 / t.tot AS ex, "
+            f"CAST(floor(n * 10000 / t.tot) AS BIGINT) AS fl "
+            f"FROM h CROSS JOIN t), "
+            f"lo AS (SELECT 10000 - sum(fl) AS lft FROM ex), "
+            f"rk AS (SELECT host, n, fl, row_number() OVER "
+            f"(ORDER BY ex - fl DESC, host) AS r FROM ex) "
+            f"SELECT rk.host, CAST(rk.n AS BIGINT) AS n_pages, "
+            f"CAST(rk.fl + CASE WHEN rk.r <= (SELECT lft FROM lo) "
+            f"THEN 1 ELSE 0 END AS BIGINT) AS quota FROM rk",
     }
 
 
@@ -3376,3 +3390,45 @@ def q_robots_filter(sf_dir: str):
     rules = {h: [("/p/1", False), ("/p/12", True), ("/x/", False)]
              for h in hosts}
     return robots_decide(pages, ray.put(rules))
+
+
+@_q("q_crawl_budget")
+def q_crawl_budget(sf_dir: str):
+    """Crawl-budget apportionment: allocate 10,000 fetch slots across
+    hosts proportional to page counts by the largest-remainder
+    (Hamilton) method — the deterministic quota planner a recrawl
+    scheduler runs.  One grouped host count (host dimension is
+    bounded); the apportionment finish is driver-side closed-form.
+    SQL-certified vs a floor + remainder-rank oracle."""
+    import pandas as pd
+
+    from .functions.robots import split_host_path
+    from .ops.agg import grouped_aggregate
+
+    pages = rd.read_parquet(ensure_pages_parquet(_GATE_N, _SEED),
+                            columns=["url"])
+
+    def hostify(b: pa.Table) -> pa.Table:
+        h, _p = split_host_path(np.asarray(
+            b.column("url").to_pylist(), dtype=object))
+        return pa.table({"host": pa.array(h.tolist(),
+                                          type=pa.string())})
+
+    cnt = grouped_aggregate(
+        pages.map_batches(hostify, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["host"], {"n_pages": ("count", None)}).to_pandas()
+    total = int(cnt["n_pages"].sum())
+    budget = 10000
+    exact = cnt["n_pages"].to_numpy() * budget / total
+    floor_ = np.floor(exact).astype(np.int64)
+    rem = exact - floor_
+    leftover = budget - int(floor_.sum())
+    # largest remainders win the leftover slots; ties -> host asc
+    order = np.lexsort((cnt["host"].to_numpy(), -rem))
+    quota = floor_.copy()
+    quota[order[:leftover]] += 1
+    out = pd.DataFrame({"host": cnt["host"],
+                        "n_pages": cnt["n_pages"].astype("int64"),
+                        "quota": quota})
+    return out.sort_values("host").reset_index(drop=True)

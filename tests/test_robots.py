@@ -48,3 +48,16 @@ def test_split_host_path():
         dtype=object))
     assert list(h) == ["x.example", "y.example"]
     assert list(p) == ["/p/1", "/a/b"]
+
+
+def test_crawl_budget_apportionment():
+    """Hamilton apportionment invariants on the gate output: quotas
+    sum exactly to the budget, every quota within 1 of the exact
+    proportional share (the largest-remainder property)."""
+    from halvesting_geometric_ray.queries_graph import QUERIES
+
+    out = QUERIES["q_crawl_budget"]("/root/testdata/sf0.001")
+    total = out.n_pages.sum()
+    exact = out.n_pages.to_numpy() * 10000 / total
+    assert out.quota.sum() == 10000
+    assert (np.abs(out.quota.to_numpy() - exact) < 1.0).all()
