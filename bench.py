@@ -42,14 +42,16 @@ BENCH_KEYS_TEXT = ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
                    "q_unigram_train", "q_search_bm25",
                    "q_kneser_ney", "q_blocklist",
                    "q_fuzzy_token_pairs", "q_outlier_scores",
-                   "q_ccnet_buckets", "q_coreset_select"]
+                   "q_ccnet_buckets", "q_coreset_select",
+                   "q_chunk_documents", "q_dbscan_embeddings"]
 BENCH_KEYS_GRAPH = ["q_louvain", "q_word2vec_embeddings",
                     "q_link_prediction_auc", "q_host_backbone_mst",
                     "q_ldg_partition", "q_multilevel_partition",
                     "q_hdrf_partition", "q_mirror_pages",
                     "q_spectral_clusters", "q_triangles_apx",
                     "q_host_backbone_disparity", "q_fourcycles",
-                    "q_temporal_reach", "q_graph_profile"]
+                    "q_temporal_reach", "q_graph_profile",
+                    "q_robots_filter", "q_crawl_budget"]
 
 
 def run_bench() -> dict:
