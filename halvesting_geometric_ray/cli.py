@@ -216,6 +216,17 @@ def main(argv=None) -> int:
     sp.add_argument("--cols", required=True,
                     help="comma-separated column names")
 
+    sp = sub.add_parser("validate", help="data-contract validation: "
+                        "run a YAML/JSON rule list against a parquet "
+                        "table; exit 1 on violations")
+    sp.add_argument("--table", required=True, help="parquet path")
+    sp.add_argument("--rules", required=True,
+                    help="YAML/JSON file: list of rule arrays, e.g. "
+                         "[[not_null, col], [in_range, col, 0, 1], "
+                         "[foreign_key, col, ref.parquet, ref_col]]")
+    sp.add_argument("--strict", action="store_true",
+                    help="exit non-zero when any rule fails")
+
     sp = sub.add_parser("encode", help="build a frequency vocab and "
                         "encode (doc_id, text) parquet to int32 id lists")
     sp.add_argument("--docs", required=True)
@@ -323,6 +334,22 @@ def main(argv=None) -> int:
                 v, (int, float, type(None))) else v)
                 for k, v in res.items()}))
             return 0
+
+        if args.cmd == "validate":  # no --workdir/--config args
+            from .config import load_config_file
+            from .ops.validate import validate
+
+            raw = load_config_file(args.rules)
+            rules = []
+            for r in (raw if isinstance(raw, list) else raw["rules"]):
+                r = list(r)
+                if r[0] == "foreign_key":  # ref table path -> Dataset
+                    r[2] = rd.read_parquet(r[2])
+                rules.append(tuple(r))
+            res = validate(rd.read_parquet(args.table),
+                           rules).to_pandas()
+            print(json.dumps({"validate": res.to_dict("records")}))
+            return 0 if (not args.strict or bool(res.ok.all())) else 1
 
         if args.cmd == "semdedup":  # no --workdir/--config args
             import pyarrow.compute as pc

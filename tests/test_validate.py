@@ -87,3 +87,36 @@ def test_validation_errors():
         validate(_ds(), [])
     with pytest.raises(ValueError):
         validate(_ds(), [("nope", "id")])
+
+
+def test_cli_validate(tmp_path, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from halvesting_geometric_ray.cli import main
+
+    t = pa.table({"id": [1, 2, 2, None], "x": [0.5, 2.0, 0.1, 0.2]})
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    ref = pa.table({"k": [1, 2]})
+    pq.write_table(ref, str(tmp_path / "ref.parquet"))
+    rules = [["not_null", "id"], ["in_range", "x", 0.0, 1.0],
+             ["unique", ["id"]],
+             ["foreign_key", "id", str(tmp_path / "ref.parquet"), "k"]]
+    rp = tmp_path / "rules.json"
+    rp.write_text(_json.dumps(rules))
+    rc = main(["validate", "--table", str(tmp_path / "t.parquet"),
+               "--rules", str(rp)])
+    assert rc == 0  # non-strict always 0
+    out = _json.loads(capsys.readouterr().out.strip()
+                      .splitlines()[-1])["validate"]
+    by = {r["rule"]: r for r in out}
+    assert by["not_null"]["n_violations"] == 1
+    assert by["in_range"]["n_violations"] == 1  # 2.0 out of range
+    assert by["unique"]["n_violations"] == 1
+    assert by["foreign_key"]["n_violations"] == 0  # nulls pass FK
+    # strict mode fails on violations
+    rc = main(["validate", "--table", str(tmp_path / "t.parquet"),
+               "--rules", str(rp), "--strict"])
+    assert rc == 1
