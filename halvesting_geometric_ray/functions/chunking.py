@@ -46,6 +46,10 @@ def chunk_documents(docs, *, chunk_tokens: int, overlap: int = 0,
             pl.col(text_col).str.split(" ").alias("__t"))
         ids_out, idx_out, txt_out, n_out = [], [], [], []
         for did, tl in zip(toks[id_col], toks["__t"]):
+            # null text emits no chunks (matches the oracle's
+            # WHERE text <> '', which drops NULLs too)
+            if tl is None:
+                continue
             tl = tl.to_list()
             # the empty string splits to [''] — treat as no tokens
             if not tl or tl == [""]:

@@ -51,12 +51,35 @@ def _variants(tok: str, d: int):
     return out
 
 
+def _apply_group_cap(ts, group_cap, variant):
+    """Truncate a hot variant group to ``group_cap`` tokens, logging
+    the drop count — an explicit, logged cap decision (runs inside
+    the map_groups worker; the log lands in the worker's stderr)."""
+    if group_cap is not None and len(ts) > group_cap:
+        import logging
+        logging.getLogger(
+            "halvesting_geometric_ray.fuzzyjoin").warning(
+            "symspell_pairs: variant %r has %d tokens > group_cap=%d;"
+            " dropping %d tokens from this group (pairs between "
+            "dropped tokens may be missed)",
+            variant, len(ts), group_cap, len(ts) - group_cap)
+        return ts[:group_cap]
+    return ts
+
+
 def symspell_pairs(tokens, col: str = "token", *, max_dist: int = 1,
                    num_parts: int = 16,
                    group_cap: Optional[int] = 10000):
     """All unordered pairs of DISTINCT input tokens with
     lev(a, b) <= max_dist.  Returns (a, b, dist) with a < b.
-    ``tokens`` must be one row per distinct token (dedup upstream)."""
+    ``tokens`` must be one row per distinct token (dedup upstream).
+
+    Completeness caveat: a variant group larger than ``group_cap``
+    tokens (e.g. the empty-string variant shared by every 1-char token
+    at max_dist=1) is truncated to its first ``group_cap`` tokens in
+    sort order, and the truncation is logged with the drop count —
+    pairs between two dropped tokens of that group can be missed.
+    Pass ``group_cap=None`` for the exact (possibly quadratic) run."""
     from ..ops.dedup import distinct
 
     if max_dist < 1:
@@ -81,8 +104,9 @@ def symspell_pairs(tokens, col: str = "token", *, max_dist: int = 1,
 
     def pairs(g: pa.Table) -> pa.Table:
         ts = sorted(set(g.column("t").to_pylist()))
-        if group_cap is not None and len(ts) > group_cap:
-            ts = ts[:group_cap]  # documented hot-variant cap
+        ts = _apply_group_cap(
+            ts, group_cap,
+            g.column("v")[0].as_py() if g.num_rows else "")
         a_, b_ = [], []
         for i in range(len(ts)):
             for j in range(i + 1, len(ts)):

@@ -29,11 +29,18 @@ import ray
 
 
 def split_host_path(urls: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """scheme://host/a/b -> (host, '/a/b') — the repo url convention
-    (two path segments; fixtures.py authors exactly this shape)."""
+    """scheme://host/a/b/... -> (host, '/a/b/...'): host is the third
+    '/'-segment, path is everything after it (any number of segments;
+    a url with no path yields '/').  Null urls map to ('', '/') — they
+    match no host rule, so they fall through to the allowed-by-default
+    branch, mirroring the SQL oracle's NULL-propagation."""
     hosts = np.empty(len(urls), dtype=object)
     paths = np.empty(len(urls), dtype=object)
     for i, u in enumerate(urls):
+        if u is None:
+            hosts[i] = ""
+            paths[i] = "/"
+            continue
         parts = u.split("/")
         hosts[i] = parts[2] if len(parts) > 2 else ""
         paths[i] = "/" + "/".join(parts[3:])

@@ -827,7 +827,20 @@ def anova_oneway(ds, group_col: str, value_col: str, *,
     from .agg import grouped_aggregate
 
     def prep(b: pa.Table) -> pa.Table:
-        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        col = b.column(value_col)
+        # integer-sufficient-statistics contract: fail fast on a
+        # float / non-integer / null-bearing column instead of
+        # silently truncating (or NaN-poisoning) the F statistic
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                f"anova_oneway requires an integer value column; "
+                f"{value_col!r} is {col.type} (cast losslessly "
+                f"upstream or bin the values first)")
+        if col.null_count:
+            raise ValueError(
+                f"anova_oneway: {value_col!r} has {col.null_count} "
+                f"nulls in a batch; drop or impute them upstream")
+        v = col.to_numpy(zero_copy_only=False)
         return pa.table({group_col: b.column(group_col),
                          "v": pa.array(v.astype(np.int64)),
                          "sq": pa.array((v.astype(np.int64)

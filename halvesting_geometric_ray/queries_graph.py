@@ -654,8 +654,9 @@ def build_oracles(ensure: bool = True) -> Dict[str, str]:
         # (len DESC, allow DESC, prefix ASC); no match -> allowed
         "q_robots_filter":
             f"WITH p AS (SELECT url, split_part(url, '/', 3) AS host, "
-            f"'/' || split_part(url, '/', 4) || '/' "
-            f"|| split_part(url, '/', 5) AS path FROM {P}), "
+            f"coalesce('/' || array_to_string("
+            f"(string_split(url, '/'))[4:], '/'), '/') AS path "
+            f"FROM {P}), "
             f"hosts AS (SELECT DISTINCT host FROM p), "
             f"rules AS (SELECT host, false AS allow, '/p/1' AS prefix "
             f"FROM hosts UNION ALL SELECT host, true, '/p/12' "

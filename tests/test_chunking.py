@@ -55,3 +55,11 @@ def test_partial_tail_never_dropped_and_validation():
         _run([t], chunk_tokens=0)
     with pytest.raises(ValueError):
         _run([t], chunk_tokens=4, overlap=4)
+
+
+def test_null_text_emits_no_chunks():
+    # nulls behave like empty docs (oracle's WHERE text <> '' drops
+    # both); previously crashed with AttributeError on NoneType
+    out = _run(["a b c", None, "d"], chunk_tokens=2)
+    assert list(out.doc_id.unique()) == [0, 2]
+    assert list(out[out.doc_id == 0].text) == ["a b", "c"]

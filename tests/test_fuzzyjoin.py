@@ -77,3 +77,28 @@ def test_layout_invariance_and_validation():
         b[key].sort_values(["a", "b"]).reset_index(drop=True))
     with pytest.raises(ValueError):
         symspell_pairs(_ds(vocab), max_dist=0)
+
+
+def test_group_cap_truncation_is_logged(caplog):
+    import logging
+
+    from halvesting_geometric_ray.functions.fuzzyjoin import \
+        _apply_group_cap
+
+    # 1-char tokens all share the empty-string deletion variant;
+    # a cap there must be logged with a drop count, not silently
+    # absorbed (the worker-side map_groups calls this same helper)
+    with caplog.at_level(logging.WARNING,
+                         logger="halvesting_geometric_ray.fuzzyjoin"):
+        kept = _apply_group_cap(["a", "b", "c", "d"], 2, "")
+    assert kept == ["a", "b"]
+    msgs = [r.message for r in caplog.records
+            if "group_cap" in r.message]
+    assert msgs, "expected a truncation warning"
+    assert "dropping 2 tokens" in msgs[0]
+    # no log when under the cap or uncapped
+    caplog.clear()
+    assert _apply_group_cap(["a", "b"], 2, "") == ["a", "b"]
+    assert _apply_group_cap(["a", "b", "c"], None, "") == \
+        ["a", "b", "c"]
+    assert not caplog.records

@@ -61,3 +61,24 @@ def test_crawl_budget_apportionment():
     exact = out.n_pages.to_numpy() * 10000 / total
     assert out.quota.sum() == 10000
     assert (np.abs(out.quota.to_numpy() - exact) < 1.0).all()
+
+
+def test_null_url_allowed_by_default():
+    # null urls match no host rule -> allowed, prefix ''; previously
+    # raised AttributeError on None.split
+    rules = {"h.example": [("/", False)]}
+    ds = rd.from_pandas(pd.DataFrame(
+        {"url": ["http://h.example/a/b", None]}))
+    out = robots_decide(ds, ray.put(rules)).to_pandas()
+    by_null = out[out.url.isna()]
+    assert len(by_null) == 1
+    assert bool(by_null.allowed.iloc[0]) is True
+    assert by_null.rule_prefix.iloc[0] == ""
+
+
+def test_split_host_path_any_segment_count():
+    h, p = split_host_path(np.asarray(
+        ["https://x.example/a", "https://x.example/a/b/c/d",
+         "https://x.example", None], dtype=object))
+    assert list(h) == ["x.example", "x.example", "x.example", ""]
+    assert list(p) == ["/a", "/a/b/c/d", "/", "/"]

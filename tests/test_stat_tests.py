@@ -277,3 +277,19 @@ def test_psi_identical_zero_and_validation():
     with pytest.raises(ValueError):
         psi_drift(rd.from_pandas(pdf), "g", "x", "a", "b",
                   boundaries=[1.0])
+
+
+def test_anova_rejects_float_and_null_values():
+    from halvesting_geometric_ray.ops.stats import anova_oneway
+
+    floats = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                           "x": [1.5, 2.5, 3.5, 4.5]})
+    with pytest.raises(Exception) as ei:
+        anova_oneway(rd.from_pandas(floats), "g", "x").to_pandas()
+    assert "integer" in str(ei.value)
+    nulls = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                          "x": pd.array([1, None, 3, 4],
+                                        dtype="Int64")})
+    with pytest.raises(Exception) as ei:
+        anova_oneway(rd.from_pandas(nulls), "g", "x").to_pandas()
+    assert "null" in str(ei.value)
