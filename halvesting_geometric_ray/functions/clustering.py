@@ -332,9 +332,148 @@ def kmeans_parallel_init(embeddings, k: int, *,
     return cand[np.asarray(chosen, dtype=np.int64)]
 
 
+def _dbscan_past_cap(emb, pairs, *, min_pts: int, num_parts: int,
+                     workdir: Optional[str]):
+    """The >``pair_cap`` DBSCAN regime: identical label semantics to
+    the driver union-find path, with every stage distributed — degree
+    aggregation as a grouped count, core-core connected components on
+    the shard-actor CC engine (graph/components.py, the same engine
+    the curation near-dup past-cap path uses), border resolution as a
+    bucketed join + grouped min, and final assignment as two left
+    joins.  Driver state is O(1) scalars; labels are exact integer
+    quantities, so the output is bitwise equal to the under-cap path
+    on any layout (pinned in tests/test_dbscan.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..fixtures import even_offsets
+    from ..graph.components import connected_components
+    from ..ops.agg import grouped_aggregate
+    from ..ops.join import hash_join
+
+    vid_only = emb.select_columns(["vec_id"]).materialize()
+    n = int(vid_only.max("vec_id") or 0) + 1
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        return pa.table({
+            "v": pa.array(np.concatenate([a, bb]), type=pa.int64()),
+            "w": pa.array(np.concatenate([bb, a]), type=pa.int64())})
+
+    sym_pairs = pairs.map_batches(sym, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    vid_schema = pa.schema([("vec_id", pa.int64())])
+    if min_pts <= 1:
+        # every point's neighborhood (itself included) >= 1: all core
+        core = vid_only
+    else:
+        deg = grouped_aggregate(
+            sym_pairs.select_columns(["v"]), ["v"],
+            {"deg": ("count", None)}, num_parts=num_parts)
+        core = deg.map_batches(
+            lambda b: pa.table({"vec_id": b.filter(
+                pc.greater_equal(b.column("deg"),
+                                 pa.scalar(min_pts - 1, pa.int64()))
+            ).column("v")}),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    vw_schema = pa.schema([("v", pa.int64()), ("w", pa.int64())])
+    # core-core edges: two bucketed semi joins (core can be ~corpus
+    # sized — never broadcast)
+    cc_half = hash_join(sym_pairs, core, on="v", right_on="vec_id",
+                        join_type="semi", num_parts=num_parts,
+                        left_schema=vw_schema, right_schema=vid_schema)
+    cc_edges = hash_join(cc_half, core, on="w", right_on="vec_id",
+                         join_type="semi", num_parts=num_parts,
+                         left_schema=vw_schema,
+                         right_schema=vid_schema).map_batches(
+        lambda b: pa.table({"src": b.column("v"),
+                            "dst": b.column("w")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    wd = workdir or tempfile.mkdtemp(prefix="hgr_dbscan_",
+                                     dir="/tmp")
+    cc_wd = os.path.join(wd, "dbscan_cc")
+    # CC lineage does not fingerprint edge content; never adopt a
+    # stale checkpoint from a previous pair set
+    shutil.rmtree(cc_wd, ignore_errors=True)
+    cc_parts = min(16, max(1, n // 64))
+    labels, _ = connected_components(
+        cc_edges, even_offsets(n, cc_parts), cc_wd, job="dbscan_cc")
+    # restrict CC's full [0, n) vertex range to actual core points
+    # (isolated cores keep label == self, as in the union-find path)
+    lab_schema = pa.schema([("vid", pa.int64()),
+                            ("label", pa.int64())])
+    core_lab = hash_join(
+        labels.map_batches(
+            lambda b: pa.table({"vid": b.column("vid"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        core, on="vid", right_on="vec_id", join_type="semi",
+        num_parts=num_parts, left_schema=lab_schema,
+        right_schema=vid_schema).materialize()
+
+    # border: non-core endpoint v of a pair whose other end w is core
+    # -> min label among its core neighbors
+    cand = hash_join(
+        sym_pairs, core_lab, on="w", right_on="vid",
+        join_type="inner", num_parts=num_parts,
+        left_schema=vw_schema, right_schema=lab_schema,
+        right_cols=["label"])
+    cand_schema = pa.schema([("w", pa.int64()), ("v", pa.int64()),
+                             ("label", pa.int64())])
+    noncore_cand = hash_join(
+        cand, core, on="v", right_on="vec_id", join_type="anti",
+        num_parts=num_parts, left_schema=cand_schema,
+        right_schema=vid_schema)
+    border = grouped_aggregate(
+        noncore_cand.select_columns(["v", "label"]), ["v"],
+        {"blabel": ("min", "label")}, num_parts=num_parts)
+
+    # assignment: two left joins over the id column, then a stateless
+    # coalesce into (cluster, role)
+    with_core = hash_join(
+        vid_only, core_lab, on="vec_id", right_on="vid",
+        join_type="left", num_parts=num_parts,
+        left_schema=vid_schema, right_schema=lab_schema,
+        right_cols=["label"])
+    wc_schema = pa.schema([("vec_id", pa.int64()),
+                           ("label", pa.int64())])
+    with_border = hash_join(
+        with_core, border, on="vec_id", right_on="v",
+        join_type="left", num_parts=num_parts,
+        left_schema=wc_schema,
+        right_schema=pa.schema([("v", pa.int64()),
+                                ("blabel", pa.int64())]),
+        right_cols=["blabel"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        lab = b.column("label")
+        blab = b.column("blabel")
+        is_core = pc.is_valid(lab)
+        is_border = pc.and_(pc.invert(is_core), pc.is_valid(blab))
+        cluster = pc.coalesce(lab, blab,
+                              pa.scalar(-1, pa.int64()))
+        role = pc.if_else(is_core, pa.scalar("core"),
+                          pc.if_else(is_border, pa.scalar("border"),
+                                     pa.scalar("noise")))
+        return pa.table({"vec_id": b.column("vec_id"),
+                         "cluster": cluster,
+                         "role": role})
+
+    return with_border.map_batches(finish, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+
 def dbscan_cosine(embeddings, *, threshold: float = 0.8,
                   min_pts: int = 4, col: str = "embedding",
-                  pair_cap: int = 2_000_000, num_parts: int = 16):
+                  pair_cap: int = 2_000_000, num_parts: int = 16,
+                  workdir: Optional[str] = None):
     """DBSCAN over the cosine eps-neighbor graph (Ester 1996), the
     density companion to kmeans/SemDeDup: arbitrary-shape clusters +
     an explicit NOISE class (kmeans forces every junk vector into some
@@ -351,9 +490,15 @@ def dbscan_cosine(embeddings, *, threshold: float = 0.8,
     Plan: one exact pair pass (functions/similarity.py::cosine_pairs —
     swap in the LSH variant for the 100 TB path), one degree
     aggregation, core-core CC via the driver union-find under
-    ``pair_cap`` (the curation-pipeline regime split; past the cap the
-    shard-actor CC engine takes over), one border join.  Returns a
-    Dataset (vec_id, cluster, role).
+    ``pair_cap`` (the curation-pipeline regime split,
+    pipelines/curation.py:162-228; past the cap the shard-actor CC
+    engine takes over — see _dbscan_past_cap — with every label stage
+    a grouped aggregate or bucketed join, nothing pair- or
+    corpus-proportional on the driver).  Both regimes yield bitwise
+    the same labels (tests/test_dbscan.py pins pair_cap=0 parity).
+    ``workdir`` holds the past-cap CC engine's shard layer (a temp dir
+    under /tmp when unset).  Returns a Dataset
+    (vec_id, cluster, role).
     """
     import pandas as pd
     import ray
@@ -370,9 +515,8 @@ def dbscan_cosine(embeddings, *, threshold: float = 0.8,
     # cap check FIRST (before any work proportional to pair volume)
     n_pairs = pairs.count()
     if n_pairs > pair_cap:
-        raise NotImplementedError(
-            "pair volume past pair_cap: wire the shard-actor CC "
-            "engine as in pipelines/curation.py (documented regime)")
+        return _dbscan_past_cap(emb, pairs, min_pts=min_pts,
+                                num_parts=num_parts, workdir=workdir)
     if n_pairs:
         tbl = pa.concat_tables([t for t in map(ray.get,
                                                pairs.to_arrow_refs())

@@ -113,3 +113,50 @@ def test_min_pts_one_isolated_is_core_singleton():
     out = dbscan_cosine(_emb_ds(mat), threshold=0.9,
                         min_pts=1).to_pandas().set_index("vec_id")
     assert out.loc[2, "role"] == "core" and out.loc[2, "cluster"] == 2
+
+
+def test_past_cap_distributed_path_bitwise_parity():
+    """pair_cap=0 forces the shard-actor CC regime
+    (_dbscan_past_cap); labels/roles must be bitwise equal to the
+    driver union-find path on a fixture with all three roles."""
+    rng = np.random.default_rng(5)
+    blob1 = np.tile([5.0, 0.0, 0.0], (20, 1)) + rng.normal(0, .2,
+                                                           (20, 3))
+    blob2 = np.tile([0.0, 5.0, 0.0], (20, 1)) + rng.normal(0, .2,
+                                                           (20, 3))
+    noise = np.array([[1.0, 1.0, 5.0]])
+    mat = np.vstack([blob1, blob2, noise])
+    ids = np.arange(100, 100 + len(mat))  # non-dense id space
+    kw = dict(threshold=0.95, min_pts=4)
+    a = dbscan_cosine(_emb_ds(mat, ids),
+                      **kw).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    b = dbscan_cosine(_emb_ds(mat, ids), pair_cap=0,
+                      **kw).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(b.role) >= {"core", "noise"}
+    # and against the brute oracle directly
+    exp = _brute_dbscan(mat, ids, 0.95, 4)
+    got = {int(r.vec_id): (int(r.cluster), r.role)
+           for r in b.itertuples()}
+    assert got == exp
+
+
+def test_past_cap_border_and_min_pts_one_parity():
+    # crafted border: a point similar to exactly one core member
+    base = np.array([[1.0, 0.0, 0.0]])
+    core_pts = np.tile(base, (4, 1)) + np.random.default_rng(
+        7).normal(0, .01, (4, 3))
+    border_pt = np.array([[0.93, 0.36, 0.0]])  # near one blob edge
+    far = np.array([[0.0, 0.0, 1.0]])
+    mat = np.vstack([core_pts, border_pt, far])
+    for kw in (dict(threshold=0.97, min_pts=4),
+               dict(threshold=0.9, min_pts=1)):
+        a = dbscan_cosine(_emb_ds(mat),
+                          **kw).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        b = dbscan_cosine(_emb_ds(mat), pair_cap=0,
+                          **kw).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
