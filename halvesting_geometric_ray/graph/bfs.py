@@ -124,24 +124,63 @@ class DistShardActor:
         return out
 
 
+@ray.remote
+def _split_seed_block(tbl: pa.Table, offsets: np.ndarray,
+                      p2a: np.ndarray, num_actors: int):
+    """One seed block -> per-actor vid arrays (round-0 inbox shards).
+    Runs as a task so seed vids NEVER land on the driver — the driver
+    holds only the per-(block, actor) ObjectRefs."""
+    # empty Ray blocks can carry an EMPTY schema (the repo-wide
+    # empty-block gotcha) — treat them as zero seeds
+    if tbl.num_rows == 0 or "vid" not in tbl.column_names:
+        return (None,) * num_actors if num_actors > 1 else None
+    vids = np.unique(tbl.column("vid").to_numpy(zero_copy_only=False)
+                     .astype(np.int64))
+    N = int(offsets[-1])
+    if vids.size and (vids[0] < 0 or vids[-1] >= N):
+        raise ValueError(f"sources out of range [0, {N})")
+    part = np.searchsorted(offsets, vids, side="right") - 1
+    dest = p2a[part]
+    order = np.argsort(dest, kind="stable")
+    v = vids[order]
+    b = np.searchsorted(dest[order], np.arange(num_actors + 1))
+    out = tuple(v[b[j]:b[j + 1]] if b[j + 1] > b[j] else None
+                for j in range(num_actors))
+    return out if num_actors > 1 else out[0]
+
+
 def bfs(sym_edges, offsets: np.ndarray, workdir: str,
-        sources: np.ndarray, cfg: EngineConfig = DEFAULT, *,
+        sources: Optional[np.ndarray] = None,
+        cfg: EngineConfig = DEFAULT, *,
         max_iters: Optional[int] = None,
         shards_dir: Optional[str] = None,
-        num_actors: int = 0) -> Tuple["rd.Dataset", Dict]:
+        num_actors: int = 0,
+        sources_ds=None) -> Tuple["rd.Dataset", Dict]:
     """Hop distances from ``sources`` over a SYMMETRIZED edge table
     (callers: graph.build.symmetrize first; pass the directed table for
     forward-reachability BFS).  Returns (dist_ds(part, vid, dist), info);
     unreachable vertices are absent.
+
+    Seeds come from exactly one of ``sources`` (a driver numpy array —
+    the bounded-seed-set path) or ``sources_ds`` (a Dataset with a
+    ``vid`` column — the O(#components)-seeds path, e.g. every
+    component root of a 10^12-page crawl): seed blocks are split into
+    per-actor round-0 messages by Ray tasks, so no seed array is ever
+    materialized on the driver and ``info`` records only counts.
+    An empty ``sources_ds`` yields an empty result (the array path
+    keeps raising — a typed seed set of size 0 is caller error there).
     """
     from .csr import build_csr_shards
 
-    sources = np.unique(np.asarray(sources, dtype=np.int64))
+    if (sources is None) == (sources_ds is None):
+        raise ValueError("pass exactly one of sources / sources_ds")
     N = int(offsets[-1])
-    if sources.size == 0:
-        raise ValueError("sources must be non-empty")
-    if sources.min() < 0 or sources.max() >= N:
-        raise ValueError(f"sources out of range [0, {N})")
+    if sources is not None:
+        sources = np.unique(np.asarray(sources, dtype=np.int64))
+        if sources.size == 0:
+            raise ValueError("sources must be non-empty")
+        if sources.min() < 0 or sources.max() >= N:
+            raise ValueError(f"sources out of range [0, {N})")
     max_iters = (cfg.max_iters if max_iters is None else max_iters)
     num_parts = len(offsets) - 1
 
@@ -155,14 +194,32 @@ def bfs(sym_edges, offsets: np.ndarray, workdir: str,
     actors = [DistShardActor.remote(i, owned[i], paths, np.asarray(offsets),
                                     p2a, A)
               for i in range(A)]
-    info: Dict = {"iters": [], "sources": [int(s) for s in sources]}
+    info: Dict = {"iters": []}
+    if sources is not None:
+        info["sources"] = [int(s) for s in sources]
     try:
         # round 0: the sources arrive "from nowhere"
-        part = (np.searchsorted(np.asarray(offsets), sources, side="right") - 1)
-        inbox = [[sources[p2a[part] == j]] if (p2a[part] == j).any() else [None]
-                 for j in range(A)]
-        inbox = [[x if x is None or x.size else None for x in row]
-                 for row in inbox]
+        if sources_ds is not None:
+            blocks = [r for r in sources_ds.select_columns(["vid"])
+                      .to_arrow_refs()]
+            info["n_seed_blocks"] = len(blocks)
+            if A > 1:
+                split = _split_seed_block.options(num_returns=A)
+                srefs = [split.remote(r, np.asarray(offsets), p2a, A)
+                         for r in blocks]
+                inbox = [[srefs[i][j] for i in range(len(srefs))]
+                         for j in range(A)]
+            else:  # num_returns=1 returns the value itself (WL gotcha)
+                inbox = [[_split_seed_block.remote(
+                    r, np.asarray(offsets), p2a, A) for r in blocks]]
+            if not blocks:
+                inbox = [[None] for _ in range(A)]
+        else:
+            part = (np.searchsorted(np.asarray(offsets), sources, side="right") - 1)
+            inbox = [[sources[p2a[part] == j]] if (p2a[part] == j).any() else [None]
+                     for j in range(A)]
+            inbox = [[x if x is None or x.size else None for x in row]
+                     for row in inbox]
         for k in range(max_iters):
             refs = [actors[j].step.options(num_returns=A + 1).remote(
                 k, *inbox[j]) for j in range(A)]

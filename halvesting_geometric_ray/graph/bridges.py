@@ -26,7 +26,9 @@ coverage test — Tarjan's low-link is inherently sequential):
 
 Scale shape: two certified CC runs + one multi-source BFS (all reuse
 the CSR shard engine) + one parent join + max_depth grouped merges.
-The root list is driver-side and bounded by the COMPONENT count.
+The root set (O(#components) — billions of singletons on a real
+crawl) never lands on the driver: it stays a Dataset and seeds the
+BFS via the sources_ds block-split path (graph/bfs.py).
 
 Reference anchor: the reference's graph diagnostics stop at component
 counts (link_prediction_dataset.py:50-75); bridges/2ECC are the next
@@ -103,16 +105,20 @@ def bridges(edges, offsets: np.ndarray, workdir: str,
     und = canonical_undirected(edges, cfg).materialize()
     sym = symmetrize(und, dedup=False).materialize()
 
-    from ..ops.dedup import distinct
-
     labels, _ = connected_components(sym, offsets, workdir,
                                      job="cc_bridges")
-    # distributed distinct first: driver state = component count only
-    roots = np.unique(
-        distinct(labels.select_columns(["label"]), ["label"],
-                 num_parts=cfg.num_parts).to_pandas()
-        ["label"].to_numpy())
-    dist, _ = bfs(sym, offsets, workdir, roots)
+    # component roots = {v : label(v) == v} (labels are min-vid
+    # canonical, so the root vertex always exists).  The root SET is
+    # O(#components) — billions on a real crawl — so it never lands on
+    # the driver: the filtered Dataset seeds the multi-source BFS
+    # block-by-block (bfs sources_ds path splits each seed block into
+    # per-actor round-0 messages inside Ray tasks).
+    roots_ds = labels.map_batches(
+        lambda b: pa.table({"vid": b.filter(
+            pc.equal(b["vid"], b["label"])).column("vid")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_roots = int(roots_ds.count())
+    dist, _ = bfs(sym, offsets, workdir, sources_ds=roots_ds)
     dist = dist.select_columns(["vid", "dist"]).materialize()
 
     # parent(v) = min neighbor u with dist(u) = dist(v) - 1
@@ -197,8 +203,7 @@ def bridges(edges, offsets: np.ndarray, workdir: str,
         cfg.num_parts).materialize()
 
     max_depth = int(state.max("dist") or 0)
-    info: Dict = {"max_depth": max_depth,
-                  "n_roots": int(len(roots))}
+    info: Dict = {"max_depth": max_depth, "n_roots": n_roots}
 
     for d in range(max_depth, 0, -1):
         push = state.map_batches(

@@ -133,3 +133,31 @@ def test_double_sweep_isolated_vertex(tmp_path):
                               str(tmp_path / "iso"), start=0)
     assert r["diameter_lb"] == 0
     assert len(r["sweeps"]) == 1 and r["sweeps"][0]["reached"] == 1
+
+
+def test_bfs_sources_ds_parity(tiny_graph, tmp_path):
+    """The Dataset seed path (sources_ds) must give bitwise the same
+    distances as the driver-array path, at 1 and 3 actors."""
+    import pandas as pd
+    import pyarrow as pa
+
+    seeds = [3, 17, 42]
+    for na in (1, 3):
+        a, ia = bfs(_sym(tiny_graph), tiny_graph.offsets,
+                    str(tmp_path / f"arr{na}"),
+                    np.asarray(seeds, dtype=np.int64), num_actors=na)
+        seeds_ds = rd.from_arrow(pa.table(
+            {"vid": pa.array(seeds, type=pa.int64())})).repartition(2)
+        b, ib = bfs(_sym(tiny_graph), tiny_graph.offsets,
+                    str(tmp_path / f"ds{na}"), sources_ds=seeds_ds,
+                    num_actors=na)
+        pd.testing.assert_frame_equal(
+            a.to_pandas().sort_values("vid").reset_index(drop=True),
+            b.to_pandas().sort_values("vid").reset_index(drop=True))
+        assert "sources" not in ib  # no O(#seeds) driver state
+    # both-or-neither seed argument validation
+    with pytest.raises(ValueError):
+        bfs(_sym(tiny_graph), tiny_graph.offsets, str(tmp_path / "x"))
+    with pytest.raises(ValueError):
+        bfs(_sym(tiny_graph), tiny_graph.offsets, str(tmp_path / "x"),
+            np.array([0]), sources_ds=rd.from_items([{"vid": 0}]))
