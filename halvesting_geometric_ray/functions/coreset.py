@@ -74,27 +74,71 @@ def facility_location_select(embeddings, k: int, *,
     selected = []
     gains = []
     sel_ids: set = set()
+    redraws = 0
     for rnd in range(k):
         # candidate pool: all points, or a hash-drawn subset
-        # (hash of (vec_id, seed, round) -> layout-invariant draw)
+        # (hash of (vec_id, seed, round, attempt) -> layout-invariant
+        # draw).  Already-selected points are excluded INSIDE the draw
+        # (sel set broadcast once per round — k ids, bounded) and the
+        # keep modulus tracks the REMAINING pool size, so draws stay
+        # ~m-sized however much of the pool is already selected.  An
+        # empty draw redraws with a new salt (bounded attempts), then
+        # falls to a deterministic min-hash pick — the full pool is
+        # NEVER materialized on the driver.
+        sel_ref = ray.put(np.fromiter(sel_ids, dtype=np.int64,
+                                      count=len(sel_ids))) \
+            if sel_ids else None
+
+        def _unsel_mask(b: pa.Table) -> np.ndarray:
+            if sel_ref is None:
+                return np.ones(b.num_rows, dtype=bool)
+            return ~np.isin(b.column("vec_id").to_numpy(),
+                            ray.get(sel_ref))
+
         if candidates_per_round is None:
-            cand_pool = cache
+            cpd = cache.to_pandas()  # exact greedy: the documented
+            cpd = cpd[~cpd["vec_id"].isin(sel_ids)]  # certification path
         else:
             m = candidates_per_round
+            r_left = n - len(sel_ids)
+            mod = max(1, round(r_left / m))
+            cpd = None
+            for attempt in range(4):
+                def draw(b: pa.Table, r=rnd, a=attempt,
+                         mod_=mod) -> pa.Table:
+                    h = stable_hash64(b.column("vec_id"),
+                                      seed=seed + 1000 * r + 7919 * a)
+                    keep = (h % mod_ == 0) & _unsel_mask(b)
+                    return b.filter(pa.array(keep))
 
-            def draw(b: pa.Table, r=rnd) -> pa.Table:
-                h = stable_hash64(b.column("vec_id"),
-                                  seed=seed + 1000 * r)
-                keep = h % max(1, round(n / m)) == 0
-                return b.filter(pa.array(keep))
+                cpd = cache.map_batches(
+                    draw, batch_format="pyarrow",
+                    zero_copy_batch=True).to_pandas()
+                if len(cpd):
+                    break
+                redraws += 1
+            if cpd is None or len(cpd) == 0:
+                # deterministic last resort: global min-(hash, vid)
+                # unselected point via per-block 1-row partials
+                def min1(b: pa.Table, r=rnd) -> pa.Table:
+                    mask = _unsel_mask(b)
+                    if not mask.any():
+                        return b.slice(0, 0)
+                    h = stable_hash64(b.column("vec_id"),
+                                      seed=seed + 1000 * r)
+                    idx = np.flatnonzero(mask)
+                    vid = b.column("vec_id").to_numpy()[idx]
+                    j = idx[np.lexsort((vid, h[idx]))[0]]
+                    return b.take(pa.array([j], type=pa.int64()))
 
-            cand_pool = cache.map_batches(
-                draw, batch_format="pyarrow", zero_copy_batch=True)
-        cpd = cand_pool.to_pandas()
-        cpd = cpd[~cpd["vec_id"].isin(sel_ids)]
-        if len(cpd) == 0:  # degenerate draw: fall back to full pool
-            cpd = cache.to_pandas()
-            cpd = cpd[~cpd["vec_id"].isin(sel_ids)]
+                cpd = cache.map_batches(
+                    min1, batch_format="pyarrow",
+                    zero_copy_batch=True).to_pandas()
+                h = stable_hash64(pa.array(
+                    cpd["vec_id"].to_numpy(), type=pa.int64()),
+                    seed=seed + 1000 * rnd)
+                cpd = cpd.iloc[[int(np.lexsort(
+                    (cpd["vec_id"].to_numpy(), h))[0])]]
         c_ids = cpd["vec_id"].to_numpy()
         c_mat = _norm(np.asarray(
             [np.asarray(v, dtype=np.float64) for v in cpd[col]]))
@@ -144,5 +188,6 @@ def facility_location_select(embeddings, k: int, *,
                         "vec_id": np.asarray(selected, dtype=np.int64),
                         "gain": np.round(np.asarray(gains), 9)})
     info = {"n": int(n), "k": int(k),
-            "objective": float(np.sum(gains))}
+            "objective": float(np.sum(gains)),
+            "redraws": int(redraws)}
     return out, info

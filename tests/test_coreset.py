@@ -114,3 +114,73 @@ def test_knn_classifier_matches_bruteforce():
         pred = sorted(votes, key=lambda l: (-votes[l], l))[0]
         assert out.predicted.iloc[row_i] == pred, ids[i]
     assert out.vec_id.is_unique
+
+
+def test_degenerate_draw_never_materializes_pool():
+    """Craft ids where every salted draw of round 0 is empty: the
+    bounded redraws all miss, and the deterministic min-hash last
+    resort picks a single candidate — the full pool is never used as
+    the candidate set (the old fallback materialized cache.to_pandas()
+    and ran an exact-greedy round; that would pick the max-gain
+    point instead)."""
+    from halvesting_geometric_ray.functions.hashing import stable_hash64
+
+    seed, m, want = 5, 2, 8
+    # find `want` ids that miss h % mod == 0 for all 4 attempt salts
+    mod = 4  # round(want / m)
+    ids = []
+    i = 0
+    while len(ids) < want:
+        ok = True
+        for a in range(4):
+            h = stable_hash64(pa.array([i], type=pa.int64()),
+                              seed=seed + 7919 * a)
+            if int(h[0]) % mod == 0:
+                ok = False
+                break
+        if ok:
+            ids.append(i)
+        i += 1
+    ids = np.asarray(ids)
+    rng = np.random.default_rng(0)
+    mat = rng.normal(0, 1, (want, 4))
+    out, info = facility_location_select(
+        _emb_ds(mat, ids), 1, candidates_per_round=m, seed=seed)
+    assert info["redraws"] == 4  # all bounded attempts were empty
+    # last resort = global min-(hash, vid) point, NOT the max-gain
+    # point the full-pool fallback would have chosen
+    h0 = stable_hash64(pa.array(ids, type=pa.int64()), seed=seed)
+    expect = int(ids[np.lexsort((ids, h0))[0]])
+    assert list(out.vec_id) == [expect]
+
+
+def test_redraw_salt_recovers_nonempty_draw():
+    """A draw that misses at attempt 0 but hits at a later salt uses
+    the redraw, not the last resort."""
+    from halvesting_geometric_ray.functions.hashing import stable_hash64
+
+    seed, m, want = 5, 2, 8
+    mod = 4
+    # ids that all miss attempt 0 but at least one hits attempt 1
+    ids, i = [], 0
+    hit1 = False
+    while len(ids) < want:
+        h0 = int(stable_hash64(pa.array([i], type=pa.int64()),
+                               seed=seed)[0]) % mod
+        h1 = int(stable_hash64(pa.array([i], type=pa.int64()),
+                               seed=seed + 7919)[0]) % mod
+        if h0 != 0:
+            if h1 == 0:
+                hit1 = True
+                ids.append(i)
+            elif len(ids) < want - 1:
+                ids.append(i)
+        i += 1
+    assert hit1
+    ids = np.asarray(sorted(ids))
+    rng = np.random.default_rng(1)
+    mat = rng.normal(0, 1, (want, 4))
+    out, info = facility_location_select(
+        _emb_ds(mat, ids), 1, candidates_per_round=m, seed=seed)
+    assert 1 <= info["redraws"] <= 3
+    assert len(out) == 1
