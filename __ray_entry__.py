@@ -101,7 +101,7 @@ _ORACLED_TAIL = ["q_component_size_distribution", "q_scc_size_distribution",
                  "q_spearman_lineitem", "q_graph_profile", "q_psi_drift",
                  "q_knn_classifier", "q_selfjoin_size",
                  "q_window_distinct_users", "q_chunk_documents",
-                 "q_robots_filter", "q_crawl_budget"]
+                 "q_robots_filter", "q_crawl_budget", "q_ann_ivf"]
 
 _ROWS_ONLY_PRIORITY = [
     "q_pagerank", "q_personalized_pagerank", "q_pagerank_weighted",

@@ -7,6 +7,11 @@ edges -> CSR shards) + PageRank to 1e-6 L1 convergence.  Also times a
 sample of the relational/text queries over the sf tables.
 
     python bench.py                  # GRAFT_SF_DIR, RAY_GRAFT_CPUS env
+    python bench.py --full           # every registered key (the full
+                                     # r4 sweep grew past 60 keys; the
+                                     # default lane stays comparable
+                                     # round-over-round: stable set +
+                                     # this round's new keys only)
     python bench.py --scaling        # same job at 8 and 32 CPUs in fresh
                                      # processes; reports both + efficiency
 
@@ -43,7 +48,8 @@ BENCH_KEYS_TEXT = ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
                    "q_kneser_ney", "q_blocklist",
                    "q_fuzzy_token_pairs", "q_outlier_scores",
                    "q_ccnet_buckets", "q_coreset_select",
-                   "q_chunk_documents", "q_dbscan_embeddings"]
+                   "q_chunk_documents", "q_dbscan_embeddings",
+                   "q_ann_ivf"]
 BENCH_KEYS_GRAPH = ["q_louvain", "q_word2vec_embeddings",
                     "q_link_prediction_auc", "q_host_backbone_mst",
                     "q_ldg_partition", "q_multilevel_partition",
@@ -53,10 +59,26 @@ BENCH_KEYS_GRAPH = ["q_louvain", "q_word2vec_embeddings",
                     "q_temporal_reach", "q_graph_profile",
                     "q_robots_filter", "q_crawl_budget"]
 
+# Default-lane selection: the recorded per-round bench stays
+# comparable round-over-round by timing only the STABLE set (every
+# query key present in both the r3 and r4 records) plus THIS round's
+# new keys; everything else (the r4-era expansion wave) runs under
+# --full / HGR_BENCH_FULL=1.  Rotate: at round close, fold NEW into
+# the full lists and restock it with next round's additions.
+BENCH_KEYS_STABLE = [
+    "q_pricing_summary", "q_priority_revenue", "q_edges_distinct",
+    "q_top_tokens", "q_minhash_lsh", "q_simhash_pairs",
+    "q_knn_cosine", "q_dedup_exact", "q_span_dedup", "q_tfidf",
+    "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
+    "q_knn_cosine_pq", "q_edit_neardup", "q_louvain"]
+BENCH_KEYS_NEW = ["q_ann_ivf"]  # round-5 additions
 
-def run_bench() -> dict:
+
+def run_bench(full: bool = False) -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    full = full or os.environ.get("HGR_BENCH_FULL", "") == "1"
+    lane = None if full else set(BENCH_KEYS_STABLE) | set(BENCH_KEYS_NEW)
 
     # sets RAY_DATA_LOGGING_CONFIG (empty-block schema-noise silencer);
     # must happen BEFORE ray.init so workers inherit it
@@ -193,6 +215,8 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_relational as QR
 
     for name in BENCH_KEYS_RELATIONAL:
+        if lane is not None and name not in lane:
+            continue
         t = time.time()
         res = QR.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
@@ -203,6 +227,8 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_text as QT
 
     for name in BENCH_KEYS_TEXT:
+        if lane is not None and name not in lane:
+            continue
         t = time.time()
         res = QT.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
@@ -212,6 +238,8 @@ def run_bench() -> dict:
     from halvesting_geometric_ray import queries_graph as QG
 
     for name in BENCH_KEYS_GRAPH:
+        if lane is not None and name not in lane:
+            continue
         t = time.time()
         res = QG.QUERIES[name](sf_dir)
         if hasattr(res, "materialize"):
@@ -235,6 +263,7 @@ def run_bench() -> dict:
         "pagerank_iters": iters,
         "pagerank_converged": info["converged"],
         "edges_per_sec_per_iter": round(eps_iter, 1),
+        "lane": "full" if lane is None else "stable+new",
     }
     ray.shutdown()
     return out
@@ -382,4 +411,4 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        print(json.dumps(run_bench(full="--full" in sys.argv)))

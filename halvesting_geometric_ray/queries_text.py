@@ -1511,6 +1511,37 @@ def q_knn_cosine_ivf(sf_dir: str):
     return knn_cosine_ivf(emb, qt, k=5)
 
 
+@_q("q_ann_ivf",
+    "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8), "
+    "s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+    "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+    "FROM q, embeddings e WHERE e.vec_id <> q.vec_id), "
+    "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s) "
+    "SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10")
+def q_ann_ivf(sf_dir: str):
+    """Disk-backed IVF index (functions/ann.py): build once to a
+    hive-partitioned inverted-file layout, search with partition
+    pruning.  Gate runs FULL probe (nprobe = n_lists), which is exact
+    — the SQL oracle is the same cosine-top-k window rank as
+    q_knn_cosine; the approximate regime (nprobe < n_lists) is
+    recall-certified in tests/test_ann.py and the 1M-vector ladder in
+    BASELINE.md."""
+    import hashlib
+
+    from .functions.ann import ivf_build, ivf_search
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/hgr_ann/ivf_{tag}"
+    ivf_build(emb, idx, n_lists=8)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 8)])
+    return ivf_search(idx, qt, k=10, nprobe=8)
+
+
 # ---- C4-style cross-document line dedup --------------------------------
 
 _LINE_DEDUP_SQL = """

