@@ -518,8 +518,8 @@ def dbscan_cosine(embeddings, *, threshold: float = 0.8,
         return _dbscan_past_cap(emb, pairs, min_pts=min_pts,
                                 num_parts=num_parts, workdir=workdir)
     if n_pairs:
-        tbl = pa.concat_tables([t for t in map(ray.get,
-                                               pairs.to_arrow_refs())
+        tbl = pa.concat_tables([t for t in
+                                ray.get(pairs.to_arrow_refs())
                                 if t.num_rows])
         a = tbl.column("a").to_numpy()
         b2 = tbl.column("b").to_numpy()

@@ -84,7 +84,7 @@ def tfidf_topk(docs, k: int = 3, id_col: str = "doc_id",
     n = docs.count() if n_docs is None else n_docs
     _, df = term_doc_stats(docs, id_col, text_col)
 
-    parts = [t for t in map(ray.get, df.to_arrow_refs())
+    parts = [t for t in ray.get(df.to_arrow_refs())
              if t.num_rows > 0]
     if not parts:
         raise ValueError("empty corpus: no terms found")
@@ -149,7 +149,7 @@ def bm25_scores(docs, query_terms, k1: float = 1.2, b: float = 0.75,
 
     # df for query terms + average doc length (sum tf / n), both from
     # the tf/df datasets (vocab-bounded / single scalar)
-    parts = [t for t in map(ray.get, df.to_arrow_refs()) if t.num_rows > 0]
+    parts = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows > 0]
     dfa = pa.concat_tables(parts) if parts else None
     dmap = {}
     if dfa is not None:

@@ -160,11 +160,12 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
             # 8 CPUs / 600k docs to find 0 losers).  Loser = any row
             # whose (hash-sorted, id-sorted) predecessor shares its
             # hash — identical winners-by-min-id semantics.
-            parts = [t for t in map(ray.get,
-                                    hd.map_batches(
-                                        proj_h, batch_format="pyarrow",
-                                        zero_copy_batch=True)
-                                    .to_arrow_refs()) if t.num_rows]
+            # ONE batched ray.get: per-ref gets cost a driver RPC
+            # round-trip each (~1-3 ms x blocks of serial wall)
+            parts = [t for t in ray.get(
+                hd.map_batches(proj_h, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .to_arrow_refs()) if t.num_rows]
             drop = np.array([], dtype=np.int64)
             if parts:
                 tbl = pa.concat_tables(parts)
@@ -194,7 +195,7 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
             loser_cap = 20_000_000  # ~160 MB of int64 ids broadcast
             if losers.count() <= loser_cap:
                 ltbl = pa.concat_tables(
-                    [t for t in map(ray.get, losers.to_arrow_refs())
+                    [t for t in ray.get(losers.to_arrow_refs())
                      if t.num_rows]) if losers.count() else \
                     pa.table({"doc_id": pa.array([], type=pa.int64())})
                 ds = broadcast_semi(hd, "doc_id",
@@ -225,7 +226,7 @@ def curate_corpus(docs, *, langs: Optional[List[str]] = None,
 
         if pairs.count() <= pair_cap:
             tbl = pa.concat_tables(
-                [t for t in map(ray.get, pairs.to_arrow_refs())
+                [t for t in ray.get(pairs.to_arrow_refs())
                  if t.num_rows]) if pairs.count() else None
             drop = np.array([], dtype=np.int64)
             if tbl is not None:
