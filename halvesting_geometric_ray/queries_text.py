@@ -1533,7 +1533,10 @@ def q_ann_ivf(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
     idx = f"/tmp/hgr_ann/ivf_{tag}"
     ivf_build(emb, idx, n_lists=8)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
