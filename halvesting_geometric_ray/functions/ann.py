@@ -47,6 +47,7 @@ _META = "_IVF_META.json"
 def ivf_build(embeddings, index_dir: str, *, n_lists: int = 64,
               col: str = "embedding", seed: int = 13,
               train_sample: int = 65536, kmeans_iters: int = 10,
+              pq_m: Optional[int] = None, pq_codes: int = 256,
               force: bool = False) -> dict:
     """Build (or reuse) a disk-backed IVF index under ``index_dir``.
 
@@ -55,13 +56,22 @@ def ivf_build(embeddings, index_dir: str, *, n_lists: int = 64,
     (lid, vec_id, embedding) — ``lid`` duplicates the partition value
     as a data column so pruned reads of explicit subdirectories keep
     it without hive reconstruction.  Returns the meta dict.  A
-    finished index (meta present, same n_lists/col) is reused unless
-    ``force`` — the resumable-build convention of graph/csr.py.
+    finished index (meta present, same n_lists/col/pq) is reused
+    unless ``force`` — the resumable-build convention of graph/csr.py.
+
+    ``pq_m``: store each list as ``pq_m`` uint8 PQ codes per vector
+    instead of the float embedding (the FAISS-IVFPQ shape, ~dim*4/pq_m
+    x smaller lists; codebooks from functions/quantization.py::
+    pq_train on the L2-normalized vectors — the raw-vector PQ variant,
+    no residual encoding, documented simplification).  Search then
+    scans by ADC lookup tables; recall vs exact pinned in
+    tests/test_ann.py.
     """
     meta_path = os.path.join(index_dir, _META)
     if not force and os.path.exists(meta_path):
         meta = json.load(open(meta_path))
-        if meta["n_lists"] == n_lists and meta["col"] == col:
+        if (meta["n_lists"] == n_lists and meta["col"] == col
+                and meta.get("pq_m") == pq_m):
             return meta
     import shutil
 
@@ -72,16 +82,37 @@ def ivf_build(embeddings, index_dir: str, *, n_lists: int = 64,
     cent = ivf_centroids(emb, n_centroids=n_lists, col=col, seed=seed,
                          iters=kmeans_iters, sample_size=train_sample)
     cref = ray.put(cent)
+    books = None
+    if pq_m is not None:
+        from .quantization import pq_train
+
+        books = pq_train(emb, pq_m, pq_codes, col=col, seed=seed,
+                         sample_size=min(train_sample, 16384))
+        bref = ray.put(np.ascontiguousarray(books, dtype=np.float64))
 
     def assign(b: pa.Table) -> pa.Table:
         c = ray.get(cref)
         ids, m = _mat(b, col)
-        lid = (_norm(m) @ c.T).argmax(axis=1).astype(np.int64)
-        return pa.table({
-            "list_id": pa.array(lid),
-            "lid": pa.array(lid),
-            "vec_id": b.column("vec_id"),
-            col: b.column(col)})
+        mn = _norm(m)
+        lid = (mn @ c.T).argmax(axis=1).astype(np.int64)
+        cols = {"list_id": pa.array(lid), "lid": pa.array(lid),
+                "vec_id": b.column("vec_id")}
+        if pq_m is None:
+            cols[col] = b.column(col)
+        else:
+            from .quantization import _split
+
+            bk = ray.get(bref)
+            sub = _split(mn, bk.shape[0])
+            codes = np.empty((len(mn), bk.shape[0]), dtype=np.uint8)
+            for j in range(bk.shape[0]):
+                x = sub[:, j, :]
+                cj = bk[j]
+                d2 = (cj * cj).sum(axis=1)[None, :] - 2.0 * (x @ cj.T)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            cols["code"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), type=pa.uint8()), bk.shape[0])
+        return pa.table(cols)
 
     from ..sources.readers import write_partitioned_parquet
 
@@ -90,9 +121,12 @@ def ivf_build(embeddings, index_dir: str, *, n_lists: int = 64,
                         zero_copy_batch=True),
         os.path.join(index_dir, "vectors"), partition_cols=["list_id"])
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    if books is not None:
+        np.save(os.path.join(index_dir, "codebooks.npy"), books)
     n = int(emb.count())
     meta = {"n_lists": int(len(cent)), "dim": int(cent.shape[1]),
-            "col": col, "n_vectors": n, "seed": int(seed)}
+            "col": col, "n_vectors": n, "seed": int(seed),
+            "pq_m": pq_m, "pq_codes": (pq_codes if pq_m else None)}
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return meta
@@ -112,9 +146,19 @@ def ivf_search(index_dir: str, query_table: pa.Table, k: int = 10,
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
     n_lists = len(cent)
     nprobe = min(nprobe, n_lists)
+    pq_m = meta.get("pq_m")
+    lut = None
+    if pq_m is not None:
+        books = np.load(os.path.join(index_dir, "codebooks.npy"))
 
     q_ids, q_mat = _mat(query_table, col)
     qn = _norm(q_mat)
+    if pq_m is not None:
+        from .quantization import _split
+
+        qs = _split(qn, books.shape[0])  # (nq, m, dsub)
+        # ADC lookup tables: lut[q, j, c] = q_sub_j . codebook[j, c]
+        lut = np.einsum("qjd,jcd->qjc", qs, books)
     # each query's nprobe nearest lists; probed[q, l] mask
     order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")
     probe = order[:, :nprobe]
@@ -132,13 +176,26 @@ def ivf_search(index_dir: str, query_table: pa.Table, k: int = 10,
             {"query_id": pa.array([], type=pa.int64()),
              "neighbor_id": pa.array([], type=pa.int64()),
              "rnk": pa.array([], type=pa.int64())}))
-    qref = ray.put((q_ids, qn, probed))
+    qref = ray.put((q_ids, qn, probed, lut))
 
     def partial_fn(b: pa.Table) -> pa.Table:
-        ids_q, q, pr = ray.get(qref)
-        ids, m = _mat(b, col)
+        ids_q, q, pr, tables = ray.get(qref)
         lids = b.column("lid").to_numpy()
-        sims = _norm(m) @ q.T  # (rows, nq)
+        if tables is None:
+            ids, m = _mat(b, col)
+            sims = _norm(m) @ q.T  # (rows, nq)
+        else:  # ADC over the stored uint8 codes
+            ids = b.column("vec_id").to_numpy()
+            cc = b.column("code")
+            if isinstance(cc, pa.ChunkedArray):
+                cc = cc.combine_chunks()
+            codes = np.asarray(cc.flatten(), dtype=np.uint8).reshape(
+                len(ids), -1)
+            sims = np.zeros((len(ids), len(ids_q)), dtype=np.float64)
+            for j in range(codes.shape[1]):
+                # tables[:, j, :] is (nq, n_codes); fancy-index by the
+                # rows' j-th code then accumulate
+                sims += tables[:, j, :][:, codes[:, j]].T
         mask = pr[:, lids].T  # (rows, nq): row in query's probed set
         sims = np.where(mask, sims, -np.inf)
         kk = min(k + 1, len(ids))
@@ -162,8 +219,9 @@ def ivf_search(index_dir: str, query_table: pa.Table, k: int = 10,
             "sim": pa.array(np.concatenate(out_s),
                             type=pa.float64())})
 
-    partial = rd.read_parquet(
-        dirs, columns=["lid", "vec_id", col]).map_batches(
+    read_cols = ["lid", "vec_id"] + (["code"] if pq_m is not None
+                                     else [col])
+    partial = rd.read_parquet(dirs, columns=read_cols).map_batches(
         partial_fn, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=4096)
 

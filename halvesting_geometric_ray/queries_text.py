@@ -1545,6 +1545,31 @@ def q_ann_ivf(sf_dir: str):
     return ivf_search(idx, qt, k=10, nprobe=8)
 
 
+@_q("q_ann_ivfpq")
+def q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ: the disk-backed index with uint8-PQ-coded lists and
+    ADC search (functions/ann.py, pq_m=16) — the FAISS-IVFPQ shape at
+    10^9 vectors.  Rows-only (approximate by design); recall and
+    compression pinned in tests/test_ann.py, 1M ladder in
+    BASELINE.md."""
+    import hashlib
+
+    from .functions.ann import ivf_build, ivf_search
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}|pq".encode()
+    ).hexdigest()[:10]
+    idx = f"/tmp/hgr_ann/ivfpq_{tag}"
+    ivf_build(emb, idx, n_lists=8, pq_m=16)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 8)])
+    return ivf_search(idx, qt, k=10, nprobe=4)
+
+
 # ---- C4-style cross-document line dedup --------------------------------
 
 _LINE_DEDUP_SQL = """

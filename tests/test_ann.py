@@ -106,3 +106,48 @@ def test_search_reads_only_probed_lists(tmp_path):
         os.path.join(idx, "vectors", f"list_id={lid}"))
     members = set(lst.column("vec_id").to_pylist())
     assert set(out.neighbor_id) <= members
+
+
+def test_ivfpq_recall_and_compression(tmp_path):
+    """IVF-PQ: uint8-coded lists, ADC search — recall@10 vs exact
+    stays high on clustered data and the list bytes shrink ~
+    dim*4/pq_m fold."""
+    mat = _blob_corpus(4000, 32, 40, seed=3)
+    ds = _emb_ds(mat)
+    flat = str(tmp_path / "flat")
+    pq_idx = str(tmp_path / "pq")
+    ivf_build(ds, flat, n_lists=32, seed=7)
+    meta = ivf_build(ds, pq_idx, n_lists=32, seed=7, pq_m=16)
+    assert meta["pq_m"] == 16 and os.path.exists(
+        os.path.join(pq_idx, "codebooks.npy"))
+    qids = list(range(0, 4000, 250))
+    got = ivf_search(pq_idx, _qtbl(mat, qids), k=10,
+                     nprobe=16).to_pandas()
+    exact = knn_cosine(ds, _qtbl(mat, qids), k=10).to_pandas()
+    recalls = []
+    for q in qids:
+        g = set(got.loc[got.query_id == q, "neighbor_id"])
+        e = set(exact.loc[exact.query_id == q, "neighbor_id"])
+        recalls.append(len(g & e) / max(len(e), 1))
+    assert np.mean(recalls) >= 0.8, recalls
+
+    def tree_bytes(p, colglob):
+        import glob
+        tot = 0
+        for f in glob.glob(os.path.join(p, "vectors", "*", "*.parquet")):
+            tot += os.path.getsize(f)
+        return tot
+
+    # 32d float32 = 128 B/vec vs 16 uint8 codes = 16 B/vec:
+    # parquet overheads eat some of the 8x, require >= 2x
+    assert tree_bytes(flat, "") > 2 * tree_bytes(pq_idx, "")
+
+
+def test_ivfpq_rebuild_on_pq_change(tmp_path):
+    mat = _blob_corpus(300, 8, 4, seed=1)
+    idx = str(tmp_path / "ivf")
+    m1 = ivf_build(_emb_ds(mat), idx, n_lists=4)
+    m2 = ivf_build(_emb_ds(mat), idx, n_lists=4, pq_m=4)
+    assert m2["pq_m"] == 4 and m1["pq_m"] is None
+    out = ivf_search(idx, _qtbl(mat, [0]), k=3, nprobe=4).to_pandas()
+    assert len(out) == 3
