@@ -65,7 +65,13 @@ def ivf_build(embeddings, index_dir: str, *, n_lists: int = 64,
     pq_train on the L2-normalized vectors — the raw-vector PQ variant,
     no residual encoding, documented simplification).  Search then
     scans by ADC lookup tables; recall vs exact pinned in
-    tests/test_ann.py.
+    tests/test_ann.py.  Trade-off (measured, BASELINE.md 1M ladder):
+    PQ is the COMPRESSION path — on tie-heavy corpora ADC reorders
+    near-equal neighbors (recall@10 drops while the returned
+    neighbors stay within ~0.03 cosine of the exact set); use the
+    flat index when exact-set recall matters.  A FAISS-style refine
+    stage would need a random-access raw-vector store, which parquet
+    lists don't give — deliberately not implemented.
     """
     meta_path = os.path.join(index_dir, _META)
     if not force and os.path.exists(meta_path):
