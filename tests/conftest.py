@@ -58,3 +58,83 @@ def small_graph(tmp_path_factory):
     d = ensure_pages_parquet(2000, 7)
     wd = str(tmp_path_factory.mktemp("graph_small"))
     return build_graph(d, wd)
+
+
+# ---------------------------------------------------------------------------
+# Slow-lane marking (r4 VERDICT directive 6): ladder / chaos / fuzz /
+# e2e-CLI tests and everything measured >= ~4.5 s in the round-5 full
+# run are marked `slow` centrally here (regenerate from
+# `pytest --durations=80`), so the default CI loop is
+# `-m "not slow"` and the full lane stays intact — no test deleted.
+_SLOW_TESTS = {
+    "tests/test_betweenness.py::test_betweenness_sampled_estimator",
+    "tests/test_bfs.py::test_bfs_sources_ds_parity",
+    "tests/test_bowtie.py::test_bowtie_auto_pivot_matches_oracle",
+    "tests/test_bowtie.py::test_bowtie_explicit_pivot_multi_part",
+    "tests/test_bowtie.py::test_giant_scc_pivot_exact",
+    "tests/test_bpe.py::test_partitioning_independent",
+    "tests/test_bridges.py::test_2ecc_labels_match_bridge_free_components",
+    "tests/test_bridges.py::test_cycle_no_bridges",
+    "tests/test_bridges.py::test_random_graphs_match_tarjan",
+    "tests/test_bridges.py::test_tree_all_bridges",
+    "tests/test_bridges.py::test_two_triangles_one_bridge",
+    "tests/test_cliques.py::test_k5_planted",
+    "tests/test_cliques.py::test_partitioning_invariance",
+    "tests/test_components.py::test_cc_resume",
+    "tests/test_components.py::test_cc_without_pointer_jumping_same_labels",
+    "tests/test_dbscan.py::test_past_cap_border_and_min_pts_one_parity",
+    "tests/test_incremental.py::test_extend_csr_and_warm_pagerank",
+    "tests/test_incremental.py::test_extend_graph_idempotent_and_recrawl_filter",
+    "tests/test_incremental.py::test_extend_graph_stable_ids_and_edges",
+    "tests/test_kcore.py::test_kcore_known_shape",
+    "tests/test_kcore.py::test_kcore_matches_oracle",
+    "tests/test_kcore.py::test_kcore_partitioning_independent",
+    "tests/test_leiden.py::test_louvain_leiden_guarantee",
+    "tests/test_linkpred.py::test_layout_independent",
+    "tests/test_louvain.py::test_beats_label_propagation_on_fixture",
+    "tests/test_louvain.py::test_checkpoint_does_not_perturb",
+    "tests/test_louvain.py::test_contraction_regimes_agree",
+    "tests/test_louvain.py::test_layout_invariance",
+    "tests/test_louvain.py::test_mirror_owner_parity",
+    "tests/test_metadata.py::test_hash_id_mode_isomorphic",
+    "tests/test_mirror.py::test_mirror_layout_invariance_and_estimate_only",
+    "tests/test_mst.py::test_driver_and_distributed_root_paths_agree",
+    "tests/test_multilevel.py::test_multilevel_covers_balances_and_is_layout_independent",
+    "tests/test_multilevel.py::test_multilevel_cut_not_worse_than_flat_on_planted",
+    "tests/test_multilevel.py::test_refine_improves_a_scrambled_planted_assignment",
+    "tests/test_pagerank.py::test_pagerank_resume_mid_iteration",
+    "tests/test_pagerank.py::test_pagerank_resume_mid_run",
+    "tests/test_propagate.py::test_sgc_composition_denoises_labels",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_bfs_hops]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_toposort_urls]",
+    "tests/test_queries_relational.py::test_query_matches_oracle[q_scd2_history]",
+    "tests/test_salsa.py::test_salsa_ignores_self_loops_and_dups",
+    "tests/test_salsa.py::test_salsa_layout_invariant",
+    "tests/test_scan.py::test_scan_hub_vs_outlier",
+    "tests/test_scan.py::test_scan_layout_invariance",
+    "tests/test_scan.py::test_scan_matches_oracle",
+    "tests/test_spam.py::test_partitioned",
+    "tests/test_spectral.py::test_layout_invariance",
+    "tests/test_temporal.py::test_layout_invariance_and_validation",
+    "tests/test_text_dedup.py::test_sql_parity[q_dedup_clusters]",
+    "tests/test_textrank.py::test_textrank_layout_invariance",
+    "tests/test_triads.py::test_census_reciprocal_and_dag_invariants",
+    "tests/test_triads.py::test_partitioning_invariance_and_table",
+    "tests/test_truss.py::test_clique_plus_tail",
+    "tests/test_truss.py::test_random_matches_oracle",
+    "tests/test_validate.py::test_cli_validate",
+}
+# whole modules: end-to-end CLI sweeps and SIGKILL chaos
+_SLOW_MODULES = {"tests/test_cli.py", "tests/test_kill_resume.py"}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for it in items:
+        nodeid = it.nodeid
+        base = nodeid.split("[")[0]
+        mod = nodeid.split("::")[0]
+        if (nodeid in _SLOW_TESTS or base in _SLOW_TESTS
+                or mod in _SLOW_MODULES):
+            it.add_marker(_pytest.mark.slow)
