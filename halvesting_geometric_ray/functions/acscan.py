@@ -160,9 +160,18 @@ class ACScanStage:
 
 def blocklist_scan(docs, patterns: Sequence[str], *,
                    id_col: str = "doc_id", text_col: str = "text",
-                   concurrency: int = 4, batch_size: int = 256):
+                   concurrency=(1, 8), batch_size: int = 256):
     """Scan every document against the pattern list; returns
-    (id_col, n_matches, n_patterns, blocked)."""
+    (id_col, n_matches, n_patterns, blocked).
+
+    ``concurrency`` MUST stay an autoscaling (min, max) tuple, never a
+    fixed int: a fixed pool of size == session CPUs reserves every
+    core and starves the upstream read task — a scheduling deadlock
+    observed at the 4-CPU test session (the actor-pool analogue of
+    the native-join gotcha; min=1 lets the scheduler keep the read
+    running)."""
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
     return docs.select_columns([id_col, text_col]).map_batches(
         ACScanStage, fn_constructor_args=(list(patterns), id_col,
                                           text_col),
