@@ -124,6 +124,68 @@ _SLOW_TESTS = {
     "tests/test_truss.py::test_random_matches_oracle",
     "tests/test_validate.py::test_cli_validate",
 }
+# second band (round-5 fast-lane re-measure): everything >= ~3.2 s
+_SLOW_TESTS |= {
+    "tests/test_ann.py::test_ivfpq_recall_and_compression",
+    "tests/test_bfs.py::test_double_sweep_diameter_matches_oracle",
+    "tests/test_bowtie.py::test_bowtie_crafted",
+    "tests/test_bpe.py::test_train_matches_reference[20]",
+    "tests/test_cc_warmstart.py::test_warm_fewer_rounds_on_chain_merge",
+    "tests/test_cc_warmstart.py::test_warm_with_new_vertices",
+    "tests/test_dbscan.py::test_past_cap_distributed_path_bitwise_parity",
+    "tests/test_graph_build.py::test_empty_and_degenerate_inputs",
+    "tests/test_graph_build.py::test_ids_deterministic_across_runs",
+    "tests/test_hostgraph.py::test_host_pagerank_composes",
+    "tests/test_landmarks.py::test_upper_bound_and_landmark_exactness",
+    "tests/test_leiden.py::test_modularity_non_decreasing",
+    "tests/test_leiden.py::test_refine_matches_oracle_random[4-0]",
+    "tests/test_leiden.py::test_refine_matches_oracle_random[4-5]",
+    "tests/test_linear.py::test_end_to_end_quality_gate_on_hashed_features",
+    "tests/test_louvain.py::test_phase1_crash_resume_bitwise[8000000]",
+    "tests/test_louvain.py::test_planted_partition_quality",
+    "tests/test_metrics.py::test_common_neighbors_hub_cap",
+    "tests/test_metrics.py::test_conductance_two_cliques_exact",
+    "tests/test_mirror.py::test_mirror_bucket_cap_star",
+    "tests/test_mirror.py::test_mirror_candidates_planted_pairs",
+    "tests/test_mst.py::test_layout_invariance",
+    "tests/test_nullmodel.py::test_deterministic_and_layout_invariant",
+    "tests/test_nullmodel.py::test_rewiring_destroys_clustering",
+    "tests/test_pagerank.py::test_pagerank_sparse_checkpoint_interval",
+    "tests/test_pagerank.py::test_pagerank_uniform_weights_equal_unweighted",
+    "tests/test_pagerank.py::test_pagerank_weighted_multigraph_folds_multiplicity",
+    "tests/test_pagerank.py::test_personalized_pagerank_matches_oracle",
+    "tests/test_pagerank.py::test_ppr_and_classic_checkpoints_do_not_mix",
+    "tests/test_partition.py::test_relabel_by_blocks_roundtrip",
+    "tests/test_partition.py::test_relabel_pagerank_permutation_invariance",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_clustering_coeff]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_condensation_urls]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_feature_smooth_urls]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_fourcliques_urls]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_graph_profile]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_host_backbone_disparity]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_salsa_urls]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_scan_edges]",
+    "tests/test_queries_graph_oracle.py::test_graph_sql_parity[q_triad_census_urls]",
+    "tests/test_queries_relational.py::test_query_matches_oracle[q_cosupply_triangles]",
+    "tests/test_redirects.py::test_layout_invariance",
+    "tests/test_salsa.py::test_salsa_matches_power_iteration",
+    "tests/test_salsa.py::test_salsa_star_closed_form",
+    "tests/test_scc.py::test_scc_partitioning_and_actor_independent",
+    "tests/test_simrank.py::test_simrank_layout_invariant",
+    "tests/test_spectral.py::test_ritz_values_match_dense_eigh[4]",
+    "tests/test_stat_tests.py::test_spearman_perfect_monotone_and_degenerate",
+    "tests/test_temporal.py::test_matches_sequential_fixpoint_random",
+    "tests/test_textrank.py::test_textrank_matches_sequential_oracle",
+    "tests/test_triads.py::test_census_random_graph_matches_bruteforce",
+    "tests/test_triangles_labelprop.py::test_triangles_edges_matches_sym_path",
+    "tests/test_unigram.py::test_layout_invariance_fixed_num_parts",
+    "tests/test_walks.py::test_walks_layout_independent",
+    "tests/test_walks.py::test_walks_seed_changes_draws",
+    "tests/test_wl.py::test_star_and_layout_invariance",
+    "tests/test_wordpiece.py::test_apply_roundtrip_and_unk",
+    "tests/test_wordpiece.py::test_layout_invariance",
+    "tests/test_wordpiece.py::test_matches_sequential_reference[8]",
+}
 # whole modules: end-to-end CLI sweeps and SIGKILL chaos
 _SLOW_MODULES = {"tests/test_cli.py", "tests/test_kill_resume.py"}
 
