@@ -138,6 +138,85 @@ def ivf_build(embeddings, index_dir: str, *, n_lists: int = 64,
     return meta
 
 
+def ivf_append(embeddings, index_dir: str) -> dict:
+    """Append new vectors to a BUILT index without retraining — the
+    daily-recrawl shape: assign against the saved centroids (and PQ
+    codebooks when present), write NEW parquet files into the existing
+    list directories (existing files untouched — the append is
+    restart-safe at file granularity), bump meta n_vectors.
+
+    The coarse quantizer is frozen, so list balance drifts as the
+    corpus drifts — rebuild (force=True) when the skew report says
+    so.  Caller contract: vec_ids must not collide with existing ones
+    (ids are not checked — an id-space audit is one grouped count).
+    Returns the updated meta."""
+    meta_path = os.path.join(index_dir, _META)
+    meta = json.load(open(meta_path))
+    col = meta["col"]
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    cref = ray.put(cent)
+    pq_m = meta.get("pq_m")
+    if pq_m is not None:
+        books = np.load(os.path.join(index_dir, "codebooks.npy"))
+        bref = ray.put(np.ascontiguousarray(books, dtype=np.float64))
+
+    emb = embeddings.select_columns(["vec_id", col])
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, m = _mat(b, col)
+        mn = _norm(m)
+        lid = (mn @ c.T).argmax(axis=1).astype(np.int64)
+        cols = {"list_id": pa.array(lid), "lid": pa.array(lid),
+                "vec_id": b.column("vec_id")}
+        if pq_m is None:
+            cols[col] = b.column(col)
+        else:
+            from .quantization import _split
+
+            bk = ray.get(bref)
+            sub = _split(mn, bk.shape[0])
+            codes = np.empty((len(mn), bk.shape[0]), dtype=np.uint8)
+            for j in range(bk.shape[0]):
+                x = sub[:, j, :]
+                cj = bk[j]
+                d2 = (cj * cj).sum(axis=1)[None, :] - 2.0 * (x @ cj.T)
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            cols["code"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), type=pa.uint8()), bk.shape[0])
+        return pa.table(cols)
+
+    from ..sources.readers import write_partitioned_parquet
+
+    write_partitioned_parquet(
+        emb.map_batches(assign, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        os.path.join(index_dir, "vectors"), partition_cols=["list_id"])
+    meta["n_vectors"] = int(meta["n_vectors"]) + int(emb.count())
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_list_stats(index_dir: str):
+    """List-balance diagnostics of a built index: one row per
+    inverted list (lid, n_vectors) as a Dataset — feed to
+    ops/sketch.py::key_skew_report or eyeball max/avg; heavy skew
+    means the frozen quantizer has drifted and the index wants a
+    rebuild."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(index_dir, "vectors",
+                                           "list_id=*", "*.parquet")))
+    ds = rd.read_parquet(files, columns=["lid"])
+    from ..ops.agg import grouped_aggregate
+
+    return grouped_aggregate(ds, ["lid"],
+                             {"n_vectors": ("count", None)})
+
+
 def ivf_search(index_dir: str, query_table: pa.Table, k: int = 10,
                *, nprobe: int = 8, col: Optional[str] = None):
     """Top-k cosine neighbors of each query row (vec_id, embedding)

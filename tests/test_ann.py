@@ -151,3 +151,42 @@ def test_ivfpq_rebuild_on_pq_change(tmp_path):
     assert m2["pq_m"] == 4 and m1["pq_m"] is None
     out = ivf_search(idx, _qtbl(mat, [0]), k=3, nprobe=4).to_pandas()
     assert len(out) == 3
+
+
+def test_ivf_append_and_stats(tmp_path):
+    """Append new vectors without retraining: search finds them; old
+    list files are untouched (file-granular restart safety); stats
+    count every vector."""
+    from halvesting_geometric_ray.functions.ann import (ivf_append,
+                                                        ivf_list_stats)
+
+    mat = _blob_corpus(800, 16, 8, seed=5)
+    idx = str(tmp_path / "ivf")
+    ivf_build(_emb_ds(mat[:600]), idx, n_lists=8, seed=7)
+    import glob
+    before = set(glob.glob(os.path.join(idx, "vectors", "*", "*.parquet")))
+    meta = ivf_append(_emb_ds(mat[600:], ids=np.arange(600, 800)), idx)
+    assert meta["n_vectors"] == 800
+    after = set(glob.glob(os.path.join(idx, "vectors", "*", "*.parquet")))
+    assert before <= after and len(after) > len(before)
+    # a query near an appended vector must retrieve it at full probe
+    got = ivf_search(idx, _qtbl(mat, [700]), k=5, nprobe=8).to_pandas()
+    exact = knn_cosine(_emb_ds(mat), _qtbl(mat, [700]),
+                       k=5).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("rnk").reset_index(drop=True),
+        exact.sort_values("rnk").reset_index(drop=True))
+    stats = ivf_list_stats(idx).to_pandas()
+    assert stats["n_vectors"].sum() == 800
+
+
+def test_ivf_append_pq_mode(tmp_path):
+    from halvesting_geometric_ray.functions.ann import ivf_append
+
+    mat = _blob_corpus(500, 16, 5, seed=2)
+    idx = str(tmp_path / "pq")
+    ivf_build(_emb_ds(mat[:400]), idx, n_lists=5, seed=7, pq_m=8)
+    meta = ivf_append(_emb_ds(mat[400:], ids=np.arange(400, 500)), idx)
+    assert meta["n_vectors"] == 500 and meta["pq_m"] == 8
+    out = ivf_search(idx, _qtbl(mat, [450]), k=5, nprobe=5).to_pandas()
+    assert len(out) == 5
