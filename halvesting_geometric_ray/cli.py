@@ -279,6 +279,24 @@ def main(argv=None) -> int:
                     help="space-separated query terms")
     sp.add_argument("--k", type=int, default=10)
 
+    sp = sub.add_parser("ann-build", help="build a disk-backed IVF "
+                        "vector index (hive-partitioned inverted "
+                        "lists; --pq-m stores uint8 PQ codes)")
+    sp.add_argument("--embeddings", required=True,
+                    help="parquet with (vec_id, embedding)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n-lists", type=int, default=64)
+    sp.add_argument("--pq-m", type=int, default=None)
+    sp.add_argument("--force", action="store_true")
+
+    sp = sub.add_parser("ann-search", help="top-k cosine from a built "
+                        "IVF index (reads only the probed lists)")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--queries", required=True,
+                    help="parquet with (vec_id, embedding) query rows")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=8)
+
     args = p.parse_args(argv)
     ray = _session()
     try:
@@ -377,6 +395,28 @@ def main(argv=None) -> int:
             meta = build_index(ds, args.out,
                                num_buckets=args.num_buckets)
             print(json.dumps({"index": meta}))
+            return 0
+        if args.cmd == "ann-build":
+            from .functions.ann import ivf_build
+
+            ds = rd.read_parquet(args.embeddings)
+            meta = ivf_build(ds, args.out, n_lists=args.n_lists,
+                             pq_m=args.pq_m, force=args.force)
+            print(json.dumps({"ann_index": meta}))
+            return 0
+        if args.cmd == "ann-search":
+            import pyarrow.parquet as _pq
+
+            from .functions.ann import ivf_search
+
+            qt = _pq.read_table(args.queries)
+            out = ivf_search(args.index, qt, k=args.k,
+                             nprobe=args.nprobe).to_pandas()
+            print(json.dumps({"ann_search": {
+                "hits": [{"query_id": int(r.query_id),
+                          "neighbor_id": int(r.neighbor_id),
+                          "rnk": int(r.rnk)}
+                         for r in out.itertuples()]}}))
             return 0
         if args.cmd == "search":
             from .functions.search import query_index

@@ -364,3 +364,32 @@ def test_cli_bridges_summary(tmp_path, capsys, tiny_pages_dir):
         capsys.readouterr().out.strip().splitlines()[-1])["summary"]
     assert sm["n_vertices"] > 0 and sm["n_edges"] > 0
     assert 0.0 <= sm["reciprocity"] <= 1.0
+
+
+def test_cli_ann_build_search(tmp_path, capsys):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (6, 12))
+    mat = (np.repeat(centers, 50, axis=0)
+           + rng.normal(0, 0.1, (300, 12))).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "embedding": pa.array(list(map(list, mat)),
+                                        type=pa.list_(pa.float32()))})
+    emb = str(tmp_path / "emb.parquet")
+    pq.write_table(t, emb)
+    idx = str(tmp_path / "idx")
+    assert main(["ann-build", "--embeddings", emb, "--out", idx,
+                 "--n-lists", "6"]) == 0
+    meta = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["ann_index"]
+    assert meta["n_vectors"] == 300
+    qf = str(tmp_path / "q.parquet")
+    pq.write_table(t.slice(0, 2), qf)
+    assert main(["ann-search", "--index", idx, "--queries", qf,
+                 "--k", "3", "--nprobe", "6"]) == 0
+    res = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])["ann_search"]
+    assert len(res["hits"]) == 6  # 2 queries x k=3
