@@ -138,7 +138,7 @@ _ROWS_ONLY_PRIORITY = [
     "q_frame_sample", "q_video_motion", "q_components", "q_triangles",
     "q_triangles_apx",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
-    "q_ann_ivfpq",
+    "q_ann_ivfpq", "q_retrieval_semantic",
     "q_knn_cosine_sq",
     "q_pca_whiten",
     "q_embed_neardup_lsh", "q_kmeans", "q_kmeans_pp", "q_semantic_dedup",

@@ -49,7 +49,7 @@ BENCH_KEYS_TEXT = ["q_minhash_lsh", "q_simhash_pairs", "q_knn_cosine",
                    "q_fuzzy_token_pairs", "q_outlier_scores",
                    "q_ccnet_buckets", "q_coreset_select",
                    "q_chunk_documents", "q_dbscan_embeddings",
-                   "q_ann_ivf", "q_ann_ivfpq"]
+                   "q_ann_ivf", "q_ann_ivfpq", "q_retrieval_semantic"]
 BENCH_KEYS_GRAPH = ["q_louvain", "q_word2vec_embeddings",
                     "q_link_prediction_auc", "q_host_backbone_mst",
                     "q_ldg_partition", "q_multilevel_partition",
@@ -71,7 +71,8 @@ BENCH_KEYS_STABLE = [
     "q_knn_cosine", "q_dedup_exact", "q_span_dedup", "q_tfidf",
     "q_curate_corpus", "q_kmeans", "q_semantic_dedup",
     "q_knn_cosine_pq", "q_edit_neardup", "q_louvain"]
-BENCH_KEYS_NEW = ["q_ann_ivf", "q_ann_ivfpq"]  # round-5 additions
+BENCH_KEYS_NEW = ["q_ann_ivf", "q_ann_ivfpq",
+                  "q_retrieval_semantic"]  # round-5 additions
 
 
 def run_bench(full: bool = False) -> dict:

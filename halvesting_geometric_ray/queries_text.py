@@ -1570,6 +1570,108 @@ def q_ann_ivfpq(sf_dir: str):
     return ivf_search(idx, qt, k=10, nprobe=4)
 
 
+@_q("q_retrieval_semantic")
+def q_retrieval_semantic(sf_dir: str):
+    """End-to-end semantic retrieval capstone — the RAG indexing
+    stack composed from certified stages: documents ->
+    chunk_documents (functions/chunking.py) -> corpus-trained word
+    vectors (encode vocab -> skip-gram pairs -> distributed SGNS,
+    functions/word2vec.py) -> mean-pooled chunk embeddings ->
+    disk-backed IVF index (functions/ann.py) -> top-k chunk
+    retrieval for the first 8 chunks as queries.  Rows-only (learned
+    vectors); every stage carries its own oracle (chunking SQL,
+    SGNS replay, IVF full-probe parity)."""
+    import tempfile
+
+    import ray
+
+    from .functions.ann import ivf_build, ivf_search
+    from .functions.chunking import chunk_documents
+    from .functions.encode import build_vocab, encode_docs
+    from .functions.pack import skipgram_pairs
+    from .functions.word2vec import sgns_train
+    from .ops.agg import grouped_aggregate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    vocab, ref = build_vocab(docs, vocab_size=8192)
+    enc = encode_docs(docs, ref).materialize()
+
+    def flat(b: pa.Table) -> pa.Table:
+        ids = b.column("ids")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lens = np.asarray([len(x) for x in ids], dtype=np.int64)
+        did = np.repeat(b.column("doc_id").to_numpy(), lens)
+        pos = np.concatenate([np.arange(n, dtype=np.int64)
+                              for n in lens]) if lens.sum() else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(did),
+            "pos": pa.array(pos),
+            "tid": pa.array(np.asarray(ids.flatten(), dtype=np.int64))})
+
+    toks_flat = enc.map_batches(flat, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    pairs = skipgram_pairs(toks_flat, "doc_id", "pos", "tid",
+                           window=2, keep_order=True)
+    vc = grouped_aggregate(toks_flat.select_columns(["tid"]), ["tid"],
+                           {"n": ("count", None)}).map_batches(
+        lambda b: pa.table({"token": b.column("tid"),
+                            "n": b.column("n")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    vt = pa.concat_tables(
+        [pa.table({"token": b.column("token"), "n": b.column("n")})
+         for b in vc.iter_batches(batch_format="pyarrow")])
+    toks, w_in, _, _ = sgns_train(
+        pairs, vt, id_cols=("doc_id", "pos", "offset"), dim=16,
+        negatives=3, lr=0.05, epochs=1, seed=31, num_parts=16,
+        inner_batch=256)
+    # dense id -> vector lookup (ids are 0..V incl. unk)
+    V = int(toks.max()) + 1 if len(toks) else 1
+    lut = np.zeros((V + 1, w_in.shape[1]), dtype=np.float64)
+    lut[np.asarray(toks, dtype=np.int64)] = w_in.astype(np.float64)
+    lref = ray.put(lut)
+
+    chunks = chunk_documents(docs, chunk_tokens=32).materialize()
+    chunk_enc = encode_docs(
+        chunks.map_batches(
+            lambda b: pa.table({
+                "doc_id": pc.add(
+                    pc.multiply(b.column("doc_id").cast(pa.int64()),
+                                pa.scalar(10000, pa.int64())),
+                    b.column("chunk_idx")),
+                "text": b.column("text")}),
+            batch_format="pyarrow", zero_copy_batch=True), ref)
+
+    def pool(b: pa.Table) -> pa.Table:
+        lt = ray.get(lref)
+        ids = b.column("ids")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out = np.zeros((b.num_rows, lt.shape[1]), dtype=np.float32)
+        for i, row in enumerate(ids):
+            a = np.asarray(row.values, dtype=np.int64) \
+                if hasattr(row, "values") else \
+                np.asarray(row.as_py(), dtype=np.int64)
+            a = a[a < len(lt) - 1]  # drop unk
+            if a.size:
+                out[i] = lt[a].mean(axis=0)
+        return pa.table({
+            "vec_id": b.column("doc_id"),
+            "embedding": pa.array(list(out),
+                                  type=pa.list_(pa.float32()))})
+
+    emb = chunk_enc.map_batches(pool, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    idx = tempfile.mkdtemp(prefix="hgr_retrieval_")
+    ivf_build(emb, idx, n_lists=16)
+    qt = pa.concat_tables(
+        [b for b in emb.sort("vec_id").limit(8).iter_batches(
+            batch_format="pyarrow")])
+    return ivf_search(idx, qt, k=5, nprobe=8)
+
+
 # ---- C4-style cross-document line dedup --------------------------------
 
 _LINE_DEDUP_SQL = """

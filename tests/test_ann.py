@@ -190,3 +190,17 @@ def test_ivf_append_pq_mode(tmp_path):
     assert meta["n_vectors"] == 500 and meta["pq_m"] == 8
     out = ivf_search(idx, _qtbl(mat, [450]), k=5, nprobe=5).to_pandas()
     assert len(out) == 5
+
+
+def test_retrieval_capstone_shape():
+    """q_retrieval_semantic composes chunk -> SGNS -> pool -> IVF;
+    assert the retrieval contract (5 ranked hits per query, no
+    self-matches) at the smallest sf tier."""
+    from halvesting_geometric_ray.queries_text import QUERIES
+
+    out = QUERIES["q_retrieval_semantic"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rnk"}
+    per = out.groupby("query_id")["rnk"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all() and (per["count"] == 5).all()
+    assert (out.query_id != out.neighbor_id).all()
