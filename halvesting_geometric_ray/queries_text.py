@@ -1645,22 +1645,28 @@ def q_retrieval_semantic(sf_dir: str):
             batch_format="pyarrow", zero_copy_batch=True), ref)
 
     def pool(b: pa.Table) -> pa.Table:
+        # vectorized mean-pool: flatten all token ids, segment-sum via
+        # reduceat over the list offsets, divide by non-unk counts
         lt = ray.get(lref)
         ids = b.column("ids")
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        out = np.zeros((b.num_rows, lt.shape[1]), dtype=np.float32)
-        for i, row in enumerate(ids):
-            a = np.asarray(row.values, dtype=np.int64) \
-                if hasattr(row, "values") else \
-                np.asarray(row.as_py(), dtype=np.int64)
-            a = a[a < len(lt) - 1]  # drop unk
-            if a.size:
-                out[i] = lt[a].mean(axis=0)
+        flat = np.asarray(ids.flatten(), dtype=np.int64)
+        lens = np.asarray([len(x) for x in ids], dtype=np.int64)
+        keep = flat < len(lt) - 1  # drop unk
+        seg = np.repeat(np.arange(b.num_rows), lens)[keep]
+        vecs = lt[flat[keep]]
+        out = np.zeros((b.num_rows, lt.shape[1]), dtype=np.float64)
+        np.add.at(out, seg, vecs)
+        cnt = np.bincount(seg, minlength=b.num_rows)
+        nz = cnt > 0
+        out[nz] /= cnt[nz, None]
+        out = out.astype(np.float32)
         return pa.table({
             "vec_id": b.column("doc_id"),
-            "embedding": pa.array(list(out),
-                                  type=pa.list_(pa.float32()))})
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(out.ravel(), type=pa.float32()),
+                lt.shape[1]).cast(pa.list_(pa.float32()))})
 
     emb = chunk_enc.map_batches(pool, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
