@@ -1603,8 +1603,10 @@ def q_retrieval_semantic(sf_dir: str):
             ids = ids.combine_chunks()
         lens = np.asarray([len(x) for x in ids], dtype=np.int64)
         did = np.repeat(b.column("doc_id").to_numpy(), lens)
-        pos = np.concatenate([np.arange(n, dtype=np.int64)
-                              for n in lens]) if lens.sum() else \
+        total = int(lens.sum())
+        starts = np.r_[0, np.cumsum(lens)[:-1]]
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts, lens)) if total else \
             np.empty(0, dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(did),
