@@ -11,11 +11,12 @@ REALLY decodes several formats with the pure-stdlib codecs below:
   bottom-up or top-down rows),
 - WAV  (RIFF/PCM 8/16-bit + IEEE-float32; features = amplitude stats,
   zero-crossing rate and FFT spectral centroid),
-- JPEG (baseline sequential DCT, ITU-T T.81: Huffman entropy decode,
-  dequantize, IDCT, chroma upsample, YCbCr->RGB; SOF0/SOF1, 1- or
-  3-component, arbitrary sampling factors, DRI/RSTn restarts —
-  certified against an independent spec-following encoder in
-  tests/test_jpeg.py),
+- JPEG (sequential AND progressive DCT, ITU-T T.81: Huffman entropy
+  decode, dequantize, IDCT, chroma upsample, YCbCr->RGB; SOF0/SOF1/
+  SOF2 — progressive spectral selection + successive approximation
+  with EOBRUN — 1- or 3-component, arbitrary sampling factors,
+  DRI/RSTn restarts — certified against independent spec-following
+  baseline AND progressive encoders in tests/test_jpeg.py),
 - GIF  (87a/89a variable-width LZW with CLEAR/EOI and dictionary
   reset, global/local color tables, interlace, transparency->alpha;
   round-trip + hand-packed spec fixtures in tests/test_gif.py),
@@ -908,21 +909,28 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> Tuple[int, int, int, np.ndarray]:
-    """Baseline sequential-DCT JPEG decode: returns
-    (width, height, channels, pixels[h, w, channels] uint8).
+    """Sequential (SOF0/SOF1) AND progressive (SOF2) Huffman JPEG
+    decode: returns (width, height, channels, pixels[h, w, channels]
+    uint8).
 
     1-component frames return grayscale (channels=1); 3-component
     frames are YCbCr -> RGB (BT.601 full range, the JFIF convention).
     Chroma upsampling is nearest-neighbor replication.  Progressive
-    (SOF2), arithmetic-coded and 12-bit streams raise ValueError."""
+    streams accumulate per-component coefficient arrays across scans
+    (spectral selection + successive approximation per T.81 G.1.2 /
+    the jdphuff algorithms), then dequantize + IDCT once at EOI.
+    Arithmetic-coded, hierarchical, lossless and 12-bit streams raise
+    ValueError."""
     if not data.startswith(JPEG_SIG):
         raise ValueError("not a JPEG (bad SOI)")
     qt: Dict[int, np.ndarray] = {}
     hdc: Dict[int, _HuffTable] = {}
     hac: Dict[int, _HuffTable] = {}
     frame = None   # (h, w, comps) comps: list of (cid, hs, vs, tq)
+    progressive = False
     restart_interval = 0
     planes: Dict[int, np.ndarray] = {}
+    coeffs: Dict[int, np.ndarray] = {}  # progressive: per-comp blocks
     pos = 2
     n = len(data)
     while pos < n:
@@ -950,7 +958,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, np.ndarray]:
                 tbl[ZIGZAG] = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1):    # SOF0/SOF1 baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -959,10 +967,20 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, np.ndarray]:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(hs for _, hs, _, _ in comps)
+                vmax = max(vs for _, _, vs, _ in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for cid, hs, vs, _tq in comps:
+                    coeffs[cid] = np.zeros((mcuy * vs, mcux * hs, 64),
+                                           dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("JPEG: only baseline sequential Huffman "
-                             "(SOF0/SOF1) is supported")
+            raise ValueError("JPEG: only sequential (SOF0/SOF1) and "
+                             "progressive (SOF2) Huffman frames are "
+                             "supported")
         elif marker == 0xC4:        # DHT
             i = 0
             while i < len(body):
@@ -983,11 +1001,208 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, np.ndarray]:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 15))
-            pos = _decode_scan(data, pos, frame, scan, qt, hdc, hac,
-                               restart_interval, planes)
+            if progressive:
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                aa = body[3 + 2 * ns]
+                pos = _decode_scan_prog(data, pos, frame, scan, ss, se,
+                                        aa >> 4, aa & 15, hdc, hac,
+                                        restart_interval, coeffs)
+            else:
+                pos = _decode_scan(data, pos, frame, scan, qt, hdc,
+                                   hac, restart_interval, planes)
+    if progressive:
+        if frame is None or not coeffs:
+            raise ValueError("JPEG: no image data")
+        planes = _idct_planes(frame, coeffs, qt)
     if frame is None or not planes:
         raise ValueError("JPEG: no image data")
     return _assemble(frame, planes)
+
+
+def _comp_block_grid(frame, cid):
+    """(non-interleaved block rows, cols) of one component — ceil of
+    the component's scaled pixel dims, NOT MCU-padded (T.81 A.2.2)."""
+    h, w, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    hs, vs = next((hs, vs) for c, hs, vs, _ in comps if c == cid)
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan_prog(data, pos, frame, scan, ss, se, ah, al,
+                      hdc, hac, ri, coeffs):
+    """One progressive scan into the per-component coefficient arrays
+    (zigzag-index order).  DC scans (Ss=0) may be interleaved; AC
+    scans are single-component per T.81.  Successive approximation:
+    first scans (Ah=0) store values << Al; refinement scans (Ah>0)
+    restore one magnitude bit (the jdphuff decode_mcu_*_refine
+    algorithms)."""
+    h, w, comps = frame
+    byid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    br = _BitReader(data, pos)
+    p1, m1 = 1 << al, -(1 << al)
+
+    def finish():
+        p = br.pos
+        if br.marker is not None:
+            return p
+        while p + 1 < len(data) and not (data[p] == 0xFF and
+                                         data[p + 1] != 0x00):
+            p += 1
+        return p
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: progressive DC scan must have Se=0")
+        preds = {cs: 0 for cs, _, _ in scan}
+
+        def dc_block(blk, cs, tdc):
+            if ah == 0:
+                t = br.decode_huff(tdc)
+                diff = _extend(br.get_bits(t), t) if t else 0
+                preds[cs] += diff
+                blk[0] = preds[cs] << al
+            else:
+                blk[0] |= br.get_bits(1) << al
+
+        if len(scan) > 1:  # interleaved DC scan over MCUs
+            count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and count and count % ri == 0:
+                        br.restart()
+                        for k in preds:
+                            preds[k] = 0
+                    count += 1
+                    for cs, td, _ta in scan:
+                        hs, vs, _tq = byid[cs]
+                        C = coeffs[cs]
+                        tdc = hdc[td] if ah == 0 else None
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(C[my * vs + by, mx * hs + bx],
+                                         cs, tdc)
+        else:
+            cs, td, _ta = scan[0]
+            C = coeffs[cs]
+            tdc = hdc[td] if ah == 0 else None
+            bh, bw = _comp_block_grid(frame, cs)
+            count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and count and count % ri == 0:
+                        br.restart()
+                        preds[cs] = 0
+                    count += 1
+                    dc_block(C[by, bx], cs, tdc)
+        return finish()
+
+    # ---- AC scan: single component ----
+    if len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scan must be "
+                         "single-component")
+    cs, _td, ta = scan[0]
+    tac = hac[ta]
+    C = coeffs[cs]
+    bh, bw = _comp_block_grid(frame, cs)
+    eobrun = 0
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if ri and count and count % ri == 0:
+                br.restart()
+                eobrun = 0
+            count += 1
+            blk = C[by, bx]
+            if ah == 0:  # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.decode_huff(tac)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.get_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC index overflow")
+                    blk[k] = _extend(br.get_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement scan (jdphuff decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.decode_huff(tac)
+                        r, s = rs >> 4, rs & 15
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG: bad AC refinement symbol")
+                            newval = p1 if br.get_bits(1) else m1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.get_bits(r)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if br.get_bits(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG: AC refine overflow")
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if br.get_bits(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return finish()
+
+
+def _idct_planes(frame, coeffs, qt) -> Dict[int, np.ndarray]:
+    """Progressive finish: dequantize the accumulated zigzag-order
+    coefficient blocks and run one batched IDCT per component."""
+    h, w, comps = frame
+    A = _IDCT_A
+    planes: Dict[int, np.ndarray] = {}
+    for cid, hs, vs, tq in comps:
+        C = coeffs[cid].astype(np.float64)
+        q = qt[tq].astype(np.float64).reshape(-1)
+        bh, bw = C.shape[:2]
+        nat = np.zeros((bh, bw, 64))
+        nat[:, :, ZIGZAG] = C  # zigzag-index -> natural order
+        F = nat.reshape(bh, bw, 8, 8) * q.reshape(8, 8)
+        blk = np.einsum("ij,mnjk,kl->mnil", A.T, F, A) + 128.0
+        planes[cid] = blk.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return planes
 
 
 def _decode_scan(data, pos, frame, scan, qt, hdc, hac, ri, planes):

@@ -278,6 +278,238 @@ def encode_jpeg(px, qluma, qchroma=None, subsample="444",
     return bytes(out)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) reference encoder: spectral selection + successive
+# approximation, written from T.81 G.1.2 (the jcphuff algorithms) as an
+# independent certification partner for the progressive decode path.
+# Coefficient math is shared with the baseline encoder, so
+# decode(progressive(img, scans)) must be PIXEL-IDENTICAL to
+# decode(baseline(img)) for any legal scan script.
+# ---------------------------------------------------------------------------
+
+
+# Progressive AC scans need EOBn symbols (0x10, 0x20, ...) that the
+# baseline Annex K tables do not define; use a flat 9-bit canonical
+# table over all 256 symbols (Kraft 256/512, no all-ones code).
+AC_PROG_COUNTS = [0] * 8 + [255, 1] + [0] * 6  # DHT counts are bytes
+AC_PROG_SYMS = list(range(256))  # 0xFF (r=15,s=15) unused, 10-bit
+
+
+def _quant_blocks(plane, q):
+    """Pad to 8 and return (bh, bw, 64) quantized coefficients in
+    zigzag-index order."""
+    P = _pad(plane.astype(np.float64), 8, 8)
+    bh, bw = P.shape[0] // 8, P.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            F = _A @ (P[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0) @ _A.T
+            qz = np.round(F / q).astype(np.int64)
+            out[by, bx] = qz.reshape(-1)[ZIGZAG]
+    return out
+
+
+def _emit_vli(bw_, v, s):
+    vv = v if v >= 0 else v + (1 << s) - 1
+    bw_.put(vv & ((1 << s) - 1), s)
+
+
+def _enc_dc_first(bw_, blocks_list, codes_list, al):
+    """Interleaved DC first scan (Ah=0): diff coding of coef >> Al
+    (arithmetic shift), MCU order = the zip of blocks_list entries."""
+    preds = [0] * len(blocks_list)
+    n_mcu = len(blocks_list[0])
+    for i in range(n_mcu):
+        for ci, blocks in enumerate(blocks_list):
+            v = int(blocks[i][0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _cat(diff)
+            ln, code = codes_list[ci][t]
+            bw_.put(code, ln)
+            if t:
+                _emit_vli(bw_, diff, t)
+
+
+def _enc_dc_refine(bw_, blocks_list, al):
+    n_mcu = len(blocks_list[0])
+    for i in range(n_mcu):
+        for blocks in blocks_list:
+            bw_.put((int(blocks[i][0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw_, blocks, ac_codes, ss, se, al):
+    """Single-component AC first scan with cross-block EOBRUN
+    accumulation (exercises the decoder's multi-block end-of-band
+    path; max run 32767 per T.81)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            take = min(eobrun, (1 << (r + 1)) - 1)
+            ln, code = ac_codes[r << 4]
+            bw_.put(code, ln)
+            if r:
+                bw_.put(take - (1 << r), r)
+            eobrun -= take
+
+    for blk in blocks:
+        run = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                run += 1
+                continue
+            flush_eob()
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw_.put(code, ln)
+                run -= 16
+            s = _cat(t)
+            ln, code = ac_codes[(run << 4) | s]
+            bw_.put(code, ln)
+            _emit_vli(bw_, t if v >= 0 else -t, s)
+            run = 0
+            emitted = True
+        if run or not emitted:
+            eobrun += 1
+    flush_eob()
+
+
+def _enc_ac_refine(bw_, blocks, ac_codes, ss, se, al):
+    """Single-component AC refinement scan (T.81 G.1.2.3 / jcphuff
+    encode_mcu_AC_refine), per-block EOB flush.  The ZRL-emission
+    loop runs at EVERY nonzero coefficient (history included), before
+    that coefficient's own bit is buffered — the ordering the decoder
+    relies on to pair buffered correction bits with the positions its
+    advance actually passes."""
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        # EOB position: index AFTER the last newly-nonzero coefficient
+        eob = 0
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        run = 0
+        pending = []  # correction bits buffered behind the next symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            # ZRLs not foldable into the EOB (k <= EOB only)
+            while run > 15 and i < eob:
+                ln, code = ac_codes[0xF0]
+                bw_.put(code, ln)
+                for b in pending:
+                    bw_.put(b, 1)
+                pending = []
+                run -= 16
+            if t > 1:  # history coefficient: buffered correction bit
+                pending.append(t & 1)
+                continue
+            # newly nonzero (t == 1)
+            ln, code = ac_codes[(run << 4) | 1]
+            bw_.put(code, ln)
+            bw_.put(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            for b in pending:
+                bw_.put(b, 1)
+            pending = []
+            run = 0
+        if run or pending:
+            ln, code = ac_codes[0x00]  # EOB (EOBRUN = 1)
+            bw_.put(code, ln)
+            for b in pending:
+                bw_.put(b, 1)
+
+
+def encode_jpeg_progressive(px, qluma, qchroma=None, scans=None):
+    """Progressive encoder.  ``scans``: list of
+    (comp_idx | None, Ss, Se, Ah, Al) — comp_idx None = interleaved
+    DC scan over every component (legal only for Ss == 0).  Defaults
+    to a libjpeg-like script exercising spectral selection AND
+    successive approximation on both DC and AC."""
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if px.ndim == 3 and px.shape[2] == 1:
+        px = px[:, :, 0]
+    h, w = px.shape[:2]
+    if scans is None:
+        if gray:
+            scans = [(None, 0, 0, 0, 1), (None, 0, 0, 1, 0),
+                     (0, 1, 5, 0, 2), (0, 6, 63, 0, 2),
+                     (0, 1, 63, 2, 1), (0, 1, 63, 1, 0)]
+        else:
+            scans = [(None, 0, 0, 0, 1), (None, 0, 0, 1, 0)]
+            for c in range(3):
+                scans += [(c, 1, 5, 0, 1), (c, 6, 63, 0, 1)]
+            for c in range(3):
+                scans += [(c, 1, 63, 1, 0)]
+    out = bytearray(b"\xff\xd8")
+    out += _dqt(0, qluma)
+    dc_l = _codes(DC_LUM_COUNTS, DC_LUM_SYMS)
+    ac_p = _codes(AC_PROG_COUNTS, AC_PROG_SYMS)
+    if gray:
+        comps_blocks = [_quant_blocks(px, qluma)]
+        dc_codes = [dc_l]
+        ac_codes = [ac_p]
+        sof_comps = bytes([1, 0x11, 0])
+        scan_ids = [(1, 0, 0)]
+        out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + sof_comps)
+        out += _dht(0, 0, DC_LUM_COUNTS, DC_LUM_SYMS)
+        out += _dht(1, 0, AC_PROG_COUNTS, AC_PROG_SYMS)
+    else:
+        if qchroma is None:
+            qchroma = qluma
+        out += _dqt(1, qchroma)
+        dc_c = _codes(DC_CHR_COUNTS, DC_CHR_SYMS)
+        y, cb, cr = _rgb_to_ycbcr(px)
+        comps_blocks = [_quant_blocks(y, qluma),
+                        _quant_blocks(cb, qchroma),
+                        _quant_blocks(cr, qchroma)]
+        dc_codes = [dc_l, dc_c, dc_c]
+        ac_codes = [ac_p, ac_p, ac_p]
+        # 4:4:4 only (hs = vs = 1 for every component)
+        out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 3) +
+                    bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        out += _dht(0, 0, DC_LUM_COUNTS, DC_LUM_SYMS)
+        out += _dht(1, 0, AC_PROG_COUNTS, AC_PROG_SYMS)
+        out += _dht(0, 1, DC_CHR_COUNTS, DC_CHR_SYMS)
+        out += _dht(1, 1, AC_PROG_COUNTS, AC_PROG_SYMS)
+        scan_ids = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    flat = [cb_.reshape(-1, 64) for cb_ in comps_blocks]
+    for comp, ss, se, ah, al in scans:
+        bw_ = _BitWriter()
+        if ss == 0:
+            idxs = (list(range(len(flat))) if comp is None else [comp])
+            hdr = bytes([len(idxs)]) + b"".join(
+                bytes([scan_ids[c][0], scan_ids[c][1] << 4])
+                for c in idxs) + bytes([0, 0, (ah << 4) | al])
+            out += _seg(0xDA, hdr)
+            if ah == 0:
+                _enc_dc_first(bw_, [flat[c] for c in idxs],
+                              [dc_codes[c] for c in idxs], al)
+            else:
+                _enc_dc_refine(bw_, [flat[c] for c in idxs], al)
+        else:
+            c = comp
+            hdr = bytes([1, scan_ids[c][0], scan_ids[c][2]]) + \
+                bytes([ss, se, (ah << 4) | al])
+            out += _seg(0xDA, hdr)
+            if ah == 0:
+                _enc_ac_first(bw_, flat[c], ac_codes[c], ss, se, al)
+            else:
+                _enc_ac_refine(bw_, flat[c], ac_codes[c], ss, se, al)
+        bw_.align()
+        out += bw_.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # tests
 # ---------------------------------------------------------------------------
@@ -345,12 +577,13 @@ def test_coarse_quant_bounded():
 def test_rejects():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2 refused, not mis-decoded
+    # lossless (SOF3) refused — progressive (SOF2) now decodes; its
+    # malformed-scan rejection lives in the progressive test block
     img = np.full((8, 8), 99, dtype=np.uint8)
     data = bytearray(encode_jpeg(img, Q1))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    data[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="sequential"):
         decode_jpeg(bytes(data))
 
 
@@ -370,3 +603,91 @@ def test_decode_stage_real_jpeg(ray_session):
         _, _, _, px = decode_jpeg(rows[i]["html"])
         np.testing.assert_allclose(np.asarray(out.loc[i, "features"]),
                                    png_features(px))
+
+
+# ---------------------------------------------------------------------------
+# progressive tests: decode(progressive) must be PIXEL-IDENTICAL to
+# decode(baseline) — identical quantized coefficients by construction
+# ---------------------------------------------------------------------------
+
+
+def _prog_equals_baseline(img, scans=None, q=None, qc=None):
+    q = Q1 if q is None else q
+    base = decode_jpeg(encode_jpeg(img, q, qchroma=qc))[3]
+    prog = decode_jpeg(encode_jpeg_progressive(img, q, qchroma=qc,
+                                               scans=scans))[3]
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_gray_default_script():
+    # default script: DC SA (Al=1 -> refine), AC spectral bands at
+    # Al=2, then two AC refinement passes (2->1->0)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    _prog_equals_baseline(img)
+
+
+def test_progressive_gray_spectral_only():
+    # pure spectral selection, no successive approximation
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    _prog_equals_baseline(img, scans=[
+        (None, 0, 0, 0, 0), (0, 1, 2, 0, 0), (0, 3, 20, 0, 0),
+        (0, 21, 63, 0, 0)])
+
+
+def test_progressive_gray_eobrun_accumulation():
+    # smooth image, coarse quant -> long zero bands -> multi-block
+    # EOBRUN symbols in the AC-first scans
+    x = np.linspace(0, 40, 64)
+    img = (120 + np.add.outer(x, x) / 2).astype(np.uint8)
+    q = np.full((8, 8), 24, dtype=np.int32)
+    _prog_equals_baseline(img, q=q)
+    _prog_equals_baseline(img, q=q, scans=[
+        (None, 0, 0, 0, 0), (0, 1, 63, 0, 1), (0, 1, 63, 1, 0)])
+
+
+def test_progressive_color_444():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (19, 26, 3), dtype=np.uint8)
+    _prog_equals_baseline(img)
+
+
+def test_progressive_color_custom_tables():
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    ql = np.full((8, 8), 3, dtype=np.int32)
+    qc = np.full((8, 8), 5, dtype=np.int32)
+    _prog_equals_baseline(img, q=ql, qc=qc)
+
+
+def test_progressive_deep_sa_ladder():
+    # three successive-approximation refinement levels on AC
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    _prog_equals_baseline(img, scans=[
+        (None, 0, 0, 0, 2), (None, 0, 0, 2, 1), (None, 0, 0, 1, 0),
+        (0, 1, 63, 0, 3), (0, 1, 63, 3, 2), (0, 1, 63, 2, 1),
+        (0, 1, 63, 1, 0)])
+
+
+def test_progressive_decode_stage_routes():
+    # mode='real' DecodeStage handles SOF2 payloads now
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    data = encode_jpeg_progressive(img, Q1)
+    w, h, c, px = decode_jpeg(data)
+    assert (w, h, c) == (16, 16, 1)
+    base = decode_jpeg(encode_jpeg(img, Q1))[3]
+    np.testing.assert_array_equal(px, base)
+
+
+def test_progressive_malformed_scan_rejected():
+    # a baseline stream relabeled SOF2 carries an interleaved
+    # full-band scan — illegal in progressive; must be refused
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, Q1))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
