@@ -316,28 +316,27 @@ def _emit_vli(bw_, v, s):
     bw_.put(vv & ((1 << s) - 1), s)
 
 
-def _enc_dc_first(bw_, blocks_list, codes_list, al):
-    """Interleaved DC first scan (Ah=0): diff coding of coef >> Al
-    (arithmetic shift), MCU order = the zip of blocks_list entries."""
-    preds = [0] * len(blocks_list)
-    n_mcu = len(blocks_list[0])
-    for i in range(n_mcu):
-        for ci, blocks in enumerate(blocks_list):
-            v = int(blocks[i][0]) >> al
-            diff = v - preds[ci]
-            preds[ci] = v
-            t = _cat(diff)
-            ln, code = codes_list[ci][t]
-            bw_.put(code, ln)
-            if t:
-                _emit_vli(bw_, diff, t)
+def _enc_dc_first(bw_, order, codes_by_ci, al):
+    """DC first scan (Ah=0): diff coding of coef >> Al (arithmetic
+    shift).  ``order`` = the scan's block sequence as (ci, block)
+    pairs — true MCU interleave order for multi-component scans
+    (sampling-factor blocks per MCU), plain raster for
+    single-component scans."""
+    preds = {}
+    for ci, blk in order:
+        v = int(blk[0]) >> al
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        t = _cat(diff)
+        ln, code = codes_by_ci[ci][t]
+        bw_.put(code, ln)
+        if t:
+            _emit_vli(bw_, diff, t)
 
 
-def _enc_dc_refine(bw_, blocks_list, al):
-    n_mcu = len(blocks_list[0])
-    for i in range(n_mcu):
-        for blocks in blocks_list:
-            bw_.put((int(blocks[i][0]) >> al) & 1, 1)
+def _enc_dc_refine(bw_, order, al):
+    for _ci, blk in order:
+        bw_.put((int(blk[0]) >> al) & 1, 1)
 
 
 def _enc_ac_first(bw_, blocks, ac_codes, ss, se, al):
@@ -428,12 +427,15 @@ def _enc_ac_refine(bw_, blocks, ac_codes, ss, se, al):
                 bw_.put(b, 1)
 
 
-def encode_jpeg_progressive(px, qluma, qchroma=None, scans=None):
+def encode_jpeg_progressive(px, qluma, qchroma=None, scans=None,
+                            subsample="444"):
     """Progressive encoder.  ``scans``: list of
     (comp_idx | None, Ss, Se, Ah, Al) — comp_idx None = interleaved
     DC scan over every component (legal only for Ss == 0).  Defaults
     to a libjpeg-like script exercising spectral selection AND
-    successive approximation on both DC and AC."""
+    successive approximation on both DC and AC.  ``subsample``:
+    "444" or "420" (luma 2x2 sampling; MCU-ordered DC interleave,
+    per-component ceil-grid AC scans)."""
     gray = px.ndim == 2 or px.shape[2] == 1
     if px.ndim == 3 and px.shape[2] == 1:
         px = px[:, :, 0]
@@ -455,6 +457,7 @@ def encode_jpeg_progressive(px, qluma, qchroma=None, scans=None):
     ac_p = _codes(AC_PROG_COUNTS, AC_PROG_SYMS)
     if gray:
         comps_blocks = [_quant_blocks(px, qluma)]
+        samp = [(1, 1)]
         dc_codes = [dc_l]
         ac_codes = [ac_p]
         sof_comps = bytes([1, 0x11, 0])
@@ -468,42 +471,89 @@ def encode_jpeg_progressive(px, qluma, qchroma=None, scans=None):
         out += _dqt(1, qchroma)
         dc_c = _codes(DC_CHR_COUNTS, DC_CHR_SYMS)
         y, cb, cr = _rgb_to_ycbcr(px)
-        comps_blocks = [_quant_blocks(y, qluma),
-                        _quant_blocks(cb, qchroma),
-                        _quant_blocks(cr, qchroma)]
+        hs, vs = (2, 2) if subsample == "420" else (1, 1)
+        if subsample == "420":
+            Y = _pad(y, 16, 16)
+            cbs, crs = cb, cr
+            if cbs.shape[0] % 2 or cbs.shape[1] % 2:
+                cbs = _pad(cbs, 2, 2)
+                crs = _pad(crs, 2, 2)
+            cbs = cbs.reshape(cbs.shape[0] // 2, 2, -1, 2).mean(
+                axis=(1, 3))
+            crs = crs.reshape(crs.shape[0] // 2, 2, -1, 2).mean(
+                axis=(1, 3))
+            comps_blocks = [_quant_blocks(Y, qluma),
+                            _quant_blocks(cbs, qchroma),
+                            _quant_blocks(crs, qchroma)]
+        else:
+            comps_blocks = [_quant_blocks(y, qluma),
+                            _quant_blocks(cb, qchroma),
+                            _quant_blocks(cr, qchroma)]
+        samp = [(hs, vs), (1, 1), (1, 1)]
         dc_codes = [dc_l, dc_c, dc_c]
         ac_codes = [ac_p, ac_p, ac_p]
-        # 4:4:4 only (hs = vs = 1 for every component)
         out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 3) +
-                    bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+                    bytes([1, (hs << 4) | vs, 0,
+                           2, 0x11, 1, 3, 0x11, 1]))
         out += _dht(0, 0, DC_LUM_COUNTS, DC_LUM_SYMS)
         out += _dht(1, 0, AC_PROG_COUNTS, AC_PROG_SYMS)
         out += _dht(0, 1, DC_CHR_COUNTS, DC_CHR_SYMS)
         out += _dht(1, 1, AC_PROG_COUNTS, AC_PROG_SYMS)
         scan_ids = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
-    flat = [cb_.reshape(-1, 64) for cb_ in comps_blocks]
+    hmax = max(hv for hv, _ in samp)
+    vmax = max(vv for _, vv in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def mcu_order(idxs):
+        order = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in idxs:
+                    chs, cvs = samp[c]
+                    B = comps_blocks[c]
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            order.append(
+                                (c, B[my * cvs + by, mx * chs + bx]))
+        return order
+
+    def comp_grid(c):
+        """Non-interleaved ceil-8 block subgrid of component c."""
+        chs, cvs = samp[c]
+        cw = -(-w * chs // hmax)
+        ch = -(-h * cvs // vmax)
+        B = comps_blocks[c]
+        return B[:-(-ch // 8), :-(-cw // 8)].reshape(-1, 64)
+
     for comp, ss, se, ah, al in scans:
         bw_ = _BitWriter()
         if ss == 0:
-            idxs = (list(range(len(flat))) if comp is None else [comp])
+            idxs = (list(range(len(comps_blocks)))
+                    if comp is None else [comp])
             hdr = bytes([len(idxs)]) + b"".join(
                 bytes([scan_ids[c][0], scan_ids[c][1] << 4])
                 for c in idxs) + bytes([0, 0, (ah << 4) | al])
             out += _seg(0xDA, hdr)
+            if len(idxs) > 1:
+                order = mcu_order(idxs)
+            else:  # non-interleaved single-component DC scan
+                order = [(idxs[0], blk) for blk in comp_grid(idxs[0])]
             if ah == 0:
-                _enc_dc_first(bw_, [flat[c] for c in idxs],
-                              [dc_codes[c] for c in idxs], al)
+                _enc_dc_first(bw_, order, dc_codes, al)
             else:
-                _enc_dc_refine(bw_, [flat[c] for c in idxs], al)
+                _enc_dc_refine(bw_, order, al)
         else:
             c = comp
             hdr = bytes([1, scan_ids[c][0], scan_ids[c][2]]) + \
                 bytes([ss, se, (ah << 4) | al])
             out += _seg(0xDA, hdr)
             if ah == 0:
-                _enc_ac_first(bw_, flat[c], ac_codes[c], ss, se, al)
+                _enc_ac_first(bw_, comp_grid(c), ac_codes[c], ss, se,
+                              al)
             else:
-                _enc_ac_refine(bw_, flat[c], ac_codes[c], ss, se, al)
+                _enc_ac_refine(bw_, comp_grid(c), ac_codes[c], ss, se,
+                               al)
         bw_.align()
         out += bw_.buf
     out += b"\xff\xd9"
@@ -691,3 +741,29 @@ def test_progressive_malformed_scan_rejected():
     data[i + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_progressive_420_matches_baseline_420():
+    # subsampled progressive: MCU-ordered interleaved DC + ceil-grid
+    # AC scans; coefficients identical to the baseline 4:2:0 encoder
+    rng = np.random.default_rng(13)
+    base_img = rng.integers(60, 196, (3, 4, 3))
+    img = np.repeat(np.repeat(base_img, 7, axis=0), 5,
+                    axis=1).astype(np.uint8)  # 21 x 20, smooth-ish
+    base = decode_jpeg(encode_jpeg(img, Q1, subsample="420"))[3]
+    prog = decode_jpeg(encode_jpeg_progressive(
+        img, Q1, subsample="420"))[3]
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_noninterleaved_dc_scans():
+    # per-component DC scans (ns=1, the non-interleaved DC grid path)
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (17, 18, 3), dtype=np.uint8)
+    scans = ([(c, 0, 0, 0, 1) for c in range(3)]
+             + [(c, 0, 0, 1, 0) for c in range(3)]
+             + [(c, 1, 63, 0, 0) for c in range(3)])
+    _prog_equals_baseline(img, scans=scans)
+    gimg = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    _prog_equals_baseline(gimg, scans=[
+        (0, 0, 0, 0, 0), (0, 1, 63, 0, 0)])
