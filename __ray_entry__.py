@@ -135,7 +135,8 @@ _ROWS_ONLY_PRIORITY = [
     "q_host_rank_denoised",
     "q_ldg_partition", "q_multilevel_partition", "q_hdrf_partition",
     "q_url_canonical",
-    "q_frame_sample", "q_video_motion", "q_components", "q_triangles",
+    "q_frame_sample", "q_video_motion", "q_media_meta",
+    "q_components", "q_triangles",
     "q_triangles_apx",
     "q_knn_cosine_lsh", "q_knn_cosine_ivf", "q_knn_cosine_pq",
     "q_ann_ivfpq", "q_retrieval_semantic",

@@ -1702,3 +1702,153 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Header-only media metadata: dimensions / format / shape WITHOUT
+# decoding the payload.  At 10^9-image scale this is the triage pass
+# that decides what to decode at all — bytes touched per image are
+# the first few KB of headers, not the pixel data.
+# ---------------------------------------------------------------------------
+
+
+def media_meta(data: bytes) -> Dict[str, object]:
+    """Sniff one payload's format + shape from its headers only.
+
+    Returns {"format", "width", "height", "n_components",
+    "progressive"} — width/height -1 when the format is recognized
+    but the needed header is missing/corrupt; format "unknown" (all
+    else -1/False) when no signature matches.  JPEG walks markers to
+    the first SOFn (skipping entropy data is never needed before
+    SOF); PNG reads IHDR; BMP the BITMAPINFOHEADER; GIF the logical
+    screen descriptor; WAV reports (n_samples, n_channels) as
+    (width, height) like the decode stage; y4m parses the stream
+    header."""
+    out = {"format": "unknown", "width": -1, "height": -1,
+           "n_components": -1, "progressive": False}
+    try:
+        if data.startswith(PNG_SIG):
+            out["format"] = "png"
+            if data[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", data[16:24])
+                bit_depth, color = data[24], data[25]
+                out.update(width=int(w), height=int(h),
+                           n_components={0: 1, 2: 3, 3: 1, 4: 2,
+                                         6: 4}.get(color, -1))
+            return out
+        if data.startswith(BMP_SIG):
+            out["format"] = "bmp"
+            if len(data) >= 30:
+                w, h = struct.unpack("<ii", data[18:26])
+                bpp = struct.unpack("<H", data[28:30])[0]
+                out.update(width=int(w), height=abs(int(h)),
+                           n_components=3 if bpp >= 24 else 1)
+            return out
+        if data[:6] in GIF_SIGS:
+            out["format"] = "gif"
+            w, h = struct.unpack("<HH", data[6:10])
+            out.update(width=int(w), height=int(h), n_components=3)
+            return out
+        if data.startswith(WAV_SIG) and data[8:12] == b"WAVE":
+            out["format"] = "wav"
+            pos = 12
+            n_ch = rate = bits = -1
+            n_bytes = -1
+            while pos + 8 <= len(data):
+                cid = data[pos:pos + 4]
+                (sz,) = struct.unpack("<I", data[pos + 4:pos + 8])
+                if cid == b"fmt ":
+                    n_ch, rate = struct.unpack(
+                        "<HI", data[pos + 10:pos + 16])
+                    (bits,) = struct.unpack(
+                        "<H", data[pos + 22:pos + 24])
+                elif cid == b"data":
+                    n_bytes = sz
+                    break
+                pos += 8 + sz + (sz & 1)
+            if n_ch > 0 and bits > 0 and n_bytes >= 0:
+                out.update(width=n_bytes // (n_ch * (bits // 8)),
+                           height=int(n_ch), n_components=int(n_ch))
+            return out
+        if data.startswith(Y4M_SIG):
+            out["format"] = "y4m"
+            hdr = data[:data.index(b"\n")].decode("ascii",
+                                                  "replace").split()
+            w = h = -1
+            for tok in hdr[1:]:
+                if tok.startswith("W"):
+                    w = int(tok[1:])
+                elif tok.startswith("H"):
+                    h = int(tok[1:])
+            out.update(width=w, height=h, n_components=1)
+            return out
+        if data.startswith(JPEG_SIG):
+            out["format"] = "jpeg"
+            pos = 2
+            n = len(data)
+            while pos + 4 <= n:
+                if data[pos] != 0xFF:
+                    break
+                marker = data[pos + 1]
+                pos += 2
+                if marker == 0xFF:
+                    pos -= 1
+                    continue
+                if marker in (0xD8, 0xD9, 0x01) or \
+                        0xD0 <= marker <= 0xD7:
+                    continue
+                (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                        0xC4, 0xC8, 0xCC):  # SOFn
+                    _prec, h, w, nc = struct.unpack(
+                        ">BHHB", data[pos + 2:pos + 8])
+                    out.update(width=int(w), height=int(h),
+                               n_components=int(nc),
+                               progressive=marker in (0xC2, 0xC6,
+                                                      0xCA, 0xCE))
+                    return out
+                if marker == 0xDA:  # SOS before SOF: corrupt
+                    break
+                pos += seglen
+            return out
+    except (struct.error, IndexError, ValueError):
+        return out
+    return out
+
+
+class MediaMetaStage:
+    """Actor-pool stage: (id, payload) -> header-only metadata
+    columns.  Pass to ``map_batches(MediaMetaStage,
+    fn_constructor_args=(id_col, payload_col), concurrency=(1, N))``
+    — reads only header bytes per row, the 10^9-image triage pass."""
+
+    def __init__(self, id_col: str = "url", payload_col: str = "html"):
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads = b.column(self.payload_col).to_pylist()
+        metas = [media_meta(p or b"") for p in payloads]
+        return pa.table({
+            self.id_col: b.column(self.id_col),
+            "format": pa.array([m["format"] for m in metas],
+                               type=pa.string()),
+            "width": pa.array([m["width"] for m in metas],
+                              type=pa.int64()),
+            "height": pa.array([m["height"] for m in metas],
+                               type=pa.int64()),
+            "n_components": pa.array(
+                [m["n_components"] for m in metas], type=pa.int64()),
+            "progressive": pa.array(
+                [m["progressive"] for m in metas], type=pa.bool_()),
+            "n_bytes": pa.array([len(p or b"") for p in payloads],
+                                type=pa.int64())})
+
+
+def media_metadata(ds, id_col: str = "url", payload_col: str = "html",
+                   batch_size: int = 1024, concurrency=(1, 8)):
+    """Header-only media triage over a binary payload column."""
+    return ds.map_batches(
+        MediaMetaStage, fn_constructor_args=(id_col, payload_col),
+        batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow")

@@ -1397,6 +1397,42 @@ def q_embed_neardup(sf_dir: str):
     return cosine_pairs(emb, 0.4, max_id=500)
 
 
+@_q("q_media_meta")
+def q_media_meta(sf_dir: str):
+    """Header-only media triage (functions/multimodal.py::
+    media_metadata): sniff format + dimensions from the first KB of
+    each payload WITHOUT decoding — the pass that decides what to
+    decode at 10^9-image scale.  Runs over a deterministic mixed
+    PNG/WAV/y4m payload table (the real-codec fixture synthesizer);
+    returns per-format counts + dimension sums.  Rows-only;
+    header-vs-decode agreement pinned in tests/test_media_meta.py."""
+    from .functions.multimodal import media_metadata
+    from .ops.agg import grouped_aggregate
+
+    docs = _docs(sf_dir, ["doc_id"])
+    kinds = {0: "png", 1: "wav", 2: "y4m"}
+
+    def synth_mixed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        parts = []
+        for r, kind in kinds.items():
+            sel = b.filter(pa.array(ids % 3 == r))
+            if sel.num_rows:
+                parts.append(_synth_media_payloads(sel, kind))
+        return pa.concat_tables(parts) if parts else \
+            _synth_media_payloads(b.slice(0, 0), "png")
+
+    mixed = docs.map_batches(synth_mixed, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    meta = media_metadata(mixed, id_col="doc_id",
+                          payload_col="payload")
+    return grouped_aggregate(
+        meta.select_columns(["format", "width", "height", "n_bytes"]),
+        ["format"], {"n": ("count", None), "sum_w": ("sum", "width"),
+                     "sum_h": ("sum", "height"),
+                     "sum_bytes": ("sum", "n_bytes")})
+
+
 # ---- multimodal plumbing (stubbed decode) ------------------------------
 
 @_q("q_binary_decode")
