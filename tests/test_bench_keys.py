@@ -50,3 +50,23 @@ def test_bench_lane_partition():
     assert set(bench.BENCH_KEYS_STABLE) <= all_keys
     assert set(bench.BENCH_KEYS_NEW) <= all_keys
     assert not set(bench.BENCH_KEYS_STABLE) & set(bench.BENCH_KEYS_NEW)
+
+
+def test_slow_lane_list_resolves():
+    """Every _SLOW_TESTS entry must match a collected test (a renamed
+    or deleted test would silently shrink the slow lane); modules in
+    _SLOW_MODULES must exist."""
+    import os
+
+    from tests.conftest import _SLOW_MODULES, _SLOW_TESTS
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for mod in _SLOW_MODULES:
+        assert os.path.exists(os.path.join(root, mod)), mod
+    for entry in _SLOW_TESTS:
+        path, name = entry.split("::")
+        name = name.split("[")[0]
+        f = os.path.join(root, path)
+        assert os.path.exists(f), entry
+        src = open(f).read()
+        assert f"def {name}(" in src, entry
