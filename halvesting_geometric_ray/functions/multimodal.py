@@ -1782,6 +1782,44 @@ def media_meta(data: bytes) -> Dict[str, object]:
                     h = int(tok[1:])
             out.update(width=w, height=h, n_components=1)
             return out
+        if data.startswith(b"ID3") or (
+                len(data) >= 2 and data[0] == 0xFF
+                and (data[1] & 0xE0) == 0xE0 and (data[1] & 0x18) != 0x08):
+            # MP3 triage: no decoder in this container, but the frame
+            # header carries the catalogable metadata.  Skip an ID3v2
+            # tag (syncsafe size), then parse the first MPEG audio
+            # frame header: (width, height) <- (sample rate, channels)
+            # mirroring the WAV convention; n_components <- kbps.
+            pos2 = 0
+            if data.startswith(b"ID3") and len(data) >= 10:
+                sz = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)                     | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+                pos2 = 10 + sz
+            while pos2 + 4 <= len(data):
+                b0, b1, b2, b3 = data[pos2:pos2 + 4]
+                if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+                    ver = (b1 >> 3) & 3      # 3=MPEG1, 2=MPEG2, 0=2.5
+                    layer = (b1 >> 1) & 3    # 1=III, 2=II, 3=I
+                    br_idx = (b2 >> 4) & 15
+                    sr_idx = (b2 >> 2) & 3
+                    if ver != 1 and layer != 0 and br_idx not in (0, 15)                             and sr_idx != 3:
+                        out["format"] = "mp3"
+                        base = {3: 44100, 2: 22050, 0: 11025}[ver]
+                        sr = {0: base, 1: base * 48000 // 44100,
+                              2: base * 32000 // 44100}[sr_idx]
+                        # MPEG1 Layer III bitrate table (kbps)
+                        mpeg1_l3 = [0, 32, 40, 48, 56, 64, 80, 96, 112,
+                                    128, 160, 192, 224, 256, 320, 0]
+                        kbps = mpeg1_l3[br_idx] if (ver == 3 and
+                                                    layer == 1) else -1
+                        out.update(width=sr,
+                                   height=1 if ((b3 >> 6) & 3) == 3
+                                   else 2,
+                                   n_components=kbps)
+                        return out
+                pos2 += 1
+            if data.startswith(b"ID3"):
+                out["format"] = "mp3"  # tagged but no parsable frame
+            return out
         if data.startswith(JPEG_SIG):
             out["format"] = "jpeg"
             pos = 2

@@ -76,3 +76,27 @@ def test_media_metadata_stage(ray_session):
     assert (out.loc["b", "width"], out.loc["b", "height"]) == (12, 10)
     assert out.loc["c", "format"] == "unknown"
     assert (out.n_bytes > 0).all()
+
+
+def test_mp3_header_triage():
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, stereo — header-only
+    # catalog metadata (no MP3 decoder in this container by design)
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 100
+    m = media_meta(frame)
+    assert m["format"] == "mp3"
+    assert m["width"] == 44100          # sample rate
+    assert m["height"] == 2             # channels
+    assert m["n_components"] == 128     # kbps
+    # ID3v2-tagged stream: skip the syncsafe tag, find the frame
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    m2 = media_meta(tag + frame)
+    assert m2["format"] == "mp3" and m2["width"] == 44100
+    # mono MPEG2, 22050 Hz
+    f2 = bytes([0xFF, 0xF3, 0x90, 0xC0]) + b"\x00" * 10
+    m3 = media_meta(f2)
+    assert m3["format"] == "mp3"
+    assert m3["width"] == 22050 and m3["height"] == 1
+    # JPEG must NOT be swallowed by the MP3 sync check
+    from tests.test_jpeg import Q1, encode_jpeg
+    img = np.full((8, 8), 50, dtype=np.uint8)
+    assert media_meta(encode_jpeg(img, Q1))["format"] == "jpeg"
